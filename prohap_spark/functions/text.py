@@ -1,0 +1,82 @@
+"""Text-analysis expressions for training-data pipelines — language ID,
+quality scoring, token counting, fingerprinting. All JVM-side column
+expressions (no UDFs): they stay inside whole-stage codegen and scale
+linearly with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+LANG_PROFILES = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def _words(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def whitespace_token_count(text: str | Column) -> Column:
+    return F.size(_words(text))
+
+
+def regex_token_count(text: str | Column, pattern: str = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]") -> Column:
+    """BPE-ish token count: alpha runs, digit runs, single punctuation."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+
+
+def stopword_ratio(text: str | Column, stopwords=DEFAULT_STOPWORDS) -> Column:
+    ws = _words(text)
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stopwords)))
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    p = F.length(F.regexp_replace(c, r"[^.,;:!?]", ""))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: str | Column) -> Column:
+    ws = _words(text)
+    total = F.aggregate(ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    return F.when(F.size(ws) > 0, total.cast("double") / F.size(ws)).otherwise(F.lit(0.0))
+
+
+def quality_score_expr(text: str | Column, stopwords=DEFAULT_STOPWORDS) -> Column:
+    """Heuristic document quality in [0, 1]: rewards being inside a
+    sane length band, having a natural mean word length, containing
+    stopwords, and low punctuation density (Gopher/C4-style rules)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_words = whitespace_token_count(c).cast("double")
+    len_ok = F.when((n_words >= 10) & (n_words <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_length(c)
+    mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(c, stopwords)
+    sw_ok = F.least(sw * 5.0, F.lit(1.0))
+    pr = punct_ratio(c)
+    pr_ok = F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0))
+    return (len_ok + mwl_ok + sw_ok + pr_ok) / 4.0
+
+
+def lang_id_expr(text: str | Column, profiles: dict[str, tuple] = LANG_PROFILES, min_ratio: float = 0.05) -> Column:
+    """Pick the language whose stopword profile matches the largest
+    share of tokens; 'und' (undetermined) when the best share is below
+    ``min_ratio``. Ties resolve in profile-insertion order."""
+    scores = [(lang, stopword_ratio(text, sw)) for lang, sw in profiles.items()]
+    best_score = F.greatest(*[s for _, s in scores]) if len(scores) > 1 else scores[0][1]
+    pick = F.lit("und")
+    # reverse order so earlier profiles win ties
+    for lang, s in reversed(scores):
+        pick = F.when((s == best_score) & (best_score >= min_ratio), F.lit(lang)).otherwise(pick)
+    return pick

@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's dedup is exact sequence dedup via an in-memory
+bisect-sorted hash list (/root/reference/src/process_haplotypes.py:437-454
+and merge_duplicate_seq.py:20-85). At 100 TB the Spark-native family is:
+
+- exact dedup: one hash aggregate on the content (or a stable content
+  hash) — map-side partial agg, AQE-coalesced shuffle;
+- MinHash + LSH banding: shingle → k min-hashes → band → equi-join on
+  (band_idx, band_hash) buckets — turns the quadratic all-pairs problem
+  into an equi-join Catalyst can shuffle/skew-split; candidates are
+  then verified with exact Jaccard;
+- SimHash: 64-bit weighted-bit signature, near-dups share signatures
+  (or differ in few bits);
+- n-gram Jaccard: exact verification kernel, also usable standalone
+  within blocking keys.
+
+Determinism: all hashes are md5-based (stable across runs/engines —
+the reference's salted Python ``hash()`` is NOT reproducible, see
+SURVEY.md §7.2), so an external SQL oracle can replicate results
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dedup_exact(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Keep one representative row per distinct ``key_cols`` value — the
+    row that sorts first under ``order_cols`` (deterministic, unlike
+    dropDuplicates). Adds ``dup_count``. One shuffle on the key.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in order_cols])
+    cnt = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(cnt))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tokens_expr(text_col: str | Column, lowercase: bool = True) -> Column:
+    """Distinct whitespace tokens of a text column (the shingle set)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.array_distinct(F.split(F.trim(c), r"\s+"))
+
+
+def words_expr(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def ngrams_from_words(words: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED words
+    array column. Important: pass a projected column, not the split
+    expression itself — element_at inside the transform lambda would
+    re-evaluate an inline split per element (O(n²) per row)."""
+    if n == 1:
+        return F.array_distinct(words)
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    # guard: docs shorter than n words have no n-grams (sequence(0, neg)
+    # would count downward)
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_tokens_expr(text_col: str | Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a text column (n=1 safe inline;
+    for n>1 prefer shingle_table which materializes the words first)."""
+    return ngrams_from_words(words_expr(text_col), n)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, ngram: int, keep_cols: list[str] | None = None
+) -> DataFrame:
+    """(id, tokens) with the words array materialized in its own
+    projection so the n-gram lambda reads a computed column."""
+    base = df.select(
+        *(keep_cols or []), F.col(id_col), words_expr(text_col).alias("__words")
+    )
+    return base.select(
+        *(keep_cols or []),
+        F.col(id_col),
+        ngrams_from_words(F.col("__words"), ngram).alias("__tokens"),
+    )
+
+
+def minhash_signature_expr(tokens_col: str | Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed s in [0, k), min over tokens of
+    md5(s || '|' || token). md5 hex strings are fixed-width, so string
+    min == numeric min of the 128-bit value. Engine-portable.
+    """
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(s.cast("string"), F.lit("|"), t)))
+        ),
+    )
+
+
+def jaccard_expr(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """MinHash-LSH banding: docs sharing any (band_idx, band_hash)
+    bucket become a candidate pair. Returns distinct (id_a, id_b,
+    tokens_a, tokens_b) with id_a < id_b.
+
+    The bucket join is a plain equi-join — at scale Spark shuffles on
+    the band hash (well distributed by construction); hot buckets
+    (boilerplate docs) are handled by AQE skew splitting.
+    """
+    assert num_hashes % band_size == 0
+    sig = df.select(
+        F.col(id_col),
+        F.col(tokens_col),
+        minhash_signature_expr(tokens_col, num_hashes).alias("__sig"),
+    )
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        id_col,
+        tokens_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    # dedup candidate pairs on ids ONLY (hashing token arrays through the
+    # distinct shuffle is the expensive anti-pattern), then re-join the
+    # token sets for the verify stage
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    pairs = (
+        a.join(b, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    toks_a = df.select(F.col(id_col).alias("id_a"), F.col(tokens_col).alias("tokens_a"))
+    toks_b = df.select(F.col(id_col).alias("id_b"), F.col(tokens_col).alias("tokens_b"))
+    return pairs.join(toks_a, "id_a").join(toks_b, "id_b")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    ngram: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates verified with exact
+    Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    cand = lsh_candidate_pairs(toks, id_col, "__tokens", num_hashes, band_size)
+    return (
+        cand.withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float,
+    ngram: int = 1,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard within blocking keys (J9-style
+    quadratic verify, bounded by the block). The blocked self-join is a
+    shuffled equi-join on the block key; use only with selective blocks
+    at scale, or as the verify stage after LSH."""
+    base = shingle_table(df, id_col, text_col, ngram, keep_cols=block_cols)
+    a = base.select(*block_cols, F.col(id_col).alias("id_a"), F.col("__tokens").alias("tokens_a"))
+    b = base.select(*block_cols, F.col(id_col).alias("id_b"), F.col("__tokens").alias("tokens_b"))
+    return (
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select(*block_cols, "id_a", "id_b", "jaccard")
+    )
+
+
+def token_fingerprint(text_col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 of the sorted distinct token
+    set — robust to word order and repetition (the A6/A7 'sequence
+    dedup key' analog for text)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(tokens_expr(text_col))))
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens, computed relationally:
+    explode tokens → per-token md5-derived bit pattern → per-bit
+    weighted vote via bit arithmetic in a single aggregate.
+
+    Each token contributes +1/-1 per bit; the signature sets bit i iff
+    the sum is positive. Implemented as sum over ((h >> i) & 1)*2-1
+    for the low 32 and high 32 bits separately to stay in longs.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("__tok")
+    )
+    # stable 64-bit token hash from md5 (first 15 hex chars < 2^60 keeps
+    # conv() exact; xxhash64 would be Spark-only)
+    h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.withColumn("__h", h)
+    votes = [
+        F.sum(((F.shiftright(F.col("__h"), i) % 2) * 2 - 1)).alias(f"__b{i}")
+        for i in range(bits if bits <= 60 else 60)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    nb = bits if bits <= 60 else 60
+    for i in range(nb):
+        bit = F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,575 @@
+"""Relational operator surface (SURVEY §2.1-2.4, §2.7-2.8): scans with
+pushdown, filters/predicates, equi/semi/anti joins, aggregations,
+set ops, rollup/pivot, scalar string/array/map functions.
+
+Every query is a pure DataFrame program (no UDFs, no collects) —
+Catalyst handles pushdown/pruning/join selection; at 100 TB the only
+knob per query is noted in its docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prohap_spark.queries.registry import register, table
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-style summary: scan-side filter pushdown +
+    partial/final hash aggregation on two low-cardinality keys.
+    At scale: nothing to tune — map-side combine keeps the shuffle tiny."""
+    li = table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "s1_scan_pushdown_projection",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_discount > 0.08
+    """,
+)
+def s1_scan_pushdown_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/F3/F11: projection + predicate reaching the parquet scan
+    (PushedFilters + 4-column ReadSchema on a 11-column table)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("2001-06-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.08)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "f1_regex_threshold",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS k
+    FROM events
+    WHERE CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) >= 50
+    """,
+)
+def f1_regex_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/C3: key-value extraction out of a packed string (the AF=
+    INFO-field parse, vcf_reader.py:7-29) + threshold predicate."""
+    ev = table(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": (\d+)', 1).cast("int")
+    return ev.select("event_id", k.alias("k")).where(F.col("k") >= 50)
+
+
+@register(
+    "f4_isin_filter",
+    """
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE p_type IN ('ECONOMY', 'SMALL') AND p_size BETWEEN 10 AND 40
+    """,
+)
+def f4_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 biotype-style membership filter + range predicate."""
+    p = table(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_type").isin("ECONOMY", "SMALL") & F.col("p_size").between(10, 40)
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@register(
+    "f5_group_conditional_filter",
+    """
+    WITH s AS (
+      SELECT *,
+             max(CASE WHEN s_acctbal > 8000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY s_nationkey) AS has_rich
+      FROM supplier
+    )
+    SELECT s_suppkey, s_nationkey, round(s_acctbal, 2) AS acctbal
+    FROM s
+    WHERE (has_rich = 1 AND s_acctbal > 8000) OR (has_rich = 0 AND s_acctbal > 0)
+    """,
+)
+def f5_group_conditional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 MANE-Select semantics: per gene(=nation), if any member has
+    the preferred tag keep only those, else fall back to the secondary
+    criterion (get_reference_ENST.py:46-64) — window max + filter."""
+    from pyspark.sql import Window
+
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey")
+    has_rich = F.max(F.when(F.col("s_acctbal") > 8000, 1).otherwise(0)).over(w)
+    return (
+        s.withColumn("has_rich", has_rich)
+        .where(
+            ((F.col("has_rich") == 1) & (F.col("s_acctbal") > 8000))
+            | ((F.col("has_rich") == 0) & (F.col("s_acctbal") > 0))
+        )
+        .select("s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal"))
+    )
+
+
+@register(
+    "f9_array_mask_filter",
+    """
+    SELECT doc_id, kept_n
+    FROM (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> length(w) > 5)) AS kept_n
+      FROM documents
+    )
+    WHERE kept_n > 0
+    """,
+)
+def f9_array_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 UTR-mask semantics: filter array elements by predicate, drop
+    rows with nothing left (remove_UTR_seq.py:19-32) — higher-order
+    filter(), no explode, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    kept = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 5)
+    return (
+        d.select("doc_id", F.size(kept).alias("kept_n"))
+        .where(F.col("kept_n") > 0)
+    )
+
+
+@register(
+    "j2_normalized_key_join",
+    """
+    SELECT c.c_custkey, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS total_spend
+    FROM customer c
+    JOIN orders o ON CAST(string_split(c.c_name, '#')[2] AS BIGINT) = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j2_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 version-truncated-key join: equi-join on a key derived by
+    string surgery (the reference joins cDNA FASTA accessions after
+    stripping '.version', common.py:59-60)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    key = F.split(F.col("c_name"), "#")[1].cast("bigint")
+    return (
+        c.withColumn("__k", key)
+        .join(o, F.col("__k") == o["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "j3_star_dim_join",
+    """
+    SELECT r.r_name, n.n_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j3_star_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J8 broadcast dimension joins (sample-metadata / gene-attrs
+    lookups) — both dims broadcast; no shuffle on the fact side until
+    the final small aggregation."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "j4_semi_join",
+    """
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 45)
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 inclusion-list semi-join (transcript-list restriction)."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 45)
+    return p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "j11_anti_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def j11_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (SO3 set-difference surface): customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "a2_signature_grouping",
+    """
+    WITH sig AS (
+      SELECT o_custkey,
+             array_to_string(list_sort(list_distinct(list(o_orderpriority))), ';') AS signature
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT signature, count(*) AS n_members
+    FROM sig GROUP BY signature
+    """,
+)
+def a2_signature_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 haplotype-grouping shape: build a per-entity sorted signature
+    set, then group entities by identical signature
+    (get_haplotypes.py:106-142). Two chained hash aggregations."""
+    o = table(spark, sf_dir, "orders")
+    sig = o.groupBy("o_custkey").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ";").alias("signature")
+    )
+    return sig.groupBy("signature").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "a3_conditional_denominator",
+    """
+    SELECT n_nationkey,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+           CAST(CASE WHEN n_nationkey % 5 = 0
+                THEN sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END) + 2 * (count(*) - sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END))
+                ELSE 2 * count(*) END AS BIGINT) AS denom
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+)
+def a3_conditional_denominator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 X-chromosome-aware denominator: denominator = males + 2*(n -
+    males) on 'X' groups else 2n (get_haplotypes.py:221-235), with
+    nationkey%5==0 standing in for the X chromosome."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    neg = F.sum(F.when(F.col("c_acctbal") < 0, 1).otherwise(0))
+    cnt = F.count(F.lit(1))
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_nationkey")
+        .agg(
+            cnt.alias("n_total"),
+            neg.cast("bigint").alias("n_neg"),
+            F.when(F.col("n_nationkey") % 5 == 0, neg + 2 * (cnt - neg))
+            .otherwise(2 * cnt)
+            .cast("bigint")
+            .alias("denom"),
+        )
+    )
+
+
+@register(
+    "a4_group_frequency_maps",
+    """
+    WITH tot AS (SELECT c_nationkey, count(*) AS n FROM customer GROUP BY c_nationkey)
+    SELECT c.c_nationkey, c.c_mktsegment,
+           round(count(*) * 1.0 / any_value(t.n), 6) AS freq
+    FROM customer c JOIN tot t ON c.c_nationkey = t.c_nationkey
+    GROUP BY c.c_nationkey, c.c_mktsegment
+    """,
+)
+def a4_group_frequency_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-population frequency maps, exploded to rows for oracle
+    comparison: the Spark side builds the map with map_from_entries and
+    re-explodes it (round-trips the MapType modeling)."""
+    c = table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    m = (
+        counts.join(tot, "c_nationkey")
+        .withColumn("freq", F.round(F.col("cnt") / F.col("n"), 6))
+        .groupBy("c_nationkey")
+        .agg(F.map_from_entries(F.collect_list(F.struct("c_mktsegment", "freq"))).alias("fmap"))
+    )
+    return m.select("c_nationkey", F.explode("fmap").alias("c_mktsegment", "freq"))
+
+
+@register(
+    "a7_priority_dedup",
+    """
+    SELECT l_partkey,
+           CASE WHEN bool_or(l_returnflag = 'R') THEN 'R'
+                WHEN bool_or(l_returnflag = 'A') THEN 'A'
+                ELSE 'N' END AS flag_resolved,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+    """,
+)
+def a7_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 tag-priority resolution on merge (merge_duplicate_seq.py:64-80):
+    collect the tag set per group, resolve by a fixed priority chain."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.when(F.array_contains(F.collect_set("l_returnflag"), "R"), F.lit("R"))
+        .when(F.array_contains(F.collect_set("l_returnflag"), "A"), F.lit("A"))
+        .otherwise(F.lit("N"))
+        .alias("flag_resolved"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "a11_synthesize_missing_groups",
+    """
+    SELECT n.n_nationkey, coalesce(s.n_suppliers, 0) AS n_suppliers,
+           CASE WHEN s.n_suppliers IS NULL THEN 'REF' ELSE 'OBS' END AS origin
+    FROM nation n
+    LEFT JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+      ON n.n_nationkey = s.s_nationkey
+    """,
+)
+def a11_synthesize_missing_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 reference-row synthesis: groups absent from the fact side
+    still emit a synthetic row (get_haplotypes.py:97-99)."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        n.join(s, n["n_nationkey"] == s["s_nationkey"], "left")
+        .select(
+            "n_nationkey",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            F.when(s["s_nationkey"].isNull(), "REF").otherwise("OBS").alias("origin"),
+        )
+    )
+
+
+@register(
+    "so_set_ops",
+    """
+    SELECT c_custkey, 'building_with_orders' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT c_custkey, 'building_no_orders' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def so_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1-SO3: union-all / intersect / except in one program."""
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    both = c.intersect(o).withColumn("tag", F.lit("building_with_orders"))
+    only = c.exceptAll(o.distinct()).distinct().withColumn("tag", F.lit("building_no_orders"))
+    return both.unionByName(only)
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 capability surplus: ROLLUP grouping sets."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum(F.coalesce(F.col("l_quantity"), F.lit(0.0))), 2))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+            F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        )
+    )
+
+
+@register(
+    "agg_quantiles",
+    """
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (§2.6 surplus; the approx
+    variant approx_percentile is the 100 TB path)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "c_string_surgery",
+    """
+    SELECT doc_id,
+           upper(substr(text, 1, 10)) AS head_up,
+           translate(substr(text, 1, 20), 'aeiou', 'AEIOU') AS devoweled,
+           substr(text, 1, 4) || 'XXX' || substr(text, 8) AS overlaid,
+           len(string_split(text, ' ')) AS n_words,
+           array_to_string(string_split(substr(text, 1, 30), ' ')[1:3], ';') AS first3,
+           CASE WHEN starts_with(text, 'key') THEN 1 ELSE 0 END AS starts_key,
+           printf('%x', doc_id) AS hex_id
+    FROM documents
+    """,
+)
+def c_string_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C6/C9/C13 string kernel surface: split/join, translate,
+    overlay (the sequence-mutation primitive C4,
+    process_haplotypes.py:284), substring, startswith, hex ids."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.upper(F.substring(t, 1, 10)).alias("head_up"),
+        F.translate(F.substring(t, 1, 20), "aeiou", "AEIOU").alias("devoweled"),
+        F.overlay(t, F.lit("XXX"), 5, 3).alias("overlaid"),
+        F.size(F.split(t, " ")).alias("n_words"),
+        F.array_join(F.slice(F.split(F.substring(t, 1, 30), " "), 1, 3), ";").alias("first3"),
+        F.when(t.startswith("key"), 1).otherwise(0).alias("starts_key"),
+        F.format_string("%x", "doc_id").alias("hex_id"),
+    )
+
+
+@register(
+    "c7_reverse_translate",
+    """
+    SELECT doc_id,
+           reverse(translate(substr(text, 1, 30), 'abcdefgh', 'hgfedcba')) AS revcomp_analog
+    FROM documents
+    """,
+)
+def c7_reverse_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 reverse-complement primitive (reverse ∘ translate) — the
+    native replacement for Biopython .reverse_complement()
+    (process_haplotypes.py:202-204), exercised on text data."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.reverse(
+            F.translate(F.substring(F.col("text"), 1, 30), "abcdefgh", "hgfedcba")
+        ).alias("revcomp_analog"),
+    )
+
+
+@register(
+    "c15_map_merge_explode",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(count(*) AS BIGINT) + CAST(sum(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS merged
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+)
+def c15_map_merge_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 key-wise map merge (add_population_freqs,
+    process_haplotypes.py:50-70): build two maps per nation, merge with
+    map_zip_with(+), explode back to rows."""
+    c = table(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)).alias("n_rich"),
+    )
+    maps = per.groupBy("c_nationkey").agg(
+        F.map_from_entries(F.collect_list(F.struct("c_mktsegment", "n_all"))).alias("m_all"),
+        F.map_from_entries(F.collect_list(F.struct("c_mktsegment", "n_rich"))).alias("m_rich"),
+    )
+    merged = maps.withColumn(
+        "m",
+        F.map_zip_with(
+            "m_all", "m_rich", lambda _, a, b: F.coalesce(a, F.lit(0)) + F.coalesce(b, F.lit(0))
+        ),
+    )
+    return merged.select(
+        "c_nationkey", F.explode("m").alias("c_mktsegment", "merged")
+    ).withColumn("merged", F.col("merged").cast("bigint"))

@@ -1,0 +1,248 @@
+"""Training-data pipeline operators over the documents table:
+dedup (exact / fingerprint / n-gram Jaccard / MinHash-LSH / SimHash),
+language ID, quality scoring, token counting (BASELINE north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prohap_spark.operators.dedup import (
+    dedup_exact,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    token_fingerprint,
+)
+from prohap_spark.functions.text import (
+    lang_id_expr,
+    quality_score_expr,
+    regex_token_count,
+    stopword_ratio,
+    whitespace_token_count,
+)
+from prohap_spark.queries.registry import register, table
+
+# shared DuckDB snippet: distinct word set of a document
+_DUCK_TOKENS = "list_distinct(string_split(lower(trim(text)), ' '))"
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           len(string_split(lower(trim(text)), ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS re_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("ws_tokens"),
+        regex_token_count("text", r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]").alias("re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           round(CASE WHEN len(ws) > 0
+                 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws)
+                 ELSE 0 END, 6) AS stop_ratio,
+           round((
+             (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
+           + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
+           ) / 4.0, 6) AS quality
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + mean word length + stopword ratio
+    + punctuation density, all JVM-side expressions."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_words"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(quality_score_expr("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_langid",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) * 1.0 / len(ws) ELSE 0 END AS r_en,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) * 1.0 / len(ws) ELSE 0 END AS r_de,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('le','la','les','et','est'))) * 1.0 / len(ws) ELSE 0 END AS r_fr,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('el','la','los','y','es'))) * 1.0 / len(ws) ELSE 0 END AS r_es
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(r_en, r_de, r_fr, r_es) < 0.05 THEN 'und'
+                WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
+                WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
+                WHEN r_fr = greatest(r_en, r_de, r_fr, r_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang
+    FROM r
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile argmax (n-gram heuristic)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+
+@register(
+    "text_fingerprint_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort({_DUCK_TOKENS}), ' ')) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS representative
+    FROM fp GROUP BY fingerprint
+    """,
+)
+def text_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 of the sorted distinct token set —
+    word-order/repetition-insensitive dedup key (A6 with a canonical
+    hash instead of the reference's salted Python hash())."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", token_fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative"))
+    )
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT text AS text_key, min(doc_id) AS representative, count(*) AS dup_count
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (A6/A7): hash-aggregate on full content, keep the
+    smallest doc_id as representative. At 100 TB, group on
+    xxhash64(text) first and only compare full text within hash
+    groups (collision-safe two-level dedup)."""
+    d = table(spark, sf_dir, "documents")
+    out = dedup_exact(d, ["text"], ["doc_id"])
+    return out.select(
+        F.col("text").alias("text_key"),
+        F.col("doc_id").alias("representative"),
+        F.col("dup_count"),
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, len(string_split(lower(trim(text)), ' '))),
+                           i -> string_split(lower(trim(text)), ' ')[i] || ' ' || string_split(lower(trim(text)), ' ')[i+1])) AS grams
+      FROM documents
+    )
+    SELECT a.lang, a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.30
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-bigram Jaccard near-dup pairs within language blocks.
+    Quadratic within block — the verify kernel; LSH (below) is the
+    scale path that feeds it candidates instead."""
+    d = table(spark, sf_dir, "documents")
+    out = jaccard_pairs(d, "doc_id", "text", ["lang"], threshold=0.30, ngram=2)
+    return out.select("lang", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_DUCK_BIGRAMS = (
+    "list_distinct(list_transform(range(1, len(string_split(lower(trim(text)), ' '))), "
+    "i -> string_split(lower(trim(text)), ' ')[i] || ' ' || string_split(lower(trim(text)), ' ')[i+1]))"
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS tokens FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, tokens,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(tokens, t -> md5(s::VARCHAR || '|' || t)))) AS sig
+      FROM toks WHERE len(tokens) > 0
+    ),
+    bands AS (
+      SELECT doc_id, tokens, b AS band_idx,
+             md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.tokens, tb.tokens)) * 1.0 /
+             len(list_distinct(list_concat(ta.tokens, tb.tokens))) AS jaccard
+      FROM cand c
+      JOIN toks ta ON c.id_a = ta.doc_id
+      JOIN toks tb ON c.id_b = tb.doc_id
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.6
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) over word-bigram shingles + LSH banding (4 bands ×
+    4 rows) + exact-Jaccard verification at 0.6 — deterministic md5
+    hashing so the oracle reproduces the signatures bit-for-bit. The
+    bucket equi-join replaces the all-pairs cross join at scale;
+    band_size=4 keeps the candidate volume ~ true-positive-sized."""
+    d = table(spark, sf_dir, "documents")
+    out = minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.6, num_hashes=16, band_size=4, ngram=2
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash")  # no SQL oracle: 64-bit bit-vote arithmetic (rows-only check)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (60-bit, md5-derived, deterministic): docs
+    sharing a signature are near-dup candidates; Hamming-ball probing
+    extends recall. Relational bit-vote aggregation, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    sig = simhash(d, "doc_id", "text")
+    return sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative")
+    )

@@ -1,0 +1,313 @@
+"""Window/ordered analytics + engineered joins (SURVEY §2.3 J1/J10,
+§2.5 W1-W5, §2.6 top-k, §2.10 batch-equivalent streaming window)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from prohap_spark.operators.interval_join import interval_join
+from prohap_spark.operators.islands import cluster_overlapping_intervals, sessionize
+from prohap_spark.operators.asof import asof_join
+from prohap_spark.operators.topk import top_k_per_group
+from prohap_spark.queries.registry import register, table
+
+
+@register(
+    "w1_islands_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def w1_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 gaps-and-islands: sessionize events per user with a 1 h gap
+    (the overlap-clustering window pipeline from get_haplotypes.py:8-30
+    applied to time). One shuffle on user_id."""
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", 3600, tiebreak_cols=["event_id"])
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+
+
+@register(
+    "w1b_interval_islands",
+    """
+    WITH iv AS (
+      SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS d_start,
+             epoch_us(l_shipdate) // 86400000000 + CAST(l_quantity AS BIGINT) AS d_end,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    g AS (
+      SELECT *,
+             CASE WHEN max(d_end) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR d_start > max(d_end) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    s AS (
+      SELECT l_suppkey,
+             sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM g
+    )
+    SELECT l_suppkey, island_id, count(*) AS n_members
+    FROM s GROUP BY l_suppkey, island_id
+    """,
+)
+def w1b_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 exact reference semantics: cluster overlapping [start, end]
+    intervals per group; islands with >1 member are the 'conflicting
+    mutation' clusters the reference drops (get_haplotypes.py:172-184).
+    NOTE: orderBy(start, end) must match the oracle's tie order — the
+    island boundary is order-insensitive, but island *ids* need the
+    same total order.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    # parquet TIMESTAMP_NTZ → TIMESTAMP (UTC session ⇒ same instant)
+    day = (F.unix_micros(F.col("l_shipdate").cast("timestamp")) / F.lit(86400000000)).cast("long")
+    iv = li.select(
+        "l_suppkey",
+        day.alias("d_start"),
+        (day + F.col("l_quantity").cast("bigint")).alias("d_end"),
+    )
+    isl = cluster_overlapping_intervals(iv, ["l_suppkey"], "d_start", "d_end")
+    return isl.groupBy("l_suppkey", "island_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+@register(
+    "w2_deterministic_row_number",
+    """
+    SELECT o_orderkey, rn, printf('%x', rn) AS hex_id
+    FROM (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 1000
+    """,
+)
+def w2_deterministic_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 deterministic identity assignment: row_number over a documented
+    total order + hex formatting (C9) — the reproducible replacement for
+    the reference's hex(pandas-index) ids (process_haplotypes.py:365).
+    At 100 TB prefer monotonically-increasing ids or zipWithIndex per
+    partition; a global row_number is a single-partition sort."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 1000)
+        .withColumn("hex_id", F.format_string("%x", "rn"))
+    )
+
+
+@register(
+    "w5_running_offset",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity - l_discount * 10)
+                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4) AS offset_before
+    FROM lineitem
+    """,
+)
+def w5_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 cumulative length offset: running sum over all *previous* rows
+    in the group (the sequence_length_diff re-basing,
+    process_haplotypes.py:272-285). RANGE frame (not ROWS): the order
+    key is non-unique in this data, and a RANGE frame is
+    tie-order-insensitive → deterministic."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sum(F.col("l_quantity") - F.col("l_discount") * 10).over(w), 4).alias(
+            "offset_before"
+        ),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal, rnk
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    )
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-k per group with a total order (unique tiebreaker)."""
+    c = table(spark, sf_dir, "customer")
+    out = top_k_per_group(
+        c,
+        ["c_nationkey"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+        rank_col="rnk",
+    )
+    return out.select("c_nationkey", "c_custkey", F.round("c_acctbal", 2).alias("bal"), "rnk")
+
+
+@register(
+    "j10_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             max(CASE WHEN event_type = 'click' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+      FROM events
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           epoch_us(last_click_ts) AS click_ts_us
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def j10_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 as-of join: for each purchase, the most recent prior-or-equal
+    click by the same user (the bisect probe of
+    peptides_annotate_variation.py:145-169, distributed as the
+    union-and-window as-of join)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["click_ts"],
+        direction="backward",
+        payload_prefix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
+@register(
+    "j1_interval_join_binned",
+    """
+    SELECT o.o_orderkey, count(*) AS n_matches,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_extendedprice >= o.o_totalprice
+     AND l.l_extendedprice <  o.o_totalprice + 50
+    GROUP BY o.o_orderkey
+    """,
+)
+def j1_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 THE interval join (variant⋈exon, vcf_reader.py:31-71), binned
+    strategy: explode intervals onto fixed-width bins, equi-join on the
+    bin, refine the exact range predicate. The equi-join shuffles on a
+    well-spread composite key — the 100 TB replacement for both the
+    reference's sweep line and a BroadcastNestedLoopJoin."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("lo"),
+        (F.col("o_totalprice") + 50).alias("hi"),
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = interval_join(
+        li,
+        o,
+        point_col="l_extendedprice",
+        start_col="lo",
+        end_col="hi",
+        bin_size=64,
+        strategy="binned",
+        closed="left",
+    )
+    # exact cent arithmetic: money sums as bigints are reassociation-proof
+    # (double sums depend on partial-agg order and can flip a rounding
+    # boundary vs the oracle)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum(cents).alias("sum_price_cents"),
+    )
+
+
+@register(
+    "j6_explode_equijoin",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents WHERE doc_id < 50
+    ),
+    stats AS (SELECT word, count(*) AS global_count FROM words GROUP BY word)
+    SELECT w.doc_id, w.word, s.global_count
+    FROM words w JOIN stats s ON w.word = s.word
+    """,
+)
+def j6_explode_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 explode-the-list-then-equi-join (the Proteins ;-list explode,
+    peptides_annotate_variation.py:195-225)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    stats = words.groupBy("word").agg(F.count(F.lit(1)).alias("global_count"))
+    return words.join(stats, "word").select("doc_id", "word", "global_count")
+
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming surface, batch-checkable form: tumbling 1 h
+    window aggregation with window(ts, '1 hour') — the same expression
+    runs under readStream + withWatermark (see prohap_spark.streaming
+    and tests/test_streaming.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
