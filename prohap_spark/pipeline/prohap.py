@@ -1,0 +1,247 @@
+"""ProHap path (SURVEY §3.2): phased VCF + samples + annotation + cDNA
+→ haplotype table + protein FASTA rows.
+
+Stage map (reference → Spark):
+  d. variant⋈transcript assignment (vcf_reader.py, spill files)
+       → binned interval join; the spill dir IS the shuffle (S11)
+  e. haplotype extraction (get_haplotypes.py:61-328, Pool fork)
+       → melt genotypes long → conflict-island window (W1) →
+         two chained aggregations (A2) → sex/X-aware denominators (A3)
+         → population frequency maps (A4)
+  f. haplotype→protein (process_haplotypes.py, Pool fork)
+       → mapInPandas U1-U3 → duplicate merge (A5) → threshold (F8)
+
+Everything is one lazy plan; AQE handles the transcript-size skew
+(chr1 vs chr21 ≈ 10×, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from prohap_spark.kernels.spark_kernels import annotate_items
+from prohap_spark.operators.islands import cluster_overlapping_intervals
+from prohap_spark.pipeline.provar import assign_variants_to_transcripts
+from prohap_spark.sources.vcf import filter_valid_alleles, melt_genotypes
+
+# GRCh38 pseudo-autosomal regions (chrX): diploid in males too
+PAR1 = (10_001, 2_781_479)
+PAR2 = (155_701_383, 156_030_895)
+
+
+def _is_diploid_locus(chrom, pos):
+    in_par = ((pos >= PAR1[0]) & (pos <= PAR1[1])) | ((pos >= PAR2[0]) & (pos <= PAR2[1]))
+    return (chrom != "X") | in_par
+
+
+def extract_haplotypes(
+    variants: DataFrame,
+    sample_names: list[str],
+    samples_meta: DataFrame,
+    transcripts: DataFrame,
+    min_af: float | None = None,
+) -> DataFrame:
+    """A2: per (transcript, sample, phase) the sorted set of carried
+    variants → grouped into haplotypes with occurrence counts, carrier
+    lists, overall/per-population frequencies (A3/A4), conflict flags
+    (W1). Returns one row per (transcript_id, haplotype signature)."""
+    v = filter_valid_alleles(variants)
+    if min_af is not None:
+        v = v.where(F.col("af") >= min_af)
+
+    # distinct variant loci → transcript assignment (small side of the melt)
+    loci = v.select("chrom", "pos", "id", "ref", "alt").dropDuplicates(
+        ["chrom", "pos", "ref", "alt"]
+    )
+    assigned = assign_variants_to_transcripts(loci, transcripts).select(
+        "transcript_id", "strand", "chrom", "pos", "ref", "alt"
+    )
+
+    melted = melt_genotypes(v, sample_names)
+    meta = samples_meta.select(
+        F.col("sample_name"),
+        F.col("sex"),
+        F.col("population_code"),
+        F.col("superpopulation_code"),
+    )
+    melted = melted.join(F.broadcast(meta), "sample_name")
+
+    # phase explode; male chrX outside the PARs is haploid → suppress
+    # phase 2 (get_haplotypes.py:118-119)
+    diploid = _is_diploid_locus(F.col("chrom"), F.col("pos"))
+    phases = melted.select(
+        "*",
+        F.explode(
+            F.when(
+                (F.col("sex") == "male") & ~diploid,
+                F.array(F.struct(F.lit(1).alias("phase"), F.col("hap1").alias("allele"))),
+            ).otherwise(
+                F.array(
+                    F.struct(F.lit(1).alias("phase"), F.col("hap1").alias("allele")),
+                    F.struct(F.lit(2).alias("phase"), F.col("hap2").alias("allele")),
+                )
+            )
+        ).alias("ph"),
+    ).select(
+        "chrom", "pos", "ref", "alt", "vcf_id", "sample_name", "sex",
+        "population_code", "superpopulation_code",
+        F.col("ph.phase").alias("phase"),
+        F.col("ph.allele").alias("allele"),
+    )
+    carriers = phases.where(F.col("allele") == 1)
+
+    # carried variants per transcript copy
+    tc = carriers.join(assigned, ["chrom", "pos", "ref", "alt"])
+
+    # W1 conflict islands: overlapping changes on ONE transcript copy ⇒
+    # drop that (sample, phase) entirely (get_haplotypes.py:172-184)
+    ref_len = F.greatest(
+        F.when(F.col("ref") == "-", F.lit(0)).otherwise(F.length("ref")), F.lit(1)
+    )
+    iv = tc.withColumn("iv_start", F.col("pos")).withColumn(
+        "iv_end", F.col("pos") + ref_len - 1
+    )
+    isl = cluster_overlapping_intervals(
+        iv, ["transcript_id", "sample_name", "phase"], "iv_start", "iv_end"
+    )
+    conflict = Window.partitionBy("transcript_id", "sample_name", "phase", "island_id")
+    flagged = isl.withColumn("island_n", F.count(F.lit(1)).over(conflict))
+    clean = flagged.withColumn(
+        "has_conflict",
+        F.max((F.col("island_n") > 1).cast("int")).over(
+            Window.partitionBy("transcript_id", "sample_name", "phase")
+        ),
+    ).where(F.col("has_conflict") == 0)
+
+    # A2 stage 1: signature per transcript copy
+    sigs = clean.groupBy(
+        "transcript_id", "strand", "sample_name", "phase", "sex",
+        "population_code", "superpopulation_code",
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "ref", "alt", F.col("vcf_id")))
+        ).alias("changes"),
+    )
+    sigs = sigs.withColumn(
+        "signature",
+        F.array_join(
+            F.transform(
+                "changes",
+                lambda c: F.concat_ws(":", c["pos"], c["ref"], c["alt"]),
+            ),
+            ";",
+        ),
+    )
+
+    # A2 stage 2: group identical signatures
+    haplos = sigs.groupBy("transcript_id", "strand", "signature").agg(
+        F.any_value("changes").alias("changes"),
+        F.count(F.lit(1)).alias("occurrence_count"),
+        F.array_sort(
+            F.collect_list(F.concat_ws(":", "sample_name", "phase"))
+        ).alias("samples"),
+        F.collect_list(F.struct("population_code", "superpopulation_code")).alias("pops"),
+    )
+
+    # A3: frequency with sex-aware denominators; transcript-level
+    # diploidy from the transcript span (is_autosomal analog,
+    # get_haplotypes.py:92)
+    n_samples = samples_meta.count()
+    n_males = samples_meta.where(F.col("sex") == "male").count()
+    tr_diploid = transcripts.select(
+        "transcript_id",
+        _is_diploid_locus(F.col("chrom"), F.col("start")).alias("is_diploid"),
+    )
+    haplos = haplos.join(F.broadcast(tr_diploid), "transcript_id", "left")
+    denom = F.when(
+        F.coalesce(F.col("is_diploid"), F.lit(True)), F.lit(2 * n_samples)
+    ).otherwise(F.lit(n_males + 2 * (n_samples - n_males)))
+    haplos = haplos.withColumn("frequency", F.round(F.col("occurrence_count") / denom, 5))
+
+    # A4: per-(super)population frequency maps
+    pop_counts = F.map_from_entries(
+        F.aggregate(
+            F.array_sort(F.array_distinct(F.transform("pops", lambda p: p["population_code"]))),
+            F.array().cast("array<struct<key:string,value:int>>"),
+            lambda acc, code: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        code.alias("key"),
+                        F.size(F.filter("pops", lambda p: p["population_code"] == code)).alias("value"),
+                    )
+                ),
+            ),
+        )
+    )
+    haplos = haplos.withColumn("population_counts", pop_counts)
+
+    # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4)
+    w = Window.orderBy("transcript_id", "signature")
+    return haplos.withColumn(
+        "haplotype_id",
+        F.concat(F.lit("haplo_"), F.lower(F.hex(F.row_number().over(w)))),
+    ).drop("pops")
+
+
+def annotate_haplotypes(
+    haplos: DataFrame,
+    transcripts: DataFrame,
+    cdna: DataFrame,
+    min_count: int | None = None,
+) -> DataFrame:
+    """U3 over haplotypes + A5 duplicate merge + F8 threshold."""
+    tr = transcripts.select("transcript_id", "exons", "start_codon", "biotype", "chrom")
+    cd = cdna.select(F.col("accession").alias("transcript_id"), F.col("sequence").alias("cdna"))
+    items = (
+        haplos.join(tr, "transcript_id")
+        .join(cd, "transcript_id")
+        .select(
+            "transcript_id",
+            F.col("haplotype_id").alias("item_id"),
+            "strand",
+            "exons",
+            "start_codon",
+            "cdna",
+            F.transform(
+                "changes",
+                lambda c: F.struct(
+                    c["pos"].cast("long").alias("pos"),
+                    c["ref"].alias("ref"),
+                    c["alt"].alias("alt"),
+                    c["vcf_id"].alias("vcf_id"),
+                ),
+            ).alias("changes"),
+        )
+    )
+    annotated = annotate_items(items)
+    out = annotated.join(
+        haplos.select(
+            F.col("haplotype_id").alias("item_id"),
+            "signature",
+            "occurrence_count",
+            "frequency",
+            "samples",
+            "population_counts",
+        ),
+        "item_id",
+    )
+    # A5: merge haplotypes with identical applied-change sets per
+    # transcript (post-validation duplicates,
+    # process_haplotypes.py:403-411)
+    merged = out.groupBy("transcript_id", "cdna_changes").agg(
+        F.min("item_id").alias("haplotype_id"),
+        F.any_value("protein_changes").alias("protein_changes"),
+        F.any_value("variant_types").alias("variant_types"),
+        F.any_value("protein").alias("protein"),
+        F.any_value("reading_frame").alias("reading_frame"),
+        F.any_value("protein_prefix_length").alias("protein_prefix_length"),
+        F.any_value("start_missing").alias("start_missing"),
+        F.any_value("start_lost").alias("start_lost"),
+        F.sum("occurrence_count").alias("occurrence_count"),
+        F.round(F.sum("frequency"), 5).alias("frequency"),
+        F.flatten(F.collect_list("samples")).alias("samples"),
+    )
+    if min_count is not None:
+        merged = merged.where(F.col("occurrence_count") >= min_count)
+    return merged

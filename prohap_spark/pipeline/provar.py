@@ -1,0 +1,158 @@
+"""ProVar path (SURVEY §3.3): VCF + annotation + cDNA → variant protein
+table + deduplicated FASTA rows.
+
+Plan shape (one lazily-built DataFrame program — the reference's
+Snakemake DAG collapses into a single Catalyst plan, SURVEY §3.1):
+
+  variants ── F2/F1 filters ──┐
+  transcripts dim ── F6 ──────┤ J1 binned interval join (transcript
+                              │    span bins, exon-level refine with a
+                              │    higher-order EXISTS on the exon
+                              │    array — no exon explode)
+  cdna ── J2 broadcast ───────┘
+        → mapInPandas U1+U2+U3 (no shuffle; rows self-contained)
+        → A6 dedup by protein sequence
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from prohap_spark.operators.interval_join import interval_join
+from prohap_spark.kernels.spark_kernels import annotate_items
+from prohap_spark.sources.vcf import filter_valid_alleles
+
+BIN_SIZE = 1_000_000
+
+
+def assign_variants_to_transcripts(
+    variants: DataFrame, transcripts: DataFrame, bin_size: int = BIN_SIZE
+) -> DataFrame:
+    """J1: variant row × every transcript whose exon set it touches.
+
+    Predicate parity with vcf_reader.py:50-51:
+      exon.start < POS + len(REF) AND exon.end >= POS
+    Binned equi-join on (chrom, bin) over transcript spans, refined by
+    an EXISTS over the pre-joined exon array — scales as an ordinary
+    shuffled hash join with AQE skew handling."""
+    ref_len = F.greatest(
+        F.when(F.col("ref") == "-", F.lit(0)).otherwise(F.length("ref")), F.lit(1)
+    )
+    exon_hit = F.exists(
+        F.col("exons"),
+        lambda e: (e["start"] < F.col("pos") + ref_len) & (e["end"] >= F.col("pos")),
+    )
+    tr = transcripts.select(
+        "transcript_id",
+        F.col("chrom"),
+        F.col("start").alias("tr_start"),
+        F.col("end").alias("tr_end"),
+        "strand",
+        "biotype",
+        "exons",
+        "start_codon",
+    )
+    joined = interval_join(
+        variants,
+        tr,
+        point_col="pos",
+        start_col="tr_start",
+        end_col="tr_end",
+        partition_keys=["chrom"],
+        bin_size=bin_size,
+        strategy="binned",
+    )
+    return joined.where(exon_hit).drop("tr_start", "tr_end")
+
+
+def run_provar(
+    variants: DataFrame,
+    transcripts: DataFrame,
+    cdna: DataFrame,
+    min_af: float | None = None,
+) -> DataFrame:
+    """Variant annotation table, one row per (variant × transcript).
+
+    ``transcripts``: gtf_dimensions()['transcripts'] (exon array +
+    start_codon). ``cdna``: read_fasta(..., truncate_version=True).
+    Transcripts without a start codon keep the 3-frame-fallback flag
+    via start_missing (F6 relaxation documented in SURVEY §7.3.5)."""
+    v = filter_valid_alleles(variants)
+    if min_af is not None:
+        v = v.where(F.col("af") >= min_af)
+
+    assigned = assign_variants_to_transcripts(v, transcripts)
+
+    cdna_dim = cdna.select(
+        F.col("accession").alias("transcript_id"), F.col("sequence").alias("cdna")
+    )
+    # cDNA is transcript-wide: fine as a shuffle join at 100 TB, broadcast
+    # when it fits (human cDNA ~0.5 GB → leave strategy to Catalyst/AQE)
+    assigned = assigned.join(cdna_dim, "transcript_id")
+
+    items = assigned.select(
+        "transcript_id",
+        F.concat_ws("_", F.col("chrom"), F.col("pos"), F.col("ref"), F.col("alt")).alias("item_id"),
+        "strand",
+        "exons",
+        "start_codon",
+        "cdna",
+        F.array(
+            F.struct(
+                F.col("pos").cast("long").alias("pos"),
+                F.col("ref").alias("ref"),
+                F.col("alt").alias("alt"),
+                F.col("id").alias("vcf_id"),
+            )
+        ).alias("changes"),
+        "chrom",
+        "biotype",
+        "af",
+    )
+    meta = items.select("transcript_id", "item_id", "chrom", "biotype", "af").dropDuplicates(
+        ["transcript_id", "item_id"]
+    )
+    annotated = annotate_items(
+        items.select(
+            "transcript_id", "item_id", "strand", "exons", "start_codon", "cdna", "changes"
+        )
+    )
+    out = annotated.join(meta, ["transcript_id", "item_id"])
+    # deterministic variant ids: var_<chrom>_<hex(rank)> over a stable order
+    w = Window.orderBy("chrom", "item_id", "transcript_id")
+    return (
+        out.where(F.col("n_applied") > 0)
+        .withColumn(
+            "variant_id",
+            F.concat(
+                F.lit("var_"), F.col("chrom"), F.lit("_"),
+                F.lower(F.hex(F.row_number().over(w))),
+            ),
+        )
+    )
+
+
+def dedup_protein_fasta(annotated: DataFrame, min_len: int = 6) -> DataFrame:
+    """A6 + F7: dedup identical protein sequences, collecting the
+    contributing item ids and reading frames; drop short fragments
+    (remove_stop_codons.py:88,106)."""
+    return (
+        annotated.where(F.length("protein") >= min_len)
+        .groupBy("protein")
+        .agg(
+            F.array_sort(F.collect_set("variant_id")).alias("matching_items"),
+            F.array_sort(F.collect_set("reading_frame")).alias("reading_frames"),
+            F.min("variant_id").alias("accession_base"),
+        )
+        .select(
+            F.lit("generic_var").alias("tag"),
+            F.col("accession_base").alias("accession"),
+            F.concat(
+                F.lit("matching_proteins:"),
+                F.array_join("matching_items", ";"),
+                F.lit(" reading_frames:"),
+                F.array_join(F.transform("reading_frames", lambda x: x.cast("string")), ";"),
+            ).alias("description"),
+            F.col("protein").alias("sequence"),
+        )
+    )

@@ -1,0 +1,92 @@
+"""FASTA source/sink (SURVEY §2.1 S5/S8).
+
+Reader: ``spark.read.text`` with ``lineSep='>'`` — every FASTA record
+becomes ONE text row (header line + sequence lines), so the parse is
+a pure column expression, splittable, and gz-transparent. This
+replaces the reference's in-driver dict loader (common.py:16-71) —
+at 0.5 GB+ (human cDNA) the sequences stay distributed instead of
+being broadcast into every worker process.
+
+Header convention (reference fasta_format_headers.py / common.py:34-50):
+``>tag|accession|description`` or bare ``>accession description``.
+
+Writer: one text row per record, 60-char wrapped sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def read_fasta(spark: SparkSession, path: str, truncate_version: bool = False) -> DataFrame:
+    """FASTA → DataFrame(tag, accession, description, sequence).
+
+    ``truncate_version``: strip '.N' from the accession (the
+    version-truncated cDNA lookup key, common.py:59-60)."""
+    recs = (
+        spark.read.option("lineSep", ">").text(path)
+        .where(F.length(F.trim(F.col("value"))) > 0)
+    )
+    header = F.substring_index(F.col("value"), "\n", 1)
+    seq = F.regexp_replace(
+        F.substring(F.col("value"), F.length(header) + 1, 2_000_000_000), r"\s+", ""
+    )
+    df = recs.select(header.alias("header"), seq.alias("sequence"))
+    has_pipes = F.size(F.split(F.col("header"), r"\|")) >= 3
+    tag = F.when(has_pipes, F.split(F.col("header"), r"\|")[0]).otherwise(F.lit("generic"))
+    acc_field = F.when(has_pipes, F.split(F.col("header"), r"\|")[1]).otherwise(
+        F.substring_index(F.col("header"), " ", 1)
+    )
+    desc = F.when(
+        has_pipes, F.substring_index(F.col("header"), "|", -1)
+    ).otherwise(
+        F.when(
+            F.col("header").contains(" "),
+            F.expr("substring(header, instr(header, ' ') + 1)"),
+        ).otherwise(F.lit(""))
+    )
+    accession = (
+        F.substring_index(acc_field, ".", 1) if truncate_version else acc_field
+    )
+    return df.select(
+        tag.alias("tag"),
+        accession.alias("accession"),
+        desc.alias("description"),
+        F.col("sequence"),
+    )
+
+
+def write_fasta(
+    df: DataFrame,
+    path: str,
+    tag_col: str = "tag",
+    accession_col: str = "accession",
+    description_col: str = "description",
+    sequence_col: str = "sequence",
+    wrap: int = 60,
+    single_file: bool = True,
+) -> None:
+    """DataFrame → FASTA text: '>tag|accession|description' + wrapped
+    sequence lines (prohap.py:171-193 output contract)."""
+    n_chunks = F.ceil(F.length(F.col(sequence_col)) / wrap).cast("int")
+    wrapped = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: F.col(sequence_col).substr(i * wrap + 1, F.lit(wrap)),
+        ),
+        "\n",
+    )
+    rec = F.concat(
+        F.lit(">"),
+        F.col(tag_col),
+        F.lit("|"),
+        F.col(accession_col),
+        F.lit("|"),
+        F.coalesce(F.col(description_col), F.lit("")),
+        F.lit("\n"),
+        wrapped,
+    )
+    out = df.select(rec.alias("value"))
+    if single_file:
+        out = out.coalesce(1)
+    out.write.mode("overwrite").text(path)

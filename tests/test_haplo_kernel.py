@@ -1,0 +1,125 @@
+"""U3 kernel unit tests: SAV / synonymous / stop_gained / frameshift /
+inframe indel / start-lost / liftover-drop / ref-mismatch drop, against
+hand-computed proteins (reference semantics process_haplotypes.py and
+process_variants.py; see SURVEY §5)."""
+
+from prohap_spark.kernels.haplo import (
+    Change,
+    apply_haplotype,
+    classify_consequence,
+    reverse_complement,
+    translate,
+)
+
+#       0123456789...
+CDNA = "AAAATGGCTGATGAATTTGGGCCCAAATAGACGTACGTACGTACGTACGTACGTACGTA"[:60]
+START = 3  # ATG at offsets 3-5 → MADEFGPK then TAG stop
+
+
+def test_translate():
+    assert translate("ATGGCTGATGAATTTGGGCCCAAATAG"[0:]) == "MADEFGPK"
+    assert translate("ATGTAA") == "M"
+    assert translate("ATGTAA", to_stop=False) == "M*"
+
+
+def test_reverse_complement():
+    assert reverse_complement("ATGC") == "GCAT"
+    assert reverse_complement("AAaTt") == "aAtTT"
+
+
+def test_reference_protein():
+    res = apply_haplotype(CDNA, [], START)
+    assert res.protein == "MADEFGPK"
+    assert res.reading_frame == 0 and not res.start_lost and not res.start_missing
+
+
+def test_sav():
+    # offset 9 G>A: codon GAT→AAT, D>N
+    res = apply_haplotype(CDNA, [Change(9, "G", "A")], START)
+    assert res.protein == "MANEFGPK"
+    assert res.consequences == ["SAV"]
+    assert res.protein_changes == ["3:D>N"]
+
+
+def test_synonymous():
+    # offset 17 T>C: codon TTT→TTC, both F
+    res = apply_haplotype(CDNA, [Change(17, "T", "C")], START)
+    assert res.protein == "MADEFGPK"
+    assert res.consequences == ["synonymous"]
+
+
+def test_stop_gained():
+    # offset 15 T>A? codon offsets 15-17 TTT; TAA early stop:
+    # change offsets 16 T>A and 17 T>A → make one codon change via
+    # multi-base: ref 'TTT' alt 'TAA' at offset 15
+    res = apply_haplotype(CDNA, [Change(15, "TTT", "TAA")], START)
+    assert res.consequences == ["stop_gained"]
+    assert res.protein == "MADE"
+
+
+def test_frameshift_insertion():
+    # offset 7 C>CT: +1 shift downstream
+    res = apply_haplotype(CDNA, [Change(7, "C", "CT")], START)
+    assert res.consequences == ["frameshift"]
+    # mutated CDS: ATG GCT TGA ... → early stop after frameshift
+    assert res.protein == "MA"
+
+
+def test_inframe_deletion():
+    # offsets 12-14 'GAA' deleted (ref 'TGAA' alt 'T' at offset 11)
+    res = apply_haplotype(CDNA, [Change(11, "TGAA", "T")], START)
+    assert res.consequences == ["inframe_indel"]
+    assert res.protein == "MADFGPK"
+
+
+def test_start_lost():
+    # change overlapping the start codon
+    res = apply_haplotype(CDNA, [Change(4, "T", "G")], START)
+    assert res.start_lost
+
+
+def test_upstream_indel_shifts_start():
+    # 3 nt insertion in the 5'UTR: protein unchanged
+    res = apply_haplotype(CDNA, [Change(0, "A", "AGGG")], START)
+    assert not res.start_lost
+    assert res.protein == "MADEFGPK"
+
+
+def test_ref_mismatch_dropped():
+    res = apply_haplotype(CDNA, [Change(9, "C", "A")], START)  # cdna[9] is G
+    assert res.applied == []
+    assert len(res.dropped) == 1
+    assert res.protein == "MADEFGPK"
+
+
+def test_liftover_artifact_dropped():
+    # "change" whose ALT already equals the reference slice
+    res = apply_haplotype(CDNA, [Change(9, "A", "G")], START)  # cdna[9] already G
+    assert res.applied == []
+    assert len(res.liftover_dropped) == 1
+
+
+def test_multi_change_cumulative_offsets():
+    # insertion upstream (+3) then SNP downstream: SNP must land on the
+    # shifted coordinate (W5 running offset, process_haplotypes.py:272-312)
+    res = apply_haplotype(
+        CDNA, [Change(0, "A", "AGGG"), Change(9, "G", "A")], START
+    )
+    assert res.protein == "MANEFGPK"
+    assert res.consequences == ["inframe_indel", "SAV"]
+
+
+def test_start_missing_frame0():
+    res = apply_haplotype(CDNA, [Change(9, "G", "A")], -1)
+    assert res.start_missing
+    # frame-0 translation of the full sequence
+    assert res.protein == translate("AAAATGGCTAATGAATTTGGGCCCAAATAG" + CDNA[30:])
+
+
+def test_classify_consequence_direct():
+    assert classify_consequence("A", "G", "K", "E") == "SAV"
+    assert classify_consequence("A", "G", "K", "K") == "synonymous"
+    assert classify_consequence("A", "AG", "K", "K") == "frameshift"
+    assert classify_consequence("AAA", "", "K", "") == "inframe_indel"
+    assert classify_consequence("A", "T", "K", "*") == "stop_gained"
+    assert classify_consequence("A", "T", "*", "Q") == "stop_lost"

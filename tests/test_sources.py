@@ -1,0 +1,113 @@
+"""S1-S10 source/sink tests over the synthetic mini-genome."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.genomic_fixtures import (
+    FASTA_TEXT,
+    T1_CDNA,
+    T2_CDNA,
+    VCF_MULTI_TEXT,
+    write_fixtures,
+)
+
+
+@pytest.fixture()
+def fixture_paths(tmp_path):
+    return write_fixtures(tmp_path)
+
+
+def test_read_gtf_dimensions(spark, fixture_paths):
+    from prohap_spark.sources.gtf import gtf_dimensions, read_gtf
+
+    gtf, _, _ = fixture_paths
+    dims = gtf_dimensions(read_gtf(spark, gtf))
+    tr = {r["transcript_id"]: r.asDict() for r in dims["transcripts"].collect()}
+    assert set(tr) == {"T1", "T2"}
+    assert tr["T1"]["strand"] == "+" and tr["T1"]["gene_name"] == "GENE1"
+    assert [(e["start"], e["end"]) for e in tr["T1"]["exons"]] == [(101, 130), (201, 230)]
+    assert tr["T1"]["start_codon"] == 104
+    assert tr["T2"]["start_codon"] == 328
+    assert tr["T1"]["tags"] == ["MANE_Select"]
+    assert tr["T1"]["biotype"] == "protein_coding"
+
+
+def test_mane_selection(spark, fixture_paths):
+    from prohap_spark.sources.gtf import gtf_dimensions, read_gtf, select_mane_or_canonical
+
+    gtf, _, _ = fixture_paths
+    tr = gtf_dimensions(read_gtf(spark, gtf))["transcripts"]
+    kept = {r["transcript_id"] for r in select_mane_or_canonical(tr).collect()}
+    # G1 has MANE_Select → T1; G2 has no MANE → canonical T2
+    assert kept == {"T1", "T2"}
+
+
+def test_read_fasta(spark, fixture_paths):
+    from prohap_spark.sources.fasta import read_fasta
+
+    _, fasta, _ = fixture_paths
+    recs = {r["accession"]: r.asDict() for r in read_fasta(spark, fasta).collect()}
+    assert recs["T1.2"]["sequence"] == T1_CDNA  # multi-line joined
+    assert recs["T2.1"]["sequence"] == T2_CDNA
+    assert recs["T1.2"]["tag"] == "cdna"
+    trunc = {r["accession"] for r in read_fasta(spark, fasta, truncate_version=True).collect()}
+    assert trunc == {"T1", "T2"}
+
+
+def test_fasta_round_trip(spark, fixture_paths, tmp_path):
+    from prohap_spark.sources.fasta import read_fasta, write_fasta
+
+    _, fasta, _ = fixture_paths
+    df = read_fasta(spark, fasta)
+    out = str(tmp_path / "out_fasta")
+    write_fasta(df, out, wrap=7)
+    back = {r["accession"]: r["sequence"] for r in read_fasta(spark, out).collect()}
+    assert back["T1.2"] == T1_CDNA and back["T2.1"] == T2_CDNA
+
+
+def test_read_vcf_and_melt(spark, fixture_paths):
+    from prohap_spark.sources.vcf import melt_genotypes, read_vcf, read_vcf_header, split_multiallelic
+
+    _, _, vcf = fixture_paths
+    names = read_vcf_header(spark, vcf)
+    assert names == ["S1", "S2", "S3"]
+    df = split_multiallelic(read_vcf(spark, vcf))
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert rows["varA"]["pos"] == 110 and rows["varA"]["af"] == 0.5
+    assert rows["varB"]["genotypes"] == ["1|0", "0|0", "0|1"]
+    long = melt_genotypes(df, names)
+    carriers = long.where((F.col("hap1") == 1) | (F.col("hap2") == 1))
+    got = {(r["vcf_id"], r["sample_name"], r["hap1"], r["hap2"]) for r in carriers.collect()}
+    assert got == {
+        ("varB", "S1", 1, 0),
+        ("varB", "S3", 0, 1),
+        ("varA", "S1", 0, 1),
+        ("varA", "S2", 1, 1),
+        ("varD", "S1", 0, 1),
+    }
+
+
+def test_split_multiallelic_renumber(spark, tmp_path):
+    from prohap_spark.sources.vcf import read_vcf, split_multiallelic
+
+    p = tmp_path / "multi.vcf"
+    p.write_text(VCF_MULTI_TEXT)
+    out = split_multiallelic(read_vcf(spark, str(p))).orderBy("alt")
+    rows = [r.asDict() for r in out.collect()]
+    assert [(r["ref"], r["alt"], r["af"]) for r in rows] == [("G", "A", 0.1), ("G", "T", 0.2)]
+    # allele 1 row: S1 GT 1|2 → 1|0 ; haploid '0' → 0|0
+    assert rows[0]["genotypes"] == ["1|0", "0|0"]
+    # allele 2 row: 1|2 → 0|1
+    assert rows[1]["genotypes"] == ["0|1", "0|0"]
+
+
+def test_write_vcf_round_trip(spark, fixture_paths, tmp_path):
+    from prohap_spark.sources.vcf import read_vcf, read_vcf_header, write_vcf
+
+    _, _, vcf = fixture_paths
+    df = read_vcf(spark, vcf).drop("af_raw")
+    out = str(tmp_path / "out_vcf")
+    write_vcf(df, out, sample_names=["S1", "S2", "S3"])
+    back = read_vcf(spark, out)
+    assert back.count() == 3
+    assert read_vcf_header(spark, out) == ["S1", "S2", "S3"]
