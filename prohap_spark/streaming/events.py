@@ -1,0 +1,101 @@
+"""Structured Streaming surface (SURVEY §2.10 — capability surplus;
+the reference is pure batch, so standard Spark semantics are the
+contract).
+
+Batch/stream parity: these transforms accept either a streaming or a
+batch DataFrame with (ts timestamp, ...) — the same expressions run
+under readStream + watermark, which is how tests pin batch-equals-
+stream behavior on the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a parquet directory of events (the
+    local-mode stand-in for kafka)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(events: DataFrame, size: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame, size: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "total_value")
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Native session windows — the streaming twin of the batch W1
+    gaps-and-islands operator (operators.islands.sessionize)."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event ids within the watermark horizon."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    if events.isStreaming:
+        return ev.dropDuplicatesWithinWatermark(["event_id"])
+    return ev.dropDuplicates(["event_id"])
+
+
+def run_to_memory_sink(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a bounded file-source stream to completion synchronously
+    (memory sink; local testing harness)."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,175 @@
+"""Operator equivalence/property tests: binned interval join ==
+broadcast-BNLJ reference plan; as-of join == pandas merge_asof;
+cosine top-k == numpy; minhash determinism; islands invariants."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_interval_join_equals_broadcast(spark, rng):
+    from prohap_spark.operators.interval_join import interval_join
+
+    pts = pd.DataFrame(
+        {"pid": range(300), "chrom": [str(i % 3) for i in range(300)], "pos": rng.integers(0, 10_000, 300)}
+    )
+    ivs = pd.DataFrame(
+        {
+            "iid": range(80),
+            "chrom": [str(i % 3) for i in range(80)],
+            "start": rng.integers(0, 9_000, 80),
+        }
+    )
+    ivs["end"] = ivs["start"] + rng.integers(1, 2_000, 80)
+    p, i = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    kw = dict(point_col="pos", start_col="start", end_col="end", partition_keys=["chrom"])
+    binned = interval_join(p, i, bin_size=512, strategy="binned", **kw)
+    bcast = interval_join(p, i, strategy="broadcast", **kw)
+    key = lambda df: sorted((r["pid"], r["iid"]) for r in df.select("pid", "iid").collect())  # noqa: E731
+    got, want = key(binned), key(bcast)
+    assert got == want and len(got) > 0
+
+
+def test_interval_overlap_join_no_dups(spark, rng):
+    from prohap_spark.operators.interval_join import interval_overlap_join
+
+    a = pd.DataFrame({"aid": range(60), "a_start": rng.integers(0, 5_000, 60)})
+    a["a_end"] = a["a_start"] + rng.integers(1, 3_000, 60)
+    b = pd.DataFrame({"bid": range(60), "b_start": rng.integers(0, 5_000, 60)})
+    b["b_end"] = b["b_start"] + rng.integers(1, 3_000, 60)
+    out = interval_overlap_join(
+        spark.createDataFrame(a), spark.createDataFrame(b),
+        "a_start", "a_end", "b_start", "b_end", bin_size=256,
+    )
+    pairs = [(r["aid"], r["bid"]) for r in out.select("aid", "bid").collect()]
+    assert len(pairs) == len(set(pairs)) > 0  # exactly-once per pair
+    # oracle: pandas nested loop
+    want = {
+        (ra.aid, rb.bid)
+        for ra in a.itertuples()
+        for rb in b.itertuples()
+        if ra.a_start <= rb.b_end and rb.b_start <= ra.a_end
+    }
+    assert set(pairs) == want
+
+
+def test_asof_join_equals_merge_asof(spark, rng):
+    from prohap_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 200),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, 200), unit="s"),
+            "lval": range(200),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 150),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, 150), unit="s"),
+            "rval": range(150),
+        }
+    ).drop_duplicates(["k", "ts"])
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on=["k"],
+        ts_col="ts",
+        payload_cols=["rval"],
+    )
+    got = {
+        (r["k"], r["ts"], r["lval"]): r["asof_rval"] for r in out.collect()
+    }
+    want_df = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"), on="ts", by="k", direction="backward"
+    )
+    for row in want_df.itertuples():
+        w = None if pd.isna(row.rval) else int(row.rval)
+        assert got[(row.k, row.ts.to_pydatetime(), row.lval)] == w
+
+
+def test_cosine_topk_equals_numpy(spark, rng):
+    from prohap_spark.operators.similarity import cosine_topk
+
+    Q = rng.normal(size=(5, 16)).astype(np.float32)
+    C = rng.normal(size=(40, 16)).astype(np.float32)
+    qdf = spark.createDataFrame(
+        [(i, Q[i].tolist()) for i in range(5)], ["qid", "vec"]
+    )
+    cdf = spark.createDataFrame(
+        [(100 + i, C[i].tolist()) for i in range(40)], ["cid", "vec"]
+    )
+    out = cosine_topk(qdf, cdf, "qid", "cid", "vec", k=3)
+    got = {
+        (r["qid"], r["rank"]): r["cid"] for r in out.toDF("qid", "cid", "cosine", "rank").collect()
+    }
+    sims = (Q.astype(np.float64) @ C.astype(np.float64).T) / (
+        np.linalg.norm(Q.astype(np.float64), axis=1)[:, None]
+        * np.linalg.norm(C.astype(np.float64), axis=1)[None, :]
+    )
+    for qi in range(5):
+        order = np.argsort(-sims[qi])[:3]
+        for rank, ci in enumerate(order, start=1):
+            assert got[(qi, rank)] == 100 + ci
+
+
+def test_minhash_deterministic_across_runs(spark):
+    from prohap_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    r1 = sorted(tuple(r) for r in minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect())
+    r2 = sorted(tuple(r) for r in minhash_dedup_pairs(docs, "doc_id", "text", 0.5).collect())
+    assert r1 == r2
+    pairs = {(a, b) for a, b, _ in r1}
+    assert (1, 4) in pairs  # exact dup always found
+    assert all((3 not in p) for p in pairs)
+
+
+def test_islands_conflict_detection(spark):
+    from prohap_spark.operators.islands import cluster_overlapping_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("g1", 100, 110),
+            ("g1", 105, 108),  # overlaps first → same island
+            ("g1", 200, 210),  # separate island
+            ("g2", 100, 100),
+        ],
+        ["g", "s", "e"],
+    )
+    out = cluster_overlapping_intervals(df, ["g"], "s", "e")
+    got = {(r["g"], r["s"]): r["island_id"] for r in out.collect()}
+    assert got[("g1", 100)] == got[("g1", 105)] == 1
+    assert got[("g1", 200)] == 2
+    assert got[("g2", 100)] == 1
+
+
+def test_simhash_near_duplicates_close(spark):
+    from prohap_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
+    assert ham(sig[1], sig[2]) < ham(sig[2], sig[3])

@@ -1,0 +1,99 @@
+"""§2.10 streaming tests: the SAME transforms run in batch and under
+readStream; batch result == stream result on a bounded file source."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events table re-encoded as µs-timestamp parquet split into
+    multiple files (multiple stream triggers)."""
+    from prohap_spark.queries.registry import events_table
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = events_table(spark, "/root/testdata/sf0.001")
+    ev.repartition(4).write.mode("overwrite").parquet(d)
+    return d
+
+
+def _batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_tumbling_counts_batch_equals_stream(spark, events_dir):
+    from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, tumbling_counts
+
+    batch = tumbling_counts(_batch(spark, events_dir))
+    # single trigger: the files are time-interleaved, so multi-trigger
+    # reads would (correctly) watermark-drop late rows — exact
+    # batch==stream equality needs all data inside one trigger
+    stream = tumbling_counts(read_event_stream(spark, events_dir, max_files_per_trigger=10))
+    # complete mode: append would hold back the final (unclosed) windows
+    run_to_memory_sink(stream, "tumbling_out", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_stream(spark, events_dir):
+    from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, session_windows
+
+    stream = session_windows(read_event_stream(spark, events_dir))
+    run_to_memory_sink(stream, "session_out")
+    rows = spark.sql("SELECT * FROM session_out").collect()
+    assert len(rows) > 0
+    # session invariant: start <= end, n_events >= 1
+    assert all(r["session_start"] <= r["session_end"] and r["n_events"] >= 1 for r in rows)
+
+
+def test_session_windows_match_batch_islands(spark, events_dir):
+    """The streaming session_window and the batch W1 sessionize
+    operator agree on session counts per user."""
+    from prohap_spark.operators.islands import sessionize
+    from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, session_windows
+
+    stream = session_windows(read_event_stream(spark, events_dir, max_files_per_trigger=10))
+    run_to_memory_sink(stream, "session_out2", output_mode="complete")
+    stream_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT user_id, count(*) AS n FROM session_out2 GROUP BY user_id"
+        ).collect()
+    }
+    batch = sessionize(_batch(spark, events_dir), ["user_id"], "ts", 3600, tiebreak_cols=["event_id"])
+    batch_counts = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .collect()
+    }
+    assert stream_counts == batch_counts
+
+
+def test_stream_dedup(spark, events_dir):
+    from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, stream_dedup
+
+    stream = stream_dedup(read_event_stream(spark, events_dir))
+    run_to_memory_sink(stream, "dedup_out")
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").collect()[0]
+    assert n["c"] == n["n"] > 0
+
+
+def test_watermark_drops_late_rows(spark, events_dir):
+    """Multi-trigger over time-interleaved files: the watermark must
+    drop late rows — stream totals strictly below batch totals (the
+    late-data semantics §2.10 promises)."""
+    from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, tumbling_counts
+
+    stream = tumbling_counts(read_event_stream(spark, events_dir, max_files_per_trigger=1))
+    run_to_memory_sink(stream, "late_out")
+    stream_n = spark.sql("SELECT sum(n) s FROM late_out").collect()[0]["s"]
+    batch_n = tumbling_counts(_batch(spark, events_dir)).agg({"n": "sum"}).collect()[0][0]
+    assert 0 < stream_n < batch_n
