@@ -135,6 +135,11 @@ def lsh_candidate_pairs(
     (boilerplate docs) are handled by AQE skew splitting.
     """
     assert num_hashes % band_size == 0
+    # the signature table is consumed by BOTH sides of the bucket
+    # self-join (and the verify stage re-reads tokens) — persist it so
+    # the md5 stage runs once, not 2-4×; it is id+hashes-sized (tiny
+    # relative to the corpus), so MEMORY_AND_DISK is safe at scale
+    df = df.persist()
     sig = df.select(
         F.col(id_col),
         F.col(tokens_col),
@@ -143,7 +148,6 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // band_size
     bands = sig.select(
         id_col,
-        tokens_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -155,6 +159,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+    bands = bands.persist()
     # dedup candidate pairs on ids ONLY (hashing token arrays through the
     # distinct shuffle is the expensive anti-pattern), then re-join the
     # token sets for the verify stage
@@ -183,6 +188,10 @@ def minhash_dedup_pairs(
     """Near-duplicate pairs: MinHash-LSH candidates verified with exact
     Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
     toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    # spread the md5-heavy signature stage: a small input file arrives
+    # as one split, which would serialize the hashing on a single core
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(par, id_col)
     cand = lsh_candidate_pairs(toks, id_col, "__tokens", num_hashes, band_size)
     return (
         cand.withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))

@@ -1,0 +1,17 @@
+from prohap_spark.plans.inspect import (
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+    has_broadcast_join,
+    codegen_stage_count,
+    plan_report,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "has_broadcast_join",
+    "codegen_stage_count",
+    "plan_report",
+]
