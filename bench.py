@@ -55,6 +55,15 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # domain pipeline end-to-end (synthetic cohort: 100 transcripts,
+    # 1000 variants, 50 samples → VCF melt → islands → haplotype
+    # grouping → U3 kernel → merge)
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+
+    t0 = time.time()
+    run_prohap_e2e(spark, scale=1).write.format("noop").mode("overwrite").save()
+    timings["domain_prohap_e2e"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,120 @@
+"""Deterministic synthetic cohort generator for domain-pipeline
+benchmarks and stress tests (FIXTURES.md invariants: ref alleles match
+the cDNA, exon sums equal cDNA length, phased biallelic GTs).
+
+Everything derives from md5 streams keyed by (seed, entity id) — no
+RNG state, so any subset regenerates identically on any worker.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+BASES = "ACGT"
+
+
+def _stream(key: str, n: int) -> bytes:
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{key}|{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _seq(key: str, n: int) -> str:
+    return "".join(BASES[b % 4] for b in _stream(key, n))
+
+
+def generate_cohort(
+    spark: SparkSession,
+    n_transcripts: int = 100,
+    n_samples: int = 50,
+    variants_per_transcript: int = 10,
+    exon_len: int = 300,
+    n_exons: int = 2,
+    seed: str = "bench",
+):
+    """Returns (variants_df, transcripts_df, cdna_df, sample_names,
+    samples_meta_df) shaped exactly like the real sources' outputs."""
+    sample_names = [f"S{i:04d}" for i in range(n_samples)]
+    pops = ["FIN", "YRI", "CHB", "GBR", "PEL"]
+
+    transcripts, cdnas, variants = [], [], []
+    for t in range(n_transcripts):
+        tid = f"T{t:05d}"
+        base = 1_000_000 + t * 10_000
+        exons = []
+        pos = base
+        for e in range(n_exons):
+            exons.append({"start": pos, "end": pos + exon_len - 1})
+            pos += exon_len + 500  # 500 bp intron
+        total = exon_len * n_exons
+        seq = _seq(f"{seed}|cdna|{tid}", total)
+        # ensure a start codon at offset 3 (5'UTR of 3 bases)
+        seq = seq[:3] + "ATG" + seq[6:]
+        start_codon = base + 3
+        transcripts.append(
+            (tid, f"G{t:05d}", f"GENE{t}", "1", base, exons[-1]["end"], "+",
+             "protein_coding", ["Ensembl_canonical"], exons, start_codon, None)
+        )
+        cdnas.append(("cdna", tid, "", seq))
+
+        for v in range(variants_per_transcript):
+            h = _stream(f"{seed}|var|{tid}|{v}", 8)
+            # pick an exonic offset past the start codon
+            off = 6 + (int.from_bytes(h[:4], "big") % (total - 12))
+            exon_idx, rem = divmod(off, exon_len)
+            gpos = exons[exon_idx]["start"] + rem
+            ref = seq[off]
+            alt = BASES[(BASES.index(ref) + 1 + h[4] % 3) % 4]
+            af = round(0.01 + (h[5] / 255) * 0.5, 4)
+            gts = []
+            for s in range(n_samples):
+                g = _stream(f"{seed}|gt|{tid}|{v}|{s}", 2)
+                h1 = 1 if g[0] / 255 < af else 0
+                h2 = 1 if g[1] / 255 < af else 0
+                gts.append(f"{h1}|{h2}")
+            variants.append(
+                ("1", gpos, f"rs_{tid}_{v}", ref, alt, ".", ".", f"AF={af}", "GT", gts, af)
+            )
+
+    variants_df = spark.createDataFrame(
+        variants,
+        "chrom string, pos long, id string, ref string, alt string, qual string, "
+        "filter string, info string, format string, genotypes array<string>, af double",
+    )
+    transcripts_df = spark.createDataFrame(
+        transcripts,
+        "transcript_id string, gene_id string, gene_name string, chrom string, "
+        "start long, end long, strand string, biotype string, tags array<string>, "
+        "exons array<struct<start:long,end:long>>, start_codon long, stop_codon long",
+    )
+    cdna_df = spark.createDataFrame(
+        cdnas, "tag string, accession string, description string, sequence string"
+    )
+    meta = spark.createDataFrame(
+        [
+            (s, "male" if i % 3 == 0 else "female", pops[i % 5],
+             "EUR" if i % 5 in (0, 3) else "AFR")
+            for i, s in enumerate(sample_names)
+        ],
+        ["sample_name", "sex", "population_code", "superpopulation_code"],
+    )
+    return variants_df, transcripts_df, cdna_df, sample_names, meta
+
+
+def run_prohap_e2e(spark: SparkSession, scale: int = 1) -> DataFrame:
+    """End-to-end ProHap on the synthetic cohort (bench entry)."""
+    from prohap_spark.pipeline.prohap import annotate_haplotypes, extract_haplotypes
+
+    variants, transcripts, cdna, names, meta = generate_cohort(
+        spark,
+        n_transcripts=100 * scale,
+        n_samples=50,
+        variants_per_transcript=10,
+    )
+    haplos = extract_haplotypes(variants, names, meta, transcripts, min_af=0.01)
+    return annotate_haplotypes(haplos, transcripts, cdna, min_count=1)

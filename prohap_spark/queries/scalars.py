@@ -1,0 +1,195 @@
+"""Additional §2.8 scalar-surface queries: math/codon arithmetic (C11),
+stable hashing (C12), fixed-point formatting (C10), regex splits (C2),
+ordered array analytics (W3/A8/A9), containment join (J9), liftover-
+artifact filter shape (F12), and batch session windows (§2.10)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prohap_spark.queries.registry import register, table
+
+
+@register(
+    "c_math_hash",
+    """
+    SELECT p_partkey,
+           CAST(floor(p_retailprice / 3) AS BIGINT) AS fl,
+           CAST(ceil(p_retailprice / 3) AS BIGINT)  AS ce,
+           p_size % 3 AS pm,
+           printf('%x', p_partkey * 7) AS hex7,
+           md5(p_name) AS name_md5,
+           format('{:.5f}', round(p_retailprice / 7, 5)) AS fixed5
+    FROM part
+    """,
+)
+def c_math_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10/C11/C12: codon-style integer arithmetic (floor/ceil/pmod),
+    hex id formatting, stable content hashing, 5-decimal fixed-point
+    (the reference's '{:.5f}' frequency formatting,
+    get_haplotypes.py:273)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") / 3).cast("bigint").alias("fl"),
+        F.ceil(F.col("p_retailprice") / 3).cast("bigint").alias("ce"),
+        F.pmod(F.col("p_size"), F.lit(3)).alias("pm"),
+        F.format_string("%x", F.col("p_partkey") * 7).alias("hex7"),
+        F.md5(F.col("p_name")).alias("name_md5"),
+        F.format_string("%.5f", F.round(F.col("p_retailprice") / 7, 5)).alias("fixed5"),
+    )
+
+
+@register(
+    "c2_regex_split_explode",
+    """
+    SELECT o_orderkey, part_idx, part_str
+    FROM (
+      SELECT o_orderkey,
+             generate_subscripts(regexp_split_to_array(o_orderpriority, '[-_ ]'), 1) - 1 AS part_idx,
+             unnest(regexp_split_to_array(o_orderpriority, '[-_ ]')) AS part_str
+      FROM orders
+    )
+    WHERE o_orderkey < 1000
+    """,
+)
+def c2_regex_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 regex split + posexplode (the re.split change-string parse,
+    process_haplotypes.py:180-194)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.posexplode(F.split(F.col("o_orderpriority"), "[-_ ]")).alias("part_idx", "part_str"),
+    )
+
+
+@register(
+    "w3_array_sort_analytics",
+    """
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_quantity ORDER BY l_linenumber, l_quantity)), ';') AS qty_sorted,
+           CAST(round(list_min(list(l_quantity)), 2) AS DOUBLE) AS qty_min,
+           len(list_distinct(list(l_returnflag ORDER BY l_linenumber))) AS n_flags
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def w3_array_sort_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/A8/A9: ordered in-group arrays (zip-sort-unzip analog), min
+    over group, distinct-preserving dedup — all as array expressions."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.array_sort(F.collect_list("l_quantity")), ";").alias("qty_sorted"),
+        F.round(F.array_min(F.collect_list("l_quantity")), 2).alias("qty_min"),
+        F.size(F.array_distinct(F.collect_list("l_returnflag"))).alias("n_flags"),
+    )
+
+
+@register(
+    "j9_containment_join",
+    """
+    WITH probes AS (
+      SELECT doc_id AS probe_id, substr(text, 8, 25) AS probe
+      FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 40
+    )
+    SELECT p.probe_id, count(*) AS n_hosts
+    FROM probes p JOIN documents d
+      ON position(p.probe IN d.text) > 0 AND d.doc_id <> p.probe_id
+    GROUP BY p.probe_id
+    """,
+)
+def j9_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 substring-containment theta join (peptide-in-protein,
+    peptides_annotate_variation.py:171-190): broadcast the small probe
+    side, nested-loop only against it."""
+    d = table(spark, sf_dir, "documents")
+    probes = d.where((F.col("doc_id") % 10 == 0) & (F.length("text") >= 40)).select(
+        F.col("doc_id").alias("probe_id"), F.substring("text", 8, 25).alias("probe")
+    )
+    joined = d.join(
+        F.broadcast(probes),
+        (F.instr(F.col("text"), F.col("probe")) > 0) & (F.col("doc_id") != F.col("probe_id")),
+    )
+    return joined.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hosts"))
+
+
+@register(
+    "f12_liftover_artifact_filter",
+    """
+    SELECT doc_id FROM documents
+    WHERE substr(text, 3, 5) <> 'alpha'
+    """,
+)
+def f12_liftover_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 shape: drop rows whose target slice already equals the
+    replacement (process_haplotypes.py:170-213) — a substring-equality
+    predicate."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(F.substring("text", 3, 5) != "alpha").select("doc_id")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 3600000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 session windows, batch-checkable: F.session_window(ts, 1h)
+    must equal the gaps-and-islands oracle (events closer than the gap
+    merge; window end = last event + gap). The same expression runs
+    under readStream (prohap_spark.streaming.session_windows)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH slides AS (SELECT unnest(range(0, 2)) AS k)
+    SELECT epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 AS window_start_us,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events, slides
+    WHERE epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 <= epoch_us(ts)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 sliding window (1 h size, 30 min slide) in batch-checkable
+    form: each event lands in 2 overlapping windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "total_value",
+        )
+    )
