@@ -90,8 +90,10 @@ def extract_haplotypes(
     )
     carriers = phases.where(F.col("allele") == 1)
 
-    # carried variants per transcript copy
-    tc = carriers.join(assigned, ["chrom", "pos", "ref", "alt"])
+    # carried variants per transcript copy; the (locus × transcript)
+    # assignment has no per-sample axis, so it is tiny relative to the
+    # melted carrier table → broadcast keeps the big side shuffle-free
+    tc = carriers.join(F.broadcast(assigned), ["chrom", "pos", "ref", "alt"])
 
     # W1 conflict islands: overlapping changes on ONE transcript copy ⇒
     # drop that (sample, phase) entirely (get_haplotypes.py:172-184)

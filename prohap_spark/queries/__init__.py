@@ -14,6 +14,7 @@ from prohap_spark.queries import windowed  # noqa: F401
 from prohap_spark.queries import textdata  # noqa: F401
 from prohap_spark.queries import simsearch  # noqa: F401
 from prohap_spark.queries import scalars  # noqa: F401
+from prohap_spark.queries import classic  # noqa: F401
 
 
 def queries():
