@@ -67,6 +67,9 @@ class HaploResult:
     liftover_dropped: list[Change] = field(default_factory=list)
     consequences: list[str] = field(default_factory=list)
     protein_changes: list[str] = field(default_factory=list)
+    # 3-frame fallback (start_missing): translation of each reading
+    # frame, '|'-separated downstream (process_haplotypes.py:456-478)
+    proteins_by_frame: list[str] = field(default_factory=list)
 
 
 def classify_consequence(ref: str, alt: str, ref_aa: str, alt_aa: str) -> str:
@@ -165,6 +168,12 @@ def apply_haplotype(
     cds_start = shifted_start if (not start_missing and not start_lost) else 0
     protein = translate(mutated[cds_start:], to_stop=True)
     prefix_len = 0 if not start_missing else cds_start // 3
+    # reference fallback: no annotated start → translate ALL 3 frames
+    proteins_by_frame = (
+        [translate(mutated[f:], to_stop=True) for f in range(3)]
+        if start_missing
+        else [protein]
+    )
 
     return HaploResult(
         cdna=mutated,
@@ -178,6 +187,7 @@ def apply_haplotype(
         liftover_dropped=lift,
         consequences=consequences,
         protein_changes=protein_changes,
+        proteins_by_frame=proteins_by_frame,
     )
 
 

@@ -21,7 +21,7 @@ from prohap_spark.kernels.haplo import Change, apply_haplotype
 ANNOTATE_SCHEMA = (
     "transcript_id string, item_id string, "
     "cdna_changes string, protein_changes string, variant_types string, "
-    "mutated_cdna string, protein string, reading_frame int, "
+    "mutated_cdna string, protein string, proteins_all_frames string, reading_frame int, "
     "protein_prefix_length int, start_missing boolean, start_lost boolean, "
     "n_applied int, n_ref_mismatch int, n_liftover_dropped int"
 )
@@ -71,6 +71,7 @@ def _annotate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 "variant_types": ";".join(res.consequences),
                 "mutated_cdna": res.cdna,
                 "protein": res.protein,
+                "proteins_all_frames": "|".join(res.proteins_by_frame),
                 "reading_frame": res.reading_frame,
                 "protein_prefix_length": res.protein_prefix_length,
                 "start_missing": res.start_missing,
@@ -84,7 +85,7 @@ def _annotate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         out,
         columns=[
             "transcript_id", "item_id", "cdna_changes", "protein_changes",
-            "variant_types", "mutated_cdna", "protein", "reading_frame",
+            "variant_types", "mutated_cdna", "protein", "proteins_all_frames", "reading_frame",
             "protein_prefix_length", "start_missing", "start_lost",
             "n_applied", "n_ref_mismatch", "n_liftover_dropped",
         ],

@@ -3,7 +3,9 @@ from prohap_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     has_broadcast_join,
+    has_sort_merge_join,
     codegen_stage_count,
+    plan_nodes,
     plan_report,
 )
 
@@ -12,6 +14,8 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "has_broadcast_join",
+    "has_sort_merge_join",
     "codegen_stage_count",
+    "plan_nodes",
     "plan_report",
 ]

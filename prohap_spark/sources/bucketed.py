@@ -1,0 +1,28 @@
+"""Bucketed table layout (SURVEY §7.1.7: 'bucketed writes on
+transcript_id'): pre-shuffle the big fact tables once at write time so
+every later join/aggregation on the bucket key is exchange-free.
+
+At 100 TB this converts the per-query shuffle of the variant×transcript
+fact (the hottest key in the pipeline) into a one-time layout cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table_name)
+
+
+def read_table(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

@@ -123,3 +123,17 @@ def test_classify_consequence_direct():
     assert classify_consequence("AAA", "", "K", "") == "inframe_indel"
     assert classify_consequence("A", "T", "K", "*") == "stop_gained"
     assert classify_consequence("A", "T", "*", "Q") == "stop_lost"
+
+
+def test_three_frame_fallback():
+    res = apply_haplotype(CDNA, [], -1)
+    assert res.start_missing
+    assert len(res.proteins_by_frame) == 3
+    assert res.proteins_by_frame[0] == translate(CDNA)
+    assert res.proteins_by_frame[1] == translate(CDNA[1:])
+    assert res.proteins_by_frame[2] == translate(CDNA[2:])
+
+
+def test_annotated_start_single_frame():
+    res = apply_haplotype(CDNA, [], START)
+    assert res.proteins_by_frame == ["MADEFGPK"]

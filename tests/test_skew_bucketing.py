@@ -1,0 +1,56 @@
+"""Skew-salting and bucketed-layout tests: result equivalence + the
+plan property each exists for (spread reducers / no exchange)."""
+
+from pyspark.sql import functions as F
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from prohap_spark.operators.skew import salted_aggregate
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    plain = {
+        (r["l_returnflag"],): (r["n"], round(r["s"], 2))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["l_returnflag"],): (r["n"], round(r["s"], 2))
+        for r in salted_aggregate(
+            li,
+            ["l_returnflag"],
+            {"n": F.count(F.lit(1)), "s": F.sum("l_quantity")},
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_plain(spark):
+    from prohap_spark.operators.skew import salted_join
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").limit(5000)
+    parts = spark.read.parquet("/root/testdata/sf0.01/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    plain = li.join(parts, "l_partkey").count()
+    salted = salted_join(li, parts, ["l_partkey"], n_salts=8).count()
+    assert salted == plain > 0
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT a shuffle —
+    the scan's bucket layout satisfies the join's distribution."""
+    from prohap_spark.plans import plan_nodes
+    from prohap_spark.sources.bucketed import read_table, write_bucketed
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    write_bucketed(li.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8)
+    write_bucketed(o.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+
+    bl, bo = read_table(spark, "b_lineitem"), read_table(spark, "b_orders")
+    joined = bl.join(bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"])
+    nodes = plan_nodes(joined)
+    assert "SortMergeJoin" in nodes
+    assert "Exchange" not in nodes  # bucket layout replaces the shuffle
+    assert joined.count() > 0
