@@ -102,14 +102,16 @@ def apply_haplotype(
     cdna: str,
     changes: list[Change],
     start_rna: int,
+    jitter_retry: bool = False,
 ) -> HaploResult:
     """Apply a haplotype's changes (transcript coordinates, any order)
     to the reference cDNA and annotate protein consequences.
 
     ``start_rna``: RNA offset of the annotated start codon, or -1 when
-    missing (→ frame 0 fallback, start_missing=True; the reference
-    tries all 3 frames, process_haplotypes.py:456-478 — we translate
-    frame 0 and record the flag).
+    missing (→ frame 0 fallback + all-3-frame translation,
+    process_haplotypes.py:456-478).
+    ``jitter_retry``: on REF mismatch, retry the change at rna_pos ± 1
+    (the ProVar liftover-jitter recovery, process_variants.py:150-171).
     """
     ordered = sorted(changes, key=lambda c: (c.rna_pos, c.ref, c.alt))
     start_missing = start_rna < 0
@@ -124,12 +126,25 @@ def apply_haplotype(
         alt_slice = cdna[ch.rna_pos : ch.rna_pos + len(ch.alt)]
         if ref_slice.upper() == ch.ref.upper():
             applied.append(ch)
-        elif ch.alt != "" and alt_slice.upper() == ch.alt.upper():
+            continue
+        if ch.alt != "" and alt_slice.upper() == ch.alt.upper():
             # liftover artifact: REF absent but ALT already present in
             # the reference build (process_haplotypes.py:170-213)
             lift.append(ch)
-        else:
-            dropped.append(ch)
+            continue
+        if jitter_retry and ch.ref:
+            # ±1 bp liftover jitter (process_variants.py:150-171)
+            recovered = None
+            for d in (-1, 1):
+                p = ch.rna_pos + d
+                if p >= 0 and cdna[p : p + len(ch.ref)].upper() == ch.ref.upper():
+                    recovered = Change(p, ch.ref, ch.alt, ch.vcf_id)
+                    break
+            if recovered is not None:
+                applied.append(recovered)
+                continue
+        dropped.append(ch)
+    applied.sort(key=lambda c: (c.rna_pos, c.ref, c.alt))
 
     # pass 2: cumulative-offset application (W5 running state)
     mutated = cdna

@@ -31,7 +31,7 @@ def _exon_list(raw) -> list[Exon]:
     return [Exon(int(e["start"]), int(e["end"])) for e in raw]
 
 
-def _annotate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _annotate_batch(pdf: pd.DataFrame, jitter_retry: bool = False) -> pd.DataFrame:
     out = []
     for row in pdf.itertuples(index=False):
         exons = _exon_list(row.exons)
@@ -59,7 +59,7 @@ def _annotate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 r = r[:kept]  # splice-junction truncation (U1)
             changes.append(Change(rna_pos, r, a, ch.get("vcf_id") or ""))
 
-        res = apply_haplotype(cdna, changes, start_rna)
+        res = apply_haplotype(cdna, changes, start_rna, jitter_retry=jitter_retry)
         out.append(
             {
                 "transcript_id": row.transcript_id,
@@ -92,18 +92,19 @@ def _annotate_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def annotate_items(df) -> "pyspark.sql.DataFrame":  # noqa: F821
+def annotate_items(df, jitter_retry: bool = False) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Input rows: transcript_id, item_id, strand, exons
     array<struct<start:long,end:long>>, start_codon (nullable long),
     cdna string, changes array<struct<pos:long, ref:string, alt:string,
     vcf_id:string>>. One output row per input row (ANNOTATE_SCHEMA).
 
-    Used for both ProVar (one change per item) and ProHap (a haplotype
-    of changes per item)."""
+    Used for both ProVar (one change per item, jitter_retry=True to
+    match the reference's ±1 bp recovery) and ProHap (a haplotype of
+    changes per item)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _annotate_batch(pdf)
+                yield _annotate_batch(pdf, jitter_retry)
 
     return df.mapInPandas(run, schema=ANNOTATE_SCHEMA)

@@ -113,6 +113,28 @@ def classify_peptides(resolved: DataFrame) -> DataFrame:
     return resolved.withColumn("pep_class", cls).withColumn("specificity", spec)
 
 
+def revert_peptide(peptide: str, pep_start: int, changes: list[tuple[int, str, str]]) -> str:
+    """U4 revert kernel (check_canonical_peptide,
+    peptides_annotate_variation.py:171-190): undo the protein-level
+    changes covered by a peptide window so the result can be containment-
+    tested against the canonical protein. ``changes``: (protein_pos,
+    ref_aa, alt_aa) with protein_pos relative to the protein; positions
+    are canonical-space. Pure Python — runs inside the Arrow batch of
+    the annotation stage when needed.
+    """
+    out = peptide
+    offset = 0
+    for pos, ref_aa, alt_aa in sorted(changes, key=lambda c: c[0]):
+        loc = pos - pep_start + offset
+        if loc < 0 or loc > len(out):
+            continue
+        if out[loc : loc + len(alt_aa)] != alt_aa:
+            continue  # expected alt not present — leave untouched
+        out = out[:loc] + ref_aa + out[loc + len(alt_aa) :]
+        offset += len(ref_aa) - len(alt_aa)
+    return out
+
+
 def annotate_peptides(
     peptides: DataFrame,
     canonical: DataFrame,

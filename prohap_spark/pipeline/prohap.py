@@ -247,3 +247,12 @@ def annotate_haplotypes(
     if min_count is not None:
         merged = merged.where(F.col("occurrence_count") >= min_count)
     return merged
+
+
+def drop_synonymous_only(annotated: DataFrame) -> DataFrame:
+    """Suppress haplotypes whose applied changes are ALL synonymous —
+    their protein equals the reference product
+    (process_haplotypes.py:393-395)."""
+    types = F.split(F.col("variant_types"), ";")
+    all_syn = F.forall(types, lambda t: t == "synonymous")
+    return annotated.where(~((F.col("variant_types") != "") & all_syn))

@@ -115,7 +115,8 @@ def run_provar(
     annotated = annotate_items(
         items.select(
             "transcript_id", "item_id", "strand", "exons", "start_codon", "cdna", "changes"
-        )
+        ),
+        jitter_retry=True,  # ProVar's ±1 bp liftover recovery
     )
     out = annotated.join(meta, ["transcript_id", "item_id"])
     # deterministic variant ids: var_<chrom>_<hex(rank)> over a stable order

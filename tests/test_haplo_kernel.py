@@ -137,3 +137,11 @@ def test_three_frame_fallback():
 def test_annotated_start_single_frame():
     res = apply_haplotype(CDNA, [], START)
     assert res.proteins_by_frame == ["MADEFGPK"]
+
+
+def test_jitter_retry_recovers_shifted_ref():
+    # ref 'G' reported at offset 10 but actually at 9 (liftover jitter)
+    res = apply_haplotype(CDNA, [Change(10, "G", "C")], START, jitter_retry=True)
+    assert len(res.applied) == 1 and res.applied[0].rna_pos == 9
+    no_retry = apply_haplotype(CDNA, [Change(10, "G", "C")], START)
+    assert no_retry.applied == [] and len(no_retry.dropped) == 1

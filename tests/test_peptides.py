@@ -76,3 +76,34 @@ def test_il_equivalence(spark, world):
     )
     out = annotate_peptides(pep, canonical, alleles).collect()
     assert out[0]["pep_class"] == "canonical"
+
+
+def test_revert_peptide_round_trip():
+    """Property (SURVEY §5): applying protein changes then reverting them
+    restores the canonical slice."""
+    from prohap_spark.pipeline.peptides import revert_peptide
+
+    canonical = "MADEFGPKLQW"
+    # apply A2V and del of L8 (0-based canonical positions 1 and 8)
+    mutated = "MVDEFGPKQW"  # A->V at 1, L deleted at 8
+    # peptide = the whole mutated protein, pep_start 0
+    back = revert_peptide(mutated, 0, [(1, "A", "V"), (8, "L", "")])
+    assert back == canonical
+
+
+def test_revert_peptide_window_offset():
+    from prohap_spark.pipeline.peptides import revert_peptide
+
+    # peptide covering positions 4..9 of a protein with V at canonical 5
+    pep = "FGVKLQ"
+    back = revert_peptide(pep, 4, [(6, "P", "V")])
+    assert back == "FGPKLQ"
+
+
+def test_revert_peptide_mismatch_untouched():
+    from prohap_spark.pipeline.peptides import revert_peptide
+
+    pep = "FGXKLQ"
+    # expected alt 'V' not present -> unchanged (mismatch logging path,
+    # peptides_annotate_variation.py:329-331)
+    assert revert_peptide(pep, 4, [(6, "P", "V")]) == pep

@@ -138,3 +138,55 @@ def test_prohap_conflict_islands(world, spark, tmp_path):
     assert set(rows) == {"110:G:A"}
     assert rows["110:G:A"]["samples"] == ["S1:2"]
     assert rows["110:G:A"]["occurrence_count"] == 1
+
+
+def test_drop_synonymous_only(world):
+    from prohap_spark.pipeline.prohap import (
+        annotate_haplotypes,
+        drop_synonymous_only,
+        extract_haplotypes,
+    )
+
+    dims, cdna, variants, names, meta = world
+    haplos = extract_haplotypes(variants, names, meta, dims["transcripts"])
+    out = annotate_haplotypes(haplos, dims["transcripts"], cdna)
+    # all fixture haplotypes are SAVs -> none suppressed
+    assert drop_synonymous_only(out).count() == out.count()
+
+
+def test_drop_synonymous_only_suppresses(spark, tmp_path):
+    """A synonymous-only haplotype (T1 offset 17 T>C, TTT->TTC both F)
+    is suppressed."""
+    from prohap_spark.pipeline.prohap import (
+        annotate_haplotypes,
+        drop_synonymous_only,
+        extract_haplotypes,
+    )
+    from prohap_spark.sources.gtf import gtf_dimensions, read_gtf
+    from prohap_spark.sources.fasta import read_fasta
+    from prohap_spark.sources.vcf import read_vcf, read_vcf_header, split_multiallelic
+
+    gtf, fasta, _ = write_fixtures(tmp_path)
+    syn_vcf = tmp_path / "syn.vcf"
+    # genomic 118 = cDNA offset 17 on T1 ('T'); T>C is synonymous
+    syn_vcf.write_text(
+        "\n".join(
+            [
+                "##fileformat=VCFv4.2",
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3",
+                "1\t118\tvarS\tT\tC\t.\t.\tAF=0.3\tGT\t0|1\t0|0\t0|0",
+                "1\t110\tvarA\tG\tA\t.\t.\tAF=0.5\tGT\t0|0\t1|0\t0|0",
+            ]
+        )
+        + "\n"
+    )
+    dims = gtf_dimensions(read_gtf(spark, gtf))
+    cdna = read_fasta(spark, fasta, truncate_version=True)
+    variants = split_multiallelic(read_vcf(spark, str(syn_vcf)))
+    names = read_vcf_header(spark, str(syn_vcf))
+    meta = spark.createDataFrame(SAMPLES, ["sample_name", "sex", "population_code", "superpopulation_code"])
+    haplos = extract_haplotypes(variants, names, meta, dims["transcripts"])
+    out = annotate_haplotypes(haplos, dims["transcripts"], cdna)
+    kept = drop_synonymous_only(out)
+    assert out.count() == 2 and kept.count() == 1
+    assert kept.collect()[0]["variant_types"] == "SAV"
