@@ -18,6 +18,18 @@ def write_bucketed(
     n_buckets: int = 64,
     sort_col: str | None = None,
 ) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # a previous session may have left the managed location behind
+    # without a catalog entry — overwrite can't see it and errors with
+    # LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:") or warehouse.startswith("/"):
+        import shutil
+        from urllib.parse import urlparse
+
+        loc = urlparse(warehouse).path or warehouse
+        shutil.rmtree(f"{loc}/{table_name.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
