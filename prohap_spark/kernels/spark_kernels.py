@@ -23,6 +23,7 @@ ANNOTATE_SCHEMA = (
     "cdna_changes string, protein_changes string, variant_types string, "
     "mutated_cdna string, protein string, proteins_all_frames string, reading_frame int, "
     "protein_prefix_length int, start_missing boolean, start_lost boolean, "
+    "splice_sites_affected string, "
     "n_applied int, n_ref_mismatch int, n_liftover_dropped int"
 )
 
@@ -42,6 +43,7 @@ def _annotate_batch(pdf: pd.DataFrame, jitter_retry: bool = False) -> pd.DataFra
 
         changes: list[Change] = []
         n_unmappable = 0
+        junctions: list[int] = []
         for ch in row.changes:
             ref, alt = ch["ref"], ch["alt"]
             ref_len = 0 if ref == "-" else len(ref)
@@ -49,7 +51,9 @@ def _annotate_batch(pdf: pd.DataFrame, jitter_retry: bool = False) -> pd.DataFra
             if mapped is None:
                 n_unmappable += 1
                 continue
-            rna_pos, kept, _junction = mapped
+            rna_pos, kept, junction = mapped
+            if junction >= 0:
+                junctions.append(junction)
             r, a = ("" if ref == "-" else ref), ("" if alt == "-" else alt)
             if strand == "-":
                 from prohap_spark.kernels.haplo import reverse_complement
@@ -76,6 +80,7 @@ def _annotate_batch(pdf: pd.DataFrame, jitter_retry: bool = False) -> pd.DataFra
                 "protein_prefix_length": res.protein_prefix_length,
                 "start_missing": res.start_missing,
                 "start_lost": res.start_lost,
+                "splice_sites_affected": ";".join(str(j) for j in sorted(set(junctions))),
                 "n_applied": len(res.applied),
                 "n_ref_mismatch": len(res.dropped) + n_unmappable,
                 "n_liftover_dropped": len(res.liftover_dropped),
@@ -87,6 +92,7 @@ def _annotate_batch(pdf: pd.DataFrame, jitter_retry: bool = False) -> pd.DataFra
             "transcript_id", "item_id", "cdna_changes", "protein_changes",
             "variant_types", "mutated_cdna", "protein", "proteins_all_frames", "reading_frame",
             "protein_prefix_length", "start_missing", "start_lost",
+            "splice_sites_affected",
             "n_applied", "n_ref_mismatch", "n_liftover_dropped",
         ],
     )

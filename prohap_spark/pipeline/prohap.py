@@ -83,7 +83,7 @@ def extract_haplotypes(
             )
         ).alias("ph"),
     ).select(
-        "chrom", "pos", "ref", "alt", "vcf_id", "sample_name", "sex",
+        "chrom", "pos", "ref", "alt", "vcf_id", "af", "sample_name", "sex",
         "population_code", "superpopulation_code",
         F.col("ph.phase").alias("phase"),
         F.col("ph.allele").alias("allele"),
@@ -121,7 +121,7 @@ def extract_haplotypes(
         "population_code", "superpopulation_code",
     ).agg(
         F.array_sort(
-            F.collect_list(F.struct("pos", "ref", "alt", F.col("vcf_id")))
+            F.collect_list(F.struct("pos", "ref", "alt", F.col("vcf_id"), F.col("af")))
         ).alias("changes"),
     )
     sigs = sigs.withColumn(
@@ -142,7 +142,6 @@ def extract_haplotypes(
         F.array_sort(
             F.collect_list(F.concat_ws(":", "sample_name", "phase"))
         ).alias("samples"),
-        F.collect_list(F.struct("population_code", "superpopulation_code")).alias("pops"),
     )
 
     # A3: frequency with sex-aware denominators; transcript-level
@@ -160,30 +159,46 @@ def extract_haplotypes(
     ).otherwise(F.lit(n_males + 2 * (n_samples - n_males)))
     haplos = haplos.withColumn("frequency", F.round(F.col("occurrence_count") / denom, 5))
 
-    # A4: per-(super)population frequency maps
-    pop_counts = F.map_from_entries(
-        F.aggregate(
-            F.array_sort(F.array_distinct(F.transform("pops", lambda p: p["population_code"]))),
-            F.array().cast("array<struct<key:string,value:int>>"),
-            lambda acc, code: F.concat(
-                acc,
-                F.array(
-                    F.struct(
-                        code.alias("key"),
-                        F.size(F.filter("pops", lambda p: p["population_code"] == code)).alias("value"),
-                    )
-                ),
-            ),
+    # A4: per-(super)population frequency maps with per-group sex-aware
+    # denominators (get_haplotypes.py:237-313): carriers per population
+    # ÷ population chromosome count, as map<pop, freq>
+    def _freq_map(level: str, out_col: str) -> DataFrame:
+        denoms = samples_meta.groupBy(F.col(level).alias("__grp")).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("sex") == "male", 1).otherwise(0)).alias("__m"),
         )
+        counts = sigs.groupBy(
+            "transcript_id", "signature", F.col(level).alias("__grp")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        counts = counts.join(F.broadcast(denoms), "__grp").join(
+            F.broadcast(tr_diploid), "transcript_id", "left"
+        )
+        g_denom = F.when(
+            F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n")
+        ).otherwise(F.col("__m") + 2 * (F.col("__n") - F.col("__m")))
+        counts = counts.withColumn("__f", F.round(F.col("__c") / g_denom, 5))
+        return counts.groupBy("transcript_id", "signature").agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("__grp"), F.col("__f"))))
+            ).alias(out_col)
+        )
+
+    haplos = haplos.join(
+        _freq_map("population_code", "population_freqs"),
+        ["transcript_id", "signature"],
+        "left",
+    ).join(
+        _freq_map("superpopulation_code", "superpopulation_freqs"),
+        ["transcript_id", "signature"],
+        "left",
     )
-    haplos = haplos.withColumn("population_counts", pop_counts)
 
     # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4)
     w = Window.orderBy("transcript_id", "signature")
     return haplos.withColumn(
         "haplotype_id",
         F.concat(F.lit("haplo_"), F.lower(F.hex(F.row_number().over(w)))),
-    ).drop("pops")
+    )
 
 
 def annotate_haplotypes(
@@ -221,28 +236,44 @@ def annotate_haplotypes(
         haplos.select(
             F.col("haplotype_id").alias("item_id"),
             "signature",
+            "changes",
             "occurrence_count",
             "frequency",
             "samples",
-            "population_counts",
+            "population_freqs",
+            "superpopulation_freqs",
         ),
         "item_id",
     )
     # A5: merge haplotypes with identical applied-change sets per
     # transcript (post-validation duplicates,
     # process_haplotypes.py:403-411)
+    from prohap_spark.functions.encodings import merge_freq_maps
+
+    empty_map = F.create_map().cast("map<string,double>")
     merged = out.groupBy("transcript_id", "cdna_changes").agg(
         F.min("item_id").alias("haplotype_id"),
+        F.any_value("changes").alias("changes"),
         F.any_value("protein_changes").alias("protein_changes"),
         F.any_value("variant_types").alias("variant_types"),
         F.any_value("protein").alias("protein"),
+        F.any_value("proteins_all_frames").alias("proteins_all_frames"),
         F.any_value("reading_frame").alias("reading_frame"),
         F.any_value("protein_prefix_length").alias("protein_prefix_length"),
         F.any_value("start_missing").alias("start_missing"),
         F.any_value("start_lost").alias("start_lost"),
+        F.any_value("splice_sites_affected").alias("splice_sites_affected"),
         F.sum("occurrence_count").alias("occurrence_count"),
         F.round(F.sum("frequency"), 5).alias("frequency"),
         F.flatten(F.collect_list("samples")).alias("samples"),
+        # A5 map merge: key-wise ADD across merged duplicates
+        # (add_population_freqs, process_haplotypes.py:50-70)
+        F.aggregate(
+            F.collect_list("population_freqs"), empty_map, merge_freq_maps
+        ).alias("population_freqs"),
+        F.aggregate(
+            F.collect_list("superpopulation_freqs"), empty_map, merge_freq_maps
+        ).alias("superpopulation_freqs"),
     )
     if min_count is not None:
         merged = merged.where(F.col("occurrence_count") >= min_count)

@@ -120,12 +120,14 @@ def melt_genotypes(df: DataFrame, sample_names: list[str]) -> DataFrame:
     haplotype alleles hap1/hap2 int. Carriers-only filter should follow
     (most genotypes are 0|0 — filter early, this is the big explode)."""
     names = F.array(*[F.lit(s) for s in sample_names])
+    af = F.col("af") if "af" in df.columns else F.lit(None).cast("double")
     melted = df.select(
         "chrom",
         "pos",
         "ref",
         "alt",
         F.col("id").alias("vcf_id"),
+        af.alias("af"),
         F.posexplode("genotypes").alias("sample_idx", "gt"),
     )
     toks = F.split(F.col("gt"), r"\|")
@@ -135,6 +137,7 @@ def melt_genotypes(df: DataFrame, sample_names: list[str]) -> DataFrame:
         "ref",
         "alt",
         "vcf_id",
+        "af",
         "sample_idx",
         F.element_at(names, F.col("sample_idx") + 1).alias("sample_name"),
         toks[0].cast("int").alias("hap1"),

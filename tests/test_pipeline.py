@@ -73,10 +73,13 @@ def test_prohap_extract(world):
     assert a["occurrence_count"] == 3
     assert a["frequency"] == 0.5
     assert a["samples"] == ["S1:2", "S2:1", "S2:2"]
-    assert a["population_counts"] == {"FIN": 3}
+    # FIN = {S1 male, S2 female} → 4 chromosomes; 3 carriers → 0.75
+    assert a["population_freqs"] == {"FIN": 0.75}
+    assert a["superpopulation_freqs"] == {"EUR": 0.75}
     b = rows[("T1", "108:C:T")]
     assert b["occurrence_count"] == 2 and b["frequency"] == pytest.approx(0.33333)
-    assert b["population_counts"] == {"FIN": 1, "YRI": 1}
+    # FIN 1/4, YRI (S3 female alone) 1/2
+    assert b["population_freqs"] == {"FIN": 0.25, "YRI": 0.5}
     d = rows[("T2", "320:A:G")]
     assert d["occurrence_count"] == 1 and d["frequency"] == pytest.approx(0.16667)
 
