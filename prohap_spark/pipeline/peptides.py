@@ -146,3 +146,40 @@ def annotate_peptides(
     m = covered_alleles(m, alleles)
     m = resolve_canonical_first(m)
     return classify_peptides(m)
+
+
+def run_peptide_annotation(
+    spark,
+    peptides_tsv: str,
+    canonical_fasta: str,
+    alleles_tsv: str | None,
+    out_dir: str,
+) -> str:
+    """Config-driven 4th entry point (peptide_annotation/Snakefile:42-63):
+    peptide report TSV + canonical FASTA (+ optional allele table) in,
+    classified peptide TSV out."""
+    from prohap_spark.sources.fasta import read_fasta
+    from prohap_spark.sources.tsv import write_tsv
+
+    peptides = (
+        spark.read.option("sep", "\t").option("header", True).csv(peptides_tsv)
+    )
+    canonical = read_fasta(spark, canonical_fasta)
+    if alleles_tsv is not None:
+        alleles = (
+            spark.read.option("sep", "\t").option("header", True)
+            .csv(alleles_tsv)
+            .select(
+                "protein_accession",
+                "allele_id",
+                F.col("protein_pos").cast("long").alias("protein_pos"),
+            )
+        )
+    else:
+        alleles = spark.createDataFrame(
+            [], "protein_accession string, allele_id string, protein_pos long"
+        )
+    out = annotate_peptides(peptides, canonical, alleles)
+    path = f"{out_dir}/peptides_annotated"
+    write_tsv(out, path, single_file=True)
+    return path

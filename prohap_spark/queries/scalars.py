@@ -193,3 +193,54 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "c_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 'high' ELSE 'low' END AS bucket
+    FROM events
+    """,
+)
+def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (§2.8 surplus — the reference parses its ad-hoc
+    key:value formats by regex; proper JSON is the free upgrade):
+    from_json with an explicit schema, typed field access."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k:int>")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        F.when(parsed["k"] > 50, "high").otherwise("low").alias("bucket"),
+    )
+
+
+@register(
+    "sql_api_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API parity: the same Catalyst plan from spark.sql() text
+    (TPC-H-Q6 shape — pure scan-side predicate reduction)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )

@@ -107,3 +107,29 @@ def test_revert_peptide_mismatch_untouched():
     # expected alt 'V' not present -> unchanged (mismatch logging path,
     # peptides_annotate_variation.py:329-331)
     assert revert_peptide(pep, 4, [(6, "P", "V")]) == pep
+
+
+def test_run_peptide_annotation(spark, tmp_path):
+    """Config-driven 4th entry point: TSV + FASTA in, classified TSV out."""
+    import glob
+
+    from prohap_spark.pipeline.peptides import run_peptide_annotation
+
+    pep_tsv = tmp_path / "peptides.tsv"
+    pep_tsv.write_text(
+        "ID\tSequence\tProteins\tPositions\n"
+        "pep1\tMADEFG\tprot_r1\t0\n"
+        "pep2\tXXXXXX\tcont_c1\t0\n"
+    )
+    fa = tmp_path / "canon.fa"
+    fa.write_text(">ensref|prot_r1|transcript:T1\nMADEFGPK\n")
+    out = run_peptide_annotation(spark, str(pep_tsv), str(fa), None, str(tmp_path / "pout"))
+    files = glob.glob(f"{out}/part-*.csv.gz")
+    assert len(files) == 1
+    import gzip
+
+    with gzip.open(files[0], "rt") as f:
+        header = f.readline().strip().split("\t")
+        rows = [dict(zip(header, line.strip("\n").split("\t"))) for line in f]
+    classes = {r["peptide_id"]: r["pep_class"] for r in rows}
+    assert classes == {"pep1": "canonical", "pep2": "contaminant"}
