@@ -20,7 +20,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from prohap_spark.kernels.spark_kernels import annotate_items
-from prohap_spark.operators.islands import cluster_overlapping_intervals
 from prohap_spark.pipeline.provar import assign_variants_to_transcripts
 from prohap_spark.sources.vcf import filter_valid_alleles, melt_genotypes
 
@@ -95,25 +94,29 @@ def extract_haplotypes(
     # melted carrier table → broadcast keeps the big side shuffle-free
     tc = carriers.join(F.broadcast(assigned), ["chrom", "pos", "ref", "alt"])
 
-    # W1 conflict islands: overlapping changes on ONE transcript copy ⇒
-    # drop that (sample, phase) entirely (get_haplotypes.py:172-184)
+    # W1 conflict detection: overlapping changes on ONE transcript copy ⇒
+    # drop that (sample, phase) entirely (get_haplotypes.py:172-184).
+    # A copy has a conflict iff ANY row overlaps the running max end of
+    # its predecessors — both windows below share ONE partitioning
+    # (transcript, sample, phase), so Catalyst plans a single
+    # exchange+sort (the island-count formulation would add a second
+    # exchange on (…, island_id)).
     ref_len = F.greatest(
         F.when(F.col("ref") == "-", F.lit(0)).otherwise(F.length("ref")), F.lit(1)
     )
     iv = tc.withColumn("iv_start", F.col("pos")).withColumn(
         "iv_end", F.col("pos") + ref_len - 1
     )
-    isl = cluster_overlapping_intervals(
-        iv, ["transcript_id", "sample_name", "phase"], "iv_start", "iv_end"
+    copy_w = Window.partitionBy("transcript_id", "sample_name", "phase")
+    order_w = copy_w.orderBy("iv_start", "iv_end")
+    prev_max_end = F.max("iv_end").over(order_w.rowsBetween(Window.unboundedPreceding, -1))
+    overlaps_prev = (prev_max_end.isNotNull() & (F.col("iv_start") <= prev_max_end)).cast("int")
+    clean = (
+        iv.withColumn("__ovl", overlaps_prev)
+        .withColumn("has_conflict", F.max("__ovl").over(copy_w))
+        .where(F.col("has_conflict") == 0)
+        .drop("__ovl", "has_conflict", "iv_start", "iv_end")
     )
-    conflict = Window.partitionBy("transcript_id", "sample_name", "phase", "island_id")
-    flagged = isl.withColumn("island_n", F.count(F.lit(1)).over(conflict))
-    clean = flagged.withColumn(
-        "has_conflict",
-        F.max((F.col("island_n") > 1).cast("int")).over(
-            Window.partitionBy("transcript_id", "sample_name", "phase")
-        ),
-    ).where(F.col("has_conflict") == 0)
 
     # A2 stage 1: signature per transcript copy
     sigs = clean.groupBy(
