@@ -59,22 +59,25 @@ def words_expr(text_col: str | Column) -> Column:
 
 
 def ngrams_from_words(words: Column, n: int) -> Column:
-    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED words
-    array column. Important: pass a projected column, not the split
-    expression itself — element_at inside the transform lambda would
-    re-evaluate an inline split per element (O(n²) per row)."""
+    """Distinct word n-gram shingles via array-level zip_with over
+    shifted slices. Deliberately avoids element_at-inside-transform:
+    CollapseProject re-inlines upstream expressions into lambdas, so a
+    per-element array reference degrades to O(row_len) re-evaluations
+    per element (O(n²) per row); slice/zip_with reference the array a
+    constant number of times per ROW instead."""
     if n == 1:
         return F.array_distinct(words)
-    idx = F.sequence(F.lit(0), F.size(words) - n)
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
-    # guard: docs shorter than n words have no n-grams (sequence(0, neg)
-    # would count downward)
-    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(F.size(words) - j, F.lit(0)))
+        grams = F.zip_with(
+            grams,
+            shifted,
+            lambda g, w: F.when(w.isNotNull() & g.isNotNull(), F.concat(g, F.lit(" "), w)),
+        )
+    # zip_with pads the shorter (shifted) side with null → trailing
+    # partial grams become null; drop them
+    return F.array_distinct(F.array_compact(grams))
 
 
 def ngram_tokens_expr(text_col: str | Column, n: int = 2) -> Column:
