@@ -106,15 +106,48 @@ def generate_cohort(
     return variants_df, transcripts_df, cdna_df, sample_names, meta
 
 
+def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = "/tmp/prohap_bench_cohort"):
+    """Cohort cached as parquet (deterministic → safe to reuse): the
+    bench should measure the PIPELINE, not driver-side fixture
+    generation."""
+    import json
+    import os
+
+    d = f"{base_dir}_s{scale}"
+    meta_file = f"{d}/_names.json"
+    if not os.path.exists(meta_file):
+        variants, transcripts, cdna, names, meta = generate_cohort(
+            spark, n_transcripts=100 * scale, n_samples=50, variants_per_transcript=10
+        )
+        variants.write.mode("overwrite").parquet(f"{d}/variants")
+        transcripts.write.mode("overwrite").parquet(f"{d}/transcripts")
+        cdna.write.mode("overwrite").parquet(f"{d}/cdna")
+        meta.write.mode("overwrite").parquet(f"{d}/meta")
+        with open(meta_file, "w") as f:
+            json.dump(names, f)
+    with open(meta_file) as f:
+        names = json.load(f)
+    return (
+        spark.read.parquet(f"{d}/variants"),
+        spark.read.parquet(f"{d}/transcripts"),
+        spark.read.parquet(f"{d}/cdna"),
+        names,
+        spark.read.parquet(f"{d}/meta"),
+    )
+
+
 def run_prohap_e2e(spark: SparkSession, scale: int = 1) -> DataFrame:
     """End-to-end ProHap on the synthetic cohort (bench entry)."""
     from prohap_spark.pipeline.prohap import annotate_haplotypes, extract_haplotypes
 
-    variants, transcripts, cdna, names, meta = generate_cohort(
-        spark,
-        n_transcripts=100 * scale,
-        n_samples=50,
-        variants_per_transcript=10,
-    )
+    variants, transcripts, cdna, names, meta = materialized_cohort(spark, scale)
     haplos = extract_haplotypes(variants, names, meta, transcripts, min_af=0.01)
     return annotate_haplotypes(haplos, transcripts, cdna, min_count=1)
+
+
+def run_provar_e2e(spark: SparkSession, scale: int = 1) -> DataFrame:
+    """End-to-end ProVar on the synthetic cohort."""
+    from prohap_spark.pipeline.provar import run_provar
+
+    variants, transcripts, cdna, _names, _meta = materialized_cohort(spark, scale)
+    return run_provar(variants.drop("genotypes"), transcripts, cdna, min_af=0.01)

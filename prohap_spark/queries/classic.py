@@ -187,3 +187,32 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("domain_prohap_synthetic")  # rows-only: grouped-map kernel, not SQL-expressible
+def domain_prohap_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ProHap domain pipeline (VCF melt → conflict windows →
+    haplotype grouping → U1-U3 kernel → duplicate merge) on the
+    deterministic synthetic cohort — the §2.9 kernels are per-group
+    Python and have no SQL oracle (driver records a rows-only check;
+    value-level verification lives in tests/test_pipeline.py goldens)."""
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+
+    out = run_prohap_e2e(spark, scale=1)
+    return out.select(
+        "transcript_id", "haplotype_id", "cdna_changes", "protein",
+        "occurrence_count", "frequency",
+    )
+
+
+@register("domain_provar_synthetic")  # rows-only: grouped-map kernel, not SQL-expressible
+def domain_provar_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ProVar variant pipeline (interval join → U1-U3 single-variant
+    kernel with ±1 bp liftover retry) on the synthetic cohort."""
+    from prohap_spark.pipeline.synthetic import run_provar_e2e
+
+    out = run_provar_e2e(spark, scale=1)
+    return out.select(
+        "transcript_id", "variant_id", "item_id", "cdna_changes",
+        "variant_types", "protein",
+    )
