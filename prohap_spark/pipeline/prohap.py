@@ -163,38 +163,63 @@ def extract_haplotypes(
     haplos = haplos.withColumn("frequency", F.round(F.col("occurrence_count") / denom, 5))
 
     # A4: per-(super)population frequency maps with per-group sex-aware
-    # denominators (get_haplotypes.py:237-313): carriers per population
-    # ÷ population chromosome count, as map<pop, freq>
-    def _freq_map(level: str, out_col: str) -> DataFrame:
-        denoms = samples_meta.groupBy(F.col(level).alias("__grp")).agg(
+    # denominators (get_haplotypes.py:237-313). BOTH levels go through
+    # ONE aggregation: explode each carrier copy into (level, group)
+    # rows, count, divide by the level-group chromosome count, and
+    # split the final map by level — half the stages of two separate
+    # per-level aggregations.
+    def _level_explode(df: DataFrame, pop_col: str, sup_col: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("pop").alias("level"), F.col(pop_col).alias("grp")),
+                    F.struct(F.lit("sup").alias("level"), F.col(sup_col).alias("grp")),
+                )
+            ).alias("__lg"),
+        ).select("*", F.col("__lg.level").alias("__level"), F.col("__lg.grp").alias("__grp"))
+
+    denoms = (
+        _level_explode(samples_meta, "population_code", "superpopulation_code")
+        .groupBy("__level", "__grp")
+        .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.when(F.col("sex") == "male", 1).otherwise(0)).alias("__m"),
         )
-        counts = sigs.groupBy(
-            "transcript_id", "signature", F.col(level).alias("__grp")
-        ).agg(F.count(F.lit(1)).alias("__c"))
-        counts = counts.join(F.broadcast(denoms), "__grp").join(
-            F.broadcast(tr_diploid), "transcript_id", "left"
-        )
-        g_denom = F.when(
-            F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n")
-        ).otherwise(F.col("__m") + 2 * (F.col("__n") - F.col("__m")))
-        counts = counts.withColumn("__f", F.round(F.col("__c") / g_denom, 5))
-        return counts.groupBy("transcript_id", "signature").agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct(F.col("__grp"), F.col("__f"))))
-            ).alias(out_col)
-        )
-
-    haplos = haplos.join(
-        _freq_map("population_code", "population_freqs"),
-        ["transcript_id", "signature"],
-        "left",
-    ).join(
-        _freq_map("superpopulation_code", "superpopulation_freqs"),
-        ["transcript_id", "signature"],
-        "left",
     )
+    counts = (
+        _level_explode(
+            sigs.select(
+                "transcript_id", "signature", "population_code", "superpopulation_code"
+            ),
+            "population_code",
+            "superpopulation_code",
+        )
+        .groupBy("transcript_id", "signature", "__level", "__grp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .join(F.broadcast(denoms), ["__level", "__grp"])
+        .join(F.broadcast(tr_diploid), "transcript_id", "left")
+    )
+    g_denom = F.when(
+        F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n")
+    ).otherwise(F.col("__m") + 2 * (F.col("__n") - F.col("__m")))
+    counts = counts.withColumn("__f", F.round(F.col("__c") / g_denom, 5))
+    freq_maps = counts.groupBy("transcript_id", "signature").agg(
+        *[
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__level") == lvl,
+                            F.struct(F.col("__grp"), F.col("__f")),
+                        )
+                    )
+                )
+            ).alias(out)
+            for lvl, out in (("pop", "population_freqs"), ("sup", "superpopulation_freqs"))
+        ]
+    )
+    haplos = haplos.join(freq_maps, ["transcript_id", "signature"], "left")
 
     # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4)
     w = Window.orderBy("transcript_id", "signature")

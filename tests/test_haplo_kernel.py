@@ -145,3 +145,20 @@ def test_jitter_retry_recovers_shifted_ref():
     assert len(res.applied) == 1 and res.applied[0].rna_pos == 9
     no_retry = apply_haplotype(CDNA, [Change(10, "G", "C")], START)
     assert no_retry.applied == [] and len(no_retry.dropped) == 1
+
+
+def test_multi_frameshift_net_zero():
+    """+1 insertion then -1 deletion downstream: frame restored after
+    the second change; both typed frameshift (pins current behavior for
+    the multi-frameshift case, NOTES_ROUND1 #4)."""
+    # ins T after offset 7 (C -> CT), del G at offset 9 (ref 'TG' -> 'T'
+    # at offset 8)
+    res = apply_haplotype(CDNA, [Change(7, "C", "CT"), Change(8, "TG", "T")], START)
+    assert res.consequences == ["frameshift", "frameshift"]
+    # net sequence: ATG GCT TAT GAA ... (G at 9 replaced by inserted T
+    # shifting: mutated cds = ATG GC T T AT GAA...) — verify by direct
+    # construction
+    mutated = CDNA[:8] + "T" + CDNA[8:]          # apply ins at 7
+    mutated = mutated[:9] + "T" + mutated[11:]   # apply del at shifted 8+1
+    assert res.cdna == mutated
+    assert res.protein == translate(mutated[3:])
