@@ -92,3 +92,35 @@ def test_round_trip_rna_genomic(rna_pos, strand):
 def test_total_len():
     assert total_exonic_length(T1_EXONS) == 60
     assert total_exonic_length(T2_EXONS) == 30
+
+
+T3_EXONS = [Exon(501, 520), Exon(601, 620)]  # '-' strand, 2x20 nt
+
+
+def test_minus_strand_multi_exon():
+    total = total_exonic_length(T3_EXONS)
+    assert total == 40
+    # transcript base 0 = genomic 620 (last base of the downstream exon)
+    assert genomic_to_rna(620, 1, T3_EXONS, "-") == (0, 1, -1)
+    assert genomic_to_rna(601, 1, T3_EXONS, "-") == (19, 1, -1)
+    # crossing into the upstream exon: genomic 520 = rna 20, 501 = rna 39
+    assert genomic_to_rna(520, 1, T3_EXONS, "-") == (20, 1, -1)
+    assert genomic_to_rna(501, 1, T3_EXONS, "-") == (39, 1, -1)
+    # intron position -> None
+    assert genomic_to_rna(550, 1, T3_EXONS, "-") is None
+
+
+@given(st.integers(min_value=0, max_value=39))
+def test_minus_strand_round_trip(rna_pos):
+    g = rna_to_genomic(rna_pos, T3_EXONS, "-")
+    assert g is not None
+    back = genomic_to_rna(g, 1, T3_EXONS, "-")
+    assert back is not None and back[0] == rna_pos
+
+
+def test_minus_strand_junction_truncation():
+    # allele at genomic 519..521 (len 3): bases 519,520 exonic in exon 0,
+    # 521 intronic -> kept 2; transcript-first base is genomic 520 = rna 20
+    rna, kept, junction = genomic_to_rna(519, 3, T3_EXONS, "-")
+    assert kept == 2 and junction == 0
+    assert rna == 40 - (18 + 2)  # rna_plus of 519 is 18

@@ -162,3 +162,48 @@ def test_multi_frameshift_net_zero():
     mutated = mutated[:9] + "T" + mutated[11:]   # apply del at shifted 8+1
     assert res.cdna == mutated
     assert res.protein == translate(mutated[3:])
+
+
+# ---- differential property: kernel vs a naive reference implementation
+
+from hypothesis import given, settings, strategies as st
+
+
+def naive_apply(cdna, changes):
+    """Oracle: apply non-overlapping changes right-to-left (no offset
+    bookkeeping needed)."""
+    out = cdna
+    for ch in sorted(changes, key=lambda c: -c.rna_pos):
+        out = out[: ch.rna_pos] + ch.alt + out[ch.rna_pos + len(ch.ref) :]
+    return out
+
+
+@st.composite
+def change_sets(draw):
+    """1-5 non-overlapping valid changes against CDNA."""
+    n = draw(st.integers(1, 5))
+    taken = []
+    changes = []
+    for _ in range(n):
+        pos = draw(st.integers(0, len(CDNA) - 4))
+        ref_len = draw(st.integers(1, 3))
+        if any(pos < t_end and t_start < pos + ref_len for t_start, t_end in taken):
+            continue
+        taken.append((pos, pos + ref_len))
+        ref = CDNA[pos : pos + ref_len]
+        alt = draw(st.text(alphabet="ACGT", min_size=1, max_size=4))
+        if alt == ref:
+            continue
+        changes.append(Change(pos, ref, alt))
+    return changes
+
+
+@given(change_sets())
+@settings(max_examples=200, deadline=None)
+def test_apply_haplotype_matches_naive(changes):
+    res = apply_haplotype(CDNA, changes, START)
+    # liftover-dropped changes are ones whose alt already matches; the
+    # naive oracle applies only the kernel-applied set
+    assert res.cdna == naive_apply(CDNA, res.applied)
+    assert len(res.applied) + len(res.liftover_dropped) + len(res.dropped) == len(changes)
+    assert res.dropped == []  # all refs were taken from the cDNA
