@@ -64,10 +64,12 @@ def covered_alleles(matches: DataFrame, alleles: DataFrame) -> DataFrame:
     distributed form of the reference's bisect probe
     (peptides_annotate_variation.py:145-169). Returns matches with an
     n_covered count and the covered allele ids."""
+    has_alt = "alt_aa" in alleles.columns
     a = alleles.select(
         F.col("protein_accession").alias("__acc"),
         F.col("allele_id"),
         F.col("protein_pos"),
+        *( [F.col("alt_aa")] if has_alt else [] ),
     )
     # window predicate INSIDE the left-join condition: peptides whose
     # alleles all fall outside the window must survive with null allele
@@ -77,12 +79,24 @@ def covered_alleles(matches: DataFrame, alleles: DataFrame) -> DataFrame:
         & (a["protein_pos"] < matches["position"] + F.length(matches["peptide_seq"]))
     )
     j = matches.join(a, cond, "left").drop("__acc")
+    if has_alt:
+        # U4 expected-alt verification: the peptide must actually carry
+        # the allele's alt residue(s) at the covered offset, I/L-
+        # insensitive (peptides_annotate_variation.py:329-331 — rows
+        # failing this are logged as mismatches, not covered)
+        off = (F.col("protein_pos") - F.col("position") + 1).cast("int")
+        observed = il_equal(F.col("peptide_seq")).substr(off, F.length("alt_aa"))
+        verified = F.col("protein_pos").isNotNull() & (
+            observed == il_equal(F.col("alt_aa"))
+        )
+        j = j.withColumn("__alt_ok", verified)
+        keep = F.when(F.col("__alt_ok"), F.col("allele_id"))
+    else:
+        keep = F.when(F.col("protein_pos").isNotNull(), F.col("allele_id"))
     return j.groupBy(
         "peptide_id", "peptide_seq", "protein_accession", "position", "is_canonical"
     ).agg(
-        F.array_sort(
-            F.collect_set(F.when(F.col("protein_pos").isNotNull(), F.col("allele_id")))
-        ).alias("covered_allele_ids"),
+        F.array_sort(F.collect_set(keep)).alias("covered_allele_ids"),
     ).withColumn("n_covered", F.size(F.filter("covered_allele_ids", lambda x: x.isNotNull())))
 
 

@@ -133,3 +133,26 @@ def test_run_peptide_annotation(spark, tmp_path):
         rows = [dict(zip(header, line.strip("\n").split("\t"))) for line in f]
     classes = {r["peptide_id"]: r["pep_class"] for r in rows}
     assert classes == {"pep1": "canonical", "pep2": "contaminant"}
+
+
+def test_expected_alt_verification(spark):
+    """U4: an allele is only 'covered' when the peptide actually carries
+    its alt residue at the covered offset (I/L-insensitive)."""
+    from prohap_spark.pipeline.peptides import annotate_peptides
+
+    pep = spark.createDataFrame(
+        [("pepV", "MVDEFG", "prot_v9", "0")], ["ID", "Sequence", "Proteins", "Positions"]
+    )
+    canonical = spark.createDataFrame([], "accession string, sequence string")
+    alleles = spark.createDataFrame(
+        [
+            ("prot_v9", "al_ok", 1, "V"),     # peptide[1] == V -> verified
+            ("prot_v9", "al_bad", 3, "Q"),    # peptide[3] is E, not Q -> rejected
+            ("prot_v9", "al_il", 1, "L"),     # I/L-insensitive: V != L -> rejected
+        ],
+        "protein_accession string, allele_id string, protein_pos long, alt_aa string",
+    )
+    out = annotate_peptides(pep, canonical, alleles).collect()
+    assert len(out) == 1
+    assert out[0]["covered_allele_ids"] == ["al_ok"]
+    assert out[0]["pep_class"] == "single-variant"
