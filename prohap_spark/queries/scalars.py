@@ -244,3 +244,56 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_quantity < 24
         """
     )
+
+
+@register(
+    "stream_live_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 3600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+           epoch_us(max(ts)) + 3600000000 AS session_end_us,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_live_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming run checked against the SQL oracle:
+    events → file-source readStream → session_window aggregation →
+    memory sink (complete mode, availableNow trigger) — the result the
+    stream produces must hash-equal the batch gaps-and-islands SQL.
+    The µs-normalized events are materialized once per sf under /tmp
+    (the file stream needs a fixed schema the nanos parquet can't give)."""
+    import os
+
+    from prohap_spark.queries.registry import events_table
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        session_windows,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/prohap_stream_events_{tag}"
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        events_table(spark, sf_dir).write.mode("overwrite").parquet(d)
+    stream = session_windows(read_event_stream(spark, d, max_files_per_trigger=64))
+    run_to_memory_sink(stream, "live_session_out", output_mode="complete")
+    out = spark.sql("SELECT * FROM live_session_out")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
