@@ -6,11 +6,13 @@ from prohap_spark.operators.dedup import (
     dedup_exact,
     token_fingerprint,
     minhash_signature_expr,
+    minhash_dedup_pairs,
     lsh_candidate_pairs,
     jaccard_pairs,
     simhash,
 )
 from prohap_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from prohap_spark.operators.skew import salted_aggregate, salted_join
 
 __all__ = [
     "interval_join",
@@ -22,9 +24,12 @@ __all__ = [
     "dedup_exact",
     "token_fingerprint",
     "minhash_signature_expr",
+    "minhash_dedup_pairs",
     "lsh_candidate_pairs",
     "jaccard_pairs",
     "simhash",
     "cosine_topk",
     "lsh_ann_topk",
+    "salted_aggregate",
+    "salted_join",
 ]
