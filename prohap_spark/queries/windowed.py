@@ -313,3 +313,39 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "j1b_interval_overlap_join",
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_totalprice AS a_lo, o_totalprice + 200 AS a_hi
+      FROM orders WHERE o_orderkey % 20 = 0
+    ),
+    b AS (
+      SELECT s_suppkey, s_acctbal * 40 AS b_lo, s_acctbal * 40 + 5000 AS b_hi
+      FROM supplier WHERE s_acctbal > 0
+    )
+    SELECT a.o_orderkey, count(*) AS n_overlaps
+    FROM a JOIN b ON a.a_lo <= b.b_hi AND b.b_lo <= a.a_hi
+    GROUP BY a.o_orderkey
+    """,
+)
+def j1b_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 two-sided flavor: interval×interval overlap join via the
+    binned rewrite with anchor-bin dedup (each overlapping pair emitted
+    from exactly one bin — the bin containing max(a_lo, b_lo))."""
+    from prohap_spark.operators.interval_join import interval_overlap_join
+
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("a_lo"),
+        (F.col("o_totalprice") + 200).alias("a_hi"),
+    )
+    s = table(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 0).select(
+        "s_suppkey",
+        (F.col("s_acctbal") * 40).alias("b_lo"),
+        (F.col("s_acctbal") * 40 + 5000).alias("b_hi"),
+    )
+    joined = interval_overlap_join(o, s, "a_lo", "a_hi", "b_lo", "b_hi", bin_size=4096)
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_overlaps"))
