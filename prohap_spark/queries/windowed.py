@@ -24,8 +24,8 @@ from prohap_spark.queries.registry import register, table
     ),
     s AS (
       SELECT user_id, ts, event_id,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -66,8 +66,8 @@ def w1_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT l_suppkey,
-             sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+             CAST(sum(new_island) OVER (PARTITION BY l_suppkey ORDER BY d_start, d_end
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_id
       FROM g
     )
     SELECT l_suppkey, island_id, count(*) AS n_members
