@@ -24,10 +24,10 @@ HAPLOTYPE_COLUMNS = [
 ]
 
 VARIANT_COLUMNS = [
-    "TranscriptID", "chromosome", "transcript_biotype", "VariantID",
-    "VCF_ID", "DNA_change", "cDNA_change", "protein_change",
-    "variant_type", "reading_frame", "protein_prefix_length",
-    "start_lost", "allele_frequency",
+    "transcriptID", "chromosome", "transcript_biotype", "variantID",
+    "vcfID", "DNA_change", "cDNA_change", "protein_change",
+    "reading_frame", "protein_prefix_length", "start_missing",
+    "start_lost", "splice_site_affected",
 ]
 
 
@@ -60,7 +60,10 @@ def haplotype_table(annotated: DataFrame, transcripts: DataFrame) -> DataFrame:
             F.transform("changes", lambda c: F.format_number(c["af"], 5)), ";"
         ).alias("allele_frequencies"),
         F.col("cdna_changes").alias("cDNA_changes"),
-        F.col("proteins_all_frames").alias("all_protein_changes"),
+        # per-change protein-level list INCLUDING synonymous changes
+        # (process_haplotypes.py:18,356); protein_changes below excludes
+        # synonymous ones (:20,354-355)
+        F.col("all_protein_changes").alias("all_protein_changes"),
         "variant_types",
         "protein_changes",
         "reading_frame",
@@ -77,19 +80,23 @@ def haplotype_table(annotated: DataFrame, transcripts: DataFrame) -> DataFrame:
 
 
 def variant_table(annotated: DataFrame) -> DataFrame:
-    """run_provar() output → the reference's 13-column variant table."""
+    """run_provar() output → the reference's 13-column variant table
+    (process_variants.py:10-24). Note: the reference stores its
+    ``start_missing`` column inverted (:226 writes ``is not None``);
+    this table keeps the documented meaning (True = no annotated start
+    codon)."""
     return annotated.select(
-        F.col("transcript_id").alias("TranscriptID"),
+        F.col("transcript_id").alias("transcriptID"),
         F.col("chrom").alias("chromosome"),
         F.col("biotype").alias("transcript_biotype"),
-        F.col("variant_id").alias("VariantID"),
-        F.col("item_id").alias("VCF_ID"),
+        F.col("variant_id").alias("variantID"),
+        F.col("item_id").alias("vcfID"),
         F.col("item_id").alias("DNA_change"),
         F.col("cdna_changes").alias("cDNA_change"),
-        F.col("protein_changes").alias("protein_change"),
-        F.col("variant_types").alias("variant_type"),
+        F.col("all_protein_changes").alias("protein_change"),
         "reading_frame",
         "protein_prefix_length",
+        "start_missing",
         "start_lost",
-        F.format_number("af", 5).alias("allele_frequency"),
+        F.col("splice_sites_affected").alias("splice_site_affected"),
     )

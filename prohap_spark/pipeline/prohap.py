@@ -221,11 +221,16 @@ def extract_haplotypes(
     )
     haplos = haplos.join(freq_maps, ["transcript_id", "signature"], "left")
 
-    # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4)
-    w = Window.orderBy("transcript_id", "signature")
+    # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4):
+    # content-hash of the grouping key — no window, no extra exchange,
+    # stable under any row order / partition count (a global
+    # Window.orderBy here would single-task the whole table at scale)
     return haplos.withColumn(
         "haplotype_id",
-        F.concat(F.lit("haplo_"), F.lower(F.hex(F.row_number().over(w)))),
+        F.concat(
+            F.lit("haplo_"),
+            F.lower(F.hex(F.xxhash64(F.col("transcript_id"), F.col("signature")))),
+        ),
     )
 
 
@@ -234,9 +239,17 @@ def annotate_haplotypes(
     transcripts: DataFrame,
     cdna: DataFrame,
     min_count: int | None = None,
+    force_rf: bool = False,
+    skip_start_loss: bool = True,
+    ignore_utr: bool = True,
 ) -> DataFrame:
-    """U3 over haplotypes + A5 duplicate merge + F8 threshold."""
-    tr = transcripts.select("transcript_id", "exons", "start_codon", "biotype", "chrom")
+    """U3 over haplotypes + A5 duplicate merge + F8 threshold.
+
+    ``force_rf`` / ``skip_start_loss`` / ``ignore_utr`` mirror the
+    reference's process_haplotypes flags (defaults identical)."""
+    tr = transcripts.select(
+        "transcript_id", "exons", "start_codon", "stop_codon", "biotype", "chrom"
+    )
     cd = cdna.select(F.col("accession").alias("transcript_id"), F.col("sequence").alias("cdna"))
     items = (
         haplos.join(tr, "transcript_id")
@@ -247,6 +260,7 @@ def annotate_haplotypes(
             "strand",
             "exons",
             "start_codon",
+            "stop_codon",
             "cdna",
             F.transform(
                 "changes",
@@ -259,7 +273,9 @@ def annotate_haplotypes(
             ).alias("changes"),
         )
     )
-    annotated = annotate_items(items)
+    annotated = annotate_items(
+        items, force_rf=force_rf, skip_start_loss=skip_start_loss, ignore_utr=ignore_utr
+    )
     out = annotated.join(
         haplos.select(
             F.col("haplotype_id").alias("item_id"),
@@ -282,6 +298,7 @@ def annotate_haplotypes(
     merged = out.groupBy("transcript_id", "cdna_changes").agg(
         F.min("item_id").alias("haplotype_id"),
         F.any_value("changes").alias("changes"),
+        F.any_value("all_protein_changes").alias("all_protein_changes"),
         F.any_value("protein_changes").alias("protein_changes"),
         F.any_value("variant_types").alias("variant_types"),
         F.any_value("protein").alias("protein"),
@@ -311,7 +328,11 @@ def annotate_haplotypes(
 def drop_synonymous_only(annotated: DataFrame) -> DataFrame:
     """Suppress haplotypes whose applied changes are ALL synonymous —
     their protein equals the reference product
-    (process_haplotypes.py:393-395)."""
+    (process_haplotypes.py:393-395). The kernel already drops these on
+    its default (ignore_utr) path; this relational guard covers the
+    relaxed modes. Per-change types may be '|'-joined across frames."""
     types = F.split(F.col("variant_types"), ";")
-    all_syn = F.forall(types, lambda t: t == "synonymous")
+    all_syn = F.forall(
+        types, lambda t: F.forall(F.split(t, r"\|"), lambda x: x == "synonymous")
+    )
     return annotated.where(~((F.col("variant_types") != "") & all_syn))

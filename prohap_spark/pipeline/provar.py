@@ -51,6 +51,7 @@ def assign_variants_to_transcripts(
         "biotype",
         "exons",
         "start_codon",
+        "stop_codon",
     )
     joined = interval_join(
         variants,
@@ -70,16 +71,24 @@ def run_provar(
     transcripts: DataFrame,
     cdna: DataFrame,
     min_af: float | None = None,
+    force_rf: bool = False,
+    require_start: bool = False,
 ) -> DataFrame:
     """Variant annotation table, one row per (variant × transcript).
 
     ``transcripts``: gtf_dimensions()['transcripts'] (exon array +
-    start_codon). ``cdna``: read_fasta(..., truncate_version=True).
-    Transcripts without a start codon keep the 3-frame-fallback flag
-    via start_missing (F6 relaxation documented in SURVEY §7.3.5)."""
+    start/stop codon). ``cdna``: read_fasta(..., truncate_version=True).
+    ``require_start``: strict F6 — drop transcripts without an
+    annotated start codon (the reference hard-requires one,
+    prohap.py:120-127 / provar.py:79-86); default False keeps them with
+    the 3-frame fallback, flagged via start_missing. ``force_rf``:
+    infer the frame from the stop codon when the start is missing
+    (reference force_rf)."""
     v = filter_valid_alleles(variants)
     if min_af is not None:
         v = v.where(F.col("af") >= min_af)
+    if require_start:
+        transcripts = transcripts.where(F.col("start_codon").isNotNull())
 
     assigned = assign_variants_to_transcripts(v, transcripts)
 
@@ -96,6 +105,7 @@ def run_provar(
         "strand",
         "exons",
         "start_codon",
+        "stop_codon",
         "cdna",
         F.array(
             F.struct(
@@ -114,13 +124,18 @@ def run_provar(
     )
     annotated = annotate_items(
         items.select(
-            "transcript_id", "item_id", "strand", "exons", "start_codon", "cdna", "changes"
+            "transcript_id", "item_id", "strand", "exons", "start_codon",
+            "stop_codon", "cdna", "changes",
         ),
-        jitter_retry=True,  # ProVar's ±1 bp liftover recovery
+        variant_mode=True,  # ProVar flavor: ±1 bp liftover retry, start-gain scan
+        force_rf=force_rf,
     )
     out = annotated.join(meta, ["transcript_id", "item_id"])
-    # deterministic variant ids: var_<chrom>_<hex(rank)> over a stable order
-    w = Window.orderBy("chrom", "item_id", "transcript_id")
+    # deterministic variant ids: var_<chrom>_<hex(rank)> — rank is
+    # PARTITIONED by chromosome (the id already embeds the chromosome,
+    # so per-chrom ranks are globally unique); a global orderBy window
+    # would funnel every row through one task at scale (W2 discipline)
+    w = Window.partitionBy("chrom").orderBy("item_id", "transcript_id")
     return (
         out.where(F.col("n_applied") > 0)
         .withColumn(

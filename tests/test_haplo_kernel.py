@@ -1,23 +1,28 @@
 """U3 kernel unit tests: SAV / synonymous / stop_gained / frameshift /
-inframe indel / start-lost / liftover-drop / ref-mismatch drop, against
-hand-computed proteins (reference semantics process_haplotypes.py and
-process_variants.py; see SURVEY §5)."""
+inframe indel / start-lost / liftover-drop / ref-mismatch / UTR trim,
+against hand-computed proteins (reference semantics
+process_haplotypes.py:109-505 and process_variants.py:113-267;
+see SURVEY §5). The reference's drop paths (start lost under
+skip_start_loss, REF mismatch, synonymous-only) return None."""
 
 from prohap_spark.kernels.haplo import (
     Change,
+    affected_codons,
     apply_haplotype,
-    classify_consequence,
+    apply_variant,
+    check_protein_allele,
+    check_start_gain,
     reverse_complement,
     translate,
 )
 
 #       0123456789...
 CDNA = "AAAATGGCTGATGAATTTGGGCCCAAATAGACGTACGTACGTACGTACGTACGTACGTA"[:60]
-START = 3  # ATG at offsets 3-5 → MADEFGPK then TAG stop
+START = 3  # ATG at offsets 3-5 → MADEFGPK then TAG stop; protein_start 1
 
 
 def test_translate():
-    assert translate("ATGGCTGATGAATTTGGGCCCAAATAG"[0:]) == "MADEFGPK"
+    assert translate("ATGGCTGATGAATTTGGGCCCAAATAG") == "MADEFGPK"
     assert translate("ATGTAA") == "M"
     assert translate("ATGTAA", to_stop=False) == "M*"
 
@@ -27,141 +32,228 @@ def test_reverse_complement():
     assert reverse_complement("AAaTt") == "aAtTT"
 
 
-def test_reference_protein():
-    res = apply_haplotype(CDNA, [], START)
-    assert res.protein == "MADEFGPK"
-    assert res.reading_frame == 0 and not res.start_lost and not res.start_missing
+def test_empty_changes_dropped():
+    # reference skips REF rows / empty change sets
+    assert apply_haplotype(CDNA, [], START) is None
 
 
 def test_sav():
-    # offset 9 G>A: codon GAT→AAT, D>N
+    # offset 9 G>A: codon GAT→AAT, D>N at protein loc 2 (0-based, CDS)
     res = apply_haplotype(CDNA, [Change(9, "G", "A")], START)
     assert res.protein == "MANEFGPK"
     assert res.consequences == ["SAV"]
-    assert res.protein_changes == ["3:D>N"]
+    assert res.protein_changes == ["2:D>2:N"]
+    assert res.all_protein_changes == ["2:D>2:N"]
+    assert res.reading_frame == 0 and not res.start_lost and not res.start_missing
+    assert res.protein_prefix_length == 0  # UTR trimmed away
 
 
-def test_synonymous():
-    # offset 17 T>C: codon TTT→TTC, both F
-    res = apply_haplotype(CDNA, [Change(17, "T", "C")], START)
-    assert res.protein == "MADEFGPK"
-    assert res.consequences == ["synonymous"]
+def test_synonymous_only_dropped():
+    # offset 17 T>C: TTT→TTC both F — reference suppresses haplotypes
+    # with no non-synonymous change left (process_haplotypes.py:393-395)
+    assert apply_haplotype(CDNA, [Change(17, "T", "C")], START) is None
 
 
-def test_stop_gained():
-    # offset 15 T>A? codon offsets 15-17 TTT; TAA early stop:
-    # change offsets 16 T>A and 17 T>A → make one codon change via
-    # multi-base: ref 'TTT' alt 'TAA' at offset 15
-    res = apply_haplotype(CDNA, [Change(15, "TTT", "TAA")], START)
+def test_synonymous_kept_in_all_protein_changes():
+    """The contract distinction: all_protein_changes INCLUDES the
+    synonymous change, protein_changes EXCLUDES it
+    (process_haplotypes.py:354-356)."""
+    res = apply_haplotype(CDNA, [Change(17, "T", "C"), Change(9, "G", "A")], START)
+    assert res.all_protein_changes == ["2:D>2:N", "4:F>4:F"]
+    assert res.protein_changes == ["2:D>2:N"]
+    assert res.consequences == ["SAV", "synonymous"]
+    assert res.protein == "MANEFGPK"
+
+
+def test_stop_gained_utr_filtered():
+    # TTT→TAA at offset 15 gains a stop; the change sits AT the new CDS
+    # end, so the reference's UTR filter removes it and drops the
+    # haplotype (check_protein_allele semantics)
+    assert apply_haplotype(CDNA, [Change(15, "TTT", "TAA")], START) is None
+    # without the UTR trim it survives with the stop_gained type
+    res = apply_haplotype(CDNA, [Change(15, "TTT", "TAA")], START, ignore_utr=False)
     assert res.consequences == ["stop_gained"]
-    assert res.protein == "MADE"
+    assert res.all_protein_changes == ["4:F>4:*"]
+    assert res.protein.startswith("KMADE*")  # full frame-0 translation
 
 
 def test_frameshift_insertion():
-    # offset 7 C>CT: +1 shift downstream
-    res = apply_haplotype(CDNA, [Change(7, "C", "CT")], START)
+    # offset 9 G→GT: codon GAT→GTA.., D>V, +1 shift downstream
+    res = apply_haplotype(CDNA, [Change(9, "G", "GT")], START, ignore_utr=False)
     assert res.consequences == ["frameshift"]
-    # mutated CDS: ATG GCT TGA ... → early stop after frameshift
-    assert res.protein == "MA"
+    assert res.all_protein_changes == ["2:D>2:V(+fs)"]
+    # new frame hits TGA right after: M A V *
+    assert res.protein[1:].startswith("MAV*")
+
+
+def test_frameshift_local_window_synonymous():
+    """Reference quirk preserved: a frameshift whose codon window
+    translates identically is classified 'synonymous' (the consequence
+    chain checks window equality before indel-ness,
+    process_haplotypes.py:327-339) — alone it is suppressed."""
+    assert apply_haplotype(CDNA, [Change(7, "C", "CT")], START) is None
 
 
 def test_inframe_deletion():
-    # offsets 12-14 'GAA' deleted (ref 'TGAA' alt 'T' at offset 11)
+    # delete GAA at 12-14 via ref 'TGAA'→'T' at offset 11
     res = apply_haplotype(CDNA, [Change(11, "TGAA", "T")], START)
     assert res.consequences == ["inframe_indel"]
+    assert res.all_protein_changes == ["2:DE>2:D"]
     assert res.protein == "MADFGPK"
 
 
-def test_start_lost():
-    # change overlapping the start codon
-    res = apply_haplotype(CDNA, [Change(4, "T", "G")], START)
-    assert res.start_lost
+def test_start_lost_skipped_by_default():
+    # change overlapping the start codon → haplotype dropped
+    assert apply_haplotype(CDNA, [Change(4, "T", "G")], START) is None
 
 
-def test_upstream_indel_shifts_start():
-    # 3 nt insertion in the 5'UTR: protein unchanged
-    res = apply_haplotype(CDNA, [Change(0, "A", "AGGG")], START)
-    assert not res.start_lost
-    assert res.protein == "MADEFGPK"
+def test_start_lost_kept_when_not_skipping():
+    res = apply_haplotype(CDNA, [Change(4, "T", "G")], START, skip_start_loss=False)
+    assert res is not None and res.start_lost
+    assert res.reading_frame == -1  # frame unknown after start loss
+    assert len(res.proteins_by_frame) == 3
+    assert all(t == "start_lost" for t in res.consequences[0].split("|"))
 
 
-def test_ref_mismatch_dropped():
-    res = apply_haplotype(CDNA, [Change(9, "C", "A")], START)  # cdna[9] is G
-    assert res.applied == []
-    assert len(res.dropped) == 1
-    assert res.protein == "MADEFGPK"
+def test_frameshift_before_start_is_start_lost():
+    """Upstream frameshift loses the start unless force_rf
+    (check_start_change, coordinates_toolbox.py:128-131)."""
+    assert apply_haplotype(CDNA, [Change(0, "A", "AG")], START) is None
+    # force_rf: start shifts 3→4, frame recomputed to 1; the UTR change
+    # itself is trimmed, so a CDS SAV carries the haplotype
+    res = apply_haplotype(
+        CDNA, [Change(0, "A", "AG"), Change(9, "G", "A")], START, force_rf=True
+    )
+    assert res is not None and not res.start_lost
+    assert res.reading_frame == 1
+    assert res.protein == "MANEFGPK"
+    # the UTR frameshift has loc_ref < 0 → does NOT mark the SAV (fs)
+    assert res.protein_changes == ["2:D>2:N"]
 
 
-def test_liftover_artifact_dropped():
-    # "change" whose ALT already equals the reference slice
-    res = apply_haplotype(CDNA, [Change(9, "A", "G")], START)  # cdna[9] already G
-    assert res.applied == []
-    assert len(res.liftover_dropped) == 1
-
-
-def test_multi_change_cumulative_offsets():
-    # insertion upstream (+3) then SNP downstream: SNP must land on the
-    # shifted coordinate (W5 running offset, process_haplotypes.py:272-312)
+def test_upstream_inframe_indel_shifts_start():
+    """3 nt insertion in the 5'UTR: protein unchanged; the UTR-only
+    change is filtered out, so a CDS change must carry the haplotype."""
     res = apply_haplotype(
         CDNA, [Change(0, "A", "AGGG"), Change(9, "G", "A")], START
     )
     assert res.protein == "MANEFGPK"
-    assert res.consequences == ["inframe_indel", "SAV"]
+    assert not res.start_lost
+    # UTR change filtered by the trim; only the SAV remains
+    assert res.cdna_change_strs == ["9:G>A"]
+    assert res.protein_changes == ["2:D>2:N"]
+    # alone, the UTR indel is UTR-only → dropped
+    assert apply_haplotype(CDNA, [Change(0, "A", "AGGG")], START) is None
 
 
-def test_start_missing_frame0():
+def test_ref_mismatch_drops_haplotype():
+    # reference invalidates the WHOLE haplotype on a REF/cDNA mismatch
+    # (process_haplotypes.py:276-281)
+    assert apply_haplotype(CDNA, [Change(9, "C", "A")], START) is None
+    assert (
+        apply_haplotype(CDNA, [Change(9, "C", "A"), Change(10, "A", "T")], START)
+        is None
+    )
+
+
+def test_liftover_artifact_dropped():
+    # ALT already equals the reference slice → change silently removed
+    res = apply_haplotype(CDNA, [Change(9, "A", "G"), Change(10, "A", "T")], START)
+    assert len(res.liftover_dropped) == 1
+    assert res.cdna_change_strs == ["10:A>T"]
+    # alone it leaves no change → dropped
+    assert apply_haplotype(CDNA, [Change(9, "A", "G")], START) is None
+
+
+def test_multi_change_cumulative_offsets():
+    res = apply_haplotype(
+        CDNA, [Change(0, "A", "AGGG"), Change(9, "G", "A")], START
+    )
+    assert res.protein == "MANEFGPK"  # SAV lands on the shifted coordinate
+
+
+def test_start_missing_three_frames():
     res = apply_haplotype(CDNA, [Change(9, "G", "A")], -1)
-    assert res.start_missing
-    # frame-0 translation of the full sequence
-    assert res.protein == translate("AAAATGGCTAATGAATTTGGGCCCAAATAG" + CDNA[30:])
-
-
-def test_classify_consequence_direct():
-    assert classify_consequence("A", "G", "K", "E") == "SAV"
-    assert classify_consequence("A", "G", "K", "K") == "synonymous"
-    assert classify_consequence("A", "AG", "K", "K") == "frameshift"
-    assert classify_consequence("AAA", "", "K", "") == "inframe_indel"
-    assert classify_consequence("A", "T", "K", "*") == "stop_gained"
-    assert classify_consequence("A", "T", "*", "Q") == "stop_lost"
-
-
-def test_three_frame_fallback():
-    res = apply_haplotype(CDNA, [], -1)
-    assert res.start_missing
+    assert res.start_missing and res.reading_frame == -1
     assert len(res.proteins_by_frame) == 3
-    assert res.proteins_by_frame[0] == translate(CDNA)
-    assert res.proteins_by_frame[1] == translate(CDNA[1:])
-    assert res.proteins_by_frame[2] == translate(CDNA[2:])
+    # full-frame translations INCLUDE stops (reference stores the raw
+    # 3-frame translate, process_haplotypes.py:456-478)
+    mutated = CDNA[:9] + "A" + CDNA[10:]
+    assert res.proteins_by_frame[0] == translate(mutated, to_stop=False)
+    assert res.proteins_by_frame[1] == translate(mutated[1:], to_stop=False)
+    # frame-0 SAV, frames 1/2 synonymous in the window
+    assert res.consequences == ["SAV|synonymous|synonymous"]
+    assert res.all_protein_changes == ["3:D>3:N|2:L>2:L|2:*>2:*"]
 
 
-def test_annotated_start_single_frame():
-    res = apply_haplotype(CDNA, [], START)
-    assert res.proteins_by_frame == ["MADEFGPK"]
+def test_start_missing_kept_if_any_frame_nonsynonymous():
+    # T>C at 17 is synonymous in frame 0 (TTT→TTC) but NOT in frame 1
+    # (TTG→TCG, L>S) → the 3-frame path keeps it
+    res = apply_haplotype(CDNA, [Change(17, "T", "C")], -1)
+    assert res is not None
+    types = res.consequences[0].split("|")
+    assert types[0] == "synonymous" and "synonymous" not in types[1]
 
 
-def test_jitter_retry_recovers_shifted_ref():
-    # ref 'G' reported at offset 10 but actually at 9 (liftover jitter)
-    res = apply_haplotype(CDNA, [Change(10, "G", "C")], START, jitter_retry=True)
-    assert len(res.applied) == 1 and res.applied[0].rna_pos == 9
-    no_retry = apply_haplotype(CDNA, [Change(10, "G", "C")], START)
-    assert no_retry.applied == [] and len(no_retry.dropped) == 1
+def test_affected_codons_known_frame():
+    aas, locs = affected_codons(CDNA, 9, 1, 0, 1)
+    assert aas == ["D"] and locs == [2]
+    aas, locs = affected_codons(CDNA, 0, 1, 0, 1)
+    assert aas == ["K"] and locs == [-1]  # 5' UTR → negative
 
 
-def test_multi_frameshift_net_zero():
-    """+1 insertion then -1 deletion downstream: frame restored after
-    the second change; both typed frameshift (pins current behavior for
-    the multi-frameshift case, NOTES_ROUND1 #4)."""
-    # ins T after offset 7 (C -> CT), del G at offset 9 (ref 'TG' -> 'T'
-    # at offset 8)
-    res = apply_haplotype(CDNA, [Change(7, "C", "CT"), Change(8, "TG", "T")], START)
-    assert res.consequences == ["frameshift", "frameshift"]
-    # net sequence: ATG GCT TAT GAA ... (G at 9 replaced by inserted T
-    # shifting: mutated cds = ATG GC T T AT GAA...) — verify by direct
-    # construction
-    mutated = CDNA[:8] + "T" + CDNA[8:]          # apply ins at 7
-    mutated = mutated[:9] + "T" + mutated[11:]   # apply del at shifted 8+1
-    assert res.cdna == mutated
-    assert res.protein == translate(mutated[3:])
+def test_affected_codons_unknown_frame():
+    aas, locs = affected_codons(CDNA, 9, 1, -1, 0)
+    assert len(aas) == 3 and len(locs) == 3
+    assert aas[0] == "D" and locs == [3, 2, 2]
+
+
+def test_check_protein_allele():
+    assert check_protein_allele("2:D>2:N", 1, 9)
+    assert not check_protein_allele("-1:K>-2:RE", 2, 10)  # UTR change
+    assert not check_protein_allele("4:F>4:*", 1, 5)  # at the new stop
+
+
+def test_check_start_gain():
+    assert check_start_gain("xxxATGyy", 3, 3) == 3
+    assert check_start_gain("xxxCCCyy", 3, 3) == -1
+
+
+# ---- ProVar flavor ----
+
+
+def test_apply_variant_sav():
+    res = apply_variant(CDNA, Change(9, "G", "A"), START)
+    assert res.protein == "MANEFGPK"
+    assert res.all_protein_changes == ["2:D>2:N"]
+    assert res.consequences == ["SAV"]
+    assert res.start_gain == -1
+    assert not res.start_missing and not res.start_lost
+
+
+def test_apply_variant_synonymous_kept():
+    # ProVar keeps synonymous variants (no UTR/synonymous suppression)
+    res = apply_variant(CDNA, Change(17, "T", "C"), START)
+    assert res is not None
+    assert res.consequences == ["synonymous"]
+
+
+def test_apply_variant_start_lost():
+    res = apply_variant(CDNA, Change(4, "T", "G"), START)
+    assert res.start_lost and res.reading_frame == -1
+    assert len(res.proteins_by_frame) == 3
+
+
+def test_apply_variant_frameshift_suffix():
+    res = apply_variant(CDNA, Change(9, "G", "GT"), START)
+    assert res.all_protein_changes == ["2:D>2:V(+fs)"]
+    assert res.consequences == ["frameshift"]
+
+
+def test_apply_variant_start_gain():
+    # insertion creating an upstream ATG at offset 12
+    res = apply_variant(CDNA, Change(12, "G", "ATGC"), START)
+    assert res.start_gain == 12
 
 
 # ---- differential property: kernel vs a naive reference implementation
@@ -201,9 +293,12 @@ def change_sets(draw):
 @given(change_sets())
 @settings(max_examples=200, deadline=None)
 def test_apply_haplotype_matches_naive(changes):
-    res = apply_haplotype(CDNA, changes, START)
-    # liftover-dropped changes are ones whose alt already matches; the
-    # naive oracle applies only the kernel-applied set
+    # relaxed flags keep the haplotype alive through start loss and UTR
+    # so the cumulative-offset application itself is what's differenced
+    res = apply_haplotype(
+        CDNA, changes, START, skip_start_loss=False, ignore_utr=False
+    )
+    if res is None:
+        return  # dropped (liftover-only / synonymous-only) — fine
     assert res.cdna == naive_apply(CDNA, res.applied)
-    assert len(res.applied) + len(res.liftover_dropped) + len(res.dropped) == len(changes)
-    assert res.dropped == []  # all refs were taken from the cDNA
+    assert len(res.applied) + len(res.liftover_dropped) == len(changes)

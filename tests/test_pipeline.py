@@ -36,7 +36,9 @@ def test_provar_end_to_end(world):
     assert a["transcript_id"] == "T1"
     assert a["protein"] == "MANEFGPK"
     assert a["variant_types"] == "SAV"
-    assert a["protein_changes"] == "3:D>N"
+    # reference format: loc_ref:REF_AA>loc_alt:ALT_AA (0-based CDS codon)
+    assert a["protein_changes"] == "2:D>2:N"
+    assert a["all_protein_changes"] == "2:D>2:N"
 
     b = rows["1_108_C_T"]  # T1 '+': GCT→GTT, A>V
     assert b["protein"] == "MVDEFGPK"
@@ -190,6 +192,9 @@ def test_drop_synonymous_only_suppresses(spark, tmp_path):
     meta = spark.createDataFrame(SAMPLES, ["sample_name", "sex", "population_code", "superpopulation_code"])
     haplos = extract_haplotypes(variants, names, meta, dims["transcripts"])
     out = annotate_haplotypes(haplos, dims["transcripts"], cdna)
+    # the kernel itself drops the synonymous-only haplotype on its
+    # default ignore_utr path (process_haplotypes.py:393-395)
+    assert out.count() == 1
     kept = drop_synonymous_only(out)
-    assert out.count() == 2 and kept.count() == 1
+    assert kept.count() == 1
     assert kept.collect()[0]["variant_types"] == "SAV"

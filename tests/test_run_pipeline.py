@@ -76,8 +76,11 @@ def test_run_provar_pipeline(spark, tmp_path):
         rows = [line.strip("\n").split("\t") for line in f]
     assert header == VARIANT_COLUMNS
     assert len(rows) == 3
-    types = {r[header.index("variant_type")] for r in rows}
-    assert types == {"SAV"}
+    # reference-format protein change strings, one per variant
+    changes = {r[header.index("protein_change")] for r in rows}
+    assert changes == {"2:D>2:N", "1:A>1:V", "3:F>3:S"}
+    assert {r[header.index("splice_site_affected")] for r in rows} == {"-"}
+    assert {r[header.index("start_missing")] for r in rows} == {"false"}
 
 
 def test_prohap_min_count_10_filters_all(spark, tmp_path):
