@@ -92,6 +92,7 @@ def _annotate_batch(
     force_rf: bool,
     skip_start_loss: bool,
     ignore_utr: bool,
+    passthrough: tuple[str, ...] = (),
 ) -> pd.DataFrame:
     out = []
     for row in pdf.itertuples(index=False):
@@ -139,8 +140,11 @@ def _annotate_batch(
             )
             if res is None:
                 continue  # haplotype dropped (reference continue paths)
-        out.append(_result_row(row, res))
-    return pd.DataFrame(out, columns=_OUT_COLUMNS)
+        rec = _result_row(row, res)
+        for c in passthrough:
+            rec[c] = getattr(row, c)
+        out.append(rec)
+    return pd.DataFrame(out, columns=_OUT_COLUMNS + list(passthrough))
 
 
 def annotate_items(
@@ -149,6 +153,7 @@ def annotate_items(
     force_rf: bool = False,
     skip_start_loss: bool = True,
     ignore_utr: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> "pyspark.sql.DataFrame":  # noqa: F821
     """Input rows: transcript_id, item_id, strand, exons
     array<struct<start:long,end:long>>, start_codon (nullable long),
@@ -163,11 +168,22 @@ def annotate_items(
     unannotated, and tolerate frameshifts upstream of the start
     (reference force_rf). ``skip_start_loss``: drop haplotypes whose
     start codon is lost (reference default). ``ignore_utr``: trim UTRs
-    and remove UTR-only variants after applying all changes."""
+    and remove UTR-only variants after applying all changes.
+
+    ``passthrough``: input columns echoed unchanged into the output —
+    metadata rides THROUGH the Arrow stage instead of being joined back
+    afterwards (at scale that join is a full-table shuffle; the echo is
+    free column traffic on data already co-located with the row)."""
+    from pyspark.sql.types import StructType
+
+    base = StructType.fromDDL(ANNOTATE_SCHEMA)
+    schema = StructType(base.fields + [df.schema[c] for c in passthrough])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield _annotate_batch(pdf, variant_mode, force_rf, skip_start_loss, ignore_utr)
+                yield _annotate_batch(
+                    pdf, variant_mode, force_rf, skip_start_loss, ignore_utr, passthrough
+                )
 
-    return df.mapInPandas(run, schema=ANNOTATE_SCHEMA)
+    return df.mapInPandas(run, schema=schema)

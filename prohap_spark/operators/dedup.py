@@ -136,13 +136,18 @@ def lsh_candidate_pairs(
     The bucket join is a plain equi-join — at scale Spark shuffles on
     the band hash (well distributed by construction); hot buckets
     (boilerplate docs) are handled by AQE skew splitting.
+
+    No persist(): round 2 cached the token table for the self-join's
+    two consumers, but a DataFrame persist in a library function has no
+    owner to unpersist it (CacheManager entries outlive the query), and
+    at scale it pins the CORPUS-SIZED token table in executor storage.
+    The map-side signature/banding projection is recomputed per consumer
+    instead — linear, embarrassingly parallel work with zero memory
+    footprint, the right trade at 100 TB. (ReusedExchange cannot
+    deduplicate the two sides here: the higher-order-function lambdas
+    in the signature expressions don't canonicalize equal.)
     """
     assert num_hashes % band_size == 0
-    # the signature table is consumed by BOTH sides of the bucket
-    # self-join (and the verify stage re-reads tokens) — persist it so
-    # the md5 stage runs once, not 2-4×; it is id+hashes-sized (tiny
-    # relative to the corpus), so MEMORY_AND_DISK is safe at scale
-    df = df.persist()
     sig = df.select(
         F.col(id_col),
         F.col(tokens_col),
@@ -162,16 +167,20 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    bands = bands.persist()
     # dedup candidate pairs on ids ONLY (hashing token arrays through the
     # distinct shuffle is the expensive anti-pattern), then re-join the
     # token sets for the verify stage
-    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(b, ["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
         .distinct()
     )
     toks_a = df.select(F.col(id_col).alias("id_a"), F.col(tokens_col).alias("tokens_a"))

@@ -16,34 +16,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+_MERGE_FNS = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, Column],
+    aggs: dict[str, tuple[Column, str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed group keys: phase 1 aggregates
     on (keys + salt) — spreading a hot key over ``n_salts`` reducers —
     phase 2 merges the partials on the true keys.
 
-    ``aggs``: output_name -> phase-1 aggregate expression. Phase-2
-    merge is sum for counts/sums, min/max for min/max — the caller
-    provides decomposable aggregates only (sum/count/min/max).
-    """
+    ``aggs``: output_name -> (phase-1 aggregate expression, merge kind).
+    Merge kind is one of 'sum' | 'count' | 'min' | 'max' — an explicit
+    spec, because only the caller knows how its partials compose (no
+    expression introspection / private-API sniffing)."""
     salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts)))
     phase1 = salted.groupBy(*keys, "__salt").agg(
-        *[expr.alias(f"__p1_{name}") for name, expr in aggs.items()]
+        *[expr.alias(f"__p1_{name}") for name, (expr, _kind) in aggs.items()]
     )
     merge = []
-    for name, expr in aggs.items():
-        fn = expr._jc.toString().lower()  # noqa: SLF001
-        col = F.col(f"__p1_{name}")
-        if fn.startswith("min"):
-            merge.append(F.min(col).alias(name))
-        elif fn.startswith("max"):
-            merge.append(F.max(col).alias(name))
-        else:  # sum / count partials merge by sum
-            merge.append(F.sum(col).alias(name))
+    for name, (_expr, kind) in aggs.items():
+        if kind not in _MERGE_FNS:
+            raise ValueError(f"unsupported merge kind {kind!r} for {name!r}")
+        merge.append(_MERGE_FNS[kind](F.col(f"__p1_{name}")).alias(name))
     return phase1.groupBy(*keys).agg(*merge)
 
 

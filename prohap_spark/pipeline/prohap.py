@@ -149,18 +149,25 @@ def extract_haplotypes(
 
     # A3: frequency with sex-aware denominators; transcript-level
     # diploidy from the transcript span (is_autosomal analog,
-    # get_haplotypes.py:92)
-    n_samples = samples_meta.count()
-    n_males = samples_meta.where(F.col("sex") == "male").count()
+    # get_haplotypes.py:92). The cohort totals stay a LAZY broadcast
+    # 1-row aggregate (no blocking driver-side .count() actions).
+    totals = samples_meta.agg(
+        F.count(F.lit(1)).alias("__n_samples"),
+        F.sum(F.when(F.col("sex") == "male", 1).otherwise(0)).alias("__n_males"),
+    )
     tr_diploid = transcripts.select(
         "transcript_id",
         _is_diploid_locus(F.col("chrom"), F.col("start")).alias("is_diploid"),
     )
-    haplos = haplos.join(F.broadcast(tr_diploid), "transcript_id", "left")
+    haplos = haplos.join(F.broadcast(tr_diploid), "transcript_id", "left").crossJoin(
+        F.broadcast(totals)
+    )
     denom = F.when(
-        F.coalesce(F.col("is_diploid"), F.lit(True)), F.lit(2 * n_samples)
-    ).otherwise(F.lit(n_males + 2 * (n_samples - n_males)))
-    haplos = haplos.withColumn("frequency", F.round(F.col("occurrence_count") / denom, 5))
+        F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n_samples")
+    ).otherwise(F.col("__n_males") + 2 * (F.col("__n_samples") - F.col("__n_males")))
+    haplos = haplos.withColumn(
+        "frequency", F.round(F.col("occurrence_count") / denom, 5)
+    ).drop("__n_samples", "__n_males")
 
     # A4: per-(super)population frequency maps with per-group sex-aware
     # denominators (get_haplotypes.py:237-313). BOTH levels go through
@@ -251,6 +258,13 @@ def annotate_haplotypes(
         "transcript_id", "exons", "start_codon", "stop_codon", "biotype", "chrom"
     )
     cd = cdna.select(F.col("accession").alias("transcript_id"), F.col("sequence").alias("cdna"))
+    # the haplotype metadata rides THROUGH the Arrow kernel stage as
+    # passthrough columns — no join back afterwards (that join would
+    # re-shuffle the whole haplotype table at scale)
+    meta_cols = (
+        "occurrence_count", "frequency", "samples",
+        "population_freqs", "superpopulation_freqs",
+    )
     items = (
         haplos.join(tr, "transcript_id")
         .join(cd, "transcript_id")
@@ -262,32 +276,19 @@ def annotate_haplotypes(
             "start_codon",
             "stop_codon",
             "cdna",
-            F.transform(
-                "changes",
-                lambda c: F.struct(
-                    c["pos"].cast("long").alias("pos"),
-                    c["ref"].alias("ref"),
-                    c["alt"].alias("alt"),
-                    c["vcf_id"].alias("vcf_id"),
-                ),
-            ).alias("changes"),
+            # the 5-field changes struct (incl af) goes through as-is:
+            # the kernel reads pos/ref/alt/vcf_id and ignores the rest,
+            # and the contract layer needs af back out the other side
+            "changes",
+            *meta_cols,
         )
     )
-    annotated = annotate_items(
-        items, force_rf=force_rf, skip_start_loss=skip_start_loss, ignore_utr=ignore_utr
-    )
-    out = annotated.join(
-        haplos.select(
-            F.col("haplotype_id").alias("item_id"),
-            "signature",
-            "changes",
-            "occurrence_count",
-            "frequency",
-            "samples",
-            "population_freqs",
-            "superpopulation_freqs",
-        ),
-        "item_id",
+    out = annotate_items(
+        items,
+        force_rf=force_rf,
+        skip_start_loss=skip_start_loss,
+        ignore_utr=ignore_utr,
+        passthrough=("changes",) + meta_cols,
     )
     # A5: merge haplotypes with identical applied-change sets per
     # transcript (post-validation duplicates,

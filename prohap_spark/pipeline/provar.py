@@ -119,18 +119,16 @@ def run_provar(
         "biotype",
         "af",
     )
-    meta = items.select("transcript_id", "item_id", "chrom", "biotype", "af").dropDuplicates(
-        ["transcript_id", "item_id"]
-    )
-    annotated = annotate_items(
+    # chrom/biotype/af ride through the Arrow stage (no join-back)
+    out = annotate_items(
         items.select(
             "transcript_id", "item_id", "strand", "exons", "start_codon",
-            "stop_codon", "cdna", "changes",
+            "stop_codon", "cdna", "changes", "chrom", "biotype", "af",
         ),
         variant_mode=True,  # ProVar flavor: ±1 bp liftover retry, start-gain scan
         force_rf=force_rf,
+        passthrough=("chrom", "biotype", "af"),
     )
-    out = annotated.join(meta, ["transcript_id", "item_id"])
     # deterministic variant ids: var_<chrom>_<hex(rank)> — rank is
     # PARTITIONED by chromosome (the id already embeds the chromosome,
     # so per-chrom ranks are globally unique); a global orderBy window

@@ -16,25 +16,44 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# engine child sessions, one per caller session (keyed by the caller's
+# id) — conf tweaks live on the child, never on the caller's session
+_ENGINE_SESSIONS: dict[int, SparkSession] = {}
+
+
+def engine_session(spark: SparkSession) -> SparkSession:
+    """A child SparkSession (same SparkContext, isolated SQL conf) with
+    the engine's required settings: UTC session timezone (so
+    TIMESTAMP_NTZ→TIMESTAMP casts match the TZ-naive DuckDB oracle
+    regardless of the caller's zone) and nanos-as-long parquet reads.
+    Queries run on the CALLER's session (the driver's, not ours) —
+    mutating its conf would leak engine settings into user code; a
+    returned DataFrame executes under its OWN session's conf, so the
+    isolation is free."""
+    key = id(spark)
+    child = _ENGINE_SESSIONS.get(key)
+    if child is None:
+        child = spark.newSession()
+        child.conf.set("spark.sql.session.timeZone", "UTC")
+        child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ENGINE_SESSIONS[key] = child
+    return child
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # queries run on the CALLER's session (the driver's, not ours):
-    # pin UTC so TIMESTAMP_NTZ→TIMESTAMP casts are session-TZ-proof
-    # and results match the (TZ-naive) DuckDB oracle
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return events_table(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return engine_session(spark).read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long (runtime-settable legacy conf)
-    and convert to a microsecond timestamp (matching DuckDB's own
-    nanos→micros truncation)."""
+    reader rejects; read nanos as long (legacy conf, set on the engine
+    child session) and convert to a microsecond timestamp (matching
+    DuckDB's own nanos→micros truncation)."""
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = engine_session(spark).read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         # integer division — ns values exceed 2^53, double division
         # would corrupt the low microseconds

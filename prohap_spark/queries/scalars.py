@@ -232,8 +232,11 @@ def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API parity: the same Catalyst plan from spark.sql() text
     (TPC-H-Q6 shape — pure scan-side predicate reduction)."""
-    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_v")
+    # the temp view lives in the engine child session's catalog — issue
+    # the SQL there, not on the caller session
+    return li.sparkSession.sql(
         """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n

@@ -52,13 +52,18 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sim_lsh_ann")  # rows-only: bucketed ANN recall is approximate by design
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: deterministic ±1 hyperplanes bucket both
-    sides; brute force only within buckets (equi-join, no cross join).
-    The 100 TB path for similarity search."""
+    """Multi-table hyperplane-LSH ANN: 12 independent 4-plane tables
+    bucket both sides; brute force only within shared buckets (ONE
+    bucket equi-join over posexploded (table, bucket) keys — no cross
+    join). The 100 TB path for similarity search; recall vs the
+    brute-force baseline is pinned in tests/test_operators.py
+    (test_lsh_ann_recall)."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
-    out = lsh_ann_topk(q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=6)
+    out = lsh_ann_topk(
+        q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12
+    )
     return out.toDF("qid", "cid", "cosine", "rank").withColumn(
         "cosine", F.round("cosine", 6)
     )

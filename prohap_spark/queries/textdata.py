@@ -236,7 +236,42 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-@register("dedup_simhash")  # no SQL oracle: 64-bit bit-vote arithmetic (rows-only check)
+@register(
+    "dedup_simhash",
+    # full value-level oracle: DuckDB reproduces the 60-bit md5-derived
+    # signatures exactly (hex→int via list_reduce, bit votes via >>/&)
+    r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+    ),
+    th AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, t.i AS i,
+             CAST(SUM(((h >> CAST(t.i AS INTEGER)) & 1) * 2 - 1) AS BIGINT) AS vote
+      FROM th, range(60) AS t(i)
+      GROUP BY doc_id, t.i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS representative
+    FROM sigs GROUP BY simhash
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (60-bit, md5-derived, deterministic): docs
     sharing a signature are near-dup candidates; Hamming-ball probing

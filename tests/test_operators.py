@@ -173,3 +173,33 @@ def test_simhash_near_duplicates_close(spark):
     ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
     assert ham(sig[1], sig[2]) < ham(sig[1], sig[3])
     assert ham(sig[1], sig[2]) < ham(sig[2], sig[3])
+
+
+def test_lsh_ann_recall(spark):
+    """Pinned recall@5 of the multi-table LSH ANN vs the exact
+    brute-force baseline (12 tables x 4 planes -> measured ~0.8 on the
+    near-orthogonal synthetic embeddings; 0.6 leaves margin for the
+    per-sf token sets). Guards against silent bucket-fn drift."""
+    from prohap_spark.queries import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+    brute = {(r["qid"], r["cid"]) for r in q["sim_bruteforce_topk"](spark, sf).collect()}
+    ann = {(r["qid"], r["cid"]) for r in q["sim_lsh_ann"](spark, sf).collect()}
+    assert len(brute) > 0
+    assert len(brute & ann) / len(brute) >= 0.6
+
+
+def test_hyperplane_bucket_rejects_oversized_vectors(spark):
+    import pyspark.errors
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.similarity import hyperplane_bucket_expr
+
+    df = spark.range(1).select(
+        F.array(*[F.lit(float(i)) for i in range(6)]).alias("v")
+    )
+    with pytest.raises(pyspark.errors.PySparkException):
+        df.select(hyperplane_bucket_expr("v", n_planes=2, max_dim=4)).collect()

@@ -19,7 +19,7 @@ def test_salted_aggregate_equals_plain(spark):
         for r in salted_aggregate(
             li,
             ["l_returnflag"],
-            {"n": F.count(F.lit(1)), "s": F.sum("l_quantity")},
+            {"n": (F.count(F.lit(1)), "count"), "s": (F.sum("l_quantity"), "sum")},
         ).collect()
     }
     assert salted == plain
