@@ -154,12 +154,239 @@ def annotate_peptides(
     canonical: DataFrame,
     alleles: DataFrame,
 ) -> DataFrame:
-    """Full J6→J9→J10→J11→U4 chain."""
+    """Simplified relational J6→J9→J10→J11→U4 chain (one row per
+    peptide × match). For the reference's full class grid over
+    haplotype/variant metadata use :func:`annotate_peptides_full`."""
     m = explode_peptide_matches(peptides)
     m = match_canonical(m, canonical)
     m = covered_alleles(m, alleles)
     m = resolve_canonical_first(m)
     return classify_peptides(m)
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity U4: the reference's complete class grid
+# (peptides_annotate_variation.py:192-466)
+# ---------------------------------------------------------------------------
+
+_MATCH_SCHEMA = (
+    "peptide_id string, peptide_seq string, protein_accession string, "
+    "kind string, transcript_id string, gene_id string, "
+    "found_variant boolean, n_dna_alleles int, has_frameshift boolean, "
+    "canonical_alternative boolean, has_alt_allele boolean, "
+    "pep_changes string, prot_changes string, dna_alleles string, "
+    "preceding_indels int"
+)
+
+
+def _parse_change(ch: str, reading_frame: int) -> tuple[int, str, str, bool]:
+    """One formatted protein change → (alt_loc, ref_aa, alt_aa, is_fs),
+    I/L-normalized and '-'-stripped; multi-frame strings resolved by the
+    match's reading frame (peptides_annotate_variation.py:308-313)."""
+    if "|" in ch:
+        ch = ch.split("|")[max(reading_frame, 0)]
+    loc = int(ch.split(">", 1)[1].split(":", 1)[0])
+    ref_aa = ch.split(":", 1)[1].split(">", 1)[0].replace("I", "L").replace("-", "")
+    alt_aa = ch.split(":", 2)[2].split("(", 1)[0].replace("I", "L").replace("-", "")
+    return loc, ref_aa, alt_aa, ch.endswith("(+fs)")
+
+
+def _classify_match(row) -> dict:
+    """Per-(peptide × haplo/var/manual match) U4 kernel: locate covered
+    non-synonymous changes, verify the alt residues in the peptide,
+    track preceding indels and frameshifts, revert the covered changes
+    and containment-test against the canonical protein
+    (peptides_annotate_variation.py:276-435)."""
+    pep = row.peptide_seq
+    pep_il = pep.replace("I", "L")
+    kind = row.kind
+    prefix = int(row.protein_prefix_length or 0)
+    rf = int(row.reading_frame if row.reading_frame is not None else -1)
+    pep_start = int(row.position) - prefix
+    pep_end = pep_start + len(pep)
+
+    found_variant = kind == "manual"
+    has_fs = False
+    preceding = 0
+    hits: list[tuple[int, str, str]] = []  # (pep_loc, ref, alt)
+    pep_changes: list[str] = []
+    prot_changes: list[str] = []
+    dna: list[str] = []
+
+    changes = [c for c in (row.all_protein_changes or "").split(";") if c]
+    dna_changes = (row.dna_changes or "").split(";")
+    for j, raw in enumerate(changes):
+        loc, ref_aa, alt_aa, is_fs = _parse_change(raw, rf)
+        if loc < pep_start:
+            has_fs = has_fs or is_fs
+            preceding += len(alt_aa) - len(ref_aa)
+        elif ((ref_aa != alt_aa) or is_fs) and pep_start <= loc < pep_end:
+            has_fs = has_fs or is_fs
+            ploc = loc - pep_start
+            found = pep_il[ploc : ploc + len(alt_aa)]
+            alt_trim = alt_aa[: len(found)]  # cleavage inside the allele
+            if found != alt_trim:
+                continue  # expected alt absent → mismatch, not covered
+            hits.append((ploc, ref_aa, alt_trim))
+            pep_changes.append(f"{ploc}:{ref_aa}>{alt_trim}")
+            prot_changes.append(raw)
+            if j < len(dna_changes) and dna_changes[j]:
+                dna.append(f"{row.chromosome or '?'}:{dna_changes[j]}")
+            if kind == "var":
+                found_variant = True
+
+    # revert the covered changes and test canonical containment
+    canonical_alternative = False
+    if hits and row.canon_seq:
+        reverted = revert_peptide(pep_il, 0, hits)
+        canonical_alternative = reverted in row.canon_seq.replace("I", "L")
+
+    return {
+        "peptide_id": row.peptide_id,
+        "peptide_seq": pep,
+        "protein_accession": row.protein_accession,
+        "kind": kind,
+        "transcript_id": row.transcript_id,
+        "gene_id": row.gene_id,
+        "found_variant": found_variant,
+        "n_dna_alleles": len(dna),
+        "has_frameshift": has_fs,
+        "canonical_alternative": canonical_alternative,
+        "has_alt_allele": any(">" in d for d in dna),
+        "pep_changes": ";".join(dict.fromkeys(pep_changes)),
+        "prot_changes": ";".join(dict.fromkeys(prot_changes)),
+        "dna_alleles": ";".join(dict.fromkeys(dna)),
+        "preceding_indels": preceding,
+    }
+
+
+def annotate_peptides_full(
+    peptides: DataFrame,
+    proteins_meta: DataFrame,
+    canonical: DataFrame,
+) -> DataFrame:
+    """The reference's complete U4 classification, one row per peptide:
+    pep_class ∈ {contaminant, canonical, single-variant(ProVar),
+    multi-variant, single-variant, variant-no-ref, frameshift,
+    canonical-no-ref} × specificity ∈ {proteoform-specific,
+    protein-specific, multi-gene} (peptides_annotate_variation.py:
+    199-202,234-261,446-466).
+
+    ``proteins_meta``: one row per FASTA accession —
+    (protein_accession, kind ∈ {ref, cont, haplo, var, manual},
+    transcript_id, gene_id, protein_prefix_length, reading_frame,
+    all_protein_changes, dna_changes, chromosome). ``canonical``:
+    (transcript_id, sequence) reference proteome for the revert-
+    containment test."""
+    m = explode_peptide_matches(peptides).join(
+        F.broadcast(proteins_meta), "protein_accession", "left"
+    )
+    pep_w = Window.partitionBy("peptide_id")
+    m = (
+        m.withColumn("__any_cont", F.max((F.col("kind") == "cont").cast("int")).over(pep_w))
+        .withColumn("__any_ref", F.max((F.col("kind") == "ref").cast("int")).over(pep_w))
+    )
+
+    # contaminant short-circuit: any contaminant match decides the class
+    contaminants = (
+        m.where(F.col("__any_cont") == 1)
+        .groupBy("peptide_id", "peptide_seq")
+        .agg(F.lit("contaminant").alias("pep_class"), F.lit("contaminant").alias("specificity"))
+    )
+
+    # canonical: keep only ENST/ref matches, specificity from their count
+    canonical_peps = (
+        m.where((F.col("__any_cont") == 0) & (F.col("__any_ref") == 1) & (F.col("kind") == "ref"))
+        .groupBy("peptide_id", "peptide_seq")
+        .agg(
+            F.countDistinct("protein_accession").alias("__np"),
+            F.countDistinct(F.coalesce("gene_id", "transcript_id", "protein_accession")).alias("__ng"),
+        )
+        .select(
+            "peptide_id",
+            "peptide_seq",
+            F.lit("canonical").alias("pep_class"),
+            F.when(F.col("__np") == 1, "proteoform-specific")
+            .when(F.col("__ng") == 1, "protein-specific")
+            .otherwise("multi-gene")
+            .alias("specificity"),
+        )
+    )
+
+    # variant path: per-match Arrow kernel, then the reference decision
+    # chain over the per-peptide aggregate
+    variant_matches = (
+        m.where((F.col("__any_cont") == 0) & (F.col("__any_ref") == 0))
+        .drop("__any_cont", "__any_ref")  # itertuples renames _-prefixed cols
+        .join(
+            canonical.select("transcript_id", F.col("sequence").alias("canon_seq")),
+            "transcript_id",
+            "left",
+        )
+    )
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield pd.DataFrame(
+                    [_classify_match(r) for r in pdf.itertuples(index=False)]
+                )
+
+    classified = variant_matches.mapInPandas(run, schema=_MATCH_SCHEMA)
+    # min_changes_found: variants contribute 1; haplotypes contribute
+    # their DNA-allele count only when their revert matched canonical
+    # (peptides_annotate_variation.py:285,342,409-410)
+    min_changes = F.min(
+        F.when(F.col("found_variant"), F.lit(1)).when(
+            F.col("canonical_alternative"), F.col("n_dna_alleles")
+        )
+    )
+    agg = classified.groupBy("peptide_id", "peptide_seq").agg(
+        F.max(F.col("found_variant").cast("int")).alias("__var"),
+        F.max(F.col("has_frameshift").cast("int")).alias("__fs"),
+        F.max(F.col("canonical_alternative").cast("int")).alias("__canon_alt"),
+        F.max(F.col("has_alt_allele").cast("int")).alias("__has_alt"),
+        min_changes.alias("__min_changes"),
+        F.countDistinct("protein_accession").alias("__np"),
+        F.countDistinct(F.coalesce("gene_id", "transcript_id", "protein_accession")).alias("__ng"),
+        F.array_join(F.array_sort(F.collect_set(F.when(F.col("pep_changes") != "", F.col("pep_changes")))), "|").alias("covered_changes_peptide"),
+        F.array_join(F.array_sort(F.collect_set(F.when(F.col("prot_changes") != "", F.concat_ws(":", "transcript_id", "prot_changes")))), "|").alias("covered_changes_protein"),
+        F.array_join(F.array_sort(F.collect_set(F.when(F.col("dna_alleles") != "", F.col("dna_alleles")))), "|").alias("covered_alleles_dna"),
+        F.array_join(F.array_sort(F.collect_set("protein_accession")), ";").alias("matching_proteins"),
+        F.array_join(F.array_sort(F.collect_set("transcript_id")), ";").alias("matching_transcripts"),
+        F.array_join(F.array_sort(F.collect_set(F.coalesce("gene_id", "transcript_id"))), ";").alias("matching_genes"),
+    )
+    variant_peps = agg.select(
+        "peptide_id",
+        "peptide_seq",
+        F.when(F.col("__var") == 1, "single-variant(ProVar)")
+        .when((F.col("__min_changes") > 1) & (F.col("__canon_alt") == 1), "multi-variant")
+        .when((F.col("__has_alt") == 1) & (F.col("__canon_alt") == 1), "single-variant")
+        .when((F.col("__has_alt") == 1) & (F.col("__fs") == 0), "variant-no-ref")
+        .when(F.col("__fs") == 1, "frameshift")
+        .otherwise("canonical-no-ref")
+        .alias("pep_class"),
+        F.when(F.col("__np") == 1, "proteoform-specific")
+        .when(F.col("__ng") == 1, "protein-specific")
+        .otherwise("multi-gene")
+        .alias("specificity"),
+        "covered_changes_peptide",
+        "covered_changes_protein",
+        "covered_alleles_dna",
+        "matching_proteins",
+        "matching_transcripts",
+        "matching_genes",
+    )
+    base_cols = ["peptide_id", "peptide_seq", "pep_class", "specificity"]
+    extra = [c for c in variant_peps.columns if c not in base_cols]
+    pad = [F.lit("-").alias(c) for c in extra]
+    return (
+        contaminants.select(*base_cols, *pad)
+        .unionByName(canonical_peps.select(*base_cols, *pad))
+        .unionByName(variant_peps)
+    )
 
 
 def run_peptide_annotation(

@@ -35,6 +35,19 @@ def read_vcf_header(spark: SparkSession, path: str) -> list[str]:
     return cols[9:]
 
 
+def read_vcf_meta_header(spark: SparkSession, path: str) -> list[str]:
+    """The '##' meta-header block, in file order (S9 header
+    preservation: the reference copies the whole header through its
+    filter pass, vcf_filter_fix.py:48-63). Bounded driver-side collect —
+    the header is metadata, a few hundred lines at most."""
+    rows = (
+        spark.read.text(path)
+        .where(F.col("value").startswith("##"))
+        .collect()
+    )
+    return [r["value"] for r in rows]
+
+
 def read_vcf(spark: SparkSession, path: str) -> DataFrame:
     """VCF text → DataFrame(chrom, pos, id, ref, alt, qual, filter,
     info, format, genotypes array<string>, af double).
@@ -145,9 +158,17 @@ def melt_genotypes(df: DataFrame, sample_names: list[str]) -> DataFrame:
     )
 
 
-def write_vcf(df: DataFrame, path: str, sample_names: list[str] | None = None) -> None:
+def write_vcf(
+    df: DataFrame,
+    path: str,
+    sample_names: list[str] | None = None,
+    meta_header: list[str] | None = None,
+) -> None:
     """S9: re-emit VCF rows as text (header + tab-joined columns),
-    single header via a union. Partition-per-chromosome layout comes
+    single header via a union. ``meta_header``: '##' lines (e.g. from
+    read_vcf_meta_header) written verbatim above the #CHROM line — the
+    reference preserves the entire source header block
+    (vcf_filter_fix.py:48-63). Partition-per-chromosome layout comes
     from partitionBy on the caller side (S10)."""
     cols = [F.col(c) for c in VCF_CORE]
     body = df.select(
@@ -159,5 +180,6 @@ def write_vcf(df: DataFrame, path: str, sample_names: list[str] | None = None) -
         ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
         + (sample_names or [])
     )
-    header = body.sparkSession.createDataFrame([(header_cols,)], ["value"])
+    header_lines = [(line,) for line in (meta_header or [])] + [(header_cols,)]
+    header = body.sparkSession.createDataFrame(header_lines, ["value"])
     header.unionByName(body).coalesce(1).write.mode("overwrite").text(path)

@@ -156,3 +156,98 @@ def test_expected_alt_verification(spark):
     assert len(out) == 1
     assert out[0]["covered_allele_ids"] == ["al_ok"]
     assert out[0]["pep_class"] == "single-variant"
+
+
+# ---- full U4 class grid (peptides_annotate_variation.py:446-466) ----
+
+
+@pytest.fixture()
+def grid_world(spark):
+    """One peptide per reference class. Canonical protein MADEFGPKLQW on
+    T1 (gene G1); T2/G2 a second gene for the specificity axis."""
+    peptides = spark.createDataFrame(
+        [
+            ("pep_cont", "XXXXXX", "cont_c1", "0"),
+            ("pep_canon", "MADEFG", "ensref_r1", "0"),
+            ("pep_canon_mg", "MADEFG", "ensref_r1;ensref_r2", "0;0"),
+            ("pep_provar", "MVDEFG", "var_v1", "0"),
+            ("pep_single", "MVDEFG", "haplo_h1", "0"),
+            ("pep_multi", "MVDEFGPT", "haplo_h2", "0"),
+            ("pep_noref", "MVDEFG", "haplo_h4", "0"),
+            ("pep_fs", "MVDRSG", "haplo_h3", "0"),
+            ("pep_cnr", "DEFGPK", "haplo_h1", "2"),
+        ],
+        ["ID", "Sequence", "Proteins", "Positions"],
+    )
+    meta_rows = [
+        # (acc, kind, transcript, gene, prefix, rf, all_protein_changes, dna_changes, chrom)
+        ("cont_c1", "cont", None, None, 0, 0, None, None, None),
+        ("ensref_r1", "ref", "T1", "G1", 0, 0, None, None, None),
+        ("ensref_r2", "ref", "T2", "G2", 0, 0, None, None, None),
+        ("var_v1", "var", "T1", "G1", 0, 0, "1:A>1:V", "105:C>T", "1"),
+        ("haplo_h1", "haplo", "T1", "G1", 0, 0, "1:A>1:V", "105:C>T", "1"),
+        ("haplo_h2", "haplo", "T1", "G1", 0, 0, "1:A>1:V;7:K>7:T", "105:C>T;123:A>C", "1"),
+        # frameshift: E at 3 replaced by RS(+fs)
+        ("haplo_h3", "haplo", "T1", "G1", 0, 0, "3:E>3:RS(+fs)", "110:G>GA", "1"),
+        # same change but on a transcript with NO canonical protein
+        ("haplo_h4", "haplo", "T9", "G9", 0, 0, "1:A>1:V", "105:C>T", "9"),
+    ]
+    meta = spark.createDataFrame(
+        meta_rows,
+        "protein_accession string, kind string, transcript_id string, "
+        "gene_id string, protein_prefix_length int, reading_frame int, "
+        "all_protein_changes string, dna_changes string, chromosome string",
+    )
+    canonical = spark.createDataFrame(
+        [("T1", "MADEFGPKLQW"), ("T2", "MADEFGHHHH")],
+        ["transcript_id", "sequence"],
+    )
+    return peptides, meta, canonical
+
+
+def test_u4_full_class_grid(spark, grid_world):
+    from prohap_spark.pipeline.peptides import annotate_peptides_full
+
+    peptides, meta, canonical = grid_world
+    out = {
+        r["peptide_id"]: r.asDict()
+        for r in annotate_peptides_full(peptides, meta, canonical).collect()
+    }
+    assert out["pep_cont"]["pep_class"] == "contaminant"
+    assert out["pep_canon"]["pep_class"] == "canonical"
+    assert out["pep_canon"]["specificity"] == "proteoform-specific"
+    # two canonical matches on two genes → multi-gene
+    assert out["pep_canon_mg"]["pep_class"] == "canonical"
+    assert out["pep_canon_mg"]["specificity"] == "multi-gene"
+    # var-prefixed match with a verified alt → ProVar class
+    assert out["pep_provar"]["pep_class"] == "single-variant(ProVar)"
+    # one covered change, revert matches canonical → single-variant
+    assert out["pep_single"]["pep_class"] == "single-variant"
+    assert out["pep_single"]["covered_changes_peptide"] == "1:A>V"
+    assert out["pep_single"]["covered_alleles_dna"] == "1:105:C>T"
+    # two covered changes, revert matches canonical → multi-variant
+    assert out["pep_multi"]["pep_class"] == "multi-variant"
+    # covered change but no canonical protein to revert against
+    assert out["pep_noref"]["pep_class"] == "variant-no-ref"
+    # frameshift change covered (revert of 'RS'→'E' gives MVD EG — not
+    # canonical) → frameshift
+    assert out["pep_fs"]["pep_class"] == "frameshift"
+    # match region carries no change at all → canonical-no-ref
+    assert out["pep_cnr"]["pep_class"] == "canonical-no-ref"
+    assert out["pep_cnr"]["specificity"] == "proteoform-specific"
+
+
+def test_u4_preceding_frameshift_flags_peptide(spark, grid_world):
+    """A (+fs) change UPSTREAM of the peptide window still classifies
+    the peptide as frameshift (peptides_annotate_variation.py:377-378,
+    461-463)."""
+    from prohap_spark.pipeline.peptides import annotate_peptides_full
+
+    _, meta, canonical = grid_world
+    # peptide at position 6 of h3's protein (downstream of the fs at 3)
+    peptides = spark.createDataFrame(
+        [("pep_downstream", "GPKLQW", "haplo_h3", "6")],
+        ["ID", "Sequence", "Proteins", "Positions"],
+    )
+    out = annotate_peptides_full(peptides, meta, canonical).collect()
+    assert out[0]["pep_class"] == "frameshift"

@@ -111,3 +111,34 @@ def test_write_vcf_round_trip(spark, fixture_paths, tmp_path):
     back = read_vcf(spark, out)
     assert back.count() == 3
     assert read_vcf_header(spark, out) == ["S1", "S2", "S3"]
+
+
+def test_vcf_header_round_trip(spark, tmp_path):
+    """S9: the '##' meta-header block survives read → write → read
+    (reference copies the whole header through its filter pass,
+    vcf_filter_fix.py:48-63)."""
+    import glob
+
+    from tests.genomic_fixtures import write_fixtures
+    from prohap_spark.sources.vcf import (
+        read_vcf,
+        read_vcf_header,
+        read_vcf_meta_header,
+        write_vcf,
+    )
+
+    _, _, vcf = write_fixtures(tmp_path)
+    meta = read_vcf_meta_header(spark, vcf)
+    assert meta == ["##fileformat=VCFv4.2", "##INFO=<ID=AF,Number=A,Type=Float>"]
+    names = read_vcf_header(spark, vcf)
+    out = str(tmp_path / "out_vcf")
+    write_vcf(read_vcf(spark, vcf).drop("af_raw"), out, names, meta_header=meta)
+
+    part = glob.glob(f"{out}/part-*")[0]
+    lines = open(part).read().splitlines()
+    assert lines[0] == "##fileformat=VCFv4.2"
+    assert lines[1] == "##INFO=<ID=AF,Number=A,Type=Float>"
+    assert lines[2].startswith("#CHROM\tPOS") and lines[2].endswith("S1\tS2\tS3")
+    # body rows round-trip
+    assert read_vcf_meta_header(spark, out) == meta
+    assert read_vcf(spark, out).count() == 3
