@@ -133,24 +133,23 @@ def lsh_candidate_pairs(
     bucket become a candidate pair. Returns distinct (id_a, id_b,
     tokens_a, tokens_b) with id_a < id_b.
 
-    The bucket join is a plain equi-join — at scale Spark shuffles on
-    the band hash (well distributed by construction); hot buckets
-    (boilerplate docs) are handled by AQE skew splitting.
-
-    No persist(): round 2 cached the token table for the self-join's
-    two consumers, but a DataFrame persist in a library function has no
-    owner to unpersist it (CacheManager entries outlive the query), and
-    at scale it pins the CORPUS-SIZED token table in executor storage.
-    The map-side signature/banding projection is recomputed per consumer
-    instead — linear, embarrassingly parallel work with zero memory
-    footprint, the right trade at 100 TB. (ReusedExchange cannot
-    deduplicate the two sides here: the higher-order-function lambdas
-    in the signature expressions don't canonicalize equal.)
+    Bucket-GROUPING formulation: band rows shuffle ONCE on
+    (band_idx, band_hash), ids collect per bucket, and candidate pairs
+    explode from each bucket's sorted id list — so the md5-heavy
+    signature stage has exactly ONE consumer and runs once, with no
+    persist (round 2 cached the token table instead, but a library
+    persist has no owner to unpersist it and at scale pins the
+    corpus-sized token table in executor storage; a self-join variant
+    recomputes the signatures per side, since the higher-order-function
+    lambdas don't canonicalize equal for ReusedExchange). LSH buckets
+    are small by construction (band_size rows of agreement); a
+    degenerate hot bucket (boilerplate corpus) produces its k² pairs
+    from one task — the same pairs a self-join would emit, minus AQE's
+    ability to split them; raise band_size if bucket sizes degenerate.
     """
     assert num_hashes % band_size == 0
     sig = df.select(
         F.col(id_col),
-        F.col(tokens_col),
         minhash_signature_expr(tokens_col, num_hashes).alias("__sig"),
     )
     n_bands = num_hashes // band_size
@@ -167,22 +166,29 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
-    # dedup candidate pairs on ids ONLY (hashing token arrays through the
-    # distinct shuffle is the expensive anti-pattern), then re-join the
-    # token sets for the verify stage
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"), i + 2, F.greatest(F.size("__ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash")),
-        )
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
+    # re-join the token sets for the verify stage — a cheap projection
+    # of the input, no signature recompute
     toks_a = df.select(F.col(id_col).alias("id_a"), F.col(tokens_col).alias("tokens_a"))
     toks_b = df.select(F.col(id_col).alias("id_b"), F.col(tokens_col).alias("tokens_b"))
     return pairs.join(toks_a, "id_a").join(toks_b, "id_b")
