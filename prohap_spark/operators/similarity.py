@@ -74,31 +74,41 @@ def cosine_topk(
     )
 
 
+def hyperplane_sign_string(seed: str, plane: int, dim: int) -> str:
+    """The ±1 hyperplane as a '1'/'0' string: component d is +1 iff the
+    first hex digit of md5('seed|plane|d') >= '8'. Shared by the Spark
+    bucket expression and the DuckDB oracle builders so both engines
+    bucket with bit-identical hyperplanes."""
+    import hashlib
+
+    return "".join(
+        "1"
+        if hashlib.md5(f"{seed}|{plane}|{d}".encode()).hexdigest()[0] in "89abcdef"
+        else "0"
+        for d in range(dim)
+    )
+
+
 def hyperplane_bucket_expr(
     vec_col: str | Column, n_planes: int = 8, seed: str = "hp", max_dim: int = 4096
 ) -> Column:
     """Deterministic random-hyperplane LSH bucket: bit i = sign of the
-    dot product with a ±1 hyperplane whose component for dimension d is
-    +1 iff the first hex digit of md5('seed|plane|d') >= '8'.
+    dot product with a ±1 hyperplane from ``hyperplane_sign_string``.
 
     The md5-derived signs depend only on (seed, plane, dim), so they
     are PRECOMPUTED at plan-build time into one '0'/'1' string literal
     per plane (round 2 recomputed the md5 per row × dim × plane). The
     per-row work is a single transform+aggregate over the vector with a
-    constant-string lookup. Vectors longer than ``max_dim`` raise at
-    plan time rather than bucketing silently wrong.
+    constant-string lookup. The signed sum is rounded to 6 decimals
+    before the sign test so an oracle engine whose float summation
+    differs in the last ulp lands in the same bucket. Vectors longer
+    than ``max_dim`` raise at plan time rather than bucketing silently
+    wrong.
     """
-    import hashlib
-
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def plane_bit(p: int) -> Column:
-        signs = "".join(
-            "1"
-            if hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[0] in "89abcdef"
-            else "0"
-            for d in range(max_dim)
-        )
+        signs = hyperplane_sign_string(seed, p, max_dim)
         signed = F.transform(
             v,
             lambda x, i: F.when(
@@ -106,7 +116,7 @@ def hyperplane_bucket_expr(
             ).otherwise(-x.cast("double")),
         )
         s = F.aggregate(signed, F.lit(0.0), lambda acc, x: acc + x)
-        return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
+        return F.when(F.round(s, 6) >= 0, F.lit("1")).otherwise(F.lit("0"))
 
     guard = F.when(
         F.size(v) > max_dim,
@@ -175,6 +185,191 @@ def lsh_ann_topk(
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: multi-table hyperplane-LSH
+    candidate generation + exact-cosine verification at ``threshold``.
+
+    The same bucket-GROUPING shape as the MinHash LSH dedup
+    (operators/dedup.py): each row emits one (table, bucket) key per
+    table into ONE shuffle, ids collect per bucket, and candidate pairs
+    explode from each bucket's sorted id list — so the hyperplane
+    projection runs exactly once per row and there is no self-join or
+    cross join anywhere. Verification re-joins the raw vectors (a cheap
+    projection of the input) and keeps pairs whose exact cosine, rounded
+    to ``score_decimals``, is >= threshold. Returns distinct
+    (id_a, id_b, cosine) with id_a < id_b.
+
+    At real near-dup thresholds (>= 0.9) use more planes per table —
+    collision probability per table is (1 - θ/π)^n_planes, so high
+    thresholds keep recall with far fewer candidates. Recall is bounded
+    by the tables: a true pair colliding in NO table is not produced
+    (the price of the non-quadratic candidate stage at 100 TB).
+    """
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                hyperplane_bucket_expr(vec_col, n_planes, seed=f"hp{t}"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    b = df.select(F.col(id_col), F.explode(buckets).alias("__bucket"))
+    grouped = (
+        b.groupBy("__bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .where(F.size("__ids") > 1)
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("__ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__ids"), i + 2, F.greatest(F.size("__ids") - i - 1, F.lit(0))
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        grouped.select(F.explode(combos).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    scored = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+                score_decimals,
+            ),
+        )
+    )
+    return scored.where(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def train_centroids_by_label(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Coarse-quantizer centroids for IVF: the per-label mean vector,
+    computed relationally (posexplode → per-(cell, dim) avg → re-pack
+    sorted by dim). In a production IVF the cell assignment comes from
+    k-means — an iterative Spark job whose OUTPUT is exactly this small
+    (cell_id, centroid) table — so the search path below is unchanged
+    whichever trainer produced it. Returns (cell_id, centroid:
+    array<double>)."""
+    ex = df.select(
+        F.col(label_col).alias("cell_id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    per_dim = ex.groupBy("cell_id", "d").agg(F.avg("x").alias("cx"))
+    return (
+        per_dim.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("__s"))
+        .select(
+            "cell_id",
+            F.transform(F.col("__s"), lambda s: s["cx"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 3,
+    score_decimals: int = 6,
+    assign_decimals: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate NN: every corpus vector is
+    assigned to its nearest centroid cell once; a query probes only its
+    ``nprobe`` nearest cells and brute-forces within them.
+
+    The 100 TB shape: the centroid table is tiny (k-means k ≪ corpus)
+    and BROADCAST to both assignment passes — the assignment is a
+    map-side argmax with no shuffle; the probe↔cell match is an
+    equi-join on cell_id (corpus can be bucketed/partitioned BY cell_id
+    on disk so the search never shuffles the corpus at all, the IVF
+    analog of an inverted index). Assignment cosines are rounded to
+    ``assign_decimals`` before ranking (centroid components are
+    reassociated avg sums, so coarser rounding keeps the argmax stable
+    across engines); final scores round to ``score_decimals`` as in
+    ``cosine_topk``. Recall is bounded by nprobe: a true neighbor in an
+    unprobed cell is missed. Returns (query_id, corpus_id, cosine,
+    rank)."""
+    cent = F.broadcast(
+        centroids.select(F.col("cell_id"), F.col("centroid")).withColumn(
+            "__centnorm", _norm(F.col("centroid"))
+        )
+    )
+
+    def nearest_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
+        s = side.select(
+            F.col(side_id).alias("__id"), F.col(vec_col).alias("__vec")
+        ).withColumn("__norm", _norm(F.col("__vec")))
+        scored = s.crossJoin(cent).withColumn(
+            "__cellcos",
+            F.round(
+                _dot(F.col("__vec"), F.col("centroid"))
+                / (F.col("__norm") * F.col("__centnorm")),
+                assign_decimals,
+            ),
+        )
+        w = Window.partitionBy("__id").orderBy(
+            F.col("__cellcos").desc(), F.col("cell_id").asc()
+        )
+        return (
+            scored.withColumn("__crank", F.row_number().over(w))
+            .where(F.col("__crank") <= n)
+            .select("__id", "cell_id", "__vec", "__norm")
+        )
+
+    assigned = nearest_cells(corpus, corpus_id, 1).toDF(
+        "__cid", "cell_id", "__cvec", "__cnorm"
+    )
+    probes = nearest_cells(queries, query_id, nprobe).toDF(
+        "__qid", "cell_id", "__qvec", "__qnorm"
+    )
+    # query batch ≪ corpus: broadcast the probe side so the per-cell
+    # search is a map-side join against the (ideally cell-partitioned)
+    # corpus
+    scored = assigned.join(F.broadcast(probes), "cell_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * F.col("__cnorm")),
+            score_decimals,
+        ),
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col("__cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select(
             F.col("__qid").alias(query_id),

@@ -6,7 +6,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from prohap_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from prohap_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    hyperplane_sign_string,
+    ivf_ann_topk,
+    lsh_ann_topk,
+    train_centroids_by_label,
+)
 from prohap_spark.queries.registry import register, table
 
 # double-precision sequential dot product in DuckDB (mirrors F.aggregate order)
@@ -67,6 +74,149 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.toDF("qid", "cid", "cosine", "rank").withColumn(
         "cosine", F.round("cosine", 6)
     )
+
+
+# the SAME md5-derived hyperplanes as the Spark bucket expression,
+# embedded as literals so DuckDB buckets bit-identically (the MinHash
+# oracle's trick, applied to hyperplane LSH). 12 tables x 4 planes over
+# the 64-dim embeddings.
+_EMB_PLANES_VALUES = ",\n      ".join(
+    f"({t}, {p}, '{hyperplane_sign_string(f'hp{t}', p, 64)}')"
+    for t in range(12)
+    for p in range(4)
+)
+
+_EMB_SIGNED_SUM = (
+    "round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+    "i -> CASE WHEN substr(p.signs, i, 1) = '1' "
+    "THEN CAST(e.embedding[i] AS DOUBLE) "
+    "ELSE -CAST(e.embedding[i] AS DOUBLE) END)), 6)"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH planes(t, plane, signs) AS (VALUES
+      {_EMB_PLANES_VALUES}
+    ),
+    e AS (SELECT vec_id, embedding FROM embeddings),
+    bits AS (
+      SELECT e.vec_id, p.t, p.plane,
+             CASE WHEN {_EMB_SIGNED_SUM} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM e, planes p
+    ),
+    buckets AS (
+      SELECT vec_id, t, string_agg(bit, '' ORDER BY plane) AS bucket
+      FROM bits GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             round({_DUCK_DOT.format(a='ea.embedding', b='eb.embedding')} /
+                   ({_DUCK_NORM.format(a='ea.embedding')} *
+                    {_DUCK_NORM.format(a='eb.embedding')}), 6) AS cosine
+      FROM cand c
+      JOIN e ea ON c.id_a = ea.vec_id
+      JOIN e eb ON c.id_b = eb.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM verified WHERE cosine >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH candidates (12 tables
+    x 4 planes, bucket-grouping shuffle — no self/cross join) + exact
+    cosine verify at 0.35. The threshold suits the near-orthogonal
+    synthetic vectors (max pairwise cosine ~0.51); real corpora dedup
+    at >= 0.9 with more planes per table. The oracle reproduces the
+    md5-derived hyperplanes bit-for-bit, so candidates — and therefore
+    the verified pair set — match exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        e, "vec_id", "embedding", threshold=0.35, n_planes=4, n_tables=12
+    )
+
+
+@register(
+    "sim_ivf_ann",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    ed AS (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS cell_id, list(cx ORDER BY d) AS cvec
+      FROM (SELECT label, d, avg(CAST(x AS DOUBLE)) AS cx FROM ed GROUP BY label, d)
+      GROUP BY label
+    ),
+    cn AS (
+      SELECT cell_id, cvec,
+             {_DUCK_NORM.format(a='cvec')} AS centnorm
+      FROM cent
+    ),
+    assign AS (
+      SELECT cid, cell_id, cv, cvnorm FROM (
+        SELECT c.cid, n.cell_id, c.cv,
+               {_DUCK_NORM.format(a='c.cv')} AS cvnorm,
+               row_number() OVER (
+                 PARTITION BY c.cid
+                 ORDER BY round({_DUCK_DOT.format(a='c.cv', b='n.cvec')} /
+                                ({_DUCK_NORM.format(a='c.cv')} * n.centnorm), 4) DESC,
+                          n.cell_id
+               ) AS rnk
+        FROM c, cn n
+      ) WHERE rnk = 1
+    ),
+    probes AS (
+      SELECT qid, cell_id, qv, qvnorm FROM (
+        SELECT q.qid, n.cell_id, q.qv,
+               {_DUCK_NORM.format(a='q.qv')} AS qvnorm,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_DUCK_DOT.format(a='q.qv', b='n.cvec')} /
+                                ({_DUCK_NORM.format(a='q.qv')} * n.centnorm), 4) DESC,
+                          n.cell_id
+               ) AS rnk
+        FROM q, cn n
+      ) WHERE rnk <= 3
+    ),
+    scored AS (
+      SELECT p.qid, a.cid,
+             round({_DUCK_DOT.format(a='p.qv', b='a.cv')} /
+                   (p.qvnorm * a.cvnorm), 6) AS cosine
+      FROM probes p JOIN assign a ON p.cell_id = a.cell_id
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM scored
+    )
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label-mean centroids as the coarse quantizer (the
+    trained-quantizer table a k-means job would emit), corpus assigned
+    to its nearest cell once, queries probe their 3 nearest cells and
+    brute-force within them. Fully deterministic (assignment cosines
+    rounded to 4, scores to 6), so unlike the hyperplane-LSH ANN this
+    approximate index is value-checked against the oracle. Recall vs
+    the brute-force baseline is pinned in tests/test_operators.py."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    cent = train_centroids_by_label(e, "label", "embedding")
+    out = ivf_ann_topk(
+        q, c, cent, "vec_id", "vec_id", "embedding", k=5, nprobe=3
+    )
+    return out.toDF("qid", "cid", "cosine", "rank")
 
 
 @register(
