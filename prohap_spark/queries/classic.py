@@ -116,11 +116,46 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: binary plumbing demo
+@register(
+    "multimodal_decode_features",
+    # full value-level oracle: the stub decode is sha256-derived (the 32
+    # digest bytes repeated to 64 pixels), so DuckDB reproduces the
+    # raster stats exactly — every sum is an exact integer-valued double
+    # and the /32 vs /64 normalizations are both power-of-two divisions
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+             sha256(text) AS content_hash
+      FROM documents WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT media_id, n_bytes, content_hash,
+             list_transform(range(0, 32),
+               i -> CAST((strpos('0123456789abcdef', substr(content_hash, 2*i+1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(content_hash, 2*i+2, 1)) - 1)
+                    AS DOUBLE)) AS bytes
+      FROM m
+    ),
+    s AS (
+      SELECT media_id, n_bytes, content_hash,
+             list_sum(bytes) / 32 AS mean,
+             list_sum(list_transform(bytes, x -> x * x)) / 32 AS ex2
+      FROM b
+    )
+    SELECT media_id, n_bytes, content_hash,
+           round(mean, 4) AS px_mean,
+           round(sqrt(greatest(ex2 - mean * mean, 0)), 4) AS px_std
+    FROM s
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on synthetic payloads: documents' text bytes
     as opaque binary → content-hash metadata → stub decode (mapInPandas
-    Arrow batches) → JVM-side feature extraction."""
+    Arrow batches) → JVM-side feature extraction. Value-checked end to
+    end: the deterministic fake decode (multimodal/binary_ops.py) is
+    sha256-derived, so the oracle rebuilds the same raster stats from
+    the digest hex without a codec."""
     from prohap_spark.multimodal import attach_media_metadata, decode_images, extract_image_features
 
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)

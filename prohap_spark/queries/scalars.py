@@ -300,3 +300,54 @@ def stream_live_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("session_end").alias("session_end_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_stateful_user_stats",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           epoch_us(max(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState)
+    checked against the SQL oracle: the events stream is deliberately
+    split into 4 files consumed one per micro-batch, so per-user state
+    MUST survive batch boundaries for the final cumulative emission to
+    equal the batch aggregate the oracle computes. The update-mode
+    memory sink keeps every batch's emission; the final row per user is
+    the one with the highest n_events (cumulative counts are strictly
+    increasing). total_value rounds at 4: the stream accumulates
+    per-batch partial sums, so last-ulp float divergence vs the
+    oracle's single-pass sum is expected."""
+    import os
+
+    from pyspark.sql import Window
+
+    from prohap_spark.queries.registry import events_table
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_user_stats,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/prohap_stream_events_x4_{tag}"
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        events_table(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(d)
+    stream = stateful_user_stats(read_event_stream(spark, d, max_files_per_trigger=1))
+    run_to_memory_sink(stream, "stateful_user_out", output_mode="update")
+    out = spark.sql("SELECT * FROM stateful_user_out")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 4).alias("total_value"),
+            "last_ts_us",
+        )
+    )

@@ -3,6 +3,7 @@ from prohap_spark.streaming.events import (
     tumbling_counts,
     sliding_value_sums,
     session_windows,
+    stateful_user_stats,
     stream_dedup,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "tumbling_counts",
     "sliding_value_sums",
     "session_windows",
+    "stateful_user_stats",
     "stream_dedup",
 ]

@@ -78,6 +78,48 @@ def session_windows(events: DataFrame, gap: str = "1 hour", watermark: str = "2 
     )
 
 
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState: per-user
+    running (n_events, total_value, last_ts) carried in GroupState
+    across micro-batches — the escape hatch for stateful semantics the
+    built-in window/session aggregations can't express (custom merge
+    logic, cross-batch accumulators, bespoke eviction).
+
+    Each micro-batch updates the user's state and emits the CUMULATIVE
+    row (update output mode), so the stream's final emission per user
+    equals the batch groupBy aggregate — the property the oracle-checked
+    driver query and the parity test pin. State is a flat tuple in the
+    state store (checkpointed, partitioned by the grouping key — the
+    100 TB shape is one state shard per shuffle partition, no global
+    structure)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double, last_ts_us long"
+    state_schema = "n long, total double, last_us long"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+        state.update((n, total, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "last_ts_us": [last_us],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     ev = events.withWatermark("ts", watermark) if events.isStreaming else events

@@ -97,3 +97,43 @@ def test_watermark_drops_late_rows(spark, events_dir):
     stream_n = spark.sql("SELECT sum(n) s FROM late_out").collect()[0]["s"]
     batch_n = tumbling_counts(_batch(spark, events_dir)).agg({"n": "sum"}).collect()[0][0]
     assert 0 < stream_n < batch_n
+
+
+def test_stateful_user_stats_state_survives_batches(spark, events_dir):
+    """applyInPandasWithState: with one file per trigger the per-user
+    GroupState must carry across micro-batches — the final cumulative
+    emission per user equals the batch groupBy aggregate, and the
+    update-mode sink holds MORE rows than users (several emissions per
+    user ⇒ state really crossed batch boundaries)."""
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_user_stats,
+    )
+
+    stream = stateful_user_stats(read_event_stream(spark, events_dir, max_files_per_trigger=1))
+    run_to_memory_sink(stream, "stateful_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM stateful_out").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {
+        r["user_id"]: r
+        for r in _batch(spark, events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert len(rows) > len(final)  # >1 emission for some user ⇒ multi-batch state
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert g["n_events"] == w["n_events"]
+        assert g["last_ts_us"] == w["last_ts_us"]
+        assert abs(g["total_value"] - w["total_value"]) < 1e-6
