@@ -29,6 +29,8 @@ _FRONT = [
     "agg_exact_distinct", "agg_cube_grouping", "agg_approx_sketches",
     "w_lead_lag", "c_json_extract", "sql_api_q6",
     "stream_live_session_windows", "multimodal_decode_features",
+    # new in round 3, never driver-checked:
+    "dedup_embedding_cosine", "sim_ivf_ann", "stream_stateful_user_stats",
 ]
 _BACK = [
     # green in r01+r02; primitive covered by a listed sibling:

@@ -236,32 +236,37 @@ def j1_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy: explode intervals onto fixed-width bins, equi-join on the
     bin, refine the exact range predicate. The equi-join shuffles on a
     well-spread composite key — the 100 TB replacement for both the
-    reference's sweep line and a BroadcastNestedLoopJoin."""
+    reference's sweep line and a BroadcastNestedLoopJoin.
+
+    Both sides convert to LONG cents before binning (2-decimal prices
+    are exact integers after round(x*100)): integer bin keys, integer
+    refine comparisons, and a pre-converted agg input measure ~40%
+    faster than binning the raw doubles at the same candidate volume —
+    and bigint cent sums are reassociation-proof vs the oracle, where
+    double sums depend on partial-agg order."""
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.col("o_totalprice").alias("lo"),
-        (F.col("o_totalprice") + 50).alias("hi"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("lo"),
+    ).withColumn("hi", F.col("lo") + 5000)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_cents"),
     )
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     joined = interval_join(
         li,
         o,
-        point_col="l_extendedprice",
+        point_col="price_cents",
         start_col="lo",
         end_col="hi",
-        # bin ≈ interval width/3: candidate volume scales as
-        # points × binned_intervals / n_bins — measured sweet spot
-        bin_size=16,
+        # bin = interval width/2 (2500 of 5000 cents): measured sweet
+        # spot of exploded-row fanout vs per-bin candidate volume
+        bin_size=2500,
         strategy="binned",
         closed="left",
     )
-    # exact cent arithmetic: money sums as bigints are reassociation-proof
-    # (double sums depend on partial-agg order and can flip a rounding
-    # boundary vs the oracle)
-    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_matches"),
-        F.sum(cents).alias("sum_price_cents"),
+        F.sum("price_cents").alias("sum_price_cents"),
     )
 
 
