@@ -57,17 +57,34 @@ def main() -> None:
     from prohap_spark.pipeline.synthetic import run_prohap_e2e
 
     # prepare every plan once (plan-build + analysis are one-time,
-    # amortized-to-zero costs — see module docstring)
-    plans = [(name, qs[name](spark, sf_dir)) for name in HEADLINE]
+    # amortized-to-zero costs — see module docstring). Crash-isolated:
+    # one broken query must not kill the whole bench — it's recorded in
+    # `errors` and the rest still report numbers.
+    errors: dict[str, str] = {}
+    plans = []
+    for name in HEADLINE:
+        try:
+            plans.append((name, qs[name](spark, sf_dir)))
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
     # domain pipeline end-to-end (synthetic cohort: 100 transcripts,
     # 1000 variants, 50 samples → VCF melt → islands → haplotype
     # grouping → U3 kernel → merge)
-    plans.append(("domain_prohap_e2e", run_prohap_e2e(spark, scale=1)))
+    try:
+        plans.append(("domain_prohap_e2e", run_prohap_e2e(spark, scale=1)))
+    except Exception as e:  # noqa: BLE001
+        errors["domain_prohap_e2e"] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
 
     def run_all(record: dict[str, float] | None) -> None:
         for name, df in plans:
+            if name in errors:
+                continue
             t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"execute: {type(e).__name__}: {str(e)[:200]}"
+                continue
             if record is not None:
                 record[name] = round(time.time() - t0, 3)
 
@@ -82,17 +99,16 @@ def main() -> None:
     run_all(timings)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -107,12 +107,26 @@ def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("agg_approx_sketches")  # rows-only: approximate by design
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path for distincts/quantiles: HLL + KLL sketches
-    (approx_count_distinct / approx_percentile)."""
+    (approx_count_distinct / approx_percentile). Quantiles are projected
+    to scalar p50/p95 columns — rows-only results must stay
+    hashable/sortable for the driver's canonicalizer (an array column
+    would crash its pandas sort)."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("price_quantiles"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            # one sketch, two scalar projections (not two sketch passes)
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("pq"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            F.col("pq")[0].alias("p50"),
+            F.col("pq")[1].alias("p95"),
+            "n",
+        )
     )
 
 

@@ -47,15 +47,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    reader rejects; read nanos as long (legacy conf, set on the engine
-    child session) and convert to a microsecond timestamp (matching
-    DuckDB's own nanos→micros truncation)."""
+    """Normalize the events table's ts column to TIMESTAMP (TZ-aware,
+    UTC engine session) regardless of how the upstream parquet encodes
+    it — upstream schema drift is a fact of life for an ingestion
+    layer. Handled encodings:
+      - int64 nanos (pre-r3 data): legacy nanosAsLong read + div 1000
+      - timestamp[us] without TZ (TIMESTAMP_NTZ, r3+ data): cast to
+        TIMESTAMP — the engine child session is pinned to UTC, so the
+        cast preserves the instant and matches the TZ-naive DuckDB
+        oracle
+      - timestamp[us] with TZ: already what we want"""
+    df = engine_session(spark).read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", normalize_ts(df, "ts"))
+
+
+def normalize_ts(df: DataFrame, colname: str):
+    """Column expression normalizing an event-time column to TIMESTAMP
+    under the UTC engine session (see events_table)."""
     from pyspark.sql import functions as F
 
-    df = engine_session(spark).read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    dt = dict(df.dtypes).get(colname)
+    if dt == "bigint":
         # integer division — ns values exceed 2^53, double division
         # would corrupt the low microseconds
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        return F.timestamp_micros(F.expr(f"{colname} div 1000"))
+    if dt == "timestamp_ntz":
+        return F.col(colname).cast("timestamp")
+    return F.col(colname)
