@@ -128,6 +128,7 @@ def lsh_candidate_pairs(
     tokens_col: str,
     num_hashes: int = 16,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH banding: docs sharing any (band_idx, band_hash)
     bucket become a candidate pair. Returns distinct (id_a, id_b,
@@ -146,6 +147,15 @@ def lsh_candidate_pairs(
     degenerate hot bucket (boilerplate corpus) produces its k² pairs
     from one task — the same pairs a self-join would emit, minus AQE's
     ability to split them; raise band_size if bucket sizes degenerate.
+
+    ``max_bucket_size``: skip buckets with more members than this —
+    the 100 TB guard against the k² blowup on boilerplate corpora
+    (a bucket of 10⁶ identical-boilerplate docs would emit 5·10¹¹
+    pairs from ONE task). Skipped docs are typically exact or
+    near-exact duplicates better handled by exact dedup upstream;
+    use ``lsh_bucket_stats`` with the same parameters to see what a
+    cap would skip — silent truncation is not acceptable, measured
+    truncation is.
     """
     assert num_hashes % band_size == 0
     sig = df.select(
@@ -171,6 +181,8 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
         .where(F.size("__ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("__ids") <= max_bucket_size)
     combos = F.flatten(
         F.transform(
             F.col("__ids"),
@@ -202,6 +214,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     band_size: int = 2,
     ngram: int = 1,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates verified with exact
     Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
@@ -210,11 +223,117 @@ def minhash_dedup_pairs(
     # as one split, which would serialize the hashing on a single core
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = toks.repartition(par, id_col)
-    cand = lsh_candidate_pairs(toks, id_col, "__tokens", num_hashes, band_size)
+    cand = lsh_candidate_pairs(
+        toks, id_col, "__tokens", num_hashes, band_size, max_bucket_size
+    )
     return (
         cand.withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    ngram: int = 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Observability for the LSH bucket distribution: one row per
+    multi-member bucket with its size, emitted pair count, and whether
+    a ``max_bucket_size`` cap would skip it — run this (cheap: stops at
+    the bucket aggregate, no pair explode) before/alongside a capped
+    dedup so truncation is measured, not silent."""
+    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    sig = toks.select(
+        F.col(id_col), minhash_signature_expr("__tokens", num_hashes).alias("__sig")
+    )
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    out = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .where(F.col("bucket_size") > 1)
+        .withColumn(
+            "n_pairs", (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("long")
+        )
+    )
+    capped = (
+        F.lit(False)
+        if max_bucket_size is None
+        else F.col("bucket_size") > max_bucket_size
+    )
+    return out.withColumn("capped", capped)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within a Hamming ball: docs whose
+    60-bit signatures differ in <= ``max_hamming`` bits.
+
+    Exact-signature grouping (``dedup_simhash``) misses the SimHash
+    operating point — near-dups usually land 1-3 bits apart (the
+    reference's whole purpose in A7 dedup is catching NON-identical
+    duplicates, merge_duplicate_seq.py:20-85). Pigeonhole blocking
+    makes the ball reachable by equi-join: split the signature into
+    ``n_bands`` contiguous bit bands; distance <= max_hamming < n_bands
+    flips at most max_hamming bands, so at least one band is untouched
+    and the pair collides on that band's key. Candidates come from ONE
+    shuffled equi-join on (band_idx, band_bits) — never all-pairs —
+    then exact ``bit_count(xor)`` verifies the distance. 100% recall
+    inside the ball, same bucket-join scale shape as MinHash-LSH.
+    """
+    assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, bits)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(band_arr).alias("band_idx", "band_bits")
+    )
+    a = bands.select(
+        "band_idx", "band_bits", F.col(id_col).alias("id_a"), F.col("simhash").alias("__sig_a")
+    )
+    b = bands.select(
+        "band_idx", "band_bits", F.col(id_col).alias("id_b"), F.col("simhash").alias("__sig_b")
+    )
+    return (
+        a.join(b, ["band_idx", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sig_a", "__sig_b")
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
     )
 
 

@@ -1,0 +1,333 @@
+"""Driver-visible VALUE checks for the domain pipelines on a
+restricted-but-honest slice.
+
+The full ProHap/ProVar pipelines run a per-row Python kernel
+(U1-U3, `kernels/haplo.py`) that is not SQL-expressible in general
+(indels shift coordinates, splice truncation rewrites alleles, the
+start codon moves). But on the deterministic synthetic cohort
+(`pipeline/synthetic.py`) every variant is a single-base SNP on a
+'+'-strand transcript with an annotated start codon — a slice where
+the reference semantics (process_haplotypes.py:261-401,
+process_variants.py:113-229 of /root/reference) reduce to
+overlay + codon-table translation, all expressible in DuckDB SQL.
+
+So these two queries run the REAL pipelines (same code path as
+`domain_prohap_synthetic` / `domain_provar_synthetic`, no special
+casing) and pair them with a from-scratch SQL re-derivation of the
+expected output over the same parquet. The slice is the whole cohort
+— SNP-only by construction — so this is a full value check of the
+end-to-end SNP path: interval join, genotype melt, conflict drop,
+signature grouping, frequency denominators, U1 exon mapping, codon
+consequence typing, UTR trim with the first-stop cutoff, the
+synonymous-only suppression, and the A5 duplicate merge.
+
+The SQL reads the materialized cohort parquet directly (the Spark
+side of each query materializes it first — deterministic content, so
+a pre-existing copy from an earlier run is byte-identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from prohap_spark.functions.genomics import CODON_TABLE
+from prohap_spark.queries.registry import register
+
+_DIR = "/tmp/prohap_bench_cohort_s1"
+
+_CODON_VALUES = ", ".join(f"('{c}', '{a}')" for c, a in sorted(CODON_TABLE.items()))
+
+# Shared SQL fragments ------------------------------------------------
+#
+# tr: '+'-strand transcripts with cDNA and the start codon mapped to
+#     its RNA offset (reference reading_frame_offset semantics; exons
+#     are 1-based inclusive, '+' strand → offset is the exonic length
+#     before the codon's first base).
+# off: U1 point mapping of a genomic SNP position (get_rna_position
+#     for ref_len 1 — no truncation possible).
+_TR_CTE = f"""
+  tr AS (
+    SELECT t.transcript_id, t.exons, t.chrom AS t_chrom,
+           t.start AS t_start, t."end" AS t_end, c.sequence AS cdna,
+           CAST(coalesce(list_sum(list_transform(
+                  list_filter(t.exons, e -> e['end'] < t.start_codon),
+                  e -> e['end'] - e['start'] + 1)), 0)
+                + t.start_codon
+                - list_filter(t.exons,
+                    e -> e['start'] <= t.start_codon AND t.start_codon <= e['end']
+                  )[1]['start'] AS BIGINT) AS start_off
+    FROM read_parquet('{_DIR}/transcripts/*.parquet') t
+    JOIN read_parquet('{_DIR}/cdna/*.parquet') c ON c.accession = t.transcript_id
+    WHERE t.strand = '+' AND t.start_codon IS NOT NULL
+  )"""
+
+_OFF_EXPR = """
+         CAST(coalesce(list_sum(list_transform(
+                list_filter(tr.exons, e -> e['end'] < {p}),
+                e -> e['end'] - e['start'] + 1)), 0)
+              + {p}
+              - list_filter(tr.exons,
+                  e -> e['start'] <= {p} AND {p} <= e['end'])[1]['start']
+              AS BIGINT)"""
+
+
+PROVAR_SNP_SQL = f"""
+WITH codons(codon, aa) AS (VALUES {_CODON_VALUES}),
+{_TR_CTE},
+v AS (
+  SELECT chrom, pos, ref, alt
+  FROM read_parquet('{_DIR}/variants/*.parquet')
+  WHERE af >= 0.01 AND length(ref) = 1 AND length(alt) = 1
+    AND ref IN ('A','C','G','T') AND alt IN ('A','C','G','T')
+),
+-- J1 interval join + exon-hit refine (vcf_reader predicate for SNPs:
+-- exon.start <= pos <= exon.end), then U1 mapping and the <3 bp
+-- near-junction splice flag (coordinates_toolbox.py:74-78: for a SNP,
+-- flagged iff pos >= exon_end - 1 or pos - exon_start < 3)
+m AS (
+  SELECT tr.transcript_id,
+         v.chrom || '_' || v.pos || '_' || v.ref || '_' || v.alt AS item_id,
+         v.ref, v.alt, tr.cdna, tr.start_off,
+         {_OFF_EXPR.format(p="v.pos")} AS off,
+         (v.pos >= list_filter(tr.exons,
+              e -> e['start'] <= v.pos AND v.pos <= e['end'])[1]['end'] - 1
+          OR v.pos - list_filter(tr.exons,
+              e -> e['start'] <= v.pos AND v.pos <= e['end'])[1]['start'] < 3
+         ) AS is_splice
+  FROM v JOIN tr
+    ON v.chrom = tr.t_chrom AND v.pos BETWEEN tr.t_start AND tr.t_end
+  WHERE len(list_filter(tr.exons,
+          e -> e['start'] <= v.pos AND v.pos <= e['end'])) > 0
+),
+e AS (
+  SELECT *, start_off % 3 AS rf, (start_off - start_off % 3) // 3 AS pstart,
+         substr(cdna, 1, CAST(off AS INT)) || alt
+           || substr(cdna, CAST(off + 2 AS INT)) AS mutated
+  FROM m
+),
+-- translate(mutated[rf:]) codon grid; protein-to-stop from codon
+-- index pstart (process_variants.py: translate from rf + pstart*3)
+cx AS (
+  -- DISTINCT: duplicate VCF rows at one locus are distinct e-rows but
+  -- share the item_id — without dedup the string_agg doubles the AAs
+  SELECT DISTINCT g.transcript_id, g.item_id, g.pstart, g.i, c.aa
+  FROM (
+    SELECT e.transcript_id, e.item_id, e.pstart, i.range AS i,
+           upper(substr(e.mutated, CAST(e.rf + i.range * 3 + 1 AS INT), 3)) AS codon
+    FROM e, range(0, 300) i
+    WHERE e.rf + i.range * 3 + 3 <= length(e.mutated)
+  ) g JOIN codons c ON c.codon = g.codon
+),
+stops AS (
+  SELECT transcript_id, item_id,
+         min(CASE WHEN aa = '*' AND i >= pstart THEN i END) AS stop_i
+  FROM cx GROUP BY 1, 2
+),
+prot AS (
+  SELECT c.transcript_id, c.item_id,
+         coalesce(string_agg(c.aa, '' ORDER BY c.i)
+           FILTER (WHERE c.i >= c.pstart AND (s.stop_i IS NULL OR c.i < s.stop_i)),
+           '') AS protein
+  FROM cx c JOIN stops s USING (transcript_id, item_id)
+  GROUP BY 1, 2
+)
+SELECT e.transcript_id, e.item_id,
+       e.off || ':' || e.ref || '>' || e.alt AS cdna_changes,
+       CASE WHEN e.is_splice THEN 'splice_variant'
+            WHEN cr.aa = ca.aa THEN 'synonymous'
+            WHEN cr.aa = '*' AND ca.aa <> '*' THEN 'stop_lost'
+            WHEN cr.aa <> '*' AND ca.aa = '*' THEN 'stop_gained'
+            ELSE 'SAV' END AS variant_types,
+       p.protein
+FROM e
+JOIN codons cr ON cr.codon = upper(substr(
+  e.cdna, CAST(((e.off - e.rf) // 3) * 3 + e.rf + 1 AS INT), 3))
+JOIN codons ca ON ca.codon = upper(substr(
+  e.mutated, CAST(((e.off - e.rf) // 3) * 3 + e.rf + 1 AS INT), 3))
+JOIN prot p ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
+"""
+
+
+PROHAP_SNP_SQL = f"""
+WITH codons(codon, aa) AS (VALUES {_CODON_VALUES}),
+{_TR_CTE},
+v AS (
+  SELECT chrom, pos, ref, alt, genotypes
+  FROM read_parquet('{_DIR}/variants/*.parquet')
+  WHERE af >= 0.01 AND length(ref) = 1 AND length(alt) = 1
+    AND ref IN ('A','C','G','T') AND alt IN ('A','C','G','T')
+),
+-- distinct loci → transcript assignment (extract_haplotypes melts the
+-- full VCF but assigns loci once)
+asg AS (
+  SELECT DISTINCT l.chrom, l.pos, l.ref, l.alt, tr.transcript_id,
+         {_OFF_EXPR.format(p="l.pos")} AS off
+  FROM (SELECT DISTINCT chrom, pos, ref, alt FROM v) l JOIN tr
+    ON l.chrom = tr.t_chrom AND l.pos BETWEEN tr.t_start AND tr.t_end
+  WHERE len(list_filter(tr.exons,
+          e -> e['start'] <= l.pos AND l.pos <= e['end'])) > 0
+),
+-- genotype melt (phased GT '<h1>|<h2>') → per-phase carrier rows;
+-- chrom 1 is autosomal → both phases always diploid
+mg AS (
+  SELECT chrom, pos, ref, alt,
+         unnest(genotypes) AS gt,
+         unnest(range(len(genotypes))) AS sidx
+  FROM v
+),
+car AS (
+  SELECT * FROM (
+    SELECT chrom, pos, ref, alt, sidx, 1 AS phase,
+           CAST(split_part(gt, '|', 1) AS INT) AS allele FROM mg
+    UNION ALL
+    SELECT chrom, pos, ref, alt, sidx, 2,
+           CAST(split_part(gt, '|', 2) AS INT) FROM mg
+  ) WHERE allele = 1
+),
+tc AS (
+  SELECT c.sidx, c.phase, c.pos, c.ref, c.alt, a.transcript_id, a.off
+  FROM car c JOIN asg a USING (chrom, pos, ref, alt)
+),
+-- W1 conflict drop: for SNPs two changes overlap iff same pos — any
+-- duplicated pos on one transcript copy drops the whole copy
+conf AS (
+  SELECT DISTINCT transcript_id, sidx, phase
+  FROM tc GROUP BY transcript_id, sidx, phase, pos HAVING count(*) > 1
+),
+clean AS (
+  SELECT * FROM tc WHERE (transcript_id, sidx, phase) NOT IN
+    (SELECT (transcript_id, sidx, phase) FROM conf)
+),
+-- A2: signature per copy, then occurrence counts; A3 denominator is
+-- 2 × 50 samples (all-diploid autosome)
+sigs AS (
+  SELECT transcript_id, sidx, phase,
+         string_agg(pos || ':' || ref || ':' || alt, ';' ORDER BY pos) AS signature
+  FROM clean GROUP BY 1, 2, 3
+),
+haplos AS (
+  SELECT transcript_id, signature, count(*) AS occurrence_count,
+         round(count(*) / 100.0, 5) AS frequency
+  FROM sigs GROUP BY 1, 2
+),
+-- change set per (transcript, signature) — identical across copies
+hchg AS (
+  SELECT DISTINCT s.transcript_id, s.signature, c.pos, c.ref, c.alt, c.off
+  FROM sigs s JOIN clean c
+    ON c.transcript_id = s.transcript_id AND c.sidx = s.sidx AND c.phase = s.phase
+),
+-- U3 pass 2 for SNPs: per-position overlay (no length changes)
+hs AS (
+  SELECT DISTINCT hc.transcript_id, hc.signature, tr.cdna, tr.start_off
+  FROM hchg hc JOIN tr USING (transcript_id)
+),
+mut AS (
+  SELECT mp.transcript_id, mp.signature,
+         string_agg(coalesce(c.alt, mp.refch), '' ORDER BY mp.i) AS mutated
+  FROM (
+    SELECT h.transcript_id, h.signature, p.range AS i,
+           substr(h.cdna, CAST(p.range + 1 AS INT), 1) AS refch
+    FROM hs h, range(0, 2000) p
+    WHERE p.range < length(h.cdna)
+  ) mp
+  LEFT JOIN hchg c ON c.transcript_id = mp.transcript_id
+    AND c.signature = mp.signature AND c.off = mp.i
+  GROUP BY 1, 2
+),
+-- pass 3 + UTR trim: full-frame translation, first stop at codon
+-- index >= pstart, protein = [pstart, stop), change kept iff its
+-- protein-location + 1 <= stop (check_protein_allele), haplotype kept
+-- iff a kept NON-synonymous change remains
+cx AS (
+  SELECT g.transcript_id, g.signature, g.rf, g.pstart, g.i, c.aa
+  FROM (
+    SELECT m.transcript_id, m.signature, h.start_off % 3 AS rf,
+           (h.start_off - h.start_off % 3) // 3 AS pstart, i.range AS i,
+           upper(substr(m.mutated,
+             CAST(h.start_off % 3 + i.range * 3 + 1 AS INT), 3)) AS codon
+    FROM mut m
+    JOIN hs h ON h.transcript_id = m.transcript_id AND h.signature = m.signature,
+         range(0, 300) i
+    WHERE h.start_off % 3 + i.range * 3 + 3 <= length(m.mutated)
+  ) g JOIN codons c ON c.codon = g.codon
+),
+stops AS (
+  SELECT transcript_id, signature, max(pstart) AS pstart,
+         min(CASE WHEN aa = '*' AND i >= pstart THEN i END) AS stop_i,
+         count(*) AS n_codons
+  FROM cx GROUP BY 1, 2
+),
+prot AS (
+  SELECT c.transcript_id, c.signature,
+         coalesce(string_agg(c.aa, '' ORDER BY c.i)
+           FILTER (WHERE c.i >= c.pstart AND (s.stop_i IS NULL OR c.i < s.stop_i)),
+           '') AS protein
+  FROM cx c JOIN stops s USING (transcript_id, signature)
+  GROUP BY 1, 2
+),
+ann AS (
+  SELECT hc.transcript_id, hc.signature, hc.pos, hc.ref, hc.alt, hc.off,
+         (hc.off - h.start_off % 3) // 3 AS loc_full,
+         cr.aa AS ref_aa, ca.aa AS alt_aa,
+         coalesce(s.stop_i, s.n_codons) AS stop_eff,
+         (h.start_off - h.start_off % 3) // 3 AS pstart
+  FROM hchg hc
+  JOIN hs h ON h.transcript_id = hc.transcript_id AND h.signature = hc.signature
+  JOIN mut m ON m.transcript_id = hc.transcript_id AND m.signature = hc.signature
+  JOIN stops s ON s.transcript_id = hc.transcript_id AND s.signature = hc.signature
+  JOIN codons cr ON cr.codon = upper(substr(
+    h.cdna, CAST(((hc.off - h.start_off % 3) // 3) * 3 + h.start_off % 3 + 1 AS INT), 3))
+  JOIN codons ca ON ca.codon = upper(substr(
+    m.mutated, CAST(((hc.off - h.start_off % 3) // 3) * 3 + h.start_off % 3 + 1 AS INT), 3))
+),
+res AS (
+  SELECT transcript_id, signature,
+         string_agg(off || ':' || ref || '>' || alt, ';' ORDER BY off)
+           FILTER (WHERE loc_full >= pstart AND loc_full + 1 <= stop_eff)
+           AS cdna_changes,
+         bool_or(ref_aa <> alt_aa
+                 AND loc_full >= pstart AND loc_full + 1 <= stop_eff) AS has_nonsyn
+  FROM ann GROUP BY 1, 2
+)
+SELECT r.transcript_id, r.cdna_changes,
+       min(p.protein) AS protein,
+       CAST(sum(h.occurrence_count) AS BIGINT) AS occurrence_count,
+       round(sum(h.frequency), 5) AS frequency
+FROM res r
+JOIN haplos h USING (transcript_id, signature)
+JOIN prot p USING (transcript_id, signature)
+WHERE r.has_nonsyn
+GROUP BY 1, 2
+"""
+
+
+@register("domain_provar_snp_oracle", PROVAR_SNP_SQL)
+def domain_provar_snp_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL ProVar pipeline (run_provar: interval join → U1 mapping
+    → apply_variant kernel) on the synthetic cohort, value-checked
+    end-to-end against a from-scratch SQL derivation — the cohort is
+    SNP-only/'+'-strand by construction, the slice where the kernel is
+    SQL-expressible. Projection: per-variant cDNA change string, codon
+    consequence type, and the translated protein."""
+    from prohap_spark.pipeline.synthetic import run_provar_e2e
+
+    out = run_provar_e2e(spark, scale=1)
+    return out.select(
+        "transcript_id", "item_id", "cdna_changes", "variant_types", "protein"
+    )
+
+
+@register("domain_prohap_snp_oracle", PROHAP_SNP_SQL)
+def domain_prohap_snp_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL ProHap pipeline (extract_haplotypes → U3 kernel →
+    A5 merge) on the synthetic cohort, value-checked against a
+    from-scratch SQL derivation of the SNP slice (haplotype grouping,
+    frequencies, UTR-trimmed change lists, proteins). haplotype_id is
+    excluded — it is an engine-internal xxhash64 content hash with no
+    SQL equivalent; (transcript_id, cdna_changes) is the natural key."""
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+
+    out = run_prohap_e2e(spark, scale=1)
+    return out.select(
+        "transcript_id", "cdna_changes", "protein", "occurrence_count", "frequency"
+    )

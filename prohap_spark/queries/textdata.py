@@ -275,9 +275,134 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (60-bit, md5-derived, deterministic): docs
     sharing a signature are near-dup candidates; Hamming-ball probing
-    extends recall. Relational bit-vote aggregation, no UDF."""
+    (dedup_simhash_near) extends recall. Relational bit-vote
+    aggregation, no UDF."""
     d = table(spark, sf_dir, "documents")
     sig = simhash(d, "doc_id", "text")
     return sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative")
     )
+
+
+_DUCK_SIMHASH_SIGS = r"""
+    toks AS (
+      SELECT DISTINCT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
+    ),
+    th AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(range(1, 16),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, t.i AS i,
+             CAST(SUM(((h >> CAST(t.i AS INTEGER)) & 1) * 2 - 1) AS BIGINT) AS vote
+      FROM th, range(60) AS t(i)
+      GROUP BY doc_id, t.i
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN vote > 0
+                           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )"""
+
+
+@register(
+    "dedup_simhash_near",
+    # same signature derivation as dedup_simhash, then 4×15-bit
+    # pigeonhole banding + exact Hamming verify
+    f"""
+    WITH {_DUCK_SIMHASH_SIGS},
+    bands AS (
+      SELECT doc_id, simhash, CAST(b.b AS INT) AS band_idx,
+             (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_bits
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball SimHash near-dup pairs (distance <= 3): pigeonhole
+    banding (4×15 bits — <= 3 flipped bits leave >= 1 band untouched,
+    so the band equi-join has 100% recall inside the ball) + exact
+    bit_count(xor) verify. Finds the distance-1..3 near-dups that
+    exact-signature grouping (dedup_simhash) misses."""
+    from prohap_spark.operators.dedup import simhash_near_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    # identical to dedup_minhash_lsh but candidate buckets larger than
+    # 8 members are skipped (the k²-blowup guard); bucket membership is
+    # counted per (band_idx, band_hash) before pairing
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS tokens FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, tokens,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(tokens, t -> md5(s::VARCHAR || '|' || t)))) AS sig
+      FROM toks WHERE len(tokens) > 0
+    ),
+    bands AS (
+      SELECT doc_id, tokens, b AS band_idx,
+             md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    bsize AS (
+      SELECT band_idx, band_hash, count(*) AS n
+      FROM bands GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      JOIN bsize s
+        ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+      WHERE s.n <= 8
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(ta.tokens, tb.tokens)) * 1.0 /
+             len(list_distinct(list_concat(ta.tokens, tb.tokens))) AS jaccard
+      FROM cand c
+      JOIN toks ta ON c.id_a = ta.doc_id
+      JOIN toks tb ON c.id_b = tb.doc_id
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.6
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the bucket-size cap engaged
+    (max_bucket_size=8): oversized candidate buckets — degenerate
+    boilerplate clusters that would emit k² pairs from one task at
+    100 TB — are skipped before the pair explode. Value-checked that
+    the cap drops exactly the over-cap buckets and nothing else;
+    lsh_bucket_stats (tests) reports what a cap skips."""
+    d = table(spark, sf_dir, "documents")
+    out = minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.6, num_hashes=16, band_size=4, ngram=2,
+        max_bucket_size=8,
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -254,3 +254,72 @@ def test_embedding_near_dup_sound_and_recalls(spark):
     assert pairs[(1, 2)] >= 0.999
     assert all(a < b for a, b in pairs)
     assert all(c >= 0.9 for c in pairs.values())
+
+
+def test_simhash_near_pairs_match_bruteforce_ball(spark):
+    """Pigeonhole banding has 100% recall inside the Hamming ball, so
+    the operator's output must EQUAL the brute-force all-pairs ball —
+    and the corpus is chosen so some pairs sit at distance 1-3, which
+    exact-signature grouping (dedup_simhash) cannot see."""
+    from prohap_spark.operators.dedup import simhash, simhash_near_pairs
+
+    # doc 2 = doc 1 with ONE of 40 tokens replaced — a perturbation
+    # verified to land at Hamming distance 3 from doc 1 (vote margins
+    # absorb most bit flips at this token count)
+    base_words = [f"word{i:02d}" for i in range(40)]
+    pert_words = list(base_words)
+    pert_words[-1] = "alt06"
+    rows = [
+        (1, " ".join(base_words)),
+        (2, " ".join(pert_words)),
+        (3, " ".join(base_words)),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    expect = {
+        (a, b): bin(sig[a] ^ sig[b]).count("1")
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    }
+    assert got == expect
+    assert (1, 3) in got and got[(1, 3)] == 0  # exact dup
+    # at least one strictly-near pair that exact-signature dedup misses
+    assert any(1 <= h <= 3 for h in got.values()), got
+
+
+def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
+    """A boilerplate corpus (many identical docs) lands in one LSH
+    bucket; the cap skips its k² pair explosion and the bucket-stats
+    view reports exactly what was skipped."""
+    from prohap_spark.operators.dedup import lsh_bucket_stats, minhash_dedup_pairs
+
+    boiler = [(i, "the same boilerplate footer text repeated verbatim") for i in range(40)]
+    distinct = [
+        (100, "a unique document about rivers and mountains flowing east"),
+        (101, "a unique document about rivers and mountains flowing west"),
+    ]
+    docs = spark.createDataFrame(boiler + distinct, ["doc_id", "text"])
+
+    uncapped = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5, ngram=1)
+    capped = minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, ngram=1, max_bucket_size=8
+    )
+    got_uncapped = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # uncapped: 40*39/2 boilerplate pairs + the near-dup pair
+    assert (100, 101) in got_uncapped and len(got_uncapped) == 40 * 39 // 2 + 1
+    # capped: the degenerate bucket is gone, the real near-dup survives
+    assert got_capped == {(100, 101)}
+
+    stats = lsh_bucket_stats(
+        docs, "doc_id", "text", ngram=1, max_bucket_size=8
+    ).collect()
+    capped_rows = [r for r in stats if r["capped"]]
+    assert capped_rows and all(r["bucket_size"] == 40 for r in capped_rows)
+    assert all(r["n_pairs"] == 40 * 39 // 2 for r in capped_rows)
