@@ -36,6 +36,7 @@ _FRONT = [
     # (a) new in round 4, never driver-checked:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
     "dedup_simhash_near", "dedup_minhash_lsh_capped",
+    "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -67,6 +68,9 @@ _BACK = [
     "a11_synthesize_missing_groups",
     "c15_map_merge_explode",
     "w5_running_offset",
+    # r4 additions to back (redundant since domain_prohap_snp_oracle
+    # value-checks signature grouping + frequency maps end-to-end):
+    "a2_signature_grouping", "a4_group_frequency_maps", "a7_priority_dedup",
 ]
 
 

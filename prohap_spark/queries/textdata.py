@@ -406,3 +406,197 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=8,
     )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+_DUCK_MINHASH_PAIRS = f"""
+    toks AS (
+      SELECT doc_id, {_DUCK_BIGRAMS} AS tokens FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, tokens,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(tokens, t -> md5(s::VARCHAR || '|' || t)))) AS sig
+      FROM toks WHERE len(tokens) > 0
+    ),
+    bands AS (
+      SELECT doc_id, tokens, b AS band_idx,
+             md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_hash
+      FROM sig, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN toks ta ON c.id_a = ta.doc_id
+      JOIN toks tb ON c.id_b = tb.doc_id
+      WHERE len(list_intersect(ta.tokens, tb.tokens)) * 1.0 /
+            len(list_distinct(list_concat(ta.tokens, tb.tokens))) >= 0.6
+    )"""
+
+
+@register(
+    "dedup_cluster_reps",
+    # transitive closure of the MinHash near-dup pair graph via a
+    # recursive CTE: component id = min reachable doc_id
+    f"""
+    WITH RECURSIVE {_DUCK_MINHASH_PAIRS},
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_rep FROM reach GROUP BY a
+    )
+    SELECT c.doc_id, c.cluster_rep, CAST(n.cnt AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_rep, count(*) AS cnt FROM comp GROUP BY 1) n
+      USING (cluster_rep)
+    """,
+)
+def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: MinHash-LSH pairs (same
+    parameters as dedup_minhash_lsh) → connected components via
+    iterative min-label propagation → (doc_id, min-id representative,
+    cluster size). The step a dedup pipeline actually acts on — keep
+    one doc per component. Component ids are the min member id, so the
+    result is engine-portable and partitioning-independent; the oracle
+    recomputes the closure with a recursive CTE."""
+    from prohap_spark.operators.dedup import minhash_dedup_pairs
+    from prohap_spark.operators.graph import dedup_cluster_representatives
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.6, num_hashes=16, band_size=4, ngram=2
+    )
+    return dedup_cluster_representatives(pairs)
+
+
+_BM25_TERMS = ("spark", "vector", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _duck_bm25_term(i: int, term: str) -> str:
+    tf = f"len(list_filter(ws, w -> w = '{term}'))"
+    return f"""
+             ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)
+             * ({tf} * ({_BM25_K1} + 1.0))
+             / ({tf} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"""
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, ws, len(ws) AS dl FROM t
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+             {", ".join(f"sum(CASE WHEN len(list_filter(ws, w -> w = '{t}')) > 0 THEN 1 ELSE 0 END) AS df_{i}" for i, t in enumerate(_BM25_TERMS))}
+      FROM d
+    )
+    SELECT doc_id,
+           round({" + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))}, 6) AS bm25
+    FROM d, stats
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring (Lucene idf variant, k1=1.2 b=0.75) of a
+    fixed term query against the corpus, top-20 by (rounded score,
+    doc_id). Pure relational: per-doc tf via array filters, corpus df /
+    avgdl from ONE broadcast aggregate, score as a fixed-order
+    expression sum (no float-reorder nondeterminism), rank + limit.
+    The 100 TB shape: the stats aggregate is a 1-row broadcast; scoring
+    is a map-side projection; the global top-k is a TakeOrdered — no
+    full sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
+    ).select("doc_id", "ws", F.size("ws").alias("dl"))
+    def _tf(term: str):
+        # NB: single-param lambda — a 2-param lambda (e.g. the t=t
+        # closure idiom) is interpreted by F.filter as (element, index)
+        return F.size(F.filter("ws", lambda w: w == F.lit(term)))
+
+    tf = {i: _tf(t) for i, t in enumerate(_BM25_TERMS)}
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("long") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((tf[i] > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    scored = toks.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        t = tf[i].cast("double")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1
+        )
+        term = idf * (t * (_BM25_K1 + 1.0)) / (
+            t + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "sampling_hash_split",
+    # md5-derived bucket: first 8 hex chars of md5(doc_id) as an int,
+    # mod 100 → 80/10/10 split; engine-portable and reshuffle-stable
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket
+    (md5(doc_id) % 100 → 80/10/10): the split survives re-runs,
+    repartitioning, and engine changes — the property random sampling
+    lacks and reproducible training pipelines need. Pure projection,
+    no shuffle; stratification is auditable by grouping on (lang,
+    split)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
+    )

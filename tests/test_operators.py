@@ -323,3 +323,38 @@ def test_lsh_bucket_cap_skips_degenerate_bucket(spark):
     capped_rows = [r for r in stats if r["capped"]]
     assert capped_rows and all(r["bucket_size"] == 40 for r in capped_rows)
     assert all(r["n_pairs"] == 40 * 39 // 2 for r in capped_rows)
+
+
+def test_connected_components_transitive_clusters(spark):
+    """Chained near-dup pairs must close transitively: a-b, b-c, c-d is
+    ONE cluster labeled by its min id, independent of edge direction
+    and partitioning."""
+    from prohap_spark.operators.graph import (
+        connected_components,
+        dedup_cluster_representatives,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 20)],
+        ["id_a", "id_b"],
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges, "id_a", "id_b").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}  # self-loop 20 dropped
+    reps = {
+        r["doc_id"]: (r["cluster_rep"], r["cluster_size"])
+        for r in dedup_cluster_representatives(edges).collect()
+    }
+    assert reps[4] == (1, 4) and reps[11] == (10, 2)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A path graph of length 12 needs multiple propagation rounds —
+    pins the convergence loop, not just one iteration."""
+    from prohap_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["src", "dst"]
+    )
+    comp = connected_components(edges).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == 13
