@@ -138,13 +138,24 @@ def extract_haplotypes(
         ),
     )
 
-    # A2 stage 2: group identical signatures
+    # A2 stage 2: group identical signatures. The per-copy population
+    # codes are collected HERE (same cardinality as the carrier-sample
+    # list the output schema already carries) so the A4 frequency maps
+    # below can be computed from this one aggregate — a second
+    # aggregation over `sigs` would re-execute the whole melt → conflict
+    # window → signature pipeline (the BIG side): its two consumers get
+    # different pruned projections, so ReuseExchange never matches them,
+    # and at 100 TB that doubles the dominant scan+shuffle. Measured on
+    # the synthetic cohort bench: ~2× end-to-end.
     haplos = sigs.groupBy("transcript_id", "strand", "signature").agg(
         F.any_value("changes").alias("changes"),
         F.count(F.lit(1)).alias("occurrence_count"),
         F.array_sort(
             F.collect_list(F.concat_ws(":", "sample_name", "phase"))
         ).alias("samples"),
+        F.collect_list(
+            F.struct("population_code", "superpopulation_code")
+        ).alias("__pops"),
     )
 
     # A3: frequency with sex-aware denominators; transcript-level
@@ -170,11 +181,13 @@ def extract_haplotypes(
     ).drop("__n_samples", "__n_males")
 
     # A4: per-(super)population frequency maps with per-group sex-aware
-    # denominators (get_haplotypes.py:237-313). BOTH levels go through
-    # ONE aggregation: explode each carrier copy into (level, group)
-    # rows, count, divide by the level-group chromosome count, and
-    # split the final map by level — half the stages of two separate
-    # per-level aggregations.
+    # denominators (get_haplotypes.py:237-313), computed ROW-LOCALLY
+    # from the collected per-copy population codes plus ONE broadcast
+    # single-row map of group denominators — zero additional shuffles
+    # and no second pass over the carrier table. Per-row cost is
+    # O(carriers × distinct-groups); the row already carries the
+    # carrier-sample array of the same length, so this adds no new
+    # asymptotic weight.
     def _level_explode(df: DataFrame, pop_col: str, sup_col: str) -> DataFrame:
         return df.select(
             "*",
@@ -186,47 +199,47 @@ def extract_haplotypes(
             ).alias("__lg"),
         ).select("*", F.col("__lg.level").alias("__level"), F.col("__lg.grp").alias("__grp"))
 
-    denoms = (
+    denom_map = (
         _level_explode(samples_meta, "population_code", "superpopulation_code")
         .groupBy("__level", "__grp")
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.when(F.col("sex") == "male", 1).otherwise(0)).alias("__m"),
         )
-    )
-    counts = (
-        _level_explode(
-            sigs.select(
-                "transcript_id", "signature", "population_code", "superpopulation_code"
-            ),
-            "population_code",
-            "superpopulation_code",
-        )
-        .groupBy("transcript_id", "signature", "__level", "__grp")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .join(F.broadcast(denoms), ["__level", "__grp"])
-        .join(F.broadcast(tr_diploid), "transcript_id", "left")
-    )
-    g_denom = F.when(
-        F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n")
-    ).otherwise(F.col("__m") + 2 * (F.col("__n") - F.col("__m")))
-    counts = counts.withColumn("__f", F.round(F.col("__c") / g_denom, 5))
-    freq_maps = counts.groupBy("transcript_id", "signature").agg(
-        *[
+        .where(F.col("__grp").isNotNull())
+        .agg(
             F.map_from_entries(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("__level") == lvl,
-                            F.struct(F.col("__grp"), F.col("__f")),
-                        )
+                F.collect_list(
+                    F.struct(
+                        F.concat_ws("|", "__level", "__grp"),
+                        F.struct(F.col("__n"), F.col("__m")),
                     )
                 )
-            ).alias(out)
-            for lvl, out in (("pop", "population_freqs"), ("sup", "superpopulation_freqs"))
-        ]
+            ).alias("__denoms")
+        )
     )
-    haplos = haplos.join(freq_maps, ["transcript_id", "signature"], "left")
+    haplos = haplos.crossJoin(F.broadcast(denom_map))
+
+    def _freq_map(level: str, field: str):
+        pops = F.array_compact(
+            F.array_distinct(F.transform("__pops", lambda x: x[field]))
+        )
+
+        def entry(p):
+            c = F.size(F.filter("__pops", lambda x: x[field] == p))
+            d = F.element_at("__denoms", F.concat_ws("|", F.lit(level), p))
+            g_denom = F.when(
+                F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * d["__n"]
+            ).otherwise(d["__m"] + 2 * (d["__n"] - d["__m"]))
+            return F.struct(p.alias("grp"), F.round(c / g_denom, 5).alias("f"))
+
+        return F.map_from_entries(F.array_sort(F.transform(pops, entry)))
+
+    haplos = haplos.withColumn(
+        "population_freqs", _freq_map("pop", "population_code")
+    ).withColumn(
+        "superpopulation_freqs", _freq_map("sup", "superpopulation_code")
+    ).drop("__pops", "__denoms")
 
     # deterministic haplotype ids (W2 discipline, SURVEY §7.3.4):
     # content-hash of the grouping key — no window, no extra exchange,
