@@ -16,7 +16,7 @@ Snakemake DAG collapses into a single Catalyst plan, SURVEY §3.1):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from prohap_spark.operators.interval_join import interval_join
 from prohap_spark.kernels.spark_kernels import annotate_items
@@ -129,21 +129,26 @@ def run_provar(
         force_rf=force_rf,
         passthrough=("chrom", "biotype", "af"),
     )
-    # deterministic variant ids: var_<chrom>_<hex(rank)> — rank is
-    # PARTITIONED by chromosome (the id already embeds the chromosome,
-    # so per-chrom ranks are globally unique); a global orderBy window
-    # would funnel every row through one task at scale (W2 discipline)
-    w = Window.partitionBy("chrom").orderBy("item_id", "transcript_id")
-    return (
-        out.where(F.col("n_applied") > 0)
-        .withColumn(
-            "variant_id",
-            F.concat(
-                F.lit("var_"), F.col("chrom"), F.lit("_"),
-                F.lower(F.hex(F.row_number().over(w))),
-            ),
-        )
+    # deterministic variant ids: var_<chrom>_<hex(rank)> — rank is per
+    # chromosome (the id already embeds the chromosome, so per-chrom
+    # ranks are globally unique). grouped_row_number spreads each
+    # chromosome across many range partitions (W2 discipline): a plain
+    # PARTITION BY chrom window would funnel a whole chromosome — the
+    # genome's largest natural shard — through one task at scale.
+    from prohap_spark.operators.order import grouped_row_number
+
+    ranked = grouped_row_number(
+        out.where(F.col("n_applied") > 0),
+        ["chrom"],
+        ["item_id", "transcript_id"],
     )
+    return ranked.withColumn(
+        "variant_id",
+        F.concat(
+            F.lit("var_"), F.col("chrom"), F.lit("_"),
+            F.lower(F.hex(F.col("rn"))),
+        ),
+    ).drop("rn")
 
 
 def dedup_protein_fasta(annotated: DataFrame, min_len: int = 6) -> DataFrame:

@@ -107,17 +107,27 @@ def w1b_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_deterministic_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2 deterministic identity assignment: row_number over a documented
-    total order + hex formatting (C9) — the reproducible replacement for
-    the reference's hex(pandas-index) ids (process_haplotypes.py:365).
-    At 100 TB prefer monotonically-increasing ids or zipWithIndex per
-    partition; a global row_number is a single-partition sort."""
+    """W2 deterministic identity assignment: global row_number over a
+    documented total order + hex formatting (C9) — the reproducible
+    replacement for the reference's hex(pandas-index) ids
+    (process_haplotypes.py:365). Uses the SCALABLE formulation
+    (operators.order.global_row_number: range repartition + local
+    row_number + broadcast partition offsets) — no single-partition
+    sort of the data; the only 1-task stage is over the
+    #partitions-row count table."""
+    from prohap_spark.operators.order import global_row_number
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderdate", "o_orderkey")
     return (
-        o.select("o_orderkey", F.row_number().over(w).alias("rn"))
+        global_row_number(
+            o.select("o_orderkey", "o_orderdate"), ["o_orderdate", "o_orderkey"]
+        )
         .where(F.col("rn") <= 1000)
-        .withColumn("hex_id", F.format_string("%x", "rn"))
+        .select(
+            "o_orderkey",
+            F.col("rn").cast("int").alias("rn"),
+            F.format_string("%x", "rn").alias("hex_id"),
+        )
     )
 
 

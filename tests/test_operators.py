@@ -358,3 +358,46 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_global_row_number_equals_single_partition_window(spark, rng):
+    """The scalable range-partitioned numbering must equal the naive
+    global-window row_number under the same total order, including
+    with skewed duplicate-free keys across many partitions."""
+    from pyspark.sql import Window
+
+    from prohap_spark.operators.order import global_row_number
+
+    vals = rng.permutation(5000).tolist()
+    df = spark.createDataFrame([(int(v), f"p{v % 7}") for v in vals], ["k", "grp"])
+    got = {
+        r["k"]: r["rn"]
+        for r in global_row_number(df, ["k"]).collect()
+    }
+    w = Window.orderBy("k")
+    want = {
+        r["k"]: r["rn"]
+        for r in df.select("k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_equals_grouped_window(spark, rng):
+    from pyspark.sql import Window
+
+    from prohap_spark.operators.order import grouped_row_number
+
+    vals = rng.permutation(3000).tolist()
+    df = spark.createDataFrame(
+        [(f"g{v % 3}", int(v)) for v in vals], ["grp", "k"]
+    )
+    got = {
+        (r["grp"], r["k"]): r["rn"]
+        for r in grouped_row_number(df, ["grp"], ["k"]).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("k")
+    want = {
+        (r["grp"], r["k"]): r["rn"]
+        for r in df.select("grp", "k", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
