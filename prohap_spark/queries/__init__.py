@@ -37,7 +37,7 @@ _FRONT = [
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
     "dedup_simhash_near", "dedup_minhash_lsh_capped",
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
-    "agg_salted_skew", "sim_sq_ann",
+    "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",

@@ -364,3 +364,26 @@ def j1b_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = interval_overlap_join(o, s, "a_lo", "a_hi", "b_lo", "b_hi", bin_size=4096)
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_overlaps"))
+
+
+@register(
+    "stream_click_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+    FROM events c JOIN events v
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 stream-stream interval join, batch-checkable form: each
+    click matched to the same user's views in the preceding hour. The
+    IDENTICAL transform runs under readStream with watermarks on both
+    sides (bounded join state, eviction past watermark − lookback);
+    batch==stream parity is pinned in tests/test_streaming.py."""
+    from prohap_spark.streaming.events import click_view_attribution
+
+    ev = table(spark, sf_dir, "events")
+    return click_view_attribution(ev)

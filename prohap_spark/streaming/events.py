@@ -120,6 +120,47 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def click_view_attribution(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STREAM interval self-join: every 'click' matched to the
+    same user's 'view' events within the preceding ``lookback`` —
+    last-touch-style attribution. Under readStream both sides carry
+    watermarks and the event-time range condition bounds the join
+    state (Spark evicts view state older than click watermark −
+    lookback); in batch the identical expression is an equi-join on
+    user_id with a range refine — the standard shuffled-hash/SMJ
+    shape, skew-splittable by AQE. Inner joins emit on match, so
+    append-mode output needs no window close."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return (
+        clicks.join(views, cond)
+        .select(
+            "user_id",
+            "click_id",
+            "view_id",
+            (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("lag_us"),
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     ev = events.withWatermark("ts", watermark) if events.isStreaming else events

@@ -137,3 +137,29 @@ def test_stateful_user_stats_state_survives_batches(spark, events_dir):
         assert g["n_events"] == w["n_events"]
         assert g["last_ts_us"] == w["last_ts_us"]
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
+
+
+def test_click_attribution_batch_equals_stream(spark, events_dir):
+    """Stream-stream interval self-join parity: the same click→view
+    attribution transform under readStream (watermarked both sides)
+    equals the batch join on a bounded source."""
+    from prohap_spark.streaming.events import (
+        click_view_attribution,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    batch = click_view_attribution(_batch(spark, events_dir))
+    stream = click_view_attribution(
+        read_event_stream(spark, events_dir, max_files_per_trigger=10)
+    )
+    run_to_memory_sink(stream, "attrib_out")
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"], r["lag_us"])
+        for r in spark.sql("SELECT * FROM attrib_out").collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["view_id"], r["lag_us"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
