@@ -89,3 +89,54 @@ def test_dedup_exact_single_exchange(spark, qs):
 
     rep = plan_report(qs["dedup_exact_docs"](spark, SF))
     assert rep["exchanges"] <= 1
+
+
+def test_grouped_row_number_no_unpartitioned_window(spark):
+    """The scalable numbering must not plan a window over the DATA
+    without a partition spec (the single-task funnel it exists to
+    avoid); the only unpartitioned-ish window runs over the tiny
+    per-partition count table, which is partitioned by a literal."""
+    from prohap_spark.operators.order import global_row_number
+    from prohap_spark.plans import formatted_plan
+    from prohap_spark.queries.registry import table
+
+    o = table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    out = global_row_number(o, ["o_orderdate", "o_orderkey"])
+    plan = formatted_plan(out)
+    # every Window node must carry a partition spec
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        # partition exprs come before the ASC/DESC sort spec; an
+        # unpartitioned-over-data window would start with the sort col
+        assert not spec.lstrip().startswith("o_orderdate"), spec
+
+
+def test_salted_aggregate_two_phase_plan(spark, qs):
+    """Salted skew aggregate: exactly the salt-phase + merge-phase
+    aggregations, no extra exchanges beyond the two groupings."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["agg_salted_skew"](spark, SF), "salted")
+    assert rep["exchanges"] <= 2
+    assert rep["bnl_joins"] == 0
+
+
+def test_sq_ann_broadcasts_queries_and_prunes(spark, qs):
+    """Quantized ANN: the query side is broadcast (corpus never
+    re-shuffles for the cross score) and no sort-merge join appears."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["sim_sq_ann"](spark, SF), "sq_ann")
+    assert rep["sortmerge_joins"] == 0
+
+
+def test_click_attribution_equi_join_on_user(spark, qs):
+    """The stream-stream join's batch form must resolve to an equi-join
+    on user_id (broadcast or shuffled hash / SMJ), never a nested-loop
+    over the range condition alone."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["stream_click_attribution"](spark, SF), "attrib")
+    assert rep["bnl_joins"] == 0
