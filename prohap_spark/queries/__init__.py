@@ -38,6 +38,7 @@ _FRONT = [
     "dedup_simhash_near", "dedup_minhash_lsh_capped",
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
+    "multimodal_resize_stats", "multimodal_audio_windows",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -75,6 +76,12 @@ _BACK = [
     # r4: superseded in the checked window by their stronger variants
     # (capped LSH + cluster closure; Hamming-ball probing):
     "dedup_minhash_lsh", "dedup_simhash",
+    # r4: primitives redundantly exercised by front-listed siblings
+    # (md5/conv hashing ⊂ sampling_hash_split; regex split ⊂ f1 +
+    # c_string_surgery; array sort/agg ⊂ f9/w3-family in text ops;
+    # cosine expressions ⊂ the sim_* family):
+    "c_math_hash", "c2_regex_split_explode",
+    "w3_array_sort_analytics", "emb_centroid_cosine",
 ]
 
 

@@ -300,3 +300,105 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price_cents": (F.max("cents"), "max"),
         },
     )
+
+
+@register(
+    "multimodal_resize_stats",
+    # the stub raster is sha256-derived (pixel i = digest byte i % 32),
+    # so the 2×2 block means of the 8×8 grid are exactly reproducible
+    # from the digest hex; /4.0 is a power-of-two division → exact
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(text) AS content_hash
+      FROM documents WHERE doc_id < 100
+    ),
+    b AS (
+      SELECT media_id,
+             list_transform(range(0, 32),
+               i -> CAST((strpos('0123456789abcdef', substr(content_hash, 2*i+1, 1)) - 1) * 16
+                         + (strpos('0123456789abcdef', substr(content_hash, 2*i+2, 1)) - 1)
+                    AS DOUBLE)) AS bytes
+      FROM m
+    ),
+    rs AS (
+      SELECT media_id,
+             list_transform(range(0, 16), k ->
+               (bytes[((((k // 4) * 2 + 0) * 8 + (k % 4) * 2 + 0) % 32) + 1]
+              + bytes[((((k // 4) * 2 + 0) * 8 + (k % 4) * 2 + 1) % 32) + 1]
+              + bytes[((((k // 4) * 2 + 1) * 8 + (k % 4) * 2 + 0) % 32) + 1]
+              + bytes[((((k // 4) * 2 + 1) * 8 + (k % 4) * 2 + 1) % 32) + 1]) / 4.0
+             ) AS rp
+      FROM b
+    )
+    SELECT media_id,
+           round(rp[1], 4) AS p00, round(rp[16], 4) AS p15,
+           round(list_min(rp), 4) AS rs_min, round(list_max(rp), 4) AS rs_max
+    FROM rs
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → block-average RESIZE (8×8 → 4×4, real JVM array math,
+    no second Python hop) → scalar projections of the resized raster.
+    Corner pixels + min/max prove the block structure, not just the
+    (resize-invariant) global mean."""
+    from prohap_spark.multimodal import decode_images, resize_raster
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    decoded = decode_images(media, width=8, height=8)
+    rs = resize_raster(decoded, width=8, factor=2)
+    rp = F.col("pixels_small")
+    return rs.select(
+        "media_id",
+        F.round(F.element_at(rp, 1), 4).alias("p00"),
+        F.round(F.element_at(rp, 16), 4).alias("p15"),
+        F.round(F.array_min(rp), 4).alias("rs_min"),
+        F.round(F.array_max(rp), 4).alias("rs_max"),
+    )
+
+
+@register(
+    "multimodal_audio_windows",
+    # overlapping byte windows (64 wide, hop 32) over the utf-8 payload;
+    # the documents text is ASCII so ord(char) == byte value and DuckDB
+    # reproduces mean/rms exactly (integer sums, dyadic divisions)
+    """
+    WITH w AS (
+      SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id < 100
+    ),
+    wins AS (
+      SELECT media_id, CAST(t.w AS INT) AS win_idx,
+             list_transform(range(1, 65),
+               i -> CAST(ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) AS DOUBLE)) AS seg
+      FROM w, range(0, 8) t(w)
+      WHERE t.w * 32 + 64 <= n
+    )
+    SELECT media_id, win_idx,
+           round(list_sum(seg) / 64, 4) AS win_mean,
+           round(sqrt(list_sum(list_transform(seg, x -> x * x)) / 64), 4) AS win_rms
+    FROM wins
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing plumbing: each payload fans out to ≤8 overlapping
+    64-byte windows reduced to (mean, rms) in an Arrow-batched
+    mapInPandas stage — the drop-in shape for a real spectral
+    featurizer. Byte-window math value-checked end to end."""
+    from prohap_spark.multimodal import audio_window_features
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = audio_window_features(media, window=64, hop=32, max_windows=8)
+    return out.select(
+        "media_id",
+        "win_idx",
+        F.round("win_mean", 4).alias("win_mean"),
+        F.round("win_rms", 4).alias("win_rms"),
+    )

@@ -64,3 +64,39 @@ def test_video_frame_sampling(spark, media):
     frames = sample_video_frames(media.where(F.col("kind") == "video"), max_frames=3).collect()
     assert {r["frame_idx"] for r in frames} == {0, 10, 20}
     assert all(len(r["frame_stub"]) > 0 for r in frames)
+
+
+def test_resize_raster_block_means(spark):
+    from pyspark.sql import functions as F
+
+    from prohap_spark.multimodal import resize_raster
+
+    # 4×4 raster with known values → 2×2 block means
+    px = [
+        0, 1, 2, 3,
+        4, 5, 6, 7,
+        8, 9, 10, 11,
+        12, 13, 14, 15,
+    ]
+    df = spark.createDataFrame([(1,)], ["media_id"]).select(
+        "media_id", F.array(*[F.lit(v) for v in px]).alias("pixels")
+    )
+    out = resize_raster(df, width=4, factor=2).collect()[0]["pixels_small"]
+    assert out == [ (0+1+4+5)/4, (2+3+6+7)/4, (8+9+12+13)/4, (10+11+14+15)/4 ]
+
+
+def test_audio_window_features_numpy_parity(spark):
+    import numpy as np
+
+    from prohap_spark.multimodal import audio_window_features
+
+    payload = bytes(range(200))
+    df = spark.createDataFrame([(7, bytearray(payload))], ["media_id", "payload"])
+    rows = audio_window_features(df, window=64, hop=32, max_windows=8).collect()
+    buf = np.frombuffer(payload, dtype=np.uint8)
+    expected_n = sum(1 for w in range(8) if w * 32 + 64 <= len(buf))
+    assert len(rows) == expected_n
+    for r in rows:
+        seg = buf[r["win_idx"] * 32 : r["win_idx"] * 32 + 64].astype(np.float64)
+        assert abs(r["win_mean"] - seg.mean()) < 1e-9
+        assert abs(r["win_rms"] - np.sqrt((seg * seg).mean())) < 1e-9
