@@ -421,3 +421,34 @@ def test_sq_ann_matches_bruteforce_topk(spark):
     }
     assert len(brute) > 0
     assert sq == brute
+
+
+def test_connected_components_random_vs_union_find(spark, rng):
+    """Property check on a seeded random graph: component labels must
+    equal a reference union-find's min-id labels."""
+    from prohap_spark.operators.graph import connected_components
+
+    n, m = 120, 90
+    edges = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, n, m), rng.integers(0, n, m))
+        if a != b
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    want = {v: find(v) for v in touched}
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == want
