@@ -35,6 +35,7 @@ from prohap_spark.queries import domain_oracle  # noqa: F401
 _FRONT = [
     # (a) new in round 4, never driver-checked:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
+    "domain_provar_fasta_oracle",
     "dedup_simhash_near", "dedup_minhash_lsh_capped",
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",

@@ -71,7 +71,7 @@ _OFF_EXPR = """
               AS BIGINT)"""
 
 
-PROVAR_SNP_SQL = f"""
+_PROVAR_CTES = f"""
 WITH codons(codon, aa) AS (VALUES {_CODON_VALUES}),
 {_TR_CTE},
 v AS (
@@ -130,7 +130,10 @@ prot AS (
            '') AS protein
   FROM cx c JOIN stops s USING (transcript_id, item_id)
   GROUP BY 1, 2
-)
+)"""
+
+
+PROVAR_SNP_SQL = f"""{_PROVAR_CTES}
 SELECT e.transcript_id, e.item_id,
        e.off || ':' || e.ref || '>' || e.alt AS cdna_changes,
        CASE WHEN e.is_splice THEN 'splice_variant'
@@ -145,6 +148,41 @@ JOIN codons cr ON cr.codon = upper(substr(
 JOIN codons ca ON ca.codon = upper(substr(
   e.mutated, CAST(((e.off - e.rf) // 3) * 3 + e.rf + 1 AS INT), 3))
 JOIN prot p ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
+"""
+
+
+PROVAR_FASTA_SQL = f"""{_PROVAR_CTES},
+-- deterministic variant ids: per-chromosome rank under the documented
+-- (item_id, transcript_id) order, hex-formatted (C9); equal keys from
+-- duplicate VCF rows receive the two consecutive ranks in arbitrary
+-- order, which the collect_set below makes immaterial
+ranked AS (
+  SELECT *,
+         'var_' || chrom || '_' || printf('%x',
+           row_number() OVER (PARTITION BY chrom ORDER BY item_id, transcript_id))
+           AS variant_id
+  FROM (
+    SELECT e.transcript_id, e.item_id, e.rf,
+           split_part(e.item_id, '_', 1) AS chrom, p.protein
+    FROM e JOIN prot p
+      ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
+  )
+),
+dedup AS (
+  SELECT protein,
+         list_sort(list_distinct(list(variant_id))) AS items,
+         list_sort(list_distinct(list(rf))) AS rfs,
+         min(variant_id) AS accession
+  FROM ranked WHERE length(protein) >= 6
+  GROUP BY protein
+)
+SELECT 'generic_var' AS tag, accession,
+       'matching_proteins:' || array_to_string(items, ';')
+         || ' reading_frames:'
+         || array_to_string(list_transform(rfs, x -> CAST(x AS VARCHAR)), ';')
+         AS description,
+       protein AS sequence
+FROM dedup
 """
 
 
@@ -315,6 +353,20 @@ def domain_provar_snp_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "transcript_id", "item_id", "cdna_changes", "variant_types", "protein"
     )
+
+
+@register("domain_provar_fasta_oracle", PROVAR_FASTA_SQL)
+def domain_provar_fasta_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ProVar FASTA stage end-to-end (run_provar →
+    dedup_protein_fasta: A6 dedup by protein sequence, collected
+    variant-id / reading-frame lists, min-id accession, F7 min-length)
+    value-checked on the SNP slice — including the per-chromosome
+    hex-rank variant ids (W2 discipline via grouped_row_number)."""
+    from prohap_spark.pipeline.provar import dedup_protein_fasta
+    from prohap_spark.pipeline.synthetic import run_provar_e2e
+
+    out = run_provar_e2e(spark, scale=1)
+    return dedup_protein_fasta(out)
 
 
 @register("domain_prohap_snp_oracle", PROHAP_SNP_SQL)
