@@ -16,6 +16,7 @@ from prohap_spark.queries import simsearch  # noqa: F401
 from prohap_spark.queries import scalars  # noqa: F401
 from prohap_spark.queries import classic  # noqa: F401
 from prohap_spark.queries import domain_oracle  # noqa: F401
+from prohap_spark.queries import roundtrip  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -40,6 +41,7 @@ _FRONT = [
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
     "multimodal_resize_stats", "multimodal_audio_windows",
+    "s5_fasta_roundtrip", "s1_vcf_roundtrip",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -83,6 +85,8 @@ _BACK = [
     # cosine expressions ⊂ the sim_* family):
     "c_math_hash", "c2_regex_split_explode",
     "w3_array_sort_analytics", "emb_centroid_cosine",
+    "text_fingerprint_dedup",   # token-set md5 key ⊂ dedup_exact + hash split
+    "sim_bruteforce_topk",      # exact cosine ⊂ sim_sq_ann's rerank stage
 ]
 
 

@@ -32,9 +32,13 @@ def read_fasta(spark: SparkSession, path: str, truncate_version: bool = False) -
         F.substring(F.col("value"), F.length(header) + 1, 2_000_000_000), r"\s+", ""
     )
     df = recs.select(header.alias("header"), seq.alias("sequence"))
-    has_pipes = F.size(F.split(F.col("header"), r"\|")) >= 3
-    tag = F.when(has_pipes, F.split(F.col("header"), r"\|")[0]).otherwise(F.lit("generic"))
-    acc_field = F.when(has_pipes, F.split(F.col("header"), r"\|")[1]).otherwise(
+    # limit=-1 keeps trailing empty fields: '>tag|acc|' (empty
+    # description, the writer's own output) must still count 3 fields —
+    # the default split drops trailing empties and mis-parsed it
+    pipe_fields = F.split(F.col("header"), r"\|", -1)
+    has_pipes = F.size(pipe_fields) >= 3
+    tag = F.when(has_pipes, pipe_fields[0]).otherwise(F.lit("generic"))
+    acc_field = F.when(has_pipes, pipe_fields[1]).otherwise(
         F.substring_index(F.col("header"), " ", 1)
     )
     desc = F.when(

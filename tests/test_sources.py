@@ -185,3 +185,26 @@ def test_events_table_absorbs_ts_schema_drift(spark, tmp_path):
             r[0] for r in df.select(F.unix_micros("ts")).collect()
         )
     assert got["nanos_int64"] == got["ts_us_ntz"] == got["ts_us_utc"] == us
+
+
+def test_fasta_roundtrip_empty_description(spark, tmp_path):
+    """'>tag|acc|' (empty description — the writer's own output shape)
+    must parse back as the piped format, not fall through to the bare
+    'accession description' convention (regression: default split drops
+    trailing empty fields)."""
+    from prohap_spark.sources.fasta import read_fasta, write_fasta
+
+    df = spark.createDataFrame(
+        [("cdna", "T1", "", "ACGTACGT"), ("cdna", "T2", "desc here", "GGGTTT")],
+        ["tag", "accession", "description", "sequence"],
+    )
+    path = str(tmp_path / "rt")
+    write_fasta(df, path)
+    got = {
+        r["accession"]: (r["tag"], r["description"], r["sequence"])
+        for r in read_fasta(spark, path).collect()
+    }
+    assert got == {
+        "T1": ("cdna", "", "ACGTACGT"),
+        "T2": ("cdna", "desc here", "GGGTTT"),
+    }
