@@ -41,7 +41,7 @@ _FRONT = [
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
     "multimodal_resize_stats", "multimodal_audio_windows",
-    "s5_fasta_roundtrip", "s1_vcf_roundtrip",
+    "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",

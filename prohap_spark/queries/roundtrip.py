@@ -83,3 +83,96 @@ def s1_vcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "af",
         F.md5(F.concat_ws(",", "genotypes")).alias("gt_md5"),
     )
+
+
+_RT_GTF = "/tmp/prohap_rt_gtf"
+
+
+@register(
+    "s4_gtf_roundtrip",
+    f"""
+    SELECT transcript_id, gene_id, chrom, start, "end", strand, biotype,
+           CAST(len(exons) AS BIGINT) AS n_exons,
+           md5(array_to_string(
+             list_transform(exons, e -> e['start'] || '-' || e['end']), ';'))
+             AS exons_md5,
+           start_codon
+    FROM read_parquet('{_DIR}/transcripts/*.parquet')
+    """,
+)
+def s4_gtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 GTF parse round trip, gz-transparent (S3): the cohort
+    transcript dim is serialized to GTF feature lines (transcript +
+    exon + start_codon rows with quoted-attribute strings), written as
+    gzipped text, re-parsed with read_gtf → gtf_dimensions, and
+    digest-compared (exon arrays, codon starts, attributes) against
+    the parquet truth."""
+    from prohap_spark.pipeline.synthetic import materialized_cohort
+    from prohap_spark.sources.gtf import gtf_dimensions, read_gtf
+
+    _v, tr, _c, _n, _m = materialized_cohort(spark, scale=1)
+
+    attrs = F.concat(
+        F.lit('gene_id "'), F.col("gene_id"),
+        F.lit('"; transcript_id "'), F.col("transcript_id"),
+        F.lit('"; gene_name "'), F.col("gene_name"),
+        F.lit('"; transcript_biotype "'), F.col("biotype"), F.lit('";'),
+        F.array_join(
+            F.transform(
+                F.coalesce("tags", F.array().cast("array<string>")),
+                lambda t: F.concat(F.lit(' tag "'), t, F.lit('";')),
+            ),
+            "",
+        ),
+    )
+
+    def line(feature, start, end):
+        return F.concat_ws(
+            "\t",
+            F.col("chrom"), F.lit("prohap_spark"), F.lit(feature),
+            start.cast("string"), end.cast("string"),
+            F.lit("."), F.col("strand"), F.lit("."), attrs,
+        )
+
+    t_lines = tr.select(line("transcript", F.col("start"), F.col("end")).alias("value"))
+    e_lines = tr.select(
+        "chrom", "strand", attrs.alias("__attrs"),
+        F.posexplode("exons").alias("__i", "__e"),
+    ).select(
+        F.concat_ws(
+            "\t",
+            F.col("chrom"), F.lit("prohap_spark"), F.lit("exon"),
+            F.col("__e.start").cast("string"), F.col("__e.end").cast("string"),
+            F.lit("."), F.col("strand"), F.lit("."),
+            F.concat(F.col("__attrs"), F.lit(' exon_number "'),
+                     (F.col("__i") + 1).cast("string"), F.lit('";')),
+        ).alias("value")
+    )
+    sc_lines = tr.where(F.col("start_codon").isNotNull()).select(
+        line("start_codon", F.col("start_codon"), F.col("start_codon") + 2).alias("value")
+    )
+    (
+        t_lines.unionByName(e_lines).unionByName(sc_lines)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(_RT_GTF)
+    )
+
+    dims = gtf_dimensions(read_gtf(spark, _RT_GTF))
+    t = dims["transcripts"]
+    return t.select(
+        "transcript_id", "gene_id", "chrom", "start", "end", "strand", "biotype",
+        F.size("exons").cast("long").alias("n_exons"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    "exons",
+                    lambda e: F.concat(e["start"].cast("string"), F.lit("-"),
+                                       e["end"].cast("string")),
+                ),
+                ";",
+            )
+        ).alias("exons_md5"),
+        "start_codon",
+    )
