@@ -41,7 +41,16 @@ def grouped_row_number(
        partition id, broadcast-joined back.
 
     The only narrow stage is the window over the count table:
-    O(shuffle partitions) rows regardless of data size."""
+    O(shuffle partitions) rows regardless of data size.
+
+    CAVEAT — input computed twice: the offsets branch and the main
+    branch read the range exchange with different pruned projections,
+    so Catalyst cannot reuse the exchange and the INPUT plan executes
+    twice. Fine over a scan or cheap projection (the re-read is
+    columnar); do NOT feed it an expensive stage (Python kernel, big
+    join) — for those, prefer a content-hash id (see
+    pipeline/provar.py's variant ids) or materialize the input
+    first."""
     ordered = df.repartitionByRange(*partition_cols, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )

@@ -129,26 +129,26 @@ def run_provar(
         force_rf=force_rf,
         passthrough=("chrom", "biotype", "af"),
     )
-    # deterministic variant ids: var_<chrom>_<hex(rank)> — rank is per
-    # chromosome (the id already embeds the chromosome, so per-chrom
-    # ranks are globally unique). grouped_row_number spreads each
-    # chromosome across many range partitions (W2 discipline): a plain
-    # PARTITION BY chrom window would funnel a whole chromosome — the
-    # genome's largest natural shard — through one task at scale.
-    from prohap_spark.operators.order import grouped_row_number
-
-    ranked = grouped_row_number(
-        out.where(F.col("n_applied") > 0),
-        ["chrom"],
-        ["item_id", "transcript_id"],
-    )
-    return ranked.withColumn(
+    # deterministic variant ids: var_<chrom>_<hex> where hex is a
+    # CONTENT HASH of the natural key (W2 discipline, same pattern as
+    # ProHap's haplotype ids). A rank-based id here — window OR
+    # range-partitioned offsets — consumes the kernel output twice
+    # (the offsets/rank branch re-executes the mapInPandas stage:
+    # column pruning gives the two consumers different subtrees, so
+    # the exchange is never reused), doubling the dominant compute at
+    # scale. md5 (not xxhash64) keeps the id reproducible by external
+    # engines; 16 hex chars = 64 bits, collision-safe to ~10⁹ variants
+    # per chromosome. Duplicate VCF rows of the same variant
+    # deliberately share the id — they ARE the same variant.
+    return out.where(F.col("n_applied") > 0).withColumn(
         "variant_id",
         F.concat(
             F.lit("var_"), F.col("chrom"), F.lit("_"),
-            F.lower(F.hex(F.col("rn"))),
+            F.substring(
+                F.md5(F.concat_ws("|", "item_id", "transcript_id")), 1, 16
+            ),
         ),
-    ).drop("rn")
+    )
 
 
 def dedup_protein_fasta(annotated: DataFrame, min_len: int = 6) -> DataFrame:

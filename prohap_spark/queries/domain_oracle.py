@@ -152,21 +152,15 @@ JOIN prot p ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
 
 
 PROVAR_FASTA_SQL = f"""{_PROVAR_CTES},
--- deterministic variant ids: per-chromosome rank under the documented
--- (item_id, transcript_id) order, hex-formatted (C9); equal keys from
--- duplicate VCF rows receive the two consecutive ranks in arbitrary
--- order, which the collect_set below makes immaterial
+-- deterministic variant ids: content hash of the natural key
+-- (md5 → engine-portable), same derivation as pipeline/provar.py
 ranked AS (
-  SELECT *,
-         'var_' || chrom || '_' || printf('%x',
-           row_number() OVER (PARTITION BY chrom ORDER BY item_id, transcript_id))
+  SELECT e.transcript_id, e.item_id, e.rf, p.protein,
+         'var_' || split_part(e.item_id, '_', 1) || '_'
+           || substr(md5(e.item_id || '|' || e.transcript_id), 1, 16)
            AS variant_id
-  FROM (
-    SELECT e.transcript_id, e.item_id, e.rf,
-           split_part(e.item_id, '_', 1) AS chrom, p.protein
-    FROM e JOIN prot p
-      ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
-  )
+  FROM e JOIN prot p
+    ON p.transcript_id = e.transcript_id AND p.item_id = e.item_id
 ),
 dedup AS (
   SELECT protein,
