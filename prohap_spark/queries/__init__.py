@@ -17,6 +17,7 @@ from prohap_spark.queries import scalars  # noqa: F401
 from prohap_spark.queries import classic  # noqa: F401
 from prohap_spark.queries import domain_oracle  # noqa: F401
 from prohap_spark.queries import roundtrip  # noqa: F401
+from prohap_spark.queries import peptide_board  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -42,6 +43,7 @@ _FRONT = [
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
     "multimodal_resize_stats", "multimodal_audio_windows",
     "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
+    "u4_peptide_classes",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -87,6 +89,7 @@ _BACK = [
     "w3_array_sort_analytics", "emb_centroid_cosine",
     "text_fingerprint_dedup",   # token-set md5 key ⊂ dedup_exact + hash split
     "sim_bruteforce_topk",      # exact cosine ⊂ sim_sq_ann's rerank stage
+    "stream_live_session_windows",  # session windows ⊂ stream_session_window (front)
 ]
 
 
