@@ -43,7 +43,7 @@ _FRONT = [
     "agg_salted_skew", "sim_sq_ann", "stream_click_attribution",
     "multimodal_resize_stats", "multimodal_audio_windows",
     "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
-    "u4_peptide_classes",
+    "u4_peptide_classes", "domain_postprocess_chain",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -90,6 +90,7 @@ _BACK = [
     "text_fingerprint_dedup",   # token-set md5 key ⊂ dedup_exact + hash split
     "sim_bruteforce_topk",      # exact cosine ⊂ sim_sq_ann's rerank stage
     "stream_live_session_windows",  # session windows ⊂ stream_session_window (front)
+    "j6_explode_equijoin",          # J6 explode+equijoin ⊂ u4_peptide_classes (front)
 ]
 
 

@@ -28,7 +28,7 @@ a pre-existing copy from an earlier run is byte-identical).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from prohap_spark.functions.genomics import CODON_TABLE
 from prohap_spark.queries.registry import register
@@ -377,3 +377,149 @@ def domain_prohap_snp_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "transcript_id", "cdna_changes", "protein", "occurrence_count", "frequency"
     )
+
+
+POSTPROCESS_CHAIN_SQL = f"""{_PROVAR_CTES},
+-- frame-0 full translation WITH stops (proteins_all_frames frame 0)
+pf AS (
+  SELECT transcript_id, item_id, string_agg(aa, '' ORDER BY i) AS fseq
+  FROM cx GROUP BY 1, 2
+),
+f0 AS (
+  SELECT 'var' AS tag,
+         item_id || '@' || transcript_id AS accession,
+         'transcript:' || transcript_id AS description,
+         fseq AS sequence
+  FROM pf
+),
+fall AS (
+  SELECT * FROM f0
+  UNION ALL   -- UTR-tagged duplicate of a deterministic subset: its
+              -- slot must be dropped while the var slot survives
+  SELECT 'enshap', accession || '_UTR5', description, sequence
+  FROM f0 WHERE accession LIKE '%0'
+  UNION ALL   -- UTR-only entry (unique sequence): dropped entirely
+  SELECT 'enshap', accession || '_UTR3', description, sequence || 'GG'
+  FROM f0 WHERE accession LIKE '%0'
+  UNION ALL   -- contaminant duplicate: tag priority must pick 'cont'
+  SELECT 'cont', 'cont_' || accession, 'contaminant', sequence
+  FROM f0 WHERE accession LIKE '%7'
+),
+frags AS (
+  SELECT tag,
+         CASE WHEN i = 0 THEN accession
+              ELSE accession || '_frag' || i END AS accession,
+         CASE WHEN i = 0 THEN description
+              ELSE description || ' post_stop:1' END AS description,
+         frag AS sequence
+  FROM (
+    SELECT tag, accession, description,
+           unnest(string_split(sequence, '*')) AS frag,
+           unnest(range(len(string_split(sequence, '*')))) AS i
+    FROM fall
+  )
+  WHERE length(frag) >= 6
+),
+grouped AS (
+  SELECT sequence,
+         list_sort(list(DISTINCT tag)) AS tags,
+         list(accession ORDER BY accession, description, tag) AS m_accs,
+         list(description ORDER BY accession, description, tag) AS m_descs,
+         list(tag ORDER BY accession, description, tag) AS m_tags
+  FROM frags GROUP BY sequence
+),
+merged AS (
+  SELECT CASE WHEN len(list_filter(tags, t -> t LIKE '%cont')) > 0 THEN 'cont'
+              WHEN len(list_filter(tags, t -> t LIKE '%ensref')) > 0 THEN 'ensref'
+              WHEN len(list_filter(tags, t -> t LIKE '%ensvar')) > 0 THEN 'ensvar'
+              WHEN len(list_filter(tags, t -> t LIKE '%var')) > 0 THEN 'var'
+              WHEN len(list_filter(tags, t -> t LIKE '%manual')) > 0 THEN 'manual'
+              WHEN len(list_filter(tags, t -> t LIKE '%enshap')) > 0 THEN 'enshap'
+              ELSE tags[1] END AS tag,
+         m_accs[1] AS accession,
+         'matching_proteins:' || array_to_string(m_accs, ';')
+           || ' matching_tags:' || array_to_string(m_tags, ';') AS description,
+         sequence
+  FROM grouped
+),
+utr AS (
+  SELECT tag, accession,
+         list_zip(
+           string_split(regexp_extract(description, 'matching_proteins:(\\S*)', 1), ';'),
+           string_split(regexp_extract(description, 'matching_tags:(\\S*)', 1), ';')
+         ) AS zipped,
+         sequence
+  FROM merged
+),
+kept AS (
+  SELECT tag, accession,
+         list_filter(zipped, z -> z[1] NOT LIKE '%UTR%') AS k,
+         sequence
+  FROM utr
+  WHERE len(list_filter(zipped, z -> z[1] NOT LIKE '%UTR%')) > 0
+)
+SELECT tag, accession,
+       'matching_proteins:'
+         || array_to_string(list_transform(k, z -> z[1]), ';')
+         || ' matching_tags:'
+         || array_to_string(list_transform(k, z -> z[2]), ';') AS description,
+       sequence
+FROM kept
+"""
+
+
+@register("domain_postprocess_chain", POSTPROCESS_CHAIN_SQL)
+def domain_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postprocess chain end-to-end on the SNP slice (reference
+    Snakefile:324-386): stop-codon fragment split (remove_stop_codons)
+    → A7 global duplicate merge with tag priority (merge_duplicate_seq)
+    → F9 UTR-only removal (remove_UTR_seq). Input: the real ProVar
+    full-frame translations (with stops) plus crafted UTR-tagged and
+    contaminant duplicates that exercise slot-dropping, entry-dropping,
+    and the cont>…>enshap priority."""
+    from prohap_spark.pipeline.postprocess import (
+        merge_duplicate_sequences,
+        remove_utr_only_entries,
+        split_stop_codon_fragments,
+    )
+    from prohap_spark.pipeline.synthetic import run_provar_e2e
+
+    out = run_provar_e2e(spark, scale=1)
+    f0 = out.select(
+        F.lit("var").alias("tag"),
+        F.concat("item_id", F.lit("@"), "transcript_id").alias("accession"),
+        F.concat(F.lit("transcript:"), F.col("transcript_id")).alias("description"),
+        F.element_at(F.split("proteins_all_frames", r"\|"), 1).alias("sequence"),
+    ).dropDuplicates(["accession"])
+    sub0 = f0.where(F.col("accession").endswith("0"))
+    sub7 = f0.where(F.col("accession").endswith("7"))
+    fall = (
+        f0.unionByName(
+            sub0.select(
+                F.lit("enshap").alias("tag"),
+                F.concat("accession", F.lit("_UTR5")).alias("accession"),
+                "description",
+                "sequence",
+            )
+        )
+        .unionByName(
+            sub0.select(
+                F.lit("enshap").alias("tag"),
+                F.concat("accession", F.lit("_UTR3")).alias("accession"),
+                "description",
+                F.concat("sequence", F.lit("GG")).alias("sequence"),
+            )
+        )
+        .unionByName(
+            sub7.select(
+                F.lit("cont").alias("tag"),
+                F.concat(F.lit("cont_"), F.col("accession")).alias("accession"),
+                F.lit("contaminant").alias("description"),
+                "sequence",
+            )
+        )
+    )
+    chain = remove_utr_only_entries(
+        merge_duplicate_sequences(split_stop_codon_fragments(fall, min_len=6))
+    )
+    return chain.select("tag", "accession", "description", "sequence")
