@@ -45,7 +45,7 @@ _FRONT = [
     "multimodal_resize_stats", "multimodal_audio_windows",
     "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
     "u4_peptide_classes", "domain_postprocess_chain",
-    "domain_provar_minus_strand",
+    "domain_provar_minus_strand", "domain_provar_indel_oracle",
     # (b) err in r3 (events-NTZ / array-hashability), fixed this round:
     "agg_approx_sketches", "w1_islands_sessionize",
     "j10_asof_join", "stream_tumbling_window",
@@ -94,6 +94,7 @@ _BACK = [
     "stream_live_session_windows",  # session windows ⊂ stream_session_window (front)
     "j6_explode_equijoin",          # J6 explode+equijoin ⊂ u4_peptide_classes (front)
     "dedup_exact_docs",             # exact dedup ⊂ a7 + fingerprint + cluster reps
+    "sim_ivf_ann",                  # ANN family ⊂ sim_sq_ann (front) + recall tests
 ]
 
 
