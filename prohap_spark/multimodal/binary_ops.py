@@ -164,7 +164,12 @@ def resize_raster(
             factor * factor
         )
 
-    resized = F.transform(F.sequence(F.lit(0), n_out - 1), block_mean)
+    # guard n_out == 0: sequence(0, -1) is the DESCENDING [0, -1] and
+    # block_mean's element_at(px, idx <= 0) errors under ANSI mode —
+    # reachable if a decoder ever emits an empty raster
+    resized = F.when(
+        n_out > 0, F.transform(F.sequence(F.lit(0), n_out - 1), block_mean)
+    ).otherwise(F.array().cast("array<double>"))
     return decoded.withColumn(out_col, resized)
 
 

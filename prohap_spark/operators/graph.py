@@ -78,6 +78,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # labels were still changing at max_iter: the returned components
+        # are split along unconverged chains. Fail loudly — a silent
+        # truncation would under-merge duplicate clusters.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (component diameter exceeds the budget); raise max_iter."
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -41,7 +41,11 @@ def grouped_row_number(
        partition id, broadcast-joined back.
 
     The only narrow stage is the window over the count table:
-    O(shuffle partitions) rows regardless of data size.
+    O(#partitions + #groups) rows (one per group-fragment) — tiny for
+    the intended low-to-moderate group cardinality (chromosomes,
+    transcripts); the offsets table is also broadcast, so very
+    high-cardinality ``partition_cols`` should use a plain window
+    (small groups fit one task) or a content-hash id instead.
 
     CAVEAT — input computed twice: the offsets branch and the main
     branch read the range exchange with different pruned projections,

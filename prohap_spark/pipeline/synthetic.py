@@ -39,6 +39,14 @@ def generate_cohort(
 ):
     """Returns (variants_df, transcripts_df, cdna_df, sample_names,
     samples_meta_df) shaped exactly like the real sources' outputs."""
+    # The domain-oracle SQL (queries/domain_oracle.py) translates over a
+    # fixed range(0,300) codon grid and overlays over range(0,2000) —
+    # valid only while every cDNA fits those bounds (SNPs keep length,
+    # so mutated == reference length). Fail here, not silently there.
+    assert exon_len * n_exons <= 900, (
+        "cDNA longer than the oracle's 300-codon grid — widen the ranges "
+        "in queries/domain_oracle.py before growing the cohort"
+    )
     sample_names = [f"S{i:04d}" for i in range(n_samples)]
     pops = ["FIN", "YRI", "CHB", "GBR", "PEL"]
 

@@ -354,8 +354,9 @@ def domain_provar_fasta_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ProVar FASTA stage end-to-end (run_provar →
     dedup_protein_fasta: A6 dedup by protein sequence, collected
     variant-id / reading-frame lists, min-id accession, F7 min-length)
-    value-checked on the SNP slice — including the per-chromosome
-    hex-rank variant ids (W2 discipline via grouped_row_number)."""
+    value-checked on the SNP slice — including the md5 content-hash
+    variant ids (derived from the variant's identity columns, so the
+    kernel plan executes once instead of once per rank branch)."""
     from prohap_spark.pipeline.provar import dedup_protein_fasta
     from prohap_spark.pipeline.synthetic import run_provar_e2e
 
