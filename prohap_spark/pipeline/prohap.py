@@ -315,6 +315,9 @@ def annotate_haplotypes(
         F.any_value("all_protein_changes").alias("all_protein_changes"),
         F.any_value("protein_changes").alias("protein_changes"),
         F.any_value("variant_types").alias("variant_types"),
+        # identical within the group: the group key IS the applied
+        # change set, which determines the mutated sequence
+        F.any_value("mutated_cdna").alias("mutated_cdna"),
         F.any_value("protein").alias("protein"),
         F.any_value("proteins_all_frames").alias("proteins_all_frames"),
         F.any_value("reading_frame").alias("reading_frame"),
