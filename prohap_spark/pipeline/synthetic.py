@@ -51,9 +51,24 @@ def generate_cohort(
     pops = ["FIN", "YRI", "CHB", "GBR", "PEL"]
 
     transcripts, cdnas, variants = [], [], []
+    span = exon_len * n_exons + 500 * (n_exons - 1)
     for t in range(n_transcripts):
         tid = f"T{t:05d}"
-        base = 1_000_000 + t * 10_000
+        # chromosome mix: mostly autosomal, ~1/7 X outside the PARs
+        # (male-haploid — A3 hap2 suppression + male+2*(n-male)
+        # denominators) and ~1/7 X inside PAR1 (diploid in males too),
+        # so the e2e domain oracles exercise the sex-aware paths
+        # through the REAL pipeline, not just the standalone A3 query.
+        if t % 7 == 3:
+            chrom = "X"
+            base = 3_000_000 + t * 10_000  # between PAR1 and PAR2
+        elif t % 7 == 5:
+            chrom = "X"
+            base = 20_000 + t * 2_000  # wholly inside PAR1
+            assert base + span <= 2_781_479, "PAR1 transcript overruns PAR1"
+        else:
+            chrom = "1"
+            base = 1_000_000 + t * 10_000
         exons = []
         pos = base
         for e in range(n_exons):
@@ -65,7 +80,7 @@ def generate_cohort(
         seq = seq[:3] + "ATG" + seq[6:]
         start_codon = base + 3
         transcripts.append(
-            (tid, f"G{t:05d}", f"GENE{t}", "1", base, exons[-1]["end"], "+",
+            (tid, f"G{t:05d}", f"GENE{t}", chrom, base, exons[-1]["end"], "+",
              "protein_coding", ["Ensembl_canonical"], exons, start_codon, None)
         )
         cdnas.append(("cdna", tid, "", seq))
@@ -86,7 +101,7 @@ def generate_cohort(
                 h2 = 1 if g[1] / 255 < af else 0
                 gts.append(f"{h1}|{h2}")
             variants.append(
-                ("1", gpos, f"rs_{tid}_{v}", ref, alt, ".", ".", f"AF={af}", "GT", gts, af)
+                (chrom, gpos, f"rs_{tid}_{v}", ref, alt, ".", ".", f"AF={af}", "GT", gts, af)
             )
 
     variants_df = spark.createDataFrame(
@@ -114,10 +129,12 @@ def generate_cohort(
     return variants_df, transcripts_df, cdna_df, sample_names, meta
 
 
-def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = "/tmp/prohap_bench_cohort"):
+def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = "/tmp/prohap_bench_cohort_v2"):
     """Cohort cached as parquet (deterministic → safe to reuse): the
     bench should measure the PIPELINE, not driver-side fixture
-    generation."""
+    generation. The path carries a VERSION suffix — bump it whenever
+    generate_cohort's content changes, or a stale cache from an earlier
+    build poisons both engines (v2: X/PAR transcripts added)."""
     import json
     import os
 

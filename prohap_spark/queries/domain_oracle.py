@@ -10,6 +10,10 @@ start codon moves). But on the deterministic synthetic cohort
 the reference semantics (process_haplotypes.py:261-401,
 process_variants.py:113-229 of /root/reference) reduce to
 overlay + codon-table translation, all expressible in DuckDB SQL.
+The cohort mixes autosomal, X-non-PAR, and X-PAR1 transcripts with
+mixed-sex samples, so the ProHap oracle also value-checks A3's
+sex-aware machinery end-to-end: male phase-2 suppression at haploid
+loci and the per-transcript m + 2*(n-m) denominators.
 
 So these two queries run the REAL pipelines (same code path as
 `domain_prohap_synthetic` / `domain_provar_synthetic`, no special
@@ -33,7 +37,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from prohap_spark.functions.genomics import CODON_TABLE
 from prohap_spark.queries.registry import register
 
-_DIR = "/tmp/prohap_bench_cohort_s1"
+_DIR = "/tmp/prohap_bench_cohort_v2_s1"
+
+# GRCh38 pseudo-autosomal regions, mirrored from pipeline/prohap.py —
+# re-stated here so the oracle derives diploidy independently
+_PAR_SQL = (
+    "({c} <> 'X' OR {p} BETWEEN 10001 AND 2781479 "
+    "OR {p} BETWEEN 155701383 AND 156030895)"
+)
 
 _CODON_VALUES = ", ".join(f"('{c}', '{a}')" for c, a in sorted(CODON_TABLE.items()))
 
@@ -200,7 +211,17 @@ asg AS (
           e -> e['start'] <= l.pos AND l.pos <= e['end'])) > 0
 ),
 -- genotype melt (phased GT '<h1>|<h2>') → per-phase carrier rows;
--- chrom 1 is autosomal → both phases always diploid
+-- A3: male copies at X-non-PAR loci are HAPLOID — phase 2 is
+-- suppressed entirely (get_haplotypes.py:118-119)
+meta AS (
+  SELECT CAST(substr(sample_name, 2) AS INT) AS sidx, sex
+  FROM read_parquet('{_DIR}/meta/*.parquet')
+),
+cohort AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN sex = 'male' THEN 1 ELSE 0 END) AS m
+  FROM meta
+),
 mg AS (
   SELECT chrom, pos, ref, alt,
          unnest(genotypes) AS gt,
@@ -212,8 +233,11 @@ car AS (
     SELECT chrom, pos, ref, alt, sidx, 1 AS phase,
            CAST(split_part(gt, '|', 1) AS INT) AS allele FROM mg
     UNION ALL
-    SELECT chrom, pos, ref, alt, sidx, 2,
-           CAST(split_part(gt, '|', 2) AS INT) FROM mg
+    SELECT g.chrom, g.pos, g.ref, g.alt, g.sidx, 2,
+           CAST(split_part(g.gt, '|', 2) AS INT)
+    FROM mg g JOIN meta s USING (sidx)
+    WHERE NOT (s.sex = 'male'
+               AND NOT {_PAR_SQL.format(c="g.chrom", p="g.pos")})
   ) WHERE allele = 1
 ),
 tc AS (
@@ -230,17 +254,25 @@ clean AS (
   SELECT * FROM tc WHERE (transcript_id, sidx, phase) NOT IN
     (SELECT (transcript_id, sidx, phase) FROM conf)
 ),
--- A2: signature per copy, then occurrence counts; A3 denominator is
--- 2 × 50 samples (all-diploid autosome)
+-- A2: signature per copy, then occurrence counts; A3 denominator per
+-- TRANSCRIPT from its span: 2n haplotype slots when diploid
+-- (autosome / X-PAR), males carry ONE X otherwise → m + 2*(n-m)
+-- (get_haplotypes.py:221-235)
 sigs AS (
   SELECT transcript_id, sidx, phase,
          string_agg(pos || ':' || ref || ':' || alt, ';' ORDER BY pos) AS signature
   FROM clean GROUP BY 1, 2, 3
 ),
 haplos AS (
-  SELECT transcript_id, signature, count(*) AS occurrence_count,
-         round(count(*) / 100.0, 5) AS frequency
-  FROM sigs GROUP BY 1, 2
+  SELECT s.transcript_id, s.signature, count(*) AS occurrence_count,
+         round(count(*) /
+               (CASE WHEN {_PAR_SQL.format(c="t.t_chrom", p="t.t_start")}
+                     THEN 2.0 * c.n
+                     ELSE 1.0 * c.m + 2 * (c.n - c.m) END), 5) AS frequency
+  FROM sigs s
+  JOIN tr t ON t.transcript_id = s.transcript_id
+  CROSS JOIN cohort c
+  GROUP BY s.transcript_id, s.signature, t.t_chrom, t.t_start, c.n, c.m
 ),
 -- change set per (transcript, signature) — identical across copies
 hchg AS (
@@ -369,9 +401,12 @@ def domain_prohap_snp_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL ProHap pipeline (extract_haplotypes → U3 kernel →
     A5 merge) on the synthetic cohort, value-checked against a
     from-scratch SQL derivation of the SNP slice (haplotype grouping,
-    frequencies, UTR-trimmed change lists, proteins). haplotype_id is
-    excluded — it is an engine-internal xxhash64 content hash with no
-    SQL equivalent; (transcript_id, cdna_changes) is the natural key."""
+    frequencies, UTR-trimmed change lists, proteins) — including A3's
+    sex-aware path: the cohort's X-non-PAR transcripts suppress male
+    phase-2 copies and divide by m + 2*(n-m), its X-PAR1 transcripts
+    stay fully diploid. haplotype_id is excluded — it is an
+    engine-internal xxhash64 content hash with no SQL equivalent;
+    (transcript_id, cdna_changes) is the natural key."""
     from prohap_spark.pipeline.synthetic import run_prohap_e2e
 
     out = run_prohap_e2e(spark, scale=1)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from prohap_spark.queries.registry import register
 
-_DIR = "/tmp/prohap_bench_cohort_s1"
+_DIR = "/tmp/prohap_bench_cohort_v2_s1"
 _RT_FASTA = "/tmp/prohap_rt_fasta"
 _RT_VCF = "/tmp/prohap_rt_vcf"
 
