@@ -452,3 +452,41 @@ def test_connected_components_random_vs_union_find(spark, rng):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["id"]: r["component"] for r in connected_components(df).collect()}
     assert got == want
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """agg_approx_sketches stays rows-only on the driver board
+    (approximate by design) — its value signal is pinned HERE: HLL
+    distinct counts within 3x the default 5% rsd of exact, and each
+    approx percentile between the exact quantiles one documented
+    rank-error either side of the target (approx_percentile guarantee:
+    rank error <= n/accuracy, default accuracy 10000)."""
+    from prohap_spark.queries import queries
+    from prohap_spark.queries.registry import table
+
+    q = queries()
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r for r in q["agg_approx_sketches"](spark, sf).collect()
+    }
+    eps = 2.0 / 10_000  # 2x the 1e-4 quantile-rank guarantee as margin
+    li = table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.expr(
+                "percentile(l_extendedprice, array("
+                f"{0.5 - eps}, {0.5 + eps}, {0.95 - eps}, {0.95 + eps}))"
+            ).alias("pq"),
+        )
+        .collect()
+    }
+    assert approx and approx.keys() == exact.keys()
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a["approx_orders"] - e["exact_orders"]) <= 0.15 * e["exact_orders"]
+        lo50, hi50, lo95, hi95 = e["pq"]
+        assert lo50 <= a["p50"] <= hi50, flag
+        assert lo95 <= a["p95"] <= hi95, flag
