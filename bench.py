@@ -5,14 +5,16 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is fully materialized with the noop sink (no driver
 collect). Value = total wall seconds across the headline set.
 
-Methodology — steady state, prepared plans: every query's DataFrame is
-built ONCE (the prepared-statement model), a full untimed pass absorbs
-JVM/JIT/codegen/Python-worker warmup, then the timed pass re-executes
-the same plans and reports sustained EXECUTION time. Driver-side plan
-construction and Catalyst analysis are one-time costs that amortize to
-zero at production scale, so they are deliberately outside the timed
-region; caches are cleared between passes so no pass serves data from
-the previous one.
+Methodology — steady state, prepared plans, MEDIAN-OF-3: every query's
+DataFrame is built ONCE (the prepared-statement model), a full untimed
+pass absorbs JVM/JIT/codegen/Python-worker warmup, then THREE timed
+passes re-execute the same plans and each query reports its MEDIAN
+wall seconds (single-pass numbers on a shared box swing 2-3x — r4's
+"dedup_minhash_lsh regression" was exactly such a phantom; the median
+suppresses it). Driver-side plan construction and Catalyst analysis
+are one-time costs that amortize to zero at production scale, so they
+are deliberately outside the timed region; caches are cleared between
+passes so no pass serves data from the previous one.
 """
 
 from __future__ import annotations
@@ -39,6 +41,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_bruteforce_topk",
     "emb_centroid_cosine",
+    # the peptide chain (explode + containment join + canonical-first
+    # resolution + class grid, J6/J9/J11/U4) — kernel-adjacent path
+    # whose perf was invisible to round-over-round comparison before r5
+    "u4_peptide_classes",
 ]
 
 
@@ -54,7 +60,7 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = queries()
-    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e, run_provar_e2e
 
     # prepare every plan once (plan-build + analysis are one-time,
     # amortized-to-zero costs — see module docstring). Crash-isolated:
@@ -70,12 +76,16 @@ def main() -> None:
     # domain pipeline end-to-end (synthetic cohort: 100 transcripts,
     # 1000 variants, 50 samples → VCF melt → islands → haplotype
     # grouping → U3 kernel → merge)
-    try:
-        plans.append(("domain_prohap_e2e", run_prohap_e2e(spark, scale=1)))
-    except Exception as e:  # noqa: BLE001
-        errors["domain_prohap_e2e"] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
+    for name, builder in (
+        ("domain_prohap_e2e", run_prohap_e2e),
+        ("domain_provar_e2e", run_provar_e2e),
+    ):
+        try:
+            plans.append((name, builder(spark, scale=1)))
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
 
-    def run_all(record: dict[str, float] | None) -> None:
+    def run_all(record: dict[str, list[float]] | None) -> None:
         for name, df in plans:
             if name in errors:
                 continue
@@ -86,18 +96,22 @@ def main() -> None:
                 errors[name] = f"execute: {type(e).__name__}: {str(e)[:200]}"
                 continue
             if record is not None:
-                record[name] = round(time.time() - t0, 3)
+                record.setdefault(name, []).append(time.time() - t0)
 
     # measure steady state: one untimed pass absorbs JVM/JIT/codegen
-    # warmup, the timed pass reports sustained throughput. Clear the
-    # data cache in between — operators that persist() intermediates
-    # would otherwise serve the timed pass from the warm pass's cache
+    # warmup, then three timed passes — each query reports its MEDIAN.
+    # Clear the data cache between passes — operators that persist()
+    # intermediates would otherwise serve later passes from cache
     # (Spark's cache manager matches identical analyzed plans).
     run_all(None)
-    spark.catalog.clearCache()
-    timings: dict[str, float] = {}
-    run_all(timings)
+    samples: dict[str, list[float]] = {}
+    for _ in range(3):
+        spark.catalog.clearCache()
+        run_all(samples)
 
+    import statistics
+
+    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
