@@ -3,11 +3,13 @@ typed metadata, processed by Arrow-batched pandas UDFs over
 mapInPandas (BASELINE north star: LLM-data-pipeline operators).
 
 The Spark-side plumbing (schemas, batch iteration, partitioning
-behavior, UDF signatures) is real and tested; the actual codec step is
-STUBBED — the image/audio libraries are not in this container, so
-``decode_images`` produces a deterministic fake decode (documented
-below) and raises ``NotImplementedError`` when asked for a real codec.
-Swapping in PIL/ffmpeg later only replaces the marked inner function.
+behavior, UDF signatures) is real and tested. Two codec tiers:
+``real_codec=False`` / ``codec="bytes"`` is a deterministic
+sha256/byte-derived fake (cheap, oracle-friendly); ``real_codec=True``
+/ ``codec="pcm16_wav"`` run REAL container parsers (``codecs.py``:
+uncompressed BMP, RIFF/WAVE PCM16 — pure Python + numpy, no external
+media libraries). Compressed formats (JPEG/PNG/MP3) would slot into
+the same inner functions when a library is available.
 
 Design for 100 TB of media:
 - media bytes live in their own column; metadata-only queries never
@@ -67,15 +69,18 @@ def decode_images(
     height: int = 8,
     real_codec: bool = False,
 ) -> DataFrame:
-    """mapInPandas decode: binary payload → fixed-size grayscale raster
-    (flattened array<int>). ``real_codec=True`` is the marked seam for
-    a real image library (unavailable in this container)."""
-    if real_codec:
-        raise NotImplementedError(
-            "real image codecs (PIL/opencv) are not available in this "
-            "container; the Spark plumbing is exercised via the "
-            "deterministic fake decode"
-        )
+    """mapInPandas decode: binary payload → grayscale raster (flattened
+    array<int>).
+
+    ``real_codec=False`` (default): deterministic sha256-derived fake
+    raster of the requested width×height — the cheap oracle-checkable
+    path for plumbing tests.
+
+    ``real_codec=True``: REAL uncompressed-BMP decode (``codecs.py``:
+    magic, header, palette, row padding, bottom-up/top-down order);
+    raster dimensions come from the payload itself, so ``width`` /
+    ``height`` are ignored. A malformed payload raises (fail loud)."""
+    from prohap_spark.multimodal.codecs import decode_bmp
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -83,10 +88,16 @@ def decode_images(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            pix = [
-                _fake_decode(p, width, height).ravel().astype(int).tolist()
-                for p in pdf[payload_col]
-            ]
+            if real_codec:
+                pix = [
+                    decode_bmp(bytes(p)).ravel().astype(int).tolist()
+                    for p in pdf[payload_col]
+                ]
+            else:
+                pix = [
+                    _fake_decode(p, width, height).ravel().astype(int).tolist()
+                    for p in pdf[payload_col]
+                ]
             yield pdf.assign(pixels=pix)
 
     return df.mapInPandas(run, schema=out_schema)
@@ -179,12 +190,21 @@ def audio_window_features(
     window: int = 64,
     hop: int = 32,
     max_windows: int = 8,
+    codec: str = "bytes",
 ) -> DataFrame:
-    """Audio framing plumbing: one payload fans out to ≤ max_windows
-    overlapping byte windows, each reduced to (mean, rms) over its raw
-    byte values — the mapInPandas shape a real spectral featurizer
-    (librosa etc., not in this container) drops into; the byte-level
-    window math itself is real and deterministic."""
+    """Audio framing: one payload fans out to ≤ max_windows overlapping
+    windows, each reduced to (mean, rms).
+
+    ``codec="bytes"``: windows over raw payload bytes (the stub path).
+    ``codec="pcm16_wav"``: REAL RIFF/WAVE parse (``codecs.decode_wav``
+    — chunk walk, fmt validation, PCM16) then windows over the decoded
+    int16 samples, stereo downmixed by averaging the two channels.
+    The window math is identical either way, so a featurizer swap
+    (librosa etc.) only replaces the sample extraction."""
+    if codec not in ("bytes", "pcm16_wav"):
+        raise ValueError(f"unknown audio codec {codec!r}")
+    from prohap_spark.multimodal.codecs import decode_wav
+
     out_schema = "media_id long, win_idx int, win_mean double, win_rms double"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -193,7 +213,13 @@ def audio_window_features(
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 if payload is None:
                     continue
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if codec == "pcm16_wav":
+                    samples, _rate, channels = decode_wav(bytes(payload))
+                    buf = samples.astype(np.float64)
+                    if channels == 2:
+                        buf = (buf[0::2] + buf[1::2]) / 2.0
+                else:
+                    buf = np.frombuffer(bytes(payload), dtype=np.uint8)
                 for w in range(max_windows):
                     start = w * hop
                     seg = buf[start : start + window]

@@ -34,18 +34,19 @@ from prohap_spark.queries import start_codon  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 2 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 4 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 4 rows-only core + 9 re-checks whose
+# go dark two rounds running) + 4 rows-only core + 7 re-checks whose
 # INPUTS changed this round (the synthetic cohort moved to v2 with
-# X/PAR transcripts + the bench set grew) or that carry a unique
-# capability. Exactly 50 = the driver budget. _BACK = the remaining
-# 37, every one hash-green in CORRECTNESS_r04 (verified by the
-# rotation audit in NOTES_ROUND5) — so the trailing two-round
-# invariant holds whatever the driver truncates.
+# X/PAR transcripts + the bench set grew). Exactly 50 = the driver
+# budget. _BACK = the remaining 39, every one hash-green in
+# CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
+# so the trailing two-round invariant holds whatever the driver
+# truncates.
 _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
+    "multimodal_bmp_codec", "multimodal_wav_codec",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -69,12 +70,10 @@ _FRONT = [
     "sim_lsh_ann", "agg_approx_sketches",
     # (e) inputs changed this round — the cohort parquet moved to
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
-    # cohort-reading oracle must re-prove itself; plus the unique
-    # stream-stream / multimodal capabilities stay visible:
+    # cohort-reading oracle must re-prove itself:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
     "domain_provar_fasta_oracle", "domain_postprocess_chain",
     "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s5_fasta_roundtrip",
-    "stream_click_attribution", "multimodal_resize_stats",
 ]
 _BACK = [
     # hash-green in CORRECTNESS_r04 AND the primitive is redundantly
@@ -99,6 +98,10 @@ _BACK = [
     "j1_interval_join_binned", "text_token_counts",
     "dedup_embedding_cosine", "stream_stateful_user_stats",
     "multimodal_decode_features",
+    # green r4, inputs unchanged; demoted to make front room for the
+    # two new real-codec queries (which subsume their capability
+    # demonstration this round):
+    "stream_click_attribution", "multimodal_resize_stats",
 ]
 
 

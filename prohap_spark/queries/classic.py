@@ -402,3 +402,143 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("win_mean", 4).alias("win_mean"),
         F.round("win_rms", 4).alias("win_rms"),
     )
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str, min_bytes: int):
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return d.where(F.octet_length(F.encode("text", "utf-8")) >= min_bytes).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("text_bytes"),
+    )
+
+
+@register(
+    "multimodal_bmp_codec",
+    # the BMP pixel grid is the first 64 text bytes row-major, so after
+    # the REAL encode (bottom-up rows, padding) → REAL decode (header
+    # parse, row un-flip) roundtrip, pixel k must equal text byte k —
+    # the oracle reads the bytes straight off the text. p10 (row 1,
+    # col 0 = byte 8) would catch a decoder that forgot the bottom-up
+    # flip; the mean is a dyadic-exact /64
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    )
+    SELECT media_id,
+           ord(substr(text, 1, 1)) AS p00,
+           ord(substr(text, 9, 1)) AS p10,
+           ord(substr(text, 64, 1)) AS p77,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE))) / 64,
+                 4) AS px_mean
+    FROM m
+    """,
+)
+def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-codec path (no stub): each document's first 64 bytes
+    become an 8×8 grayscale raster, written as a genuine 24-bit
+    uncompressed BMP container (file header, info header, BGR triples,
+    bottom-up rows, 4-byte row padding) and decoded back through
+    ``decode_images(real_codec=True)`` — the byte-level parser in
+    ``multimodal/codecs.py``. Any header/stride/row-order bug in the
+    decoder breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_bmp
+
+    media = _docs_as_media(spark, sf_dir, 64)
+
+    def to_bmp(batches):
+        for pdf in batches:
+            payloads = [
+                encode_bmp(np.frombuffer(bytes(tb), dtype=np.uint8)[:64].reshape(8, 8))
+                for tb in pdf["text_bytes"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    bmps = media.mapInPandas(to_bmp, schema="media_id long, payload binary")
+    decoded = decode_images(bmps, real_codec=True)
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    return decoded.select(
+        "media_id",
+        F.element_at(px, 1).alias("p00"),
+        F.element_at(px, 9).alias("p10"),
+        F.element_at(px, 64).alias("p77"),
+        F.round(mean, 4).alias("px_mean"),
+    )
+
+
+@register(
+    "multimodal_wav_codec",
+    # PCM16 samples are (byte - 128) * 256 over the first ≤288 text
+    # bytes; the Spark side wraps them in a genuine RIFF/WAVE container
+    # (odd media_ids get a junk LIST chunk between fmt and data, so the
+    # production chunk walk is exercised, not just the happy path) and
+    # re-extracts them with decode_wav before windowing. Window sums
+    # are integer-exact in float64 (|x| ≤ 2^15, 64 terms)
+    """
+    WITH w AS (
+      SELECT doc_id AS media_id, text,
+             least(octet_length(encode(text)), 288) AS n
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    ),
+    wins AS (
+      SELECT media_id, CAST(t.w AS INT) AS win_idx,
+             list_transform(range(1, 65),
+               i -> CAST((ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) - 128) * 256
+                    AS DOUBLE)) AS seg
+      FROM w, range(0, 8) t(w)
+      WHERE t.w * 32 + 64 <= n
+    )
+    SELECT media_id, win_idx,
+           round(list_sum(seg) / 64, 4) AS win_mean,
+           round(sqrt(list_sum(list_transform(seg, x -> x * x)) / 64), 4) AS win_rms
+    FROM wins
+    """,
+)
+def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-codec path (no stub): text bytes → int16 PCM samples
+    → genuine RIFF/WAVE container (fmt + data chunks; odd media_ids
+    also carry a junk LIST chunk the walker must skip) → parsed back by
+    ``decode_wav`` inside ``audio_window_features(codec='pcm16_wav')``
+    → overlapping (mean, rms) windows over the decoded samples."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import audio_window_features
+    from prohap_spark.multimodal.codecs import encode_wav
+
+    media = _docs_as_media(spark, sf_dir, 64)
+
+    def to_wav(batches):
+        junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        for pdf in batches:
+            payloads = []
+            for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
+                buf = np.frombuffer(bytes(tb), dtype=np.uint8)[:288]
+                samples = ((buf.astype(np.int64) - 128) * 256).astype(np.int16)
+                wav = encode_wav(samples, sample_rate=8000)
+                if mid % 2 == 1:  # exercise the unknown-chunk skip
+                    fmt_end = 12 + 8 + 16
+                    wav = wav[:fmt_end] + junk + wav[fmt_end:]
+                    wav = wav[:4] + struct.pack("<I", len(wav) - 8) + wav[8:]
+                payloads.append(wav)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    wavs = media.mapInPandas(to_wav, schema="media_id long, payload binary")
+    out = audio_window_features(wavs, window=64, hop=32, max_windows=8, codec="pcm16_wav")
+    return out.select(
+        "media_id",
+        "win_idx",
+        F.round("win_mean", 4).alias("win_mean"),
+        F.round("win_rms", 4).alias("win_rms"),
+    )

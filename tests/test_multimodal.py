@@ -41,11 +41,107 @@ def test_decode_deterministic(spark, media):
     assert out == out2
 
 
-def test_real_codec_is_stubbed(media):
-    from prohap_spark.multimodal import decode_images
+def test_bmp_roundtrip_including_padding():
+    import numpy as np
 
-    with pytest.raises(NotImplementedError):
-        decode_images(media, real_codec=True)
+    from prohap_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    # width 6 → 18-byte rows padded to 20: exercises the stride logic
+    raster = np.arange(30, dtype=np.uint8).reshape(5, 6) * 7
+    payload = encode_bmp(raster)
+    assert payload[:2] == b"BM"
+    assert np.array_equal(decode_bmp(payload), raster)
+
+
+def test_bmp_top_down_and_paletted():
+    import struct
+
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    raster = np.arange(16, dtype=np.uint8).reshape(4, 4) * 16
+    # flip the encoded height negative → top-down row order; the pixel
+    # rows must then be reinterpreted in reverse
+    payload = bytearray(encode_bmp(raster))
+    struct.pack_into("<i", payload, 22, -4)
+    assert np.array_equal(decode_bmp(bytes(payload)), raster[::-1])
+
+    # hand-built 8-bit paletted BMP: 2×2, identity grayscale palette
+    pal = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    px_rows = bytes((10, 20, 0, 0)) + bytes((30, 40, 0, 0))  # bottom-up, padded
+    offset = 14 + 40 + len(pal)
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(px_rows), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, len(px_rows), 0, 0, 256, 0)
+    decoded = decode_bmp(hdr + info + pal + px_rows)
+    assert np.array_equal(decoded, np.array([[30, 40], [10, 20]], dtype=np.uint8))
+
+
+def test_bmp_rejects_malformed():
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_bmp, encode_bmp
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp(b"not a bitmap at all, just bytes that are long enough to pass the length check....")
+    good = encode_bmp(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp(good[:-8])
+
+
+def test_wav_roundtrip_mono_stereo_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_wav, encode_wav
+
+    samples = (np.arange(100) * 257 - 12800).astype(np.int16)
+    s, rate, ch = decode_wav(encode_wav(samples, sample_rate=16000))
+    assert rate == 16000 and ch == 1 and np.array_equal(s, samples)
+
+    stereo = np.stack([samples, -samples], axis=1).ravel()
+    s2, _, ch2 = decode_wav(encode_wav(stereo, channels=2))
+    assert ch2 == 2 and np.array_equal(s2, stereo)
+
+    # inject an odd-sized LIST chunk between fmt and data: the chunk
+    # walk must skip it (with the pad byte) and still find data
+    payload = encode_wav(samples)
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # 5 odd → 1 pad
+    patched = payload[:fmt_end] + junk + payload[fmt_end:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s3, _, _ = decode_wav(patched)
+    assert np.array_equal(s3, samples)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OGGS whatever")
+
+
+def test_real_codec_spark_paths(spark):
+    import numpy as np
+
+    from prohap_spark.multimodal import audio_window_features, decode_images
+    from prohap_spark.multimodal.codecs import encode_bmp, encode_wav
+
+    raster = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    samples = (np.arange(80, dtype=np.int64) * 100 - 4000).astype(np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(raster)), bytearray(encode_wav(samples)))],
+        ["media_id", "payload", "wav"],
+    )
+    pixels = decode_images(df.select("media_id", "payload"), real_codec=True).collect()[0]["pixels"]
+    assert pixels == list(range(64))
+
+    rows = audio_window_features(
+        df.select("media_id", F.col("wav").alias("payload")),
+        window=32, hop=16, max_windows=4, codec="pcm16_wav",
+    ).collect()
+    assert len(rows) == 4  # (80 - 32) // 16 + 1 = 4
+    seg0 = samples[:32].astype(np.float64)
+    r0 = next(r for r in rows if r["win_idx"] == 0)
+    assert abs(r0["win_mean"] - seg0.mean()) < 1e-9
+    assert abs(r0["win_rms"] - np.sqrt((seg0 * seg0).mean())) < 1e-9
 
 
 def test_feature_extraction(spark, media):
