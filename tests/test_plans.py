@@ -140,3 +140,20 @@ def test_click_attribution_equi_join_on_user(spark, qs):
 
     rep = plan_report(qs["stream_click_attribution"](spark, SF), "attrib")
     assert rep["bnl_joins"] == 0
+
+
+def test_partitioned_sink_read_prunes_partitions(spark):
+    """S10/F3: a chrom-filtered read of the partitionBy('chrom') layout
+    must satisfy the predicate from the directory structure (partition
+    pruning), not by scanning row data."""
+    from prohap_spark.sources.canonicalize import canonicalize_variants, read_canonical
+
+    df = spark.createDataFrame(
+        [("1", 10, "A", "C"), ("X", 20, "G", "T"), ("X", 5, "T", "A")],
+        ["chrom", "pos", "ref", "alt"],
+    )
+    canonicalize_variants(df, "/tmp/prohap_test_canon_prune")
+    rt = read_canonical(spark, "/tmp/prohap_test_canon_prune", chrom="X")
+    plan = rt._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "chrom" in plan.split("PartitionFilters", 1)[1][:200]
+    assert {r["pos"] for r in rt.collect()} == {5, 20}
