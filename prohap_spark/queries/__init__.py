@@ -22,6 +22,7 @@ from prohap_spark.queries import minus_strand  # noqa: F401
 from prohap_spark.queries import indel_haplo  # noqa: F401
 from prohap_spark.queries import start_codon  # noqa: F401
 from prohap_spark.queries import sink_board  # noqa: F401
+from prohap_spark.queries import junction  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -35,12 +36,12 @@ from prohap_spark.queries import sink_board  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 7 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 8 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 4 rows-only core + 4 re-checks whose
+# go dark two rounds running) + 4 rows-only core + 3 re-checks whose
 # INPUTS changed this round (the synthetic cohort moved to v2 with
 # X/PAR transcripts + the bench set grew). Exactly 50 = the driver
-# budget. _BACK = the remaining 42, every one hash-green in
+# budget. _BACK = the remaining 43, every one hash-green in
 # CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
 # so the trailing two-round invariant holds whatever the driver
 # truncates.
@@ -49,6 +50,7 @@ _FRONT = [
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
     "multimodal_bmp_codec", "multimodal_wav_codec",
     "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
+    "domain_provar_junction_oracle",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -74,7 +76,7 @@ _FRONT = [
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
     # cohort-reading oracle must re-prove itself:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
-    "domain_provar_fasta_oracle", "domain_postprocess_chain",
+    "domain_postprocess_chain",
 ]
 _BACK = [
     # hash-green in CORRECTNESS_r04 AND the primitive is redundantly
@@ -107,6 +109,10 @@ _BACK = [
     # the text-source family stays front-represented by the S7/S10
     # sink roundtrips, which read the same cohort parquet truth:
     "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s5_fasta_roundtrip",
+    # green r4; demoted for the junction oracle — its provar core
+    # re-proves itself on cohort v2 via domain_provar_snp_oracle
+    # (front), and the fasta-dedup stage logic is unchanged:
+    "domain_provar_fasta_oracle",
 ]
 
 
