@@ -37,12 +37,12 @@ from prohap_spark.queries import force_rf  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 9 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 10 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 3 rows-only core + 3 re-checks whose
+# go dark two rounds running) + 3 rows-only core + 2 re-checks whose
 # INPUTS changed this round (the synthetic cohort moved to v2 with
 # X/PAR transcripts + the bench set grew). Exactly 50 = the driver
-# budget. _BACK = the remaining 44, every one hash-green in
+# budget. _BACK = the remaining 45, every one hash-green in
 # CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
 # so the trailing two-round invariant holds whatever the driver
 # truncates.
@@ -52,6 +52,7 @@ _FRONT = [
     "multimodal_bmp_codec", "multimodal_wav_codec",
     "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
     "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
+    "f10_sample_subset_prohap",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -77,7 +78,6 @@ _FRONT = [
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
     # cohort-reading oracle must re-prove itself:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
-    "domain_postprocess_chain",
 ]
 _BACK = [
     # hash-green in CORRECTNESS_r04 AND the primitive is redundantly
@@ -114,6 +114,10 @@ _BACK = [
     # error-bound tolerance test this round (tests/test_operators.py),
     # so the driver row adds nothing — demoted for the force_rf oracle:
     "agg_approx_sketches",
+    # green r4; demoted for the F10 subset oracle — its provar core
+    # re-proves itself on cohort v2 via domain_provar_snp_oracle
+    # (front), and the postprocess stage logic is input-shape-agnostic:
+    "domain_postprocess_chain",
     # green r4; demoted for the junction oracle — its provar core
     # re-proves itself on cohort v2 via domain_provar_snp_oracle
     # (front), and the fasta-dedup stage logic is unchanged:

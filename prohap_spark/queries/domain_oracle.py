@@ -559,3 +559,46 @@ def domain_postprocess_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_duplicate_sequences(split_stop_codon_fragments(fall, min_len=6))
     )
     return chain.select("tag", "accession", "description", "sequence")
+
+
+# ---- F10 sample-set projection, value-visible -----------------------
+# Same derivation as PROHAP_SNP_SQL but with the sample METADATA
+# restricted to sidx < 35: the pipeline's broadcast semi-join
+# (extract_haplotypes, prohap.py:60-66 — "keep only VCF sample columns
+# present in metadata", reference get_haplotypes sample alignment)
+# must then drop the other 15 samples' genotype columns entirely,
+# changing carriers, occurrence counts, denominators (n=35, m
+# recomputed), and which haplotypes exist at all. The full-cohort SQL
+# skipped the phase-1 meta join (a no-op there); the subset flavor
+# needs it on BOTH phases.
+_SUBSET_META = f"""FROM read_parquet('{_DIR}/meta/*.parquet')
+  WHERE CAST(substr(sample_name, 2) AS INT) < 35"""
+PROHAP_SUBSET_SQL = PROHAP_SNP_SQL.replace(
+    f"FROM read_parquet('{_DIR}/meta/*.parquet')", _SUBSET_META
+).replace(
+    "CAST(split_part(gt, '|', 1) AS INT) AS allele FROM mg",
+    "CAST(split_part(gt, '|', 1) AS INT) AS allele\n"
+    "           FROM mg JOIN meta USING (sidx)",
+)
+assert PROHAP_SUBSET_SQL.count("sample_name, 2) AS INT) < 35") == 1
+assert "allele\n           FROM mg JOIN meta USING (sidx)" in PROHAP_SUBSET_SQL
+
+
+@register("f10_sample_subset_prohap", PROHAP_SUBSET_SQL)
+def f10_sample_subset_prohap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 through the REAL pipeline: extract_haplotypes with a
+    35-sample metadata subset — the broadcast semi-join projects away
+    the 15 unlisted samples before phase explode, so carriers,
+    occurrence counts, sex-aware denominators, and the surviving
+    haplotype set all shift; the oracle re-derives everything from the
+    same restricted metadata."""
+    from prohap_spark.pipeline.prohap import annotate_haplotypes, extract_haplotypes
+    from prohap_spark.pipeline.synthetic import materialized_cohort
+
+    variants, transcripts, cdna, names, meta = materialized_cohort(spark, scale=1)
+    meta_sub = meta.where(F.substring("sample_name", 2, 10).cast("int") < 35)
+    haplos = extract_haplotypes(variants, names, meta_sub, transcripts, min_af=0.01)
+    out = annotate_haplotypes(haplos, transcripts, cdna, min_count=1)
+    return out.select(
+        "transcript_id", "cdna_changes", "protein", "occurrence_count", "frequency"
+    )
