@@ -37,12 +37,12 @@ from prohap_spark.queries import force_rf  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 10 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 11 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 3 rows-only core + 2 re-checks whose
+# go dark two rounds running) + 2 rows-only core + 2 re-checks whose
 # INPUTS changed this round (the synthetic cohort moved to v2 with
 # X/PAR transcripts + the bench set grew). Exactly 50 = the driver
-# budget. _BACK = the remaining 45, every one hash-green in
+# budget. _BACK = the remaining 46, every one hash-green in
 # CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
 # so the trailing two-round invariant holds whatever the driver
 # truncates.
@@ -52,7 +52,7 @@ _FRONT = [
     "multimodal_bmp_codec", "multimodal_wav_codec",
     "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
     "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
-    "f10_sample_subset_prohap",
+    "f10_sample_subset_prohap", "f8_count_threshold_prohap",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -73,7 +73,6 @@ _FRONT = [
     "dedup_exact_docs", "sim_ivf_ann",
     # (d) rows-only core deliverables, always driver-visible:
     "domain_prohap_synthetic", "domain_provar_synthetic",
-    "sim_lsh_ann",
     # (e) inputs changed this round — the cohort parquet moved to
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
     # cohort-reading oracle must re-prove itself:
@@ -110,6 +109,9 @@ _BACK = [
     # the text-source family stays front-represented by the S7/S10
     # sink roundtrips, which read the same cohort parquet truth:
     "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s5_fasta_roundtrip",
+    # rows-only by design; its recall floor is pinned in pytest
+    # (tests/test_operators.py) — demoted for the F8 threshold oracle:
+    "sim_lsh_ann",
     # rows-only by design; its value signal moved to the pytest
     # error-bound tolerance test this round (tests/test_operators.py),
     # so the driver row adds nothing — demoted for the force_rf oracle:

@@ -602,3 +602,28 @@ def f10_sample_subset_prohap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "transcript_id", "cdna_changes", "protein", "occurrence_count", "frequency"
     )
+
+
+# ---- F8 occurrence-count threshold, value-visible -------------------
+PROHAP_THRESHOLD_SQL = (
+    "SELECT * FROM (\n" + PROHAP_SNP_SQL + "\n) WHERE occurrence_count >= 3"
+)
+
+
+@register("f8_count_threshold_prohap", PROHAP_THRESHOLD_SQL)
+def f8_count_threshold_prohap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 through the REAL pipeline: annotate_haplotypes(min_count=3)
+    applies the occurrence threshold AFTER the A5 duplicate merge
+    (pipeline/prohap.py:340-342, reference frequency/count gate) — the
+    oracle wraps the full-cohort derivation in the same post-merge
+    filter, so a threshold applied at the wrong stage (pre-merge
+    per-duplicate counts) diverges."""
+    from prohap_spark.pipeline.prohap import annotate_haplotypes, extract_haplotypes
+    from prohap_spark.pipeline.synthetic import materialized_cohort
+
+    variants, transcripts, cdna, names, meta = materialized_cohort(spark, scale=1)
+    haplos = extract_haplotypes(variants, names, meta, transcripts, min_af=0.01)
+    out = annotate_haplotypes(haplos, transcripts, cdna, min_count=3)
+    return out.select(
+        "transcript_id", "cdna_changes", "protein", "occurrence_count", "frequency"
+    )

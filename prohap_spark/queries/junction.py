@@ -89,6 +89,20 @@ def _junction_fixture():
         for pos, g_ref, g_alt in cases:
             variants.append(("9", pos, f"rs_{tid}_{pos}", g_ref, g_alt,
                              ".", ".", "AF=0.5", "GT", 0.5))
+    # F6 decoy: a START-LESS transcript with a valid SNP — the strict
+    # require_start gate (pipeline/provar.py:89-92, reference
+    # prohap.py:120-127) must drop it BEFORE the interval join; its row
+    # appearing in the output breaks the oracle's row count
+    decoy_seq = _mkseq("TJ_NOSTART", 300)
+    transcripts.append(
+        ("TJ_NOSTART", "G_NS", "N_NS", "9", 20000, 20299, "+",
+         "protein_coding", ["Ensembl_canonical"],
+         [{"start": 20000, "end": 20299}], None, None)
+    )
+    cdnas.append(("cdna", "TJ_NOSTART", "", decoy_seq))
+    nb = decoy_seq[50]
+    variants.append(("9", 20050, "rs_ns", nb,
+                     "A" if nb != "A" else "C", ".", ".", "AF=0.5", "GT", 0.5))
     return transcripts, cdnas, variants
 
 
@@ -104,7 +118,9 @@ _SQL_JTRANSCRIPTS = ",\n      ".join(
         e2s=t[9][1]["start"], e2e=t[9][1]["end"],
         strand=t[6], sc=t[10],
     )
-    for t in _JT
+    # the start-less F6 decoy is deliberately ABSENT from the oracle:
+    # the pipeline's require_start gate must produce the same absence
+    for t in _JT if t[10] is not None
 )
 _SQL_JCDNA = ",\n      ".join(f"('{acc}', '{seq}')" for _tag, acc, _d, seq in _JC)
 
@@ -217,13 +233,17 @@ FROM e JOIN prot p ON p.tid = e.tid AND p.item_id = e.item_id
 
 @register("domain_provar_junction_oracle", JUNCTION_SQL)
 def domain_provar_junction_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL ProVar pipeline over the literal junction fixture: all
-    three genome-orientation truncation branches (intron-start trim,
-    exon-end cut, reach-through splice) plus the ALT-kept asymmetry,
-    on both strands — the truncated alleles surface verbatim in
-    cdna_changes, the 'splice_variant' consequence in variant_types,
-    and the truncated overlay in the translated protein, each
-    re-derived independently by the oracle."""
+    """The REAL ProVar pipeline (require_start=True) over the literal
+    junction fixture: all three genome-orientation truncation branches
+    (intron-start trim, exon-end cut, reach-through splice) plus the
+    ALT-kept asymmetry, on both strands — the truncated alleles
+    surface verbatim in cdna_changes, the 'splice_variant' consequence
+    in variant_types, and the truncated overlay in the translated
+    protein, each re-derived independently by the oracle. The fixture
+    also carries a START-LESS decoy transcript with a valid variant:
+    the strict F6 gate (pipeline/provar.py:89-92) must drop it, and
+    the oracle (which omits the decoy) breaks on row count if it
+    leaks through."""
     from prohap_spark.pipeline.provar import run_provar
 
     variants = spark.createDataFrame(
@@ -240,7 +260,7 @@ def domain_provar_junction_oracle(spark: SparkSession, sf_dir: str) -> DataFrame
     cdna = spark.createDataFrame(
         _JC, "tag string, accession string, description string, sequence string"
     )
-    out = run_provar(variants, transcripts, cdna, min_af=0.01)
+    out = run_provar(variants, transcripts, cdna, min_af=0.01, require_start=True)
     return out.select(
         F.col("transcript_id"), "item_id", "cdna_changes", "variant_types", "protein"
     )
