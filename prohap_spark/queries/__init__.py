@@ -24,6 +24,7 @@ from prohap_spark.queries import start_codon  # noqa: F401
 from prohap_spark.queries import sink_board  # noqa: F401
 from prohap_spark.queries import junction  # noqa: F401
 from prohap_spark.queries import force_rf  # noqa: F401
+from prohap_spark.queries import junction_haplo  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -53,6 +54,7 @@ _FRONT = [
     "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
     "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
     "f10_sample_subset_prohap", "f8_count_threshold_prohap",
+    "domain_prohap_junction_oracle",
     # (c) dark in r4 (green r3 or earlier; code unchanged since):
     "agg_cube_grouping",
     "q3_shipping_priority", "q5_local_supplier_volume",
@@ -71,8 +73,8 @@ _FRONT = [
     "text_fingerprint_dedup", "sim_bruteforce_topk",
     "stream_live_session_windows", "j6_explode_equijoin",
     "dedup_exact_docs", "sim_ivf_ann",
-    # (d) rows-only core deliverables, always driver-visible:
-    "domain_prohap_synthetic", "domain_provar_synthetic",
+    # (d) rows-only core deliverable, driver-visible:
+    "domain_provar_synthetic",
     # (e) inputs changed this round — the cohort parquet moved to
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
     # cohort-reading oracle must re-prove itself:
@@ -124,6 +126,11 @@ _BACK = [
     # re-proves itself on cohort v2 via domain_provar_snp_oracle
     # (front), and the fasta-dedup stage logic is unchanged:
     "domain_provar_fasta_oracle",
+    # rows-only by design (no hash signal to lose); demoted for the
+    # junction-HAPLOTYPE oracle — the same ProHap pipeline on the same
+    # cohort v2 is hash-checked end-to-end by domain_prohap_snp_oracle
+    # (front), a strictly stronger signal than this rows-only row:
+    "domain_prohap_synthetic",
 ]
 
 
