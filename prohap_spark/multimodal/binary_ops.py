@@ -7,9 +7,10 @@ behavior, UDF signatures) is real and tested. Two codec tiers:
 ``real_codec=False`` / ``codec="bytes"`` is a deterministic
 sha256/byte-derived fake (cheap, oracle-friendly); ``real_codec=True``
 / ``codec="pcm16_wav"`` run REAL container parsers (``codecs.py``:
-uncompressed BMP, RIFF/WAVE PCM16 — pure Python + numpy, no external
-media libraries). Compressed formats (JPEG/PNG/MP3) would slot into
-the same inner functions when a library is available.
+uncompressed BMP, COMPRESSED PNG via stdlib-zlib DEFLATE, RIFF/WAVE
+PCM16 — pure Python + numpy, no external media libraries; the image
+path sniffs the magic bytes and dispatches per payload). JPEG/MP3
+would slot into the same inner functions when a library is available.
 
 Design for 100 TB of media:
 - media bytes live in their own column; metadata-only queries never
@@ -76,21 +77,31 @@ def decode_images(
     raster of the requested width×height — the cheap oracle-checkable
     path for plumbing tests.
 
-    ``real_codec=True``: REAL uncompressed-BMP decode (``codecs.py``:
-    magic, header, palette, row padding, bottom-up/top-down order);
-    raster dimensions come from the payload itself, so ``width`` /
-    ``height`` are ignored. A malformed payload raises (fail loud)."""
-    from prohap_spark.multimodal.codecs import decode_bmp
+    ``real_codec=True``: REAL image decode dispatched on the payload's
+    magic bytes — uncompressed BMP ('BM': header, palette, row padding,
+    bottom-up/top-down order) or compressed PNG (signature: chunk CRCs,
+    multi-IDAT DEFLATE reassembly, five-filter scanline reconstruction,
+    ``codecs.py``); raster dimensions come from the payload itself, so
+    ``width`` / ``height`` are ignored. A malformed or unrecognized
+    payload raises (fail loud)."""
+    from prohap_spark.multimodal.codecs import _PNG_SIG, decode_bmp, decode_png
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", pixels array<int>"
 
+    def _real_decode(p: bytes) -> np.ndarray:
+        if p[:2] == b"BM":
+            return decode_bmp(p)
+        if p[: len(_PNG_SIG)] == _PNG_SIG:
+            return decode_png(p)
+        raise ValueError("unrecognized image payload (neither BMP nor PNG)")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if real_codec:
                 pix = [
-                    decode_bmp(bytes(p)).ravel().astype(int).tolist()
+                    _real_decode(bytes(p)).ravel().astype(int).tolist()
                     for p in pdf[payload_col]
                 ]
             else:

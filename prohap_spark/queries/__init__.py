@@ -38,19 +38,21 @@ from prohap_spark.queries import junction_haplo  # noqa: F401
 # round via rule (c)). Net effect: every registered query is hash-green
 # within any trailing two-round window.
 #
-# Round-5 state: _FRONT = 11 new (r5) + the full dark-in-r4 set (35:
+# Round-5 state: _FRONT = 13 new (r5) + the full dark-in-r4 set (35:
 # the 34 r4 _BACK entries + agg_cube_grouping, rule (c) — nothing may
-# go dark two rounds running) + 2 rows-only core + 2 re-checks whose
-# INPUTS changed this round (the synthetic cohort moved to v2 with
-# X/PAR transcripts + the bench set grew). Exactly 50 = the driver
-# budget. _BACK = the remaining 46, every one hash-green in
-# CORRECTNESS_r04 (verified by the rotation audit in NOTES_ROUND5) —
-# so the trailing two-round invariant holds whatever the driver
-# truncates.
+# go dark two rounds running) + 2 re-checks whose INPUTS changed this
+# round (the synthetic cohort moved to v2 with X/PAR transcripts + the
+# bench set grew). Exactly 50 = the driver budget. _BACK = the
+# remaining 48: every hash-bearing one is green in CORRECTNESS_r04
+# (verified by the rotation audit in NOTES_ROUND5), and the two
+# demoted rows-only cores carry no hash signal to lose — their
+# pipelines are hash-checked FRONT by the snp oracles on the same
+# cohort v2 — so the trailing two-round invariant holds whatever the
+# driver truncates.
 _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
-    "multimodal_bmp_codec", "multimodal_wav_codec",
+    "multimodal_bmp_codec", "multimodal_wav_codec", "multimodal_png_codec",
     "s7_tsv_gz_roundtrip", "s10_partitioned_prune", "f2_allele_validity",
     "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
     "f10_sample_subset_prohap", "f8_count_threshold_prohap",
@@ -73,8 +75,6 @@ _FRONT = [
     "text_fingerprint_dedup", "sim_bruteforce_topk",
     "stream_live_session_windows", "j6_explode_equijoin",
     "dedup_exact_docs", "sim_ivf_ann",
-    # (d) rows-only core deliverable, driver-visible:
-    "domain_provar_synthetic",
     # (e) inputs changed this round — the cohort parquet moved to
     # v2 (X/PAR transcripts, mixed-sex denominators), so every
     # cohort-reading oracle must re-prove itself:
@@ -131,6 +131,10 @@ _BACK = [
     # cohort v2 is hash-checked end-to-end by domain_prohap_snp_oracle
     # (front), a strictly stronger signal than this rows-only row:
     "domain_prohap_synthetic",
+    # rows-only by design (no hash signal to lose); demoted for the
+    # compressed-PNG codec oracle — the ProVar core is hash-checked
+    # front on cohort v2 by domain_provar_snp_oracle:
+    "domain_provar_synthetic",
 ]
 
 

@@ -475,6 +475,85 @@ def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_codec",
+    # the PNG pixel grid is the first 64 text bytes row-major; after
+    # the REAL encode (cycling filters 0-4, two IDAT chunks, CRCs) →
+    # REAL decode (inflate + per-filter scanline reconstruction)
+    # roundtrip, pixel k must equal text byte k, so the oracle reads
+    # the bytes straight off the text. Odd media_ids encode as RGB
+    # (r=g=b → integer luma is exact); every third id carries a tEXt
+    # ancillary chunk the walker must skip. p33 (row 3, col 3 = byte
+    # 28) sits in a Paeth-filtered row (3 % 5) — a broken Paeth
+    # predictor or a mis-stitched IDAT boundary breaks the hash
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    )
+    SELECT media_id,
+           ord(substr(text, 1, 1)) AS p00,
+           ord(substr(text, 28, 1)) AS p33,
+           ord(substr(text, 64, 1)) AS p77,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE))) / 64,
+                 4) AS px_mean
+    FROM m
+    """,
+)
+def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image path (no stub, no external library): each
+    document's first 64 bytes become an 8×8 raster written as a genuine
+    PNG — stdlib-zlib DEFLATE, scanline filters cycling through all
+    five types, the IDAT stream split across two chunks, per-chunk
+    CRCs — and decoded back through ``decode_images(real_codec=True)``,
+    which sniffs the magic and runs the full parse (CRC verify,
+    multi-IDAT reassembly, inflate, filter reconstruction). Even
+    media_ids encode grayscale (color type 0), odd RGB (type 2); every
+    third id carries a tEXt ancillary chunk the walker must skip."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_png
+
+    media = _docs_as_media(spark, sf_dir, 64)
+
+    def to_png(batches):
+        t, d = b"tEXt", b"src\x00doc"
+        text_chunk = (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+        for pdf in batches:
+            payloads = []
+            for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
+                raster = np.frombuffer(bytes(tb), dtype=np.uint8)[:64].reshape(8, 8)
+                png = encode_png(raster, color_type=2 if mid % 2 else 0)
+                if mid % 3 == 0:  # exercise the ancillary-chunk skip
+                    ihdr_end = 8 + 12 + 13
+                    png = png[:ihdr_end] + text_chunk + png[ihdr_end:]
+                payloads.append(png)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    pngs = media.mapInPandas(to_png, schema="media_id long, payload binary")
+    decoded = decode_images(pngs, real_codec=True)
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    return decoded.select(
+        "media_id",
+        F.element_at(px, 1).alias("p00"),
+        F.element_at(px, 28).alias("p33"),
+        F.element_at(px, 64).alias("p77"),
+        F.round(mean, 4).alias("px_mean"),
+    )
+
+
+@register(
     "multimodal_wav_codec",
     # PCM16 samples are (byte - 128) * 256 over the first ≤288 text
     # bytes; the Spark side wraps them in a genuine RIFF/WAVE container

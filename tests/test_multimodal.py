@@ -196,3 +196,104 @@ def test_audio_window_features_numpy_parity(spark):
         seg = buf[r["win_idx"] * 32 : r["win_idx"] * 32 + 64].astype(np.float64)
         assert abs(r["win_mean"] - seg.mean()) < 1e-9
         assert abs(r["win_rms"] - np.sqrt((seg * seg).mean())) < 1e-9
+
+
+def test_png_roundtrip_filters_colortypes_and_shapes():
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_png, encode_png
+
+    rng = np.random.RandomState(7)
+    for color_type in (0, 2):
+        # heights ≥ 5 cycle through every scanline filter (row i uses
+        # filter i % 5); odd widths probe the stride math
+        for shape in [(8, 8), (1, 1), (5, 13), (16, 3)]:
+            raster = rng.randint(0, 256, size=shape).astype(np.uint8)
+            payload = encode_png(raster, color_type=color_type)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            assert np.array_equal(decode_png(payload), raster)
+
+
+def test_png_multi_idat_ancillary_skip_and_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_png, encode_png
+
+    raster = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    payload = encode_png(raster)
+    assert payload.count(b"IDAT") == 2  # the stream really is split
+
+    # splice a tEXt ancillary chunk between IHDR and the first IDAT
+    t, d = b"tEXt", b"k\x00v"
+    chunk = struct.pack(">I", len(d)) + t + d + struct.pack(
+        ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+    )
+    ihdr_end = 8 + 12 + 13
+    spliced = payload[:ihdr_end] + chunk + payload[ihdr_end:]
+    assert np.array_equal(decode_png(spliced), raster)
+
+    # hand-built RGBA (color type 6, filter 0 rows): alpha ignored,
+    # r=g=b luma exact
+    w = h = 4
+    rows = b""
+    for r in range(h):
+        rows += b"\x00" + b"".join(
+            bytes((10 * r + c, 10 * r + c, 10 * r + c, 255)) for c in range(w)
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+
+    def png_chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+            ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+        )
+
+    rgba = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(rows))
+        + png_chunk(b"IEND", b"")
+    )
+    expected = np.array([[10 * r + c for c in range(w)] for r in range(h)], dtype=np.uint8)
+    assert np.array_equal(decode_png(rgba), expected)
+
+
+def test_png_rejects_malformed():
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"XXXX" + good[4:])
+    with pytest.raises(ValueError, match="IEND|IDAT|IHDR"):
+        decode_png(good[:-12])  # IEND stripped
+    corrupted = bytearray(good)
+    corrupted[8 + 12 + 6] ^= 0xFF  # flip an IHDR byte → CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupted))
+
+
+def test_decode_images_dispatches_on_magic(spark):
+    import numpy as np
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_bmp, encode_png
+
+    raster = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_bmp(raster))),
+            (2, bytearray(encode_png(raster, color_type=0))),
+            (3, bytearray(encode_png(raster, color_type=2))),
+        ],
+        ["media_id", "payload"],
+    )
+    rows = decode_images(df, real_codec=True).collect()
+    assert all(r["pixels"] == list(range(64)) for r in rows)
+
+    bad = spark.createDataFrame([(9, bytearray(b"GIF89a not supported"))], ["media_id", "payload"])
+    with pytest.raises(Exception, match="unrecognized image payload"):
+        decode_images(bad, real_codec=True).collect()
