@@ -25,6 +25,7 @@ from prohap_spark.queries import sink_board  # noqa: F401
 from prohap_spark.queries import junction  # noqa: F401
 from prohap_spark.queries import force_rf  # noqa: F401
 from prohap_spark.queries import junction_haplo  # noqa: F401
+from prohap_spark.queries import peptide_grid  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -48,7 +49,10 @@ from prohap_spark.queries import junction_haplo  # noqa: F401
 # demoted rows-only cores carry no hash signal to lose — their
 # pipelines are hash-checked FRONT by the snp oracles on the same
 # cohort v2 — so the trailing two-round invariant holds whatever the
-# driver truncates.
+# driver truncates. Queries registered mid-round AFTER the front
+# window filled (u4_full_class_grid, j8_gene_header_annotation) sit in
+# the middle: dark this round, locally hash-green via tools/check.py,
+# and front-listed next round under rule (a).
 _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
