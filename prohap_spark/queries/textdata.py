@@ -600,3 +600,114 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.cast("int").alias("bucket"),
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "text_decontaminate",
+    # benchmark = every 17th document's distinct word trigrams; a
+    # corpus document is contaminated when any of its trigrams appears
+    # in that set. The oracle derives both sides from the raw text
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+            FROM documents)
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0
+    ),
+    corpus AS (SELECT * FROM g WHERE doc_id % 17 != 0),
+    ce AS (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+    hits AS (
+      SELECT c.doc_id, count(*) AS overlap
+      FROM ce c JOIN bench b USING (gram) GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(len(c.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.overlap, 0) AS BIGINT) AS overlap_ngrams,
+           coalesce(h.overlap, 0) >= 1 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/decontam.py): every 17th
+    document plays the eval set; the rest of the corpus is probed for
+    word-trigram overlap via the broadcast hashed-shingle set — one
+    corpus scan, map-side membership join, partially-aggregated
+    per-doc counts."""
+    from prohap_spark.operators.decontam import ngram_decontaminate
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 17 == 0)
+    corpus = d.where(F.col("doc_id") % 17 != 0)
+    return ngram_decontaminate(corpus, bench, ngram=3, min_overlap=1).select(
+        "doc_id", "n_grams", "overlap_ngrams", "contaminated"
+    )
+
+
+@register(
+    "text_repetition_stats",
+    # within-document repetition (Gopher-style): duplicate-word and
+    # duplicate-bigram fractions plus the count of immediately repeated
+    # words — all derivable from the raw token stream
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]) AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           round(CASE WHEN n > 0
+                      THEN 1.0 - len(list_distinct(w)) * 1.0 / n
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN n > 1
+                      THEN 1.0 - len(list_distinct(bigrams)) * 1.0 / (n - 1)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           CAST(len(list_filter(range(1, len(w)), i -> w[i] = w[i+1]))
+                AS BIGINT) AS adjacent_repeats
+    FROM b
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-rule family):
+    duplicate-word fraction (1 - distinct/total), duplicate-bigram
+    fraction, and immediately-repeated-word count — pure JVM array
+    expressions over one scan, no shuffle, no Python."""
+    from prohap_spark.operators.dedup import ngrams_from_words, words_expr
+
+    d = table(spark, sf_dir, "documents")
+    w = words_expr("text")
+    base = d.select("doc_id", w.alias("__w"))
+    n = F.size("__w")
+    shifted = F.slice(F.col("__w"), 2, F.greatest(n - 1, F.lit(0)))
+    adj = F.size(
+        F.array_compact(
+            F.zip_with(
+                F.col("__w"), shifted,
+                lambda a, bx: F.when(bx.isNotNull() & (a == bx), F.lit(1)),
+            )
+        )
+    )
+    # total bigrams = n - 1; distinct via the shared shingle expr
+    distinct_bi = F.size(ngrams_from_words(F.col("__w"), 2))
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        F.round(
+            F.when(n > 0, 1.0 - F.size(F.array_distinct("__w")) / n.cast("double"))
+            .otherwise(0.0), 6
+        ).alias("dup_word_frac"),
+        F.round(
+            F.when(n > 1, 1.0 - distinct_bi / (n - 1).cast("double"))
+            .otherwise(0.0), 6
+        ).alias("dup_bigram_frac"),
+        adj.cast("long").alias("adjacent_repeats"),
+    )

@@ -490,3 +490,47 @@ def test_approx_sketches_within_error_bounds(spark):
         lo50, hi50, lo95, hi95 = e["pq"]
         assert lo50 <= a["p50"] <= hi50, flag
         assert lo95 <= a["p95"] <= hi95, flag
+
+
+def test_ngram_decontaminate_counts_and_flags(spark):
+    from prohap_spark.operators.decontam import ngram_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares 'the quick brown' and 'quick brown fox' → overlap 2
+            (1, "the quick brown fox sleeps"),
+            # no shared trigram
+            (2, "a slow red dog walks"),
+            # two words → zero trigrams, never contaminated
+            (3, "quick brown"),
+            # verbatim benchmark text → all 3 trigrams overlap
+            (4, "the quick brown fox jumps"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_decontaminate(docs, bench, ngram=3).collect()
+    }
+    assert out[1]["overlap_ngrams"] == 2 and out[1]["contaminated"]
+    assert out[2]["overlap_ngrams"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+    assert out[4]["overlap_ngrams"] == 3 and out[4]["n_grams"] == 3
+
+
+def test_ngram_decontaminate_plan_broadcasts_benchmark(spark):
+    """The corpus-side probe must be a broadcast hash join (the
+    benchmark is the MB-scale side) — a sort-merge join here would
+    shuffle the exploded gram table at corpus scale."""
+    from prohap_spark.operators.decontam import ngram_decontaminate
+    from prohap_spark.plans import plan_report
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, "c d e f")], ["doc_id", "text"])
+    rep = plan_report(ngram_decontaminate(docs, bench))
+    assert rep["broadcast_joins"] >= 1
+    assert rep["sortmerge_joins"] == 0
+    assert rep["bnl_joins"] == 0
