@@ -711,3 +711,49 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_bigram_frac"),
         adj.cast("long").alias("adjacent_repeats"),
     )
+
+
+@register(
+    "sampling_stratified_rates",
+    # per-language keep rates (domain mixing): the md5 bucket from
+    # sampling_hash_split compared against each stratum's target rate
+    """
+    WITH r(lang, rate_pct) AS (VALUES ('en', 80), ('de', 50), ('fr', 50)),
+    b AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 100 AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.lang, CAST(b.bucket AS INT) AS bucket,
+           b.bucket < coalesce(r.rate_pct, 25) AS kept
+    FROM b LEFT JOIN r USING (lang)
+    """,
+)
+def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (domain-mixing) sampling: each language keeps a
+    target fraction of documents, decided by the same deterministic
+    md5 bucket as sampling_hash_split against a BROADCAST per-stratum
+    rate dim (en 80%, de/fr 50%, default 25%). Reproducible under
+    re-runs and repartitioning; one scan, map-side join, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 80), ("de", 50), ("fr", 50)], ["lang", "rate_pct"]
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+        .join(F.broadcast(rates), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            (F.col("bucket") < F.coalesce("rate_pct", F.lit(25))).alias("kept"),
+        )
+    )

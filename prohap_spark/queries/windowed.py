@@ -387,3 +387,31 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return click_view_attribution(ev)
+
+
+@register(
+    "stream_dedup_watermark",
+    # the corpus is unioned with a verbatim copy of itself: exactly-once
+    # ids must collapse the pair back to one row per event
+    """
+    SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, event_type, user_id
+    FROM events
+    """,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 streaming dedup, batch-checkable form: duplicate events
+    (a full verbatim copy unioned in) collapsed to exactly-once
+    event_ids via streaming/events.py stream_dedup — under readStream
+    the same call is dropDuplicatesWithinWatermark(['event_id']) with
+    bounded state (tests/test_streaming.py pins the streaming run);
+    in batch it is the identical dropDuplicates plan. Output columns
+    are functionally determined by event_id, so the surviving-row
+    choice is value-deterministic."""
+    from prohap_spark.streaming.events import stream_dedup
+
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "user_id")
+    doubled = ev.unionAll(ev)
+    out = stream_dedup(doubled)
+    return out.select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "user_id"
+    )

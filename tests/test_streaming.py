@@ -77,13 +77,22 @@ def test_session_windows_match_batch_islands(spark, events_dir):
     assert stream_counts == batch_counts
 
 
-def test_stream_dedup(spark, events_dir):
+def test_stream_dedup(spark, events_dir, tmp_path):
+    """Real duplicates across triggers: the same rows land in a second
+    file, and dropDuplicatesWithinWatermark must emit each event_id
+    exactly once — not just pass vacuously on already-unique input."""
     from prohap_spark.streaming.events import read_event_stream, run_to_memory_sink, stream_dedup
 
-    stream = stream_dedup(read_event_stream(spark, events_dir))
+    dup_dir = str(tmp_path / "dup_events")
+    base = spark.read.parquet(events_dir)
+    n_unique = base.select("event_id").distinct().count()
+    base.coalesce(2).write.mode("overwrite").parquet(dup_dir)
+    base.coalesce(1).write.mode("append").parquet(dup_dir)  # verbatim copy
+
+    stream = stream_dedup(read_event_stream(spark, dup_dir))
     run_to_memory_sink(stream, "dedup_out")
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_out").collect()[0]
-    assert n["c"] == n["n"] > 0
+    assert n["c"] == n["n"] == n_unique
 
 
 def test_watermark_drops_late_rows(spark, events_dir):
