@@ -47,14 +47,24 @@ def main() -> int:
     front = set(order[:BUDGET])
     has_oracle = set(oracle_sql())
 
+    ever_checked = {n for r in rounds.values() for n in r}
+
     violations = []
+    new_waiting = []
     for name in order:
         if name in front:
             continue  # will be checked this round
         row = prev.get(name)
         if row is None:
-            violations.append(f"{name}: dark in r{latest} AND not front now "
-                              "(dark two rounds running)")
+            if name not in ever_checked:
+                # brand-new registration that didn't fit the current
+                # front budget: it has no prior-round obligation — it
+                # becomes a rule-(a) MUST-front next round (reported,
+                # not a violation)
+                new_waiting.append(name)
+            else:
+                violations.append(f"{name}: dark in r{latest} AND not front "
+                                  "now (dark two rounds running)")
         elif row.get("err") == "no_oracle" and name in has_oracle:
             violations.append(f"{name}: has an oracle but r{latest} recorded "
                               "no_oracle")
@@ -67,6 +77,9 @@ def main() -> int:
 
     print(f"registry: {len(order)}  front window: {len(front)} "
           f"(budget {BUDGET})  latest round: r{latest}")
+    if new_waiting:
+        print(f"{len(new_waiting)} new mid-registry entries awaiting their "
+              f"rule-(a) front slot next round: {', '.join(new_waiting)}")
     if violations:
         print(f"\n{len(violations)} VIOLATIONS:")
         for v in violations:
