@@ -11,13 +11,18 @@ living only in pytest.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from prohap_spark.queries.registry import register
 
 _DIR = "/tmp/prohap_bench_cohort_v2_s1"
-_RT_FASTA = "/tmp/prohap_rt_fasta"
-_RT_VCF = "/tmp/prohap_rt_vcf"
+# sink dirs are pid-suffixed: two harnesses (driver, tools/check.py,
+# tools/plan_audit.py) may run the same roundtrip query concurrently,
+# and a shared path lets one clobber the other mid-write
+_RT_FASTA = f"/tmp/prohap_rt_fasta_{os.getpid()}"
+_RT_VCF = f"/tmp/prohap_rt_vcf_{os.getpid()}"
 
 
 @register(
@@ -85,7 +90,7 @@ def s1_vcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RT_GTF = "/tmp/prohap_rt_gtf"
+_RT_GTF = f"/tmp/prohap_rt_gtf_{os.getpid()}"
 
 
 @register(

@@ -14,14 +14,19 @@ breaks the hash match.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from prohap_spark.functions.encodings import freq_map_to_string
 from prohap_spark.queries.registry import register, table
 
 _DIR = "/tmp/prohap_bench_cohort_v2_s1"
-_RT_TSV = "/tmp/prohap_rt_tsv"
-_RT_CANON = "/tmp/prohap_rt_canon"
+# sink dirs are pid-suffixed: two harnesses (driver, tools/check.py,
+# tools/plan_audit.py) may run the same roundtrip query concurrently,
+# and a shared path lets one clobber the other mid-write
+_RT_TSV = f"/tmp/prohap_rt_tsv_{os.getpid()}"
+_RT_CANON = f"/tmp/prohap_rt_canon_{os.getpid()}"
 
 
 @register(
