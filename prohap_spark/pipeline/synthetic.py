@@ -14,6 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 BASES = "ACGT"
 
+# Cohort-cache version: bump whenever generate_cohort's CONTENT
+# changes, or a stale /tmp cache from an earlier build poisons both
+# engines (v2: X/PAR transcripts; v3: PAR1 placement dense-indexed so
+# the generator scales past ~13 PAR1 transcripts without overrunning
+# the PAR1 window). Query modules import this instead of hardcoding.
+COHORT_BASE = "/tmp/prohap_bench_cohort_v3"
+
 
 def _stream(key: str, n: int) -> bytes:
     out = b""
@@ -52,6 +59,7 @@ def generate_cohort(
 
     transcripts, cdnas, variants = [], [], []
     span = exon_len * n_exons + 500 * (n_exons - 1)
+    par1_k = 0
     for t in range(n_transcripts):
         tid = f"T{t:05d}"
         # chromosome mix: mostly autosomal, ~1/7 X outside the PARs
@@ -64,7 +72,10 @@ def generate_cohort(
             base = 3_000_000 + t * 10_000  # between PAR1 and PAR2
         elif t % 7 == 5:
             chrom = "X"
-            base = 20_000 + t * 2_000  # wholly inside PAR1
+            # PAR1 is only 2.78 Mb: index by the PAR1-transcript COUNT
+            # (not the global t) so large cohorts still fit the window
+            base = 20_000 + par1_k * 2_000
+            par1_k += 1
             assert base + span <= 2_781_479, "PAR1 transcript overruns PAR1"
         else:
             chrom = "1"
@@ -129,12 +140,11 @@ def generate_cohort(
     return variants_df, transcripts_df, cdna_df, sample_names, meta
 
 
-def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = "/tmp/prohap_bench_cohort_v2"):
+def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = COHORT_BASE):
     """Cohort cached as parquet (deterministic → safe to reuse): the
     bench should measure the PIPELINE, not driver-side fixture
-    generation. The path carries a VERSION suffix — bump it whenever
-    generate_cohort's content changes, or a stale cache from an earlier
-    build poisons both engines (v2: X/PAR transcripts added)."""
+    generation. The path carries the COHORT_BASE version suffix — see
+    the constant's comment for the bump discipline."""
     import json
     import os
 

@@ -37,7 +37,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from prohap_spark.functions.genomics import CODON_TABLE
 from prohap_spark.queries.registry import register
 
-_DIR = "/tmp/prohap_bench_cohort_v2_s1"
+from prohap_spark.pipeline.synthetic import COHORT_BASE
+
+_DIR = f"{COHORT_BASE}_s1"
 
 # GRCh38 pseudo-autosomal regions, mirrored from pipeline/prohap.py —
 # re-stated here so the oracle derives diploidy independently

@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from prohap_spark.functions.encodings import freq_map_to_string
 from prohap_spark.queries.registry import register, table
 
-_DIR = "/tmp/prohap_bench_cohort_v2_s1"
+from prohap_spark.pipeline.synthetic import COHORT_BASE
+
+_DIR = f"{COHORT_BASE}_s1"
 # sink dirs are pid-suffixed: two harnesses (driver, tools/check.py,
 # tools/plan_audit.py) may run the same roundtrip query concurrently,
 # and a shared path lets one clobber the other mid-write
