@@ -26,6 +26,7 @@ from prohap_spark.queries import junction  # noqa: F401
 from prohap_spark.queries import force_rf  # noqa: F401
 from prohap_spark.queries import junction_haplo  # noqa: F401
 from prohap_spark.queries import peptide_grid  # noqa: F401
+from prohap_spark.queries import threeexon  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
@@ -52,7 +53,8 @@ from prohap_spark.queries import peptide_grid  # noqa: F401
 # driver truncates. Queries registered mid-round AFTER the front
 # window filled (u4_full_class_grid, j8_gene_header_annotation,
 # text_decontaminate, text_repetition_stats, sampling_stratified_rates,
-# stream_dedup_watermark) sit in the middle: dark this round, locally
+# stream_dedup_watermark, domain_provar_threeexon_oracle) sit in the
+# middle: dark this round, locally
 # hash-green via tools/check.py, and front-listed next round under
 # rule (a).
 _FRONT = [
