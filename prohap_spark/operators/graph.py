@@ -10,14 +10,18 @@ transitive only because it merges on exact keys; near-dup clusters
 genuinely need the graph closure.
 
 Algorithm: iterative min-label propagation (each node adopts the
-minimum label in its closed neighborhood) with a driver-side
-convergence loop — the canonical Spark shape for iterative graph
-algorithms (GraphFrames/GraphX do the same under the hood; the
-large-star/small-star variant of Kiveris et al. reduces the iteration
-count to O(log n) but each iteration doubles the shuffle volume —
-for dedup graphs, whose components are shallow near-cliques around a
-shared shingle-bucket, plain propagation converges in
-O(component diameter) ≈ 2-4 iterations and ships less data).
+minimum label in its closed neighborhood) PLUS a pointer-halving
+shortcut each round (label ← label(label), the classic union-find
+path compression expressed as a labels-side self-join). Neighbor
+propagation alone moves the minimum one hop per round — O(component
+diameter) rounds, which genuinely diverges on chain-shaped duplicate
+clusters (A~B~C~…); the shortcut squares the pointer every round, so
+convergence is O(log diameter) while the per-round cost stays ONE
+edge-table shuffle + one labels-sized self-join (the large-star/
+small-star variant of Kiveris et al. achieves the same bound but
+reshapes — and can temporarily double — the edge list itself; for
+dedup graphs, whose components are near-cliques around shared
+shingle buckets, the label table is much smaller than the edges).
 
 Scale notes: every iteration is ONE shuffle of the (deduplicated,
 symmetrized) edge list joined against the label table, both
@@ -61,12 +65,19 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("a", "id")
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+        )
+        # pointer halving: label ← label(label). Labels only ever
+        # shrink (label(x) <= x), so the lookup result is already the
+        # smaller one; coalesce covers labels that are roots
+        shortcut = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
-            )
+            stepped.join(shortcut, "label", "left")
+            .select("id", F.coalesce("label2", "label").alias("label"))
             .localCheckpoint(eager=True)  # truncate the iterative lineage
         )
         changed = (

@@ -534,3 +534,18 @@ def test_ngram_decontaminate_plan_broadcasts_benchmark(spark):
     assert rep["broadcast_joins"] >= 1
     assert rep["sortmerge_joins"] == 0
     assert rep["bnl_joins"] == 0
+
+
+def test_connected_components_200_chain_log_rounds(spark):
+    """A 200-node path graph has diameter 199: plain one-hop min-label
+    propagation needs ~200 rounds and used to raise at max_iter=25.
+    The pointer-halving shortcut converges in O(log n) rounds."""
+    from prohap_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], ["src", "dst"]
+    )
+    out = connected_components(edges, max_iter=12)
+    rows = out.collect()
+    assert len(rows) == 200
+    assert all(r["component"] == 0 for r in rows)
