@@ -465,3 +465,198 @@ def sq_ann_topk(
             "rank",
         )
     )
+
+
+def pq_train_codebook(
+    df: DataFrame, label_col: str, vec_col: str, sub_dim: int
+) -> DataFrame:
+    """Product-quantization codebook, trained relationally: the vector
+    splits into ``dim / sub_dim`` subspaces, and entry (s, code_id) is
+    the per-``label`` mean of subspace s — the same label-as-trainer
+    device as :func:`train_centroids_by_label` (a production k-means
+    per subspace outputs exactly this small table, so the encode/search
+    path is trainer-agnostic). Returns (s, code_id, subcentroid) with
+    GLOBAL dimension indices preserved inside each subcentroid so dot
+    products need no re-offsetting."""
+    ex = df.select(
+        F.col(label_col).alias("code_id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double")).withColumn(
+        "s", (F.col("d") / sub_dim).cast("int")
+    )
+    per_dim = ex.groupBy("code_id", "s", "d").agg(F.avg("x").alias("cx"))
+    return (
+        per_dim.groupBy("s", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "cx"))).alias("__p"))
+        .select(
+            "s", "code_id",
+            F.transform(F.col("__p"), lambda p: p["cx"]).alias("subcentroid"),
+        )
+    )
+
+
+def _pq_subdots(side: DataFrame, id_col: str, vec_col: str, codebook, sub_dim: int):
+    """Per (id, s, code_id): the dot product of the vector's subspace s
+    against codebook entry (s, code_id) — computed by a per-dimension
+    explode joined to the broadcast exploded codebook (no per-row
+    Python, one map-side join + one partial-agg shuffle keyed by id)."""
+    cb_ex = F.broadcast(
+        codebook.select(
+            "s", "code_id", F.posexplode("subcentroid").alias("dl", "c")
+        ).select(
+            "s", "code_id",
+            (F.col("s") * sub_dim + F.col("dl")).alias("d"),
+            "c",
+        )
+    )
+    ex = side.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    return (
+        ex.join(cb_ex, "d")
+        .groupBy("__id", "s", "code_id")
+        .agg(F.sum(F.col("x") * F.col("c")).alias("dot"))
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    sub_dim: int,
+    assign_decimals: int = 4,
+) -> DataFrame:
+    """Encode every vector as one code per subspace — the OFFLINE pass
+    of PQ (store the codes column; at 64 dims / 4 subspaces the corpus
+    representation drops from 256 bytes to 4 small ints per vector).
+    Assignment minimizes L2 distance via the inner-product form
+    argmax(<x_s, c> - ||c||²/2); the score is rounded to
+    ``assign_decimals`` with a code_id tiebreak so the argmax is
+    stable across engines. Returns (id, codes array<int> ordered by
+    subspace)."""
+    n2 = codebook.select(
+        "s", "code_id",
+        F.aggregate(
+            "subcentroid", F.lit(0.0), lambda a, c: a + c * c
+        ).alias("__n2"),
+    )
+    dots = _pq_subdots(df, id_col, vec_col, codebook, sub_dim)
+    scored = dots.join(F.broadcast(n2), ["s", "code_id"]).withColumn(
+        "__as", F.round(F.col("dot") - 0.5 * F.col("__n2"), assign_decimals)
+    )
+    w = Window.partitionBy("__id", "s").orderBy(
+        F.col("__as").desc(), F.col("code_id").asc()
+    )
+    best = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+    return (
+        best.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code_id"))).alias("__c"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.transform(F.col("__c"), lambda c: c["code_id"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    sub_dim: int,
+    num_codes: int,
+    rerank_k: int = 20,
+    score_decimals: int = 6,
+    rerank_vec_col: str | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance ANN: (1) each query precomputes a tiny
+    lookup table LUT[s][code] = <q_s, codebook[s][code]> (m × k
+    entries, stored as INTEGER micro-units so the candidate score
+    Σ_s LUT[s][codes[s]] is an exact bigint sum — no float
+    reassociation anywhere in the ranking); (2) the corpus scan reads
+    ONLY the codes column (m small ints per vector — at 64 dims a 64×
+    I/O cut vs raw float32) against the broadcast LUTs; (3) the top
+    ``rerank_k`` candidates per query rerank with exact full-precision
+    cosine. ``num_codes`` must cover the contiguous 0-based code_id
+    range (positional LUT indexing — the SQL oracle uses an explicit
+    join instead, so a violated assumption breaks the hash match).
+    Combine with IVF cell partitioning to make the code scan itself
+    sub-linear. Returns (query_id, corpus_id, cosine, rank)."""
+    codes = pq_encode(corpus, corpus_id, vec_col, codebook, sub_dim)
+
+    qdots = _pq_subdots(queries, query_id, vec_col, codebook, sub_dim)
+    lut_rows = qdots.withColumn(
+        "lut_u", F.round(F.col("dot") * 1_000_000).cast("long")
+    )
+    per_s = (
+        lut_rows.groupBy("__id", "s")
+        .agg(F.array_sort(F.collect_list(F.struct("code_id", "lut_u"))).alias("__l"))
+        .select(
+            "__id", "s",
+            F.transform(F.col("__l"), lambda e: e["lut_u"]).alias("row"),
+        )
+    )
+    luts = (
+        per_s.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "row"))).alias("__r"))
+        .select(
+            F.col("__id").alias("__qid"),
+            F.transform(F.col("__r"), lambda r: r["row"]).alias("__lut"),
+        )
+    )
+
+    scored = codes.crossJoin(F.broadcast(luts)).withColumn(
+        "__adc_u",
+        F.aggregate(
+            F.sequence(F.lit(0), F.size("codes") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.element_at(
+                F.element_at("__lut", (s + 1).cast("int")),
+                (F.element_at("codes", (s + 1).cast("int")) + 1).cast("int"),
+            ),
+        ),
+    )
+    w1 = Window.partitionBy("__qid").orderBy(
+        F.col("__adc_u").desc(), F.col(corpus_id).asc()
+    )
+    cand = (
+        scored.withColumn("__ar", F.row_number().over(w1))
+        .where(F.col("__ar") <= rerank_k)
+        .select("__qid", corpus_id)
+    )
+    # rerank: full vectors fetched for rerank_k × queries rows only;
+    # ``rerank_vec_col`` lets the exact pass score different (e.g. raw
+    # un-normalized) vectors than the ADC pass encoded
+    rcol = rerank_vec_col or vec_col
+    cv = corpus.select(
+        F.col(corpus_id), F.col(rcol).alias("__cvec")
+    ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    qv = queries.select(
+        F.col(query_id).alias("__qid"), F.col(rcol).alias("__qvec")
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
+    exact = (
+        cand.join(cv, corpus_id)
+        .join(F.broadcast(qv), "__qid")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                score_decimals,
+            ),
+        )
+    )
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id), F.col(corpus_id), "cosine", "rank"
+        )
+    )

@@ -329,3 +329,116 @@ def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.where(F.col("vec_id") >= 10)
     out = sq_ann_topk(q, c, "vec_id", "vec_id", "embedding", k=5, rerank_k=20)
     return out.toDF("qid", "cid", "cosine", "rank")
+
+
+@register(
+    "sim_pq_ann",
+    f"""
+    WITH en AS (
+      -- L2-normalize first: PQ-ADC approximates the INNER PRODUCT, so
+      -- unit vectors make the candidate ranking a cosine ranking
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
+      FROM (SELECT *, {_DUCK_NORM.format(a='embedding')} AS nrm FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS qid, nv AS qv FROM en WHERE vec_id < 10),
+    c AS (SELECT vec_id AS cid, nv AS cv FROM en WHERE vec_id >= 10),
+    qr AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    cr AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    -- codebook: per-(label, subspace) mean of the NORMALIZED vectors
+    ed AS (
+      SELECT label AS code_id, d, CAST((d - 1) // 16 AS INT) AS s, avg(x) AS cx
+      FROM (SELECT label, unnest(nv) AS x,
+                   generate_subscripts(nv, 1) AS d
+            FROM en)
+      GROUP BY 1, 2, 3
+    ),
+    cb(s, code_id, d, cx) AS (SELECT s, code_id, d, cx FROM ed),
+    n2 AS (SELECT s, code_id, sum(cx * cx) AS n2 FROM cb GROUP BY 1, 2),
+    -- encode the corpus: per (vector, subspace) the L2-nearest code via
+    -- argmax(dot - n2/2), rounded with a code_id tiebreak
+    cdot AS (
+      SELECT v.cid, b.s, b.code_id, sum(CAST(v.x AS DOUBLE) * b.cx) AS dot
+      FROM (SELECT cid, unnest(cv) AS x, generate_subscripts(cv, 1) AS d FROM c) v
+      JOIN cb b USING (d)
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT cid, s, code_id FROM (
+        SELECT d.cid, d.s, d.code_id,
+               row_number() OVER (
+                 PARTITION BY d.cid, d.s
+                 ORDER BY round(d.dot - 0.5 * n.n2, 4) DESC, d.code_id
+               ) AS rnk
+        FROM cdot d JOIN n2 n USING (s, code_id)
+      ) WHERE rnk = 1
+    ),
+    -- query LUTs in integer micro-units -> the ADC sum is an exact bigint
+    qdot AS (
+      SELECT v.qid, b.s, b.code_id,
+             CAST(round(sum(CAST(v.x AS DOUBLE) * b.cx) * 1000000) AS BIGINT) AS lut_u
+      FROM (SELECT qid, unnest(qv) AS x, generate_subscripts(qv, 1) AS d FROM q) v
+      JOIN cb b USING (d)
+      GROUP BY 1, 2, 3
+    ),
+    adc AS (
+      SELECT l.qid, a.cid, sum(l.lut_u) AS adc_u
+      FROM assign a JOIN qdot l USING (s, code_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_u DESC, cid) AS rnk
+        FROM adc
+      ) WHERE rnk <= 50
+    ),
+    exact AS (
+      -- rerank on the RAW vectors (identical expression to brute force)
+      SELECT k.qid, k.cid,
+             round({_DUCK_DOT.format(a='q.qv', b='c.cv')} /
+                   ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 6) AS cosine
+      FROM cand k JOIN qr q ON q.qid = k.qid JOIN cr c ON c.cid = k.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """,
+)
+def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_*): the
+    64-dim corpus encodes to 4 codes (one per 16-dim subspace, L2
+    assignment against the relationally-trained codebook); each query
+    precomputes a 4×10 integer-micro-unit lookup table; the candidate
+    scan sums LUT entries over the codes column only (64× less I/O
+    than raw float32), then the top 50 (10x k) rerank with exact cosine. The
+    oracle re-derives the codebook, the encoding argmax, the exact-
+    integer ADC ranking, and the rerank independently in SQL."""
+    from prohap_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_codebook,
+    )
+
+    from prohap_spark.operators.similarity import _norm
+
+    e = table(spark, sf_dir, "embeddings")
+    # L2-normalize before PQ: ADC approximates the inner product, and
+    # unit vectors make that a cosine ranking (the rerank then scores
+    # the RAW vectors with the exact brute-force expression)
+    en = e.withColumn(
+        "nv",
+        F.transform("embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))),
+    )
+    codebook = pq_train_codebook(en, "label", "nv", sub_dim=16)
+    q = en.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding", "nv"
+    )
+    c = en.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding", "nv"
+    )
+    return pq_adc_topk(
+        q, c, codebook, "qid", "cid", "nv",
+        k=5, sub_dim=16, num_codes=10, rerank_k=50, rerank_vec_col="embedding",
+    )

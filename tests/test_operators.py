@@ -549,3 +549,25 @@ def test_connected_components_200_chain_log_rounds(spark):
     rows = out.collect()
     assert len(rows) == 200
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_pq_ann_recall_and_shape(spark):
+    """Pinned recall@5 of PQ-ADC (4 × 16-dim subspaces, label-mean
+    codebook, rerank 20) vs the exact brute-force baseline. As with
+    IVF, near-orthogonal synthetic embeddings make coarse codes weakly
+    informative, so the floor guards the plumbing (codebook, encode
+    argmax, integer-LUT ADC, rerank), not the geometry. Every query
+    must return exactly k ranked rows."""
+    from collections import Counter
+
+    from prohap_spark.queries import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+    brute = {(r["qid"], r["cid"]) for r in q["sim_bruteforce_topk"](spark, sf).collect()}
+    pq = q["sim_pq_ann"](spark, sf).collect()
+    hits = {(r["qid"], r["cid"]) for r in pq}
+    assert len(brute) > 0
+    assert len(brute & hits) / len(brute) >= 0.25
+    per_q = Counter(r["qid"] for r in pq)
+    assert all(v == 5 for v in per_q.values())
