@@ -122,6 +122,38 @@ def jaccard_expr(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def band_table(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows — one per LSH band: the MinHash
+    signature sliced into ``num_hashes / band_size`` bands, each band
+    md5-hashed to a bucket key. Shared by the one-shot batch LSH and
+    the stateful streaming variant so both bucket identically."""
+    assert num_hashes % band_size == 0
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature_expr(tokens_col, num_hashes).alias("__sig"),
+    )
+    n_bands = num_hashes // band_size
+    return sig.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -157,25 +189,7 @@ def lsh_candidate_pairs(
     cap would skip — silent truncation is not acceptable, measured
     truncation is.
     """
-    assert num_hashes % band_size == 0
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature_expr(tokens_col, num_hashes).alias("__sig"),
-    )
-    n_bands = num_hashes // band_size
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    bands = band_table(df, id_col, tokens_col, num_hashes, band_size)
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))

@@ -1,0 +1,104 @@
+"""Streaming near-duplicate detection — continuous-ingestion MinHash
+LSH with cross-batch bucket state.
+
+The batch LSH (operators/dedup.py lsh_candidate_pairs) answers "which
+pairs in THIS corpus collide"; a training-data ingestion pipeline asks
+the online question: "does the document arriving NOW collide with
+anything seen BEFORE". That needs per-bucket memory across
+micro-batches — a custom stateful operator (applyInPandasWithState),
+not a windowed aggregate: bucket membership never expires on event
+time, it accumulates.
+
+Shape: signature → bands (the SAME band_table expression as batch, so
+both variants bucket identically) → groupBy (band_idx, band_hash) →
+stateful membership list per bucket. Each arriving doc emits one
+candidate row per PRIOR member of any shared bucket. State is
+partitioned by the bucket key (one state shard per shuffle partition,
+checkpointed — the standard 100 TB state layout); per-bucket
+membership is capped at ``max_bucket`` like the batch cap: a
+boilerplate bucket of 10⁶ docs would otherwise hold 10⁶ ids in one
+state row AND emit quadratic pairs. Docs beyond the cap still emit
+pairs against the stored members but are not added (measured, not
+silent: the emitted pair count flattens, and exact-dup handling
+belongs upstream).
+
+A pair may surface from several shared buckets across different
+micro-batches — consumers dedupe on (min, max), exactly as the batch
+variant's ``distinct()`` does. Candidates are candidates: the verify
+stage (exact Jaccard on the token sets) stays a batch join downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from prohap_spark.operators.dedup import band_table
+
+
+def stream_near_dup_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """(new_id, prior_id, band_idx) candidate stream: ``new_id``
+    arrived in the current micro-batch and shares an LSH band bucket
+    with ``prior_id`` seen earlier (or earlier in the same batch,
+    ordered by id for determinism). Batch mode runs the identical
+    plan shape without state — every doc is "prior" to every larger
+    id in its bucket, matching lsh_candidate_pairs' orientation."""
+    import pandas as pd
+    from prohap_spark.operators.dedup import tokens_expr
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col), tokens_expr(text_col).alias("__tokens")
+    ).where(F.size("__tokens") > 0)
+    bands = band_table(toks, id_col, "__tokens", num_hashes, band_size)
+
+    if not docs.isStreaming:
+        # one-shot equivalent: id-ordered pairs within each bucket
+        a = bands.select(
+            F.col(id_col).alias("prior_id"), "band_idx", "band_hash"
+        )
+        b = bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
+        return (
+            a.join(b, ["band_idx", "band_hash"])
+            .where(F.col("prior_id") < F.col("new_id"))
+            .select("new_id", "prior_id", "band_idx")
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "new_id long, prior_id long, band_idx int"
+    state_schema = "members array<bigint>"
+
+    def fn(key, pdfs, state: GroupState):
+        band_idx = int(key[0])
+        members = list(state.get[0]) if state.exists else []
+        stored = set(members)
+        new_ids, prior_ids = [], []
+        for pdf in pdfs:
+            for i in sorted(set(int(x) for x in pdf[id_col])):
+                if i in stored:
+                    continue
+                for m in members:
+                    new_ids.append(i)
+                    prior_ids.append(m)
+                if len(members) < max_bucket:
+                    members.append(i)
+                    stored.add(i)
+        state.update((members,))
+        yield pd.DataFrame(
+            {
+                "new_id": new_ids,
+                "prior_id": prior_ids,
+                "band_idx": [band_idx] * len(new_ids),
+            }
+        )
+
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

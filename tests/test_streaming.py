@@ -172,3 +172,67 @@ def test_click_attribution_batch_equals_stream(spark, events_dir):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_near_dup_matches_batch_lsh(spark, tmp_path):
+    """Cross-batch LSH state: documents arrive over THREE triggers, and
+    the streaming candidate set (orientation-normalized) must equal the
+    one-shot batch LSH candidate set over the full corpus — pairs whose
+    members arrive in DIFFERENT micro-batches only exist if the bucket
+    state genuinely persists across triggers."""
+    from prohap_spark.operators.dedup import lsh_candidate_pairs, tokens_expr
+    from prohap_spark.streaming.dedup import stream_near_dup_candidates
+    from prohap_spark.queries.registry import table
+
+    docs = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .where(F.col("doc_id") < 90)
+        .select("doc_id", "text")
+    )
+    d = str(tmp_path / "docs_stream")
+    # three slices -> three files -> three triggers
+    for lo, hi in ((0, 30), (30, 60), (60, 90)):
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+
+    stream = stream_near_dup_candidates(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        num_hashes=16,
+        band_size=4,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dup_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got_rows = spark.sql("SELECT new_id, prior_id FROM near_dup_out").collect()
+    got = {
+        (min(r["new_id"], r["prior_id"]), max(r["new_id"], r["prior_id"]))
+        for r in got_rows
+    }
+
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            toks, "doc_id", "t", num_hashes=16, band_size=4
+        ).select("id_a", "id_b").collect()
+    }
+    assert got == want and len(want) > 0
+
+    # batch mode of the same operator agrees too
+    batch = {
+        (r["prior_id"], r["new_id"])
+        for r in stream_near_dup_candidates(docs, num_hashes=16, band_size=4)
+        .select("prior_id", "new_id")
+        .distinct()
+        .collect()
+    }
+    assert batch == want
