@@ -84,8 +84,9 @@ _FRONT = [
     "stream_live_session_windows", "j6_explode_equijoin",
     "dedup_exact_docs", "sim_ivf_ann",
     # (e) inputs changed this round — the cohort parquet moved to
-    # v2 (X/PAR transcripts, mixed-sex denominators), so every
-    # cohort-reading oracle must re-prove itself:
+    # v3 (X/PAR transcripts + mixed-sex denominators, then the PAR1
+    # dense-index placement fix), so every cohort-reading oracle must
+    # re-prove itself:
     "domain_prohap_snp_oracle", "domain_provar_snp_oracle",
 ]
 _BACK = [
