@@ -210,9 +210,9 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 12 <= len(payload):
         (clen,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        if len(data) != clen:
+        if pos + 12 + clen > len(payload):  # data or its CRC cut short
             raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
         if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")

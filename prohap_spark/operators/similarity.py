@@ -580,9 +580,9 @@ def pq_adc_topk(
     ONLY the codes column (m small ints per vector — at 64 dims a 64×
     I/O cut vs raw float32) against the broadcast LUTs; (3) the top
     ``rerank_k`` candidates per query rerank with exact full-precision
-    cosine. ``num_codes`` must cover the contiguous 0-based code_id
-    range (positional LUT indexing — the SQL oracle uses an explicit
-    join instead, so a violated assumption breaks the hash match).
+    cosine. ``num_codes`` must equal the contiguous 0-based code_id
+    range (positional LUT indexing); the LUT-packing stage enforces it
+    at runtime and raises on a sparse or non-0-based codebook.
     Combine with IVF cell partitioning to make the code scan itself
     sub-linear. Returns (query_id, corpus_id, cosine, rank)."""
     codes = pq_encode(corpus, corpus_id, vec_col, codebook, sub_dim)
@@ -591,12 +591,31 @@ def pq_adc_topk(
     lut_rows = qdots.withColumn(
         "lut_u", F.round(F.col("dot") * 1_000_000).cast("long")
     )
+    # positional-LUT precondition enforced at runtime: each subspace
+    # must carry EXACTLY the contiguous code_ids 0..num_codes-1 (sorted
+    # structs → first/last element check covers contiguity given
+    # distinct code_ids); a sparse or 1-based codebook would otherwise
+    # silently read the wrong LUT entries
+    codes_ok = (
+        (F.size("__l") == num_codes)
+        & (F.element_at("__l", 1)["code_id"] == 0)
+        & (F.element_at("__l", num_codes)["code_id"] == num_codes - 1)
+    )
     per_s = (
         lut_rows.groupBy("__id", "s")
         .agg(F.array_sort(F.collect_list(F.struct("code_id", "lut_u"))).alias("__l"))
         .select(
             "__id", "s",
-            F.transform(F.col("__l"), lambda e: e["lut_u"]).alias("row"),
+            F.when(codes_ok, F.transform(F.col("__l"), lambda e: e["lut_u"]))
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "pq_adc_topk: codebook code_ids are not the "
+                        f"contiguous range 0..{num_codes - 1}"
+                    )
+                )
+            )
+            .alias("row"),
         )
     )
     luts = (

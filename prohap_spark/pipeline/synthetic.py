@@ -73,7 +73,10 @@ def generate_cohort(
         elif t % 7 == 5:
             chrom = "X"
             # PAR1 is only 2.78 Mb: index by the PAR1-transcript COUNT
-            # (not the global t) so large cohorts still fit the window
+            # (not the global t) so large cohorts still fit the window.
+            # The 2 kb stride must exceed the transcript span or
+            # adjacent PAR1 transcripts would overlap genomically
+            assert span < 2_000, "PAR1 stride (2 kb) smaller than transcript span"
             base = 20_000 + par1_k * 2_000
             par1_k += 1
             assert base + span <= 2_781_479, "PAR1 transcript overruns PAR1"
@@ -151,15 +154,32 @@ def materialized_cohort(spark: SparkSession, scale: int = 1, base_dir: str = COH
     d = f"{base_dir}_s{scale}"
     meta_file = f"{d}/_names.json"
     if not os.path.exists(meta_file):
+        # Build-then-rename: two harnesses (driver, tools/check.py) can
+        # both see a cold cache after a version bump; each builds into
+        # its OWN pid staging dir and the atomic directory rename picks
+        # exactly one winner — never a mid-overwrite mixed cohort.
+        import shutil
+
+        stage = f"{d}.stage_{os.getpid()}"
         variants, transcripts, cdna, names, meta = generate_cohort(
             spark, n_transcripts=100 * scale, n_samples=50, variants_per_transcript=10
         )
-        variants.write.mode("overwrite").parquet(f"{d}/variants")
-        transcripts.write.mode("overwrite").parquet(f"{d}/transcripts")
-        cdna.write.mode("overwrite").parquet(f"{d}/cdna")
-        meta.write.mode("overwrite").parquet(f"{d}/meta")
-        with open(meta_file, "w") as f:
+        variants.write.mode("overwrite").parquet(f"{stage}/variants")
+        transcripts.write.mode("overwrite").parquet(f"{stage}/transcripts")
+        cdna.write.mode("overwrite").parquet(f"{stage}/cdna")
+        meta.write.mode("overwrite").parquet(f"{stage}/meta")
+        with open(f"{stage}/_names.json", "w") as f:
             json.dump(names, f)
+        try:
+            os.rename(stage, d)
+        except OSError:
+            if os.path.exists(meta_file):
+                shutil.rmtree(stage, ignore_errors=True)  # lost the race
+            else:
+                # a stale half-built dir (e.g. an interrupted old run)
+                # blocks the rename: replace it
+                shutil.rmtree(d, ignore_errors=True)
+                os.rename(stage, d)
     with open(meta_file) as f:
         names = json.load(f)
     return (

@@ -94,6 +94,14 @@ def s1_vcf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RT_GTF = f"/tmp/prohap_rt_gtf_{os.getpid()}"
 
+# the pid-suffixed dirs would otherwise accumulate across runs —
+# remove this process's dirs on exit (best-effort)
+import atexit as _atexit
+import shutil as _shutil
+
+for _d in (_RT_FASTA, _RT_VCF, _RT_GTF):
+    _atexit.register(_shutil.rmtree, _d, True)
+
 
 @register(
     "s4_gtf_roundtrip",

@@ -30,6 +30,14 @@ _DIR = f"{COHORT_BASE}_s1"
 _RT_TSV = f"/tmp/prohap_rt_tsv_{os.getpid()}"
 _RT_CANON = f"/tmp/prohap_rt_canon_{os.getpid()}"
 
+# the pid-suffixed dirs would otherwise accumulate across runs —
+# remove this process's dirs on exit (best-effort)
+import atexit as _atexit
+import shutil as _shutil
+
+for _d in (_RT_TSV, _RT_CANON):
+    _atexit.register(_shutil.rmtree, _d, True)
+
 
 @register(
     "s7_tsv_gz_roundtrip",

@@ -40,7 +40,9 @@ def stream_near_dup_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
-    band_size: int = 4,
+    band_size: int = 2,  # same default as lsh_candidate_pairs — the
+    # "both variants bucket identically" promise must hold for callers
+    # who take the defaults on each side
     max_bucket: int = 64,
 ) -> DataFrame:
     """(new_id, prior_id, band_idx) candidate stream: ``new_id``

@@ -297,3 +297,16 @@ def test_decode_images_dispatches_on_magic(spark):
     bad = spark.createDataFrame([(9, bytearray(b"GIF89a not supported"))], ["media_id", "payload"])
     with pytest.raises(Exception, match="unrecognized image payload"):
         decode_images(bad, real_codec=True).collect()
+
+
+def test_png_rejects_truncated_crc():
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_png, encode_png
+
+    good = encode_png(np.zeros((4, 4), dtype=np.uint8))
+    # strip IEND (12 bytes) and 2 more bytes into the last IDAT's CRC:
+    # the chunk DATA fits but its 4-byte CRC field is cut short — this
+    # previously escaped as struct.error instead of ValueError
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:-14])

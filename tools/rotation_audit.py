@@ -49,6 +49,23 @@ def main() -> int:
 
     ever_checked = {n for r in rounds.values() for n in r}
 
+    # Registration manifest: records the build round (latest + 1) each
+    # query name was FIRST seen by this audit, so a never-driver-checked
+    # query can only claim the "registered this round" exemption ONCE —
+    # without it, a forgotten mid-registry query would stay exempt
+    # forever and the two-round invariant would be silently waived.
+    manifest_path = "/root/repo/ROTATION_MANIFEST.json"
+    build_round = latest + 1
+    try:
+        with open(manifest_path) as f:
+            first_seen = json.load(f)
+    except FileNotFoundError:
+        first_seen = {}
+    for name in order:
+        first_seen.setdefault(name, build_round)
+    with open(manifest_path, "w") as f:
+        json.dump(first_seen, f, indent=1, sort_keys=True)
+
     violations = []
     new_waiting = []
     for name in order:
@@ -56,12 +73,17 @@ def main() -> int:
             continue  # will be checked this round
         row = prev.get(name)
         if row is None:
-            if name not in ever_checked:
+            if name not in ever_checked and first_seen[name] >= build_round:
                 # brand-new registration that didn't fit the current
                 # front budget: it has no prior-round obligation — it
                 # becomes a rule-(a) MUST-front next round (reported,
                 # not a violation)
                 new_waiting.append(name)
+            elif name not in ever_checked:
+                violations.append(
+                    f"{name}: registered in r{first_seen[name]}, never "
+                    "driver-checked, and still not front-listed (rule a)"
+                )
             else:
                 violations.append(f"{name}: dark in r{latest} AND not front "
                                   "now (dark two rounds running)")
