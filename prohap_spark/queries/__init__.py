@@ -53,8 +53,8 @@ from prohap_spark.queries import threeexon  # noqa: F401
 # driver truncates. Queries registered mid-round AFTER the front
 # window filled (u4_full_class_grid, j8_gene_header_annotation,
 # text_decontaminate, text_repetition_stats, sampling_stratified_rates,
-# stream_dedup_watermark, domain_provar_threeexon_oracle, sim_pq_ann)
-# sit in the middle: dark this round, locally
+# stream_dedup_watermark, domain_provar_threeexon_oracle, sim_pq_ann,
+# text_bpe_tokens) sit in the middle: dark this round, locally
 # hash-green via tools/check.py, and front-listed next round under
 # rule (a).
 _FRONT = [

@@ -757,3 +757,95 @@ def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") < F.coalesce("rate_pct", F.lit(25))).alias("kept"),
         )
     )
+
+
+from prohap_spark.functions.bpe import MERGES as _BPE_MERGES
+
+_SQL_MERGES = ",\n      ".join(
+    f"({i}, '{l}', '{r}', '{l} {r}')" for i, (l, r) in enumerate(_BPE_MERGES)
+)
+
+
+@register(
+    "text_bpe_tokens",
+    # REAL BPE re-derived in SQL: a recursive CTE applies, per
+    # iteration, the lowest-rank merge rule occurring in each word's
+    # symbol list, merging all its occurrences simultaneously (well-
+    # defined because every rule's sides differ — see functions/bpe.py)
+    f"""
+    WITH RECURSIVE merges(rank, lft, rgt, pair) AS (VALUES
+      {_SQL_MERGES}),
+    w AS (
+      SELECT doc_id, wid, word FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word,
+               generate_subscripts(regexp_extract_all(lower(text), '[a-z]+'), 1) AS wid
+        FROM documents WHERE doc_id < 80)
+    ),
+    bpe(doc_id, wid, syms) AS (
+      SELECT doc_id, wid,
+             list_transform(range(1, len(word) + 1), i -> word[i])
+      FROM w
+      UNION ALL
+      SELECT b.doc_id, b.wid,
+             list_filter(
+               list_transform(range(1, len(b.syms) + 1), i ->
+                 CASE WHEN i < len(b.syms)
+                           AND b.syms[i] = m.lft AND b.syms[i + 1] = m.rgt
+                      THEN b.syms[i] || b.syms[i + 1]
+                      WHEN i > 1 AND b.syms[i - 1] = m.lft AND b.syms[i] = m.rgt
+                      THEN NULL
+                      ELSE b.syms[i] END),
+               x -> x IS NOT NULL)
+      FROM bpe b
+      JOIN merges m ON m.rank = (
+        SELECT min(m2.rank) FROM merges m2
+        WHERE list_contains(
+          list_transform(range(1, len(b.syms)),
+                         i -> b.syms[i] || ' ' || b.syms[i + 1]),
+          m2.pair))
+    ),
+    final AS (
+      SELECT * FROM bpe b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merges m
+        WHERE list_contains(
+          list_transform(range(1, len(b.syms)),
+                         i -> b.syms[i] || ' ' || b.syms[i + 1]),
+          m.pair))
+    ),
+    toks AS (
+      SELECT doc_id, wid, unnest(syms) AS sym,
+             generate_subscripts(syms, 1) AS idx
+      FROM final
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bpe_tokens,
+             md5(string_agg(sym, ' ' ORDER BY wid, idx)) AS token_digest
+      FROM toks GROUP BY doc_id
+    ),
+    wc AS (SELECT doc_id, count(*) AS n_words FROM w GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(wc.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(agg.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,
+           coalesce(agg.token_digest, md5('')) AS token_digest
+    FROM (SELECT doc_id FROM documents WHERE doc_id < 80) d
+    LEFT JOIN wc USING (doc_id)
+    LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair encoding (functions/bpe.py): rank-ordered greedy
+    merges over a fixed 25-rule vocabulary, per word, in an
+    Arrow-batched mapInPandas stage — upgrades token accounting from
+    the BPE-ish regex proxy to the actual algorithm. The md5 of the
+    ordered token stream makes the check sharp: one mis-merged word in
+    any document breaks the hash. The oracle replays the merge loop as
+    a recursive CTE (order-free simultaneous merging, guaranteed by
+    the distinct-sided rule vocabulary)."""
+    from prohap_spark.functions.bpe import bpe_doc_stats
+
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 80)
+    return bpe_doc_stats(d).select(
+        "doc_id", "n_words", "n_bpe_tokens", "token_digest"
+    )

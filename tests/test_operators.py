@@ -571,3 +571,22 @@ def test_pq_ann_recall_and_shape(spark):
     assert len(brute & hits) / len(brute) >= 0.25
     per_q = Counter(r["qid"] for r in pq)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_bpe_encode_word_reference_cases():
+    """Hand-derived BPE traces against the fixed merge vocabulary —
+    rank order matters: 'the' must merge t+h first (rank 0), then
+    th+e (rank 1), NOT e.g. a lower-priority pair first."""
+    from prohap_spark.functions.bpe import bpe_encode_word
+
+    assert bpe_encode_word("the") == ["the"]
+    assert bpe_encode_word("thethe") == ["the", "the"]
+    # 'and': a+n (rank 3) fires before e.g. n+d (absent); then an+d
+    assert bpe_encode_word("and") == ["and"]
+    # 'in' then standalone chars that never merge
+    assert bpe_encode_word("inx") == ["in", "x"]
+    assert bpe_encode_word("zzzz") == ["z", "z", "z", "z"]
+    assert bpe_encode_word("a") == ["a"]
+    assert bpe_encode_word("") == []
+    # 'string': s+t (9), i+n (2) -> in, in+g (18) -> ing; r stays
+    assert bpe_encode_word("string") == ["st", "r", "ing"]
