@@ -849,3 +849,83 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_doc_stats(d).select(
         "doc_id", "n_words", "n_bpe_tokens", "token_digest"
     )
+
+
+@register(
+    "text_pii_scrub",
+    # the three redaction regexes are applied in a fixed order (emails
+    # before bare domains would matter in a richer rule set; here the
+    # patterns are disjoint) and counted before replacement
+    r"""
+    WITH p AS (
+      -- the raw corpus carries no PII-shaped strings (verified), so a
+      -- vacuous scrub would check nothing: plant deterministic
+      -- email/URL/long-number suffixes on a doc_id schedule in BOTH
+      -- engines, then redact them
+      SELECT doc_id,
+             text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' see https://example.org/d/' || doc_id
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' ref 977777' || doc_id || '777'
+                       ELSE '' END AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+             len(regexp_extract_all(text, '\b[0-9]{9,}\b')) AS n_long_numbers
+      FROM p
+    )
+    SELECT doc_id,
+           CAST(n_emails AS INT) AS n_emails,
+           CAST(n_urls AS INT) AS n_urls,
+           CAST(n_long_numbers AS INT) AS n_long_numbers,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'https?://[^ ]+', '<URL>', 'g'),
+                 '\b[0-9]{9,}\b', '<NUM>', 'g')) AS scrubbed_digest
+    FROM t
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction (curation staple): emails, URLs, and long
+    digit runs replaced by typed placeholders, with per-doc match
+    counts for audit — pure JVM regexp expressions, one scan, no
+    shuffle. The scrubbed text is compared by md5 so any regex-engine
+    divergence between Spark and the oracle surfaces as a hash break."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" contact user"), F.col("doc_id"),
+                            F.lit("@example.com now"))).otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.concat(F.lit(" see https://example.org/d/"),
+                            F.col("doc_id"))).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" ref 977777"), F.col("doc_id"),
+                            F.lit("777"))).otherwise(""),
+        ),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url = r"https?://[^ ]+"
+    num = r"\b[0-9]{9,}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), email, "<EMAIL>"),
+                         url, "<URL>"),
+        num, "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(url), F.lit(0))).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(num), F.lit(0))).alias("n_long_numbers"),
+        F.md5(scrubbed).alias("scrubbed_digest"),
+    )
