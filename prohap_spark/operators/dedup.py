@@ -412,3 +412,57 @@ def simhash(
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def segment_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_words: int = 4,
+    max_docs: int = 1,
+) -> DataFrame:
+    """CCNet-style duplicated-segment removal: split every document
+    into consecutive ``seg_words``-word segments (pseudo-paragraphs —
+    the corpus has no newlines, so fixed word windows play the role
+    CCNet's '\\n'-split paragraphs do), count each distinct segment's
+    document frequency corpus-wide, drop segments appearing in more
+    than ``max_docs`` documents, and reassemble the surviving segments
+    in original order.
+
+    The 100 TB shape: one narrow posexplode (no shuffle), one hash
+    aggregate on the segment text keyed by its md5 (map-side partial
+    agg; the duplicated-segment table is duplicate-surface-sized, far
+    smaller than the corpus), one equi-join back on the same key, and
+    one per-doc aggregate to reassemble — the join and both aggregates
+    all shuffle on narrow md5 keys, never on the full text. Returns
+    (id_col, n_segs, n_removed, scrubbed_text)."""
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
+    seglist = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda s: F.array_join(F.slice(ws, s * seg_words + 1, seg_words), " "),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(seglist).alias("__seg_idx", "__seg")
+    ).withColumn("__k", F.md5(F.col("__seg")))
+    dup = (
+        ex.groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > max_docs)
+        .select("__k", F.lit(True).alias("__dup"))
+    )
+    marked = ex.join(dup, "__k", "left").withColumn(
+        "__dup", F.coalesce(F.col("__dup"), F.lit(False))
+    )
+    kept = F.transform(
+        F.filter(
+            F.array_sort(F.collect_list(F.struct("__seg_idx", "__dup", "__seg"))),
+            lambda s: ~s["__dup"],
+        ),
+        lambda s: s["__seg"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )

@@ -1,0 +1,87 @@
+"""Context-window packing: assign every document a contiguous token
+span in a virtual concatenated token stream, then split that stream
+into fixed-length training sequences (the GPT-style "concatenate and
+chunk at max_len" packing strategy) — the manifest a sequence-builder
+job materializes before tokenized examples are written.
+
+The 100 TB shape: documents are first sharded by a deterministic
+content-hash bucket (the unit real pipelines pack within — a global
+total order over 100 TB would serialize on one task), then ordered
+within the shard by a second hash (the deterministic "shuffle" of the
+corpus), and the running token offset is a window cumsum PARTITIONED
+BY shard — Spark executes one sort + one streaming cumsum per shard,
+all shards in parallel, no global exchange. Sequence membership is
+pure arithmetic on the offsets (no second pass over the text), and
+the boundary-spanning explode emits at most
+ceil(doc_tokens / seq_len) + 1 rows per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def md5_bucket(col, mod: int):
+    """First 8 md5 hex chars as an integer mod ``mod`` — the engine-
+    portable deterministic bucket shared with sampling_hash_split."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        % mod
+    )
+
+
+def pack_context_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 128,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Pack whitespace-tokenized documents into fixed ``seq_len``-token
+    training sequences per shard. Returns one row per (document,
+    sequence) incidence: (id_col, shard, seq_id, n_tokens, start_off,
+    tok_start, tokens_in_seq) where ``seq_id`` numbers sequences within
+    the shard, ``start_off`` is the document's offset in the shard's
+    concatenated stream, ``tok_start`` is where inside ``seq_id`` the
+    document's tokens begin, and ``tokens_in_seq`` is how many of the
+    document's tokens land in that sequence (a document crossing a
+    boundary contributes rows to every sequence it spans)."""
+    idc = F.col(id_col)
+    d = df.select(
+        idc,
+        md5_bucket(idc, n_shards).cast("int").alias("shard"),
+        F.md5(idc.cast("string")).alias("__okey"),
+        F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        d.withColumn("__end", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("__end") - F.col("n_tokens"))
+        .withColumn("__first", F.floor(F.col("start_off") / seq_len))
+        .withColumn("__last", F.floor((F.col("__end") - 1) / seq_len))
+    )
+    ex = d.select(
+        idc,
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.explode(F.sequence(F.col("__first"), F.col("__last"))).alias("seq_id"),
+        F.col("__end").alias("__end"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    return ex.select(
+        idc,
+        "shard",
+        "seq_id",
+        "n_tokens",
+        "start_off",
+        (F.greatest(F.col("start_off"), seq_start) - seq_start).alias("tok_start"),
+        (
+            F.least(F.col("__end"), seq_start + seq_len)
+            - F.greatest(F.col("start_off"), seq_start)
+        ).alias("tokens_in_seq"),
+    )

@@ -679,3 +679,95 @@ def pq_adc_topk(
             F.col("__qid").alias(query_id), F.col(corpus_id), "cosine", "rank"
         )
     )
+
+
+def assign_nearest_cell(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    assign_decimals: int = 4,
+) -> DataFrame:
+    """Assign every vector to its single nearest centroid cell by
+    cosine — the standalone flavor of the assignment pass inside
+    ``ivf_ann_topk`` (broadcast centroid argmax, no shuffle of the
+    corpus). Cosines round to ``assign_decimals`` before the argmax so
+    the assignment is stable across engines. Returns the input columns
+    plus (cell_id, __vnorm)."""
+    cent = F.broadcast(
+        centroids.select("cell_id", "centroid").withColumn(
+            "__centnorm", _norm(F.col("centroid"))
+        )
+    )
+    s = df.withColumn("__vnorm", _norm(F.col(vec_col)))
+    scored = s.crossJoin(cent).withColumn(
+        "__cellcos",
+        F.round(
+            _dot(F.col(vec_col), F.col("centroid"))
+            / (F.col("__vnorm") * F.col("__centnorm")),
+            assign_decimals,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__cellcos").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("__crank", F.row_number().over(w))
+        .where(F.col("__crank") == 1)
+        .drop("centroid", "__centnorm", "__cellcos", "__crank")
+    )
+
+
+def semantic_dedup_flags(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus by a
+    coarse quantizer (nearest-centroid assignment — in production the
+    centroids come from a k-means job), then within each cell flag a
+    vector as a duplicate when some LOWER-id vector in the same cell
+    has cosine ≥ ``threshold`` to it (the deterministic keep-the-
+    smallest-id rule).
+
+    The 100 TB shape: the pairwise comparison is confined to single
+    cells — one equi-self-join on cell_id (corpus partitionable by
+    cell on disk), quadratic only in the cell size the clustering
+    chose, never in the corpus. Returns (id_col, cell_id, is_dup,
+    best_cos) where best_cos is the max cosine to any lower-id
+    same-cell vector (NULL when the cell holds no lower id)."""
+    a = assign_nearest_cell(df, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("__id"),
+        "cell_id",
+        F.col(vec_col).alias("__vec"),
+        "__vnorm",
+    )
+    pairs = (
+        a.alias("l")
+        .join(a.alias("r"), "cell_id")
+        .where(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("r.__id").alias("__id"),
+            F.col("cell_id"),
+            F.round(
+                _dot(F.col("l.__vec"), F.col("r.__vec"))
+                / (F.col("l.__vnorm") * F.col("r.__vnorm")),
+                score_decimals,
+            ).alias("__cos"),
+        )
+        .groupBy("__id", "cell_id")
+        .agg(F.max("__cos").alias("best_cos"))
+    )
+    return (
+        a.select("__id", "cell_id")
+        .join(pairs, ["__id", "cell_id"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell_id",
+            (F.coalesce(F.col("best_cos"), F.lit(-2.0)) >= threshold).alias("is_dup"),
+            "best_cos",
+        )
+    )

@@ -442,3 +442,64 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, c, codebook, "qid", "cid", "nv",
         k=5, sub_dim=16, num_codes=10, rerank_k=50, rerank_vec_col="embedding",
     )
+
+
+@register(
+    "dedup_semantic",
+    # SemDeDup: label-mean centroids (the k-means stand-in shared with
+    # sim_ivf_ann), nearest-cell assignment, within-cell lower-id
+    # cosine >= 0.25 flags a duplicate
+    f"""
+    WITH ed AS (
+      SELECT label, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS cell_id, list(cx ORDER BY d) AS cvec
+      FROM (SELECT label, d, avg(CAST(x AS DOUBLE)) AS cx FROM ed GROUP BY label, d)
+      GROUP BY label
+    ),
+    cn AS (
+      SELECT cell_id, cvec, {_DUCK_NORM.format(a='cvec')} AS centnorm FROM cent
+    ),
+    assign AS (
+      SELECT cid, cell_id, cv, cvnorm FROM (
+        SELECT e.vec_id AS cid, n.cell_id, e.embedding AS cv,
+               {_DUCK_NORM.format(a='e.embedding')} AS cvnorm,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round({_DUCK_DOT.format(a='e.embedding', b='n.cvec')} /
+                                ({_DUCK_NORM.format(a='e.embedding')} * n.centnorm), 4) DESC,
+                          n.cell_id
+               ) AS rnk
+        FROM embeddings e, cn n
+      ) WHERE rnk = 1
+    ),
+    pairs AS (
+      SELECT r.cid AS vec_id, r.cell_id,
+             max(round({_DUCK_DOT.format(a='l.cv', b='r.cv')} /
+                       (l.cvnorm * r.cvnorm), 6)) AS best_cos
+      FROM assign l JOIN assign r
+        ON l.cell_id = r.cell_id AND l.cid < r.cid
+      GROUP BY r.cid, r.cell_id
+    )
+    SELECT a.cid AS vec_id, a.cell_id,
+           coalesce(p.best_cos, -2.0) >= 0.25 AS is_dup,
+           p.best_cos
+    FROM assign a LEFT JOIN pairs p ON a.cid = p.vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (operators/similarity.py
+    semantic_dedup_flags): cluster by nearest centroid, then within
+    each cell flag vectors with a lower-id neighbor at cosine >= 0.25
+    — the deterministic keep-smallest-id rule. The pairwise pass is
+    confined to cells (equi-self-join on cell_id), never the corpus."""
+    from prohap_spark.operators.similarity import semantic_dedup_flags
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = train_centroids_by_label(e, "label", "embedding")
+    return semantic_dedup_flags(
+        e, cent, "vec_id", "embedding", threshold=0.25
+    )

@@ -929,3 +929,142 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(num), F.lit(0))).alias("n_long_numbers"),
         F.md5(scrubbed).alias("scrubbed_digest"),
     )
+
+
+@register(
+    "text_line_dedup",
+    # fixed 4-word windows play CCNet's '\n'-split paragraphs (this
+    # corpus has no newlines); a segment is duplicated when >1 distinct
+    # document contains it
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT)),
+                 s -> array_to_string(ws[(s*4+1):(s*4+4)], ' ')) AS seglist
+      FROM w
+    ),
+    ex AS (
+      SELECT doc_id, unnest(seglist) AS seg,
+             generate_subscripts(seglist, 1) AS seg_idx
+      FROM segs
+    ),
+    dup AS (SELECT seg FROM ex GROUP BY seg HAVING count(DISTINCT doc_id) > 1)
+    SELECT e.doc_id,
+           count(*) AS n_segs,
+           CAST(sum(CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN d.seg IS NULL THEN e.seg END, ' ' ORDER BY e.seg_idx), '') AS scrubbed_text
+    FROM ex e LEFT JOIN dup d USING (seg)
+    GROUP BY e.doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style duplicated-segment removal (operators/dedup.py
+    segment_dedup): corpus-wide document-frequency count per 4-word
+    segment, duplicated segments dropped, survivors reassembled in
+    order. The scrubbed text itself is compared verbatim, so a
+    reassembly-order or boundary bug breaks the hash."""
+    from prohap_spark.operators.dedup import segment_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return segment_dedup(d, "doc_id", "text", seg_words=4, max_docs=1)
+
+
+@register(
+    "pack_context_windows",
+    # shard = md5(doc_id) % 8 (sampling_hash_split's bucket idiom);
+    # within-shard order = md5(doc_id); seq_len = 128
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 8 AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY okey, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+      FROM b
+    ),
+    s AS (SELECT *, e - n_tokens AS start_off FROM o),
+    ex AS (
+      SELECT doc_id, shard, n_tokens, start_off, e,
+             unnest(range(start_off // 128, (e - 1) // 128 + 1)) AS seq_id
+      FROM s
+    )
+    SELECT doc_id, shard, seq_id, n_tokens, start_off,
+           greatest(start_off, seq_id * 128) - seq_id * 128 AS tok_start,
+           least(e, (seq_id + 1) * 128) - greatest(start_off, seq_id * 128) AS tokens_in_seq
+    FROM ex
+    """,
+)
+def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing manifest (operators/packing.py): docs
+    sharded by content hash, deterministically ordered within shard,
+    token offsets via a per-shard window cumsum, then exploded into
+    the fixed 128-token sequences each document occupies — the
+    concat-and-chunk packing strategy with per-shard parallelism."""
+    from prohap_spark.operators.packing import pack_context_windows as _pack
+
+    d = table(spark, sf_dir, "documents")
+    return _pack(d, "doc_id", "text", seq_len=128, n_shards=8)
+
+
+@register(
+    "text_unigram_logprob",
+    # per-token NLL in integer micro-nats (round(-ln(p)*1e6)) so the
+    # per-doc sum is an exact bigint — no float summation-order drift
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
+      FROM documents
+    ),
+    uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT count(*) AS total FROM toks),
+    lp AS (
+      SELECT w, CAST(round(-ln(c * 1.0 / total) * 1000000) AS BIGINT) AS nll_micro
+      FROM uni, tot
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           sum(l.nll_micro) AS sum_nll_micro,
+           round(sum(l.nll_micro) * 1.0 / count(*) / 1000000, 6) AS avg_nll
+    FROM toks t JOIN lp l USING (w)
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (the CCNet/KenLM perplexity-proxy
+    shape): corpus unigram distribution → per-token negative log
+    likelihood → per-doc mean NLL. The per-token NLL is fixed to
+    integer micro-nats before summing, so the per-doc total is an
+    exact bigint and order-independent; the tiny (vocab-sized) NLL
+    table is broadcast, making the scoring pass a map-side join —
+    one corpus scan, one vocab aggregate."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(-F.log(F.col("c") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("nll_micro"),
+    )
+    return (
+        toks.join(F.broadcast(lp), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+            F.round(F.sum("nll_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
+        )
+    )

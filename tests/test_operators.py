@@ -590,3 +590,103 @@ def test_bpe_encode_word_reference_cases():
     assert bpe_encode_word("") == []
     # 'string': s+t (9), i+n (2) -> in, in+g (18) -> ing; r stays
     assert bpe_encode_word("string") == ["st", "r", "ing"]
+
+
+def test_segment_dedup_literal_fixture(spark):
+    """Hand-derived expectation on a 3-doc fixture: the shared 4-word
+    segment is removed from both carriers, unique segments survive in
+    order, and a fully-duplicated doc scrubs to the empty string."""
+    from prohap_spark.operators.dedup import segment_dedup
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} one two three four tail"),
+            (2, f"zero zero zero zero {shared}"),
+            (3, shared),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, "doc_id", "text", seg_words=4).collect()
+    }
+    # doc 1: segs = [shared, 'one two three four', 'tail']
+    assert out[1]["n_segs"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["scrubbed_text"] == "one two three four tail"
+    # doc 2: 'zero zero zero zero' is unique to doc 2, shared removed
+    assert out[2]["n_segs"] == 2 and out[2]["n_removed"] == 1
+    assert out[2]["scrubbed_text"] == "zero zero zero zero"
+    # doc 3: everything duplicated -> empty scrub
+    assert out[3]["n_segs"] == 1 and out[3]["n_removed"] == 1
+    assert out[3]["scrubbed_text"] == ""
+
+
+def test_pack_context_windows_invariants(spark, rng):
+    """Packing manifest invariants on random docs: per-doc token
+    conservation, contiguous within-shard sequence coverage (every
+    sequence except each shard's last holds exactly seq_len tokens),
+    and boundary-crossing docs span consecutive sequences."""
+    from prohap_spark.operators.packing import pack_context_windows
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, words(int(rng.integers(1, 40)))) for i in range(200)],
+        ["doc_id", "text"],
+    )
+    rows = pack_context_windows(
+        docs, "doc_id", "text", seq_len=32, n_shards=4
+    ).collect()
+    # token conservation per doc
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in per_doc.items():
+        assert sum(x["tokens_in_seq"] for x in rs) == rs[0]["n_tokens"]
+        seqs = sorted(x["seq_id"] for x in rs)
+        assert seqs == list(range(seqs[0], seqs[-1] + 1))
+        assert all(1 <= x["tokens_in_seq"] <= 32 for x in rs)
+        assert all(0 <= x["tok_start"] < 32 for x in rs)
+    # every non-final sequence in a shard is exactly full
+    per_seq = {}
+    for r in rows:
+        k = (r["shard"], r["seq_id"])
+        per_seq[k] = per_seq.get(k, 0) + r["tokens_in_seq"]
+    last_seq = {}
+    for shard, seq in per_seq:
+        last_seq[shard] = max(last_seq.get(shard, -1), seq)
+    for (shard, seq), tot in per_seq.items():
+        if seq < last_seq[shard]:
+            assert tot == 32, (shard, seq, tot)
+        else:
+            assert 1 <= tot <= 32
+
+
+def test_semantic_dedup_keep_smallest_id(spark):
+    """Literal fixture: two near-identical vectors in one cell — the
+    larger id is flagged, the smaller kept; an orthogonal vector in
+    its own cell has best_cos NULL and survives."""
+    from prohap_spark.operators.similarity import (
+        semantic_dedup_flags,
+        train_centroids_by_label,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.999, 0.01, 0.0, 0.0], "a"),
+        (2, [0.0, 1.0, 0.0, 0.0], "b"),
+        (3, [0.5, 0.6, 0.0, 0.0], "a"),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cent = train_centroids_by_label(e, "label", "embedding")
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_flags(
+            e, cent, "vec_id", "embedding", threshold=0.95
+        ).collect()
+    }
+    assert not out[0]["is_dup"] and out[0]["best_cos"] is None
+    assert out[1]["is_dup"] and out[1]["best_cos"] > 0.999
+    assert not out[2]["is_dup"] and out[2]["best_cos"] is None
+    # vec 3 sits in cell 'a' with 0 and 1 but is not close enough
+    assert not out[3]["is_dup"] and out[3]["best_cos"] < 0.95
