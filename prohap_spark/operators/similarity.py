@@ -738,7 +738,13 @@ def semantic_dedup_flags(
     cell on disk), quadratic only in the cell size the clustering
     chose, never in the corpus. Returns (id_col, cell_id, is_dup,
     best_cos) where best_cos is the max cosine to any lower-id
-    same-cell vector (NULL when the cell holds no lower id)."""
+    same-cell vector (NULL when the cell holds no lower id).
+
+    Plan note: the assignment subplan is referenced three times (both
+    sides of the pair join + the final left join), and Spark re-executes
+    unshared subplans — each re-execution is one linear broadcast-argmax
+    scan (no shuffle), so the shape stays scale-safe, but a long
+    pipeline should persist/checkpoint the assignment table first."""
     a = assign_nearest_cell(df, centroids, id_col, vec_col).select(
         F.col(id_col).alias("__id"),
         "cell_id",

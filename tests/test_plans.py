@@ -157,3 +157,50 @@ def test_partitioned_sink_read_prunes_partitions(spark):
     plan = rt._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "chrom" in plan.split("PartitionFilters", 1)[1][:200]
     assert {r["pos"] for r in rt.collect()} == {5, 20}
+
+
+def test_unigram_logprob_broadcast_vocab(spark, qs):
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["text_unigram_logprob"](spark, SF))
+    # the vocab-sized NLL table joins broadcast (map-side scoring);
+    # the only nested-loop is the broadcast 1-row corpus total
+    assert rep["broadcast_joins"] >= 1
+    assert rep["bnl_joins"] <= 1
+    assert all(set(c) <= {"doc_id", "text"} for c in rep["scan_columns"])
+
+
+def test_pack_context_windows_single_shard_exchange(spark, qs):
+    from prohap_spark.plans import formatted_plan, plan_report
+
+    df = qs["pack_context_windows"](spark, SF)
+    rep = plan_report(df)
+    # one hash exchange on shard feeds the per-shard window cumsum;
+    # no global sort, no single-partition exchange
+    assert rep["exchanges"] == 1
+    plan = formatted_plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(shard" in plan
+
+
+def test_line_dedup_no_cartesian(spark, qs):
+    from prohap_spark.plans import formatted_plan, plan_report
+
+    df = qs["text_line_dedup"](spark, SF)
+    rep = plan_report(df)
+    assert rep["bnl_joins"] == 0
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert rep["exchanges"] <= 5
+
+
+def test_semantic_dedup_cell_equijoin(spark, qs):
+    from prohap_spark.plans import formatted_plan, plan_report
+
+    df = qs["dedup_semantic"](spark, SF)
+    rep = plan_report(df)
+    # the pairwise pass is an equi-join on cell_id, never a cartesian;
+    # the only nested-loops are the broadcast tiny-centroid argmax
+    # scans (one per reference to the assignment subplan)
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 2
+    assert rep["bnl_joins"] <= 3
