@@ -79,12 +79,19 @@ def decode_images(
 
     ``real_codec=True``: REAL image decode dispatched on the payload's
     magic bytes — uncompressed BMP ('BM': header, palette, row padding,
-    bottom-up/top-down order) or compressed PNG (signature: chunk CRCs,
-    multi-IDAT DEFLATE reassembly, five-filter scanline reconstruction,
-    ``codecs.py``); raster dimensions come from the payload itself, so
+    bottom-up/top-down order), compressed PNG (signature: chunk CRCs,
+    multi-IDAT DEFLATE reassembly, five-filter scanline reconstruction),
+    or baseline JPEG (SOI: marker walk, Huffman entropy decode with
+    stuffing removal, dequant + IDCT, all in ``codecs.py``); raster
+    dimensions come from the payload itself, so
     ``width`` / ``height`` are ignored. A malformed or unrecognized
     payload raises (fail loud)."""
-    from prohap_spark.multimodal.codecs import _PNG_SIG, decode_bmp, decode_png
+    from prohap_spark.multimodal.codecs import (
+        _PNG_SIG,
+        decode_bmp,
+        decode_jpeg,
+        decode_png,
+    )
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
@@ -95,7 +102,9 @@ def decode_images(
             return decode_bmp(p)
         if p[: len(_PNG_SIG)] == _PNG_SIG:
             return decode_png(p)
-        raise ValueError("unrecognized image payload (neither BMP nor PNG)")
+        if p[:2] == b"\xff\xd8":
+            return decode_jpeg(p)
+        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

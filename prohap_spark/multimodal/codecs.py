@@ -318,3 +318,348 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits})")
     samples = np.frombuffer(data, dtype="<i2")
     return samples, sample_rate, channels
+
+
+# --------------------------------------------------------------- JPEG
+#
+# Baseline sequential DCT JPEG (ITU-T T.81), grayscale (one component),
+# pure Python + numpy: FDCT/quantize/zigzag/Huffman on the encode side;
+# marker walk, DHT canonical-code reconstruction, entropy decode with
+# 0xFF00 byte-stuffing removal, dequantize/un-zigzag/IDCT on the decode
+# side. Huffman tables are the public Annex K typical tables. Color
+# (multi-component) and progressive scans raise — fail loud, the same
+# posture as the other codecs' unsupported branches.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3.3: "typical" luminance Huffman tables
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+# Annex K.1 luminance quantization table (row-major), the encoder default
+_STD_LUMA_QUANT = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _huffman_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical JPEG code assignment (T.81 C.2): codes of increasing
+    length, sequential within a length. Returns symbol -> (code, len)."""
+    enc: dict[int, tuple[int, int]] = {}
+    code, idx = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[vals[idx]] = (code, length)
+            code += 1
+            idx += 1
+        code <<= 1
+    return enc
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_coeff_bits(v: int, size: int) -> int:
+    """T.81 F.1.2.1: positive values verbatim; negative values as
+    v + 2^size - 1 (one's-complement style)."""
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Write a 2-D uint8 grayscale raster as a REAL baseline JPEG:
+    level shift, 8×8 FDCT, quantization (``quant`` 8×8 table, Annex K
+    luminance by default; pass all-ones for the highest-fidelity
+    stream), zigzag, Annex-K Huffman entropy coding with byte
+    stuffing. Edge blocks replicate-pad to 8×8 (decoder crops)."""
+    if raster.ndim != 2:
+        raise ValueError("encode_jpeg expects a 2-D grayscale raster")
+    q = _STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in 1..255")
+    h, w = raster.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = raster
+    padded[h:, :w] = raster[h - 1 : h, :]  # replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    dc_enc = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_enc = _huffman_codes(_AC_BITS, _AC_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT_M @ blk @ _DCT_M.T
+            qz = np.round(coef / q).astype(np.int64)
+            zz = qz.ravel()[_ZIGZAG]
+            # DC
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            s = _category(diff)
+            code, length = dc_enc[s]
+            bw_.write(code, length)
+            if s:
+                bw_.write(_encode_coeff_bits(diff, s), s)
+            # AC
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    zc, zl = ac_enc[0xF0]  # ZRL
+                    bw_.write(zc, zl)
+                    run -= 16
+                s = _category(v)
+                code, length = ac_enc[(run << 4) | s]
+                bw_.write(code, length)
+                bw_.write(_encode_coeff_bits(v, s), s)
+                run = 0
+            if run:
+                ec, el = ac_enc[0x00]  # EOB
+                bw_.write(ec, el)
+    entropy = bw_.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    zz_quant = q.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
+    out += seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    # stash the true (pre-pad) dims in a COM segment so the decoder can
+    # crop — mirrors how real encoders use SOF dims + EXIF; here SOF
+    # carries the padded dims and COM the logical ones
+    return out[:2] + seg(0xFE, struct.pack(">HH", h, w)) + out[2:]
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.maxcode = [-1] * 17
+        self.mincode = [0] * 17
+        self.valptr = [0] * 17
+        self.vals = vals
+        code, idx = 0, 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = idx
+                self.mincode[length] = code
+                code += n
+                idx += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, reader: "_BitReader") -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 stuffing removal."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                elif nxt == 0xD9:  # EOI reached while bits demanded
+                    raise ValueError("truncated JPEG entropy stream")
+                else:
+                    raise ValueError("unexpected marker inside JPEG scan")
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive_extend(self, size: int) -> int:
+        if size == 0:
+            return 0
+        v = 0
+        for _ in range(size):
+            v = (v << 1) | self.read_bit()
+        if v < (1 << (size - 1)):  # negative branch (T.81 F.2.2.1)
+            v += -(1 << size) + 1
+        return v
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Parse a REAL baseline JPEG byte-for-byte: marker walk (with
+    ancillary APPn/COM handling), DQT, SOF0 (grayscale only — color
+    and progressive raise), canonical Huffman reconstruction from DHT,
+    entropy decode with stuffing removal, dequantize, un-zigzag, IDCT,
+    level shift, clip, crop to the logical dimensions."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    quant: np.ndarray | None = None
+    dims: tuple[int, int] | None = None
+    crop: tuple[int, int] | None = None
+    dc_dec: _HuffDecoder | None = None
+    ac_dec: _HuffDecoder | None = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = payload[pos + 1]
+        seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables unsupported")
+            zzq = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+            quant = np.empty(64, dtype=np.int64)
+            quant[_ZIGZAG] = zzq
+            quant = quant.reshape(8, 8)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC0:
+            prec, ph, pw, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale JPEG supported")
+            dims = (ph, pw)
+        elif marker == 0xC4:
+            cls, tid = body[0] >> 4, body[0] & 0x0F
+            if tid != 0:
+                raise ValueError("unexpected Huffman table id")
+            bits = list(body[1:17])
+            vals = list(body[17 : 17 + sum(bits)])
+            if cls == 0:
+                dc_dec = _HuffDecoder(bits, vals)
+            else:
+                ac_dec = _HuffDecoder(bits, vals)
+        elif marker == 0xFE and seglen == 6:
+            crop = struct.unpack(">HH", body)
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            if quant is None or dims is None or dc_dec is None or ac_dec is None:
+                raise ValueError("JPEG scan before tables/frame header")
+            ph, pw = dims
+            bh, bw = ph // 8, pw // 8
+            reader = _BitReader(payload, pos + 2 + seglen)
+            out = np.empty((ph, pw), dtype=np.uint8)
+            pred = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = dc_dec.decode(reader)
+                    pred += reader.receive_extend(s)
+                    zz[0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = ac_dec.decode(reader)
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        zz[k] = reader.receive_extend(size)
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[_ZIGZAG] = zz * quant.ravel()[_ZIGZAG]
+                    blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(blk + 128.0), 0, 255
+                    ).astype(np.uint8)
+            if crop is not None:
+                out = out[: crop[0], : crop[1]]
+            return out
+        pos += 2 + seglen
+    raise ValueError("no JPEG scan found")

@@ -621,3 +621,77 @@ def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("win_mean", 4).alias("win_mean"),
         F.round("win_rms", 4).alias("win_rms"),
     )
+
+
+@register(
+    "multimodal_jpeg_codec",
+    # each of the first 64 text bytes becomes one CONSTANT 8x8 block of
+    # a 512x8 grayscale image (so with an all-ones quant table the
+    # lossy FDCT->quantize->Huffman->IDCT pipeline is byte-exact: a
+    # constant block is pure DC, and DC/8 round-trips without rounding
+    # error), letting the oracle read truth straight off the text.
+    # Block k's pixels = byte k+1 -> flattened pixel 64*k+1. The DC
+    # deltas across 64 blocks exercise real differential Huffman coding
+    # including negatives, ZRL-free EOB blocks, and byte stuffing.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    )
+    SELECT media_id,
+           ord(substr(text, 1, 1)) AS b0,
+           ord(substr(text, 32, 1)) AS b31,
+           ord(substr(text, 64, 1)) AS b63,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE))) / 64,
+                 4) AS px_mean
+    FROM m
+    """,
+)
+def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-image path (no stub, no external library): each
+    document's first 64 bytes become 64 constant 8×8 blocks of a
+    512×8 grayscale raster, written as a genuine baseline JPEG
+    (FDCT, all-ones quantization, Annex-K Huffman tables, byte
+    stuffing) and decoded back through ``decode_images(
+    real_codec=True)`` — the full T.81 parse in
+    ``multimodal/codecs.py``: marker walk, canonical Huffman
+    reconstruction from DHT, entropy decode, dequant, IDCT. Constant
+    blocks make the lossy pipeline exactly invertible, so the oracle
+    compares pixel values byte-for-byte; general-raster fidelity
+    bounds are pinned in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_jpeg
+
+    media = _docs_as_media(spark, sf_dir, 64)
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    np.frombuffer(bytes(tb), dtype=np.uint8)[:64]
+                    .repeat(64)
+                    .reshape(512, 8),
+                    quant=ones,
+                )
+                for tb in pdf["text_bytes"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    jpegs = media.mapInPandas(to_jpeg, schema="media_id long, payload binary")
+    decoded = decode_images(jpegs, real_codec=True)
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    return decoded.select(
+        "media_id",
+        F.element_at(px, 1).alias("b0"),
+        F.element_at(px, 31 * 64 + 1).alias("b31"),
+        F.element_at(px, 63 * 64 + 1).alias("b63"),
+        F.round(mean, 4).alias("px_mean"),
+    )

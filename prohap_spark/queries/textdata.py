@@ -1068,3 +1068,54 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("nll_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "sampling_token_budget",
+    # mixture enforcement: per-source token budget of 800, docs taken
+    # in deterministic md5 order, kept while the inclusive cumsum fits
+    """
+    WITH b AS (
+      SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY okey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM b
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= 800 AS kept
+    FROM c
+    """,
+)
+def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture budget enforcement: each source contributes at most
+    800 whitespace tokens, with documents admitted in the deterministic
+    md5 order (the same reshuffle-stable order packing uses) until the
+    inclusive running total would exceed the budget. One window cumsum
+    partitioned by source — per-source parallelism, no global order,
+    and the kept set is reproducible across runs and engines."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("__okey"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).withColumn("kept", F.col("cum_tokens") <= 800)

@@ -310,3 +310,91 @@ def test_png_rejects_truncated_crc():
     # previously escaped as struct.error instead of ValueError
     with pytest.raises(ValueError, match="truncated"):
         decode_png(good[:-14])
+
+
+def test_jpeg_constant_blocks_exact():
+    """Constant 8x8 blocks are pure DC, and DC-only coding with an
+    all-ones quant table round-trips byte-exact through the full
+    FDCT -> Huffman -> IDCT pipeline — the property the driver oracle
+    relies on."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    vals = np.array([0, 1, 17, 128, 200, 254, 255, 63] * 8, dtype=np.uint8)
+    raster = vals.repeat(64).reshape(512, 8)
+    out = decode_jpeg(encode_jpeg(raster, quant=np.ones((8, 8))))
+    assert (out == raster).all()
+
+
+def test_jpeg_random_roundtrip_tolerance_and_stuffing():
+    """Random rasters with quant=1: only the DCT-coefficient rounding
+    is lossy, so every pixel lands within +/-2; the entropy stream of
+    random data necessarily exercises 0xFF byte stuffing."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    enc = encode_jpeg(x, quant=np.ones((8, 8)))
+    assert b"\xff\x00" in enc  # stuffing really exercised
+    y = decode_jpeg(enc)
+    assert y.shape == x.shape
+    assert np.abs(y.astype(int) - x.astype(int)).max() <= 2
+
+
+def test_jpeg_standard_table_smooth_fidelity_and_crop():
+    """Annex-K luminance table on a smooth gradient stays within a
+    small bound (lossy but faithful), and non-multiple-of-8 rasters
+    crop back to their logical dims via the COM dimension stash."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    g = np.tile(np.linspace(0, 255, 40).astype(np.uint8), (24, 1))
+    y = decode_jpeg(encode_jpeg(g))
+    assert y.shape == g.shape
+    assert np.abs(y.astype(int) - g.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (13, 10)).astype(np.uint8)
+    y2 = decode_jpeg(encode_jpeg(x, quant=np.ones((8, 8))))
+    assert y2.shape == (13, 10)
+    assert np.abs(y2.astype(int) - x.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_malformed():
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=np.ones((8, 8)))
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01" + good[2:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(good[:30])
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2) -> explicit reject
+    sof = good.index(b"\xff\xc0")
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good[:sof + 1] + b"\xc2" + good[sof + 2:])
+    # 3-component (color) frame header -> explicit reject
+    with pytest.raises(ValueError, match="grayscale"):
+        ncomp_at = sof + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2) -> ncomp
+        decode_jpeg(good[:ncomp_at] + b"\x03" + good[ncomp_at + 1:])
+
+
+def test_jpeg_decode_images_dispatch(spark):
+    import numpy as np
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_jpeg
+
+    raster = np.arange(64, dtype=np.uint8).repeat(64).reshape(512, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(raster, quant=np.ones((8, 8)))))],
+        ["media_id", "payload"],
+    )
+    (row,) = decode_images(df, real_codec=True).collect()
+    assert row["pixels"] == raster.ravel().astype(int).tolist()
