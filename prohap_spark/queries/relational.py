@@ -573,3 +573,53 @@ def c15_map_merge_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_nationkey", F.explode("m").alias("c_mktsegment", "merged")
     ).withColumn("merged", F.col("merged").cast("bigint"))
+
+
+@register(
+    "er_fuzzy_blocked_join",
+    # entity-resolution shape: cheap blocking key (brand + head noun)
+    # bounds the candidate space, exact Levenshtein verifies within it
+    """
+    WITH p AS (
+      SELECT p_partkey, p_name, p_brand,
+             string_split(p_name, ' ')[-1] AS noun
+      FROM part
+    )
+    SELECT a.p_brand AS brand,
+           a.p_partkey AS id_a, b.p_partkey AS id_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.noun = b.noun
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join: candidate pairs come from
+    an equi-join on a cheap blocking key (brand + the name's head
+    noun) — the standard ER trick that turns an all-pairs string
+    comparison into a bounded within-block one — and are verified
+    with exact JVM-side Levenshtein (built-in, no UDF). The 100 TB
+    shape: one shuffle on the blocking key; block sizes bound the
+    quadratic term, and skewed blocks split under AQE."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.element_at(F.split("p_name", " "), -1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, ["p_brand", "noun"])
+        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("id_a"),
+            F.col("b.p_partkey").alias("id_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+        )
+    )

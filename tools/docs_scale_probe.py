@@ -1,0 +1,117 @@
+"""Measured scaling probe for the training-data (documents) operators.
+
+Replicates the sf0.1 documents corpus R× (doc_ids offset per replica,
+text perturbed with a replica-tag word so replicas are near- but not
+exact duplicates) and times the heavy text operators at increasing
+corpus sizes — evidence for (not a guess about) how each plan behaves
+as the corpus grows. The interesting shapes:
+
+- text_line_dedup: segment aggregate + join — should scale ~linearly;
+  replica tags multiply the duplicated-segment surface, so this also
+  stresses the join side.
+- pack_context_windows: per-shard window cumsum — linear, and the
+  shard count bounds the largest sort.
+- dedup_minhash_lsh_capped: bucket equi-join with the k² cap — the cap
+  is exactly what keeps replica-inflated buckets from going quadratic.
+- dedup_semantic (embeddings replicated the same way): within-cell
+  pairwise — quadratic IN THE CELL, so replication quantifies how the
+  cell-size bound spends at scale.
+
+Usage: python tools/docs_scale_probe.py [replicas...]   (default 1 4 8)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+replicas = [int(a) for a in sys.argv[1:]] or [1, 4, 8]
+
+
+def replicated_docs(spark, r: int):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = spark.range(r).select(F.col("id").alias("rep"))
+    return (
+        d.crossJoin(rep)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+
+
+def replicated_embeddings(spark, r: int):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rep = spark.range(r).select(F.col("id").alias("rep"))
+    return e.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("rep") * 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+
+
+def main() -> None:
+    from prohap_spark.operators.dedup import minhash_dedup_pairs, segment_dedup
+    from prohap_spark.operators.packing import pack_context_windows
+    from prohap_spark.operators.similarity import (
+        semantic_dedup_flags,
+        train_centroids_by_label,
+    )
+    from prohap_spark.session import get_spark
+
+    spark = get_spark("docs-scale-probe")
+    # warmup at 1x
+    segment_dedup(replicated_docs(spark, 1), "doc_id", "text").count()
+
+    out = {}
+    for r in replicas:
+        docs = replicated_docs(spark, r)
+        embs = replicated_embeddings(spark, r)
+        row = {}
+
+        t0 = time.monotonic()
+        row["line_dedup_rows"] = segment_dedup(docs, "doc_id", "text").count()
+        row["line_dedup_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        row["pack_rows"] = pack_context_windows(
+            docs, "doc_id", "text", seq_len=128, n_shards=32
+        ).count()
+        row["pack_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        row["lsh_pairs"] = minhash_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.6, num_hashes=16,
+            band_size=4, ngram=2, max_bucket_size=200,
+        ).count()
+        row["lsh_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        cent = train_centroids_by_label(embs, "label", "embedding")
+        row["semdedup_rows"] = semantic_dedup_flags(
+            embs, cent, "vec_id", "embedding", threshold=0.25
+        ).count()
+        row["semdedup_sec"] = round(time.monotonic() - t0, 3)
+
+        out[r] = row
+        print(
+            f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
+            f"pack {row['pack_sec']:6.2f}s  lsh {row['lsh_sec']:6.2f}s  "
+            f"semdedup {row['semdedup_sec']:6.2f}s",
+            flush=True,
+        )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
