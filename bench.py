@@ -45,6 +45,12 @@ HEADLINE = [
     # resolution + class grid, J6/J9/J11/U4) — kernel-adjacent path
     # whose perf was invisible to round-over-round comparison before r5
     "u4_peptide_classes",
+    # r5 fourth wave: the new training-data surface's heavy paths —
+    # segment dedup (agg+join+reassemble), packing (per-shard window),
+    # SemDeDup (cell-confined pairwise)
+    "text_line_dedup",
+    "pack_context_windows",
+    "dedup_semantic",
 ]
 
 

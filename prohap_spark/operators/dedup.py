@@ -429,40 +429,45 @@ def segment_dedup(
     than ``max_docs`` documents, and reassemble the surviving segments
     in original order.
 
-    The 100 TB shape: one narrow posexplode (no shuffle), one hash
-    aggregate on the segment text keyed by its md5 (map-side partial
-    agg; the duplicated-segment table is duplicate-surface-sized, far
-    smaller than the corpus), one equi-join back on the same key, and
-    one per-doc aggregate to reassemble — the join and both aggregates
-    all shuffle on narrow md5 keys, never on the full text. Returns
-    (id_col, n_segs, n_removed, scrubbed_text)."""
-    ws = F.split(F.trim(F.col(text_col)), " ")
-    n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
-    seglist = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda s: F.array_join(F.slice(ws, s * seg_words + 1, seg_words), " "),
-    )
+    The 100 TB shape: only (id, seg_idx, md5) triples ever shuffle —
+    the segment TEXT never leaves its map side. One narrow posexplode
+    feeds (a) the duplicated-key aggregate (map-side partial agg; the
+    over-cap table is duplicate-surface-sized) and (b) the equi-join
+    that collects each doc's removed indexes (a tiny per-doc int
+    array); the final pass re-splits the original text map-side and
+    drops the removed indexes with JVM array expressions. Compared to
+    shuffling segments through a sort-aggregate reassembly, the
+    shuffle payload is ~seg_words× smaller and the reassembly is
+    shuffle-free. Returns (id_col, n_segs, n_removed, scrubbed_text)."""
+
+    def seglist_of(col: str):
+        ws = F.split(F.trim(F.col(col)), " ")
+        n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_segs - 1),
+            lambda s: F.array_join(F.slice(ws, s * seg_words + 1, seg_words), " "),
+        )
+
     ex = df.select(
-        F.col(id_col), F.posexplode(seglist).alias("__seg_idx", "__seg")
-    ).withColumn("__k", F.md5(F.col("__seg")))
+        F.col(id_col), F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg")
+    ).select(id_col, "__seg_idx", F.md5(F.col("__seg")).alias("__k"))
     dup = (
         ex.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
         .where(F.col("__nd") > max_docs)
-        .select("__k", F.lit(True).alias("__dup"))
+        .select("__k")
     )
-    marked = ex.join(dup, "__k", "left").withColumn(
-        "__dup", F.coalesce(F.col("__dup"), F.lit(False))
+    removed = (
+        ex.join(dup, "__k")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("__seg_idx")).alias("__rm"))
     )
-    kept = F.transform(
-        F.filter(
-            F.array_sort(F.collect_list(F.struct("__seg_idx", "__dup", "__seg"))),
-            lambda s: ~s["__dup"],
-        ),
-        lambda s: s["__seg"],
-    )
-    return marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_segs"),
-        F.sum(F.col("__dup").cast("long")).alias("n_removed"),
+    seglist = seglist_of(text_col)
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(seglist, lambda seg, i: ~F.array_contains(rm, i))
+    return df.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.size(seglist).cast("long").alias("n_segs"),
+        F.size(rm).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )

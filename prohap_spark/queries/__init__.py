@@ -51,12 +51,12 @@ from prohap_spark.queries import threeexon  # noqa: F401
 # pipelines are hash-checked FRONT by the snp oracles on the same
 # cohort v2 — so the trailing two-round invariant holds whatever the
 # driver truncates. Queries registered mid-round AFTER the front
-# window filled (u4_full_class_grid, j8_gene_header_annotation,
-# text_decontaminate, text_repetition_stats, sampling_stratified_rates,
-# stream_dedup_watermark, domain_provar_threeexon_oracle, sim_pq_ann,
-# text_bpe_tokens) sit in the middle: dark this round, locally
-# hash-green via tools/check.py, and front-listed next round under
-# rule (a).
+# window filled sit in the middle: dark this round, locally hash-green
+# via tools/check.py, and front-listed next round under rule (a) —
+# `python tools/rotation_audit.py` prints the exact list (17 as of the
+# fourth wave: the grid/gene-header/threeexon/PQ/BPE/PII batch plus
+# line-dedup, packing, semantic dedup, unigram logprob, token budget,
+# the JPEG codec, and the fuzzy ER join).
 _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",
