@@ -27,6 +27,7 @@ from prohap_spark.queries import force_rf  # noqa: F401
 from prohap_spark.queries import junction_haplo  # noqa: F401
 from prohap_spark.queries import peptide_grid  # noqa: F401
 from prohap_spark.queries import threeexon  # noqa: F401
+from prohap_spark.queries import threeexon_haplo  # noqa: F401
 
 # The correctness harness verifies queries in dict order with a bounded
 # budget (~50 entries/round; the registry is larger), so ordering IS
