@@ -440,6 +440,8 @@ def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     stuffing. Edge blocks replicate-pad to 8×8 (decoder crops)."""
     if raster.ndim != 2:
         raise ValueError("encode_jpeg expects a 2-D grayscale raster")
+    if raster.shape[0] > 65535 or raster.shape[1] > 65535:
+        raise ValueError("JPEG dimensions exceed 65535")
     q = _STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 8x8 with entries in 1..255")
@@ -495,16 +497,15 @@ def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     zz_quant = q.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
     out = b"\xff\xd8"  # SOI
     out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
-    out += seg(0xC0, struct.pack(">BHHB", 8, bh * 8, bw * 8, 1) + b"\x01\x11\x00")  # SOF0
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
     out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
     out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += entropy
     out += b"\xff\xd9"  # EOI
-    # stash the true (pre-pad) dims in a COM segment so the decoder can
-    # crop — mirrors how real encoders use SOF dims + EXIF; here SOF
-    # carries the padded dims and COM the logical ones
-    return out[:2] + seg(0xFE, struct.pack(">HH", h, w)) + out[2:]
+    # SOF carries the TRUE logical dims (as every real encoder writes);
+    # the decoder derives padded block counts with a ceil and crops
+    return out
 
 
 class _HuffDecoder:
@@ -585,52 +586,70 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pos = 2
     quant: np.ndarray | None = None
     dims: tuple[int, int] | None = None
-    crop: tuple[int, int] | None = None
     dc_dec: _HuffDecoder | None = None
     ac_dec: _HuffDecoder | None = None
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
         marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:  # standalone markers
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG segment")
         seglen = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+        if seglen < 2:
+            raise ValueError("corrupt JPEG segment length")
         body = payload[pos + 4 : pos + 2 + seglen]
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:
+            if len(body) < 65:
+                raise ValueError("truncated JPEG quant table")
             if body[0] & 0xF0:
                 raise ValueError("16-bit quant tables unsupported")
-            zzq = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
-            quant = np.empty(64, dtype=np.int64)
-            quant[_ZIGZAG] = zzq
-            quant = quant.reshape(8, 8)
+            # only the scan component's table (Tq 0) matters for the
+            # grayscale path; chroma tables (id 1+) are skipped —
+            # previously any DQT overwrote the luma table
+            if body[0] & 0x0F == 0:
+                zzq = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
+                quant = np.empty(64, dtype=np.int64)
+                quant[_ZIGZAG] = zzq
+                quant = quant.reshape(8, 8)
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xC0:
+            if len(body) < 6:
+                raise ValueError("truncated JPEG frame header")
             prec, ph, pw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8 or ncomp != 1:
                 raise ValueError("only 8-bit grayscale JPEG supported")
             dims = (ph, pw)
         elif marker == 0xC4:
+            if len(body) < 17:
+                raise ValueError("truncated JPEG Huffman table")
             cls, tid = body[0] >> 4, body[0] & 0x0F
             if tid != 0:
                 raise ValueError("unexpected Huffman table id")
             bits = list(body[1:17])
+            if len(body) < 17 + sum(bits):
+                raise ValueError("truncated JPEG Huffman table")
             vals = list(body[17 : 17 + sum(bits)])
             if cls == 0:
                 dc_dec = _HuffDecoder(bits, vals)
             else:
                 ac_dec = _HuffDecoder(bits, vals)
-        elif marker == 0xFE and seglen == 6:
-            crop = struct.unpack(">HH", body)
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
             if quant is None or dims is None or dc_dec is None or ac_dec is None:
                 raise ValueError("JPEG scan before tables/frame header")
             ph, pw = dims
-            bh, bw = ph // 8, pw // 8
+            bh, bw = -(-ph // 8), -(-pw // 8)
             reader = _BitReader(payload, pos + 2 + seglen)
-            out = np.empty((ph, pw), dtype=np.uint8)
+            out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
             pred = 0
             for by in range(bh):
                 for bx in range(bw):
@@ -658,8 +677,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
                         np.round(blk + 128.0), 0, 255
                     ).astype(np.uint8)
-            if crop is not None:
-                out = out[: crop[0], : crop[1]]
-            return out
+            return out[:ph, :pw]
         pos += 2 + seglen
     raise ValueError("no JPEG scan found")

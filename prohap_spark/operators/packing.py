@@ -20,14 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-
-def md5_bucket(col, mod: int):
-    """First 8 md5 hex chars as an integer mod ``mod`` — the engine-
-    portable deterministic bucket shared with sampling_hash_split."""
-    return (
-        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
-        % mod
-    )
+from prohap_spark.functions.hashing import md5_bucket
 
 
 def pack_context_windows(

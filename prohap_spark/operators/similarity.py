@@ -348,9 +348,18 @@ def ivf_ann_topk(
             .select("__id", "cell_id", "__vec", "__norm")
         )
 
-    assigned = nearest_cells(corpus, corpus_id, 1).toDF(
-        "__cid", "cell_id", "__cvec", "__cnorm"
-    )
+    # corpus side: the shared n=1 argmax assignment (map-side partial
+    # aggregation — one narrow shuffled row per corpus vector); the
+    # window-based nearest_cells stays for the small probe side (n>1)
+    assigned = assign_nearest_cell(
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+        ),
+        centroids,
+        "__cid",
+        "__cvec",
+        assign_decimals,
+    ).select("__cid", "cell_id", "__cvec", F.col("__vnorm").alias("__cnorm"))
     probes = nearest_cells(queries, query_id, nprobe).toDF(
         "__qid", "cell_id", "__qvec", "__qnorm"
     )
@@ -689,11 +698,17 @@ def assign_nearest_cell(
     assign_decimals: int = 4,
 ) -> DataFrame:
     """Assign every vector to its single nearest centroid cell by
-    cosine — the standalone flavor of the assignment pass inside
-    ``ivf_ann_topk`` (broadcast centroid argmax, no shuffle of the
-    corpus). Cosines round to ``assign_decimals`` before the argmax so
-    the assignment is stable across engines. Returns the input columns
-    plus (cell_id, __vnorm)."""
+    cosine — the n=1 assignment pass shared with ``ivf_ann_topk``'s
+    corpus side. The broadcast crossJoin expands each vector to k
+    centroid rows IN PLACE (no exchange), and the argmax is a
+    ``min_by`` over ``struct(-cos, cell_id)`` — equivalent to ordering
+    by (cos DESC, cell_id ASC) — which partial aggregation collapses
+    back to ONE narrow row per vector map-side, so the only shuffle
+    carries ~|corpus| single rows (a window row_number here would
+    instead shuffle all corpus×k expanded rows). Cosines round to
+    ``assign_decimals`` before the argmax so the assignment is stable
+    across engines. Returns the input columns plus (cell_id,
+    __vnorm)."""
     cent = F.broadcast(
         centroids.select("cell_id", "centroid").withColumn(
             "__centnorm", _norm(F.col("centroid"))
@@ -708,13 +723,12 @@ def assign_nearest_cell(
             assign_decimals,
         ),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__cellcos").desc(), F.col("cell_id").asc()
-    )
-    return (
-        scored.withColumn("__crank", F.row_number().over(w))
-        .where(F.col("__crank") == 1)
-        .drop("centroid", "__centnorm", "__cellcos", "__crank")
+    carry = [c for c in s.columns if c != id_col]
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "cell_id", F.struct((-F.col("__cellcos")).alias("nc"), F.col("cell_id"))
+        ).alias("cell_id"),
+        *[F.first(c).alias(c) for c in carry],
     )
 
 
@@ -742,9 +756,11 @@ def semantic_dedup_flags(
 
     Plan note: the assignment subplan is referenced three times (both
     sides of the pair join + the final left join), and Spark re-executes
-    unshared subplans — each re-execution is one linear broadcast-argmax
-    scan (no shuffle), so the shape stays scale-safe, but a long
-    pipeline should persist/checkpoint the assignment table first."""
+    unshared subplans — each re-execution is one broadcast-argmax pass
+    whose aggregation collapses map-side to a single narrow shuffled
+    row per vector (see ``assign_nearest_cell``), so the repeated work
+    is linear scans, not wide shuffles; a long pipeline should still
+    persist/checkpoint the assignment table to pay it once."""
     a = assign_nearest_cell(df, centroids, id_col, vec_col).select(
         F.col(id_col).alias("__id"),
         "cell_id",

@@ -610,10 +610,12 @@ def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), -1).alias("noun"),
     )
     a, b = p.alias("a"), p.alias("b")
+    # compute the O(len²) distance ONCE per candidate pair — filtering
+    # on a separate levenshtein expression would evaluate it twice
+    # (Spark does not CSE across Filter and Project)
     return (
         a.join(b, ["p_brand", "noun"])
         .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .where(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
         .select(
             F.col("p_brand").alias("brand"),
             F.col("a.p_partkey").alias("id_a"),
@@ -622,4 +624,5 @@ def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.p_name").alias("name_b"),
             F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
         )
+        .where(F.col("edit_dist") <= 3)
     )

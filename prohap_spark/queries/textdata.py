@@ -13,6 +13,7 @@ from prohap_spark.operators.dedup import (
     simhash,
     token_fingerprint,
 )
+from prohap_spark.functions.hashing import md5_bucket
 from prohap_spark.functions.text import (
     lang_id_expr,
     quality_score_expr,
@@ -590,10 +591,7 @@ def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle; stratification is auditable by grouping on (lang,
     split)."""
     d = table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = md5_bucket(F.col("doc_id"), 100)
     return d.select(
         "doc_id",
         "lang",
@@ -743,10 +741,7 @@ def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = spark.createDataFrame(
         [("en", 80), ("de", 50), ("fr", 50)], ["lang", "rate_pct"]
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 100
-    )
+    bucket = md5_bucket(F.col("doc_id"), 100)
     return (
         d.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
         .join(F.broadcast(rates), "lang", "left")

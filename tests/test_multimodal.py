@@ -347,7 +347,7 @@ def test_jpeg_random_roundtrip_tolerance_and_stuffing():
 def test_jpeg_standard_table_smooth_fidelity_and_crop():
     """Annex-K luminance table on a smooth gradient stays within a
     small bound (lossy but faithful), and non-multiple-of-8 rasters
-    crop back to their logical dims via the COM dimension stash."""
+    (true dims in SOF, ceil'd block counts) crop back exactly."""
     import numpy as np
 
     from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
@@ -398,3 +398,58 @@ def test_jpeg_decode_images_dispatch(spark):
     )
     (row,) = decode_images(df, real_codec=True).collect()
     assert row["pixels"] == raster.ravel().astype(int).tolist()
+
+
+def test_jpeg_marker_walk_robustness():
+    """Degenerate marker streams raise ValueError (never struct/numpy
+    errors): scan-less SOI+EOI, standalone restart markers skipped,
+    short DQT/DHT/SOF bodies, zero segment lengths."""
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="no JPEG scan"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    # RST0 standalone marker between SOI and a truncated DQT
+    with pytest.raises(ValueError, match="truncated JPEG quant"):
+        decode_jpeg(b"\xff\xd8\xff\xd0\xff\xdb\x00\x05\x00\x01\x02")
+    with pytest.raises(ValueError, match="corrupt JPEG segment length"):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x01")
+    good = encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quant=np.ones((8, 8)))
+    dht = good.index(b"\xff\xc4")
+    # shrink the first DHT to a 3-byte body -> truncated-table reject
+    bad = good[:dht] + b"\xff\xc4\x00\x05" + good[dht + 4 : dht + 7] + good[dht + 7 :]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+
+
+def test_jpeg_foreign_payload_shapes():
+    """Real-world container variations (review findings): non-multiple-
+    of-8 SOF dims decode deterministically with all blocks read; an
+    extra chroma (id-1) DQT does not clobber the luma table; a 4-byte
+    COM segment is inert, never a crop directive."""
+    import struct
+
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 256, (13, 13)).astype(np.uint8)
+    enc = encode_jpeg(x, quant=np.ones((8, 8)))
+    y1, y2 = decode_jpeg(enc), decode_jpeg(enc)
+    assert (y1 == y2).all() and y1.shape == (13, 13)
+    assert np.abs(y1.astype(int) - x.astype(int)).max() <= 2
+
+    def seg(marker, payload):
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    const = encode_jpeg(np.full((8, 8), 200, dtype=np.uint8), quant=np.ones((8, 8)))
+    with_chroma = const[:2] + seg(0xDB, b"\x01" + bytes([99] * 64)) + const[2:]
+    assert (decode_jpeg(with_chroma) == 200).all()
+    with_com = const[:2] + seg(0xFE, b"\x00\x05\x00\x05") + const[2:]
+    assert decode_jpeg(with_com).shape == (8, 8)
+
+    with pytest.raises(ValueError, match="65535"):
+        encode_jpeg(np.zeros((65536, 8), dtype=np.uint8))
