@@ -471,3 +471,94 @@ def segment_dedup(
         F.size(rm).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Winnowing fingerprints (the MOSS local-fingerprinting scheme):
+    hash every word ``ngram``, slide a ``window`` over the hash
+    sequence keeping each window's minimum, and dedup the kept set —
+    the selection guarantees any shared run of at least
+    ``window + ngram - 1`` words produces at least one shared
+    fingerprint, a POSITIONAL guarantee MinHash's random permutations
+    don't give. Documents sharing >= ``min_shared`` fingerprints
+    become candidate pairs.
+
+    All selection is per-document JVM array math (no shuffle); the
+    pair generation is one equi-self-join on the fingerprint value —
+    the same bucket-join shape as LSH, with fingerprint frequency
+    bounding each join group. Returns (id_a, id_b, shared_fps).
+
+    Each stage materializes in its OWN projection (the
+    ngrams_from_words discipline): a sliding-window lambda slicing an
+    INLINE hash subtree duplicates — not shares — that subtree, so the
+    whole md5 pipeline re-evaluates once per window element (measured
+    90 s vs 1.5 s at sf0.01); referencing a materialized column keeps
+    every stage one pass per row, and the >=2 references per consumer
+    stop CollapseProject re-inlining the upstream expression. Short
+    documents are handled by WHEN guards producing empty arrays, and
+    the fan-out uses explode_OUTER + a post-filter on the generated
+    attribute: plain explode() triggers InferFiltersFromGenerate,
+    whose inferred size(...)>0 filter pushes below the projections
+    with the WHOLE un-staged expression tree substituted back in —
+    the same per-window duplication, re-measured at ~50× the staged
+    cost; explode_outer is exempt from that rule, and a filter on the
+    generator's OUTPUT attribute cannot push below the Generate."""
+
+    def guarded(size_col, min_n, expr, elem_type):
+        return F.when(size_col >= min_n, expr).otherwise(
+            F.array().cast(f"array<{elem_type}>")
+        )
+
+    base = df.select(F.col(id_col), words_expr(text_col).alias("__ws"))
+    g = base.select(
+        id_col,
+        guarded(
+            F.size("__ws"),
+            ngram,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__ws") - ngram + 1),
+                lambda i: F.array_join(F.slice(F.col("__ws"), i, ngram), " "),
+            ),
+            "string",
+        ).alias("__grams"),
+    )
+    h = g.select(
+        id_col,
+        F.transform(
+            F.col("__grams"),
+            lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+        ).alias("__hs"),
+    )
+    f = h.select(
+        id_col,
+        guarded(
+            F.size("__hs"),
+            window,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__hs") - window + 1),
+                    lambda i: F.array_min(F.slice(F.col("__hs"), i, window)),
+                )
+            ),
+            "bigint",
+        ).alias("__fps"),
+    )
+    ex = f.select(id_col, F.explode_outer("__fps").alias("__fp")).where(
+        F.col("__fp").isNotNull()
+    )
+    a = ex.toDF("id_a", "__fp")
+    b = ex.toDF("id_b", "__fp")
+    return (
+        a.join(b, "__fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

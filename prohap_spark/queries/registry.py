@@ -36,6 +36,14 @@ def engine_session(spark: SparkSession) -> SparkSession:
         child = spark.newSession()
         child.conf.set("spark.sql.session.timeZone", "UTC")
         child.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # see session.py: the inferred size(e)>0 filter below a Generate
+        # re-inlines expensive computed-array expressions (-20% on the
+        # LSH family); the driver's vanilla session doesn't set this,
+        # so the engine child must
+        child.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         _ENGINE_SESSIONS[key] = child
     return child
 

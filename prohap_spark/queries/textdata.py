@@ -1114,3 +1114,43 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.sum("n_tokens").over(w).alias("cum_tokens"),
     ).withColumn("kept", F.col("cum_tokens") <= 800)
+
+
+@register(
+    "dedup_winnowing",
+    # winnowing (MOSS): word-trigram 60-bit hashes, window-4 minima,
+    # distinct kept set; pairs sharing >= 2 fingerprints
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(ws) - 1),
+               i -> list_reduce(list_transform(range(1, 16),
+                      j -> CAST(strpos('0123456789abcdef',
+                             substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]), j, 1)) - 1 AS BIGINT)),
+                    (a, b) -> a * 16 + b)) AS hs
+      FROM w
+    ),
+    f AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(hs) - 2),
+               i -> list_min(hs[i:i+3]))) AS fps
+      FROM g WHERE len(hs) >= 4
+    ),
+    e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
+    FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (operators/dedup.py
+    winnowing_pairs): sliding-window minima over word-trigram hashes —
+    the MOSS scheme whose selection GUARANTEES a shared fingerprint
+    for any common run of >= window+ngram-1 words (a positional
+    guarantee MinHash lacks). Per-doc JVM array selection, one
+    fingerprint equi-join."""
+    from prohap_spark.operators.dedup import winnowing_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return winnowing_pairs(d, "doc_id", "text", ngram=3, window=4, min_shared=2)

@@ -415,3 +415,79 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "user_id"
     )
+
+
+@register(
+    "events_funnel",
+    # ordered three-stage funnel per user: earliest view, earliest
+    # click strictly after it, earliest purchase strictly after that
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fc AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN fv USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+      GROUP BY e.user_id
+    ),
+    fp AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN fc USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT fv.user_id,
+           fc.user_id IS NOT NULL AS reached_click,
+           fp.user_id IS NOT NULL AS reached_purchase,
+           (epoch_us(fc.c_ts) - epoch_us(fv.v_ts)) // 1000000 AS sec_view_to_click,
+           (epoch_us(fp.p_ts) - epoch_us(fc.c_ts)) // 1000000 AS sec_click_to_purchase
+    FROM fv
+    LEFT JOIN fc USING (user_id)
+    LEFT JOIN fp USING (user_id)
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): each stage's
+    earliest qualifying event must fall strictly AFTER the previous
+    stage's — the product-analytics staple that a naive per-type
+    min() gets wrong when a user clicks before ever viewing. Three
+    conditional-min aggregates chained by equi-joins on user_id (one
+    shuffle key throughout, so at scale the three aggregations
+    co-partition and AQE coalesces the joins)."""
+    ev = table(spark, sf_dir, "events")
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .where(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .where(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        fv.join(fc, "user_id", "left")
+        .join(fp, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("c_ts").isNotNull().alias("reached_click"),
+            F.col("p_ts").isNotNull().alias("reached_purchase"),
+            ((F.unix_micros("c_ts") - F.unix_micros("v_ts")) / 1_000_000)
+            .cast("long")
+            .alias("sec_view_to_click"),
+            ((F.unix_micros("p_ts") - F.unix_micros("c_ts")) / 1_000_000)
+            .cast("long")
+            .alias("sec_click_to_purchase"),
+        )
+    )

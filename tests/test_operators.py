@@ -690,3 +690,31 @@ def test_semantic_dedup_keep_smallest_id(spark):
     assert not out[2]["is_dup"] and out[2]["best_cos"] is None
     # vec 3 sits in cell 'a' with 0 and 1 but is not close enough
     assert not out[3]["is_dup"] and out[3]["best_cos"] < 0.95
+
+
+def test_winnowing_guarantee_and_short_docs(spark):
+    """The winnowing property: any shared run of >= window+ngram-1
+    (=6) words yields at least one shared fingerprint; documents
+    shorter than the first full window produce no fingerprints (and
+    no errors); unrelated docs share nothing."""
+    from prohap_spark.operators.dedup import winnowing_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8-word run
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"seven eight nine ten {shared} eleven"),
+            (3, "p q r s t u v w x y z aa bb cc dd ee"),
+            (4, "a b"),          # shorter than one n-gram
+            (5, "a b c d e"),    # 3 grams < window 4 -> no fingerprints
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnowing_pairs(
+            docs, "doc_id", "text", ngram=3, window=4, min_shared=1
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
