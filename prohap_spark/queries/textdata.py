@@ -1154,3 +1154,66 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return winnowing_pairs(d, "doc_id", "text", ngram=3, window=4, min_shared=2)
+
+
+@register(
+    "text_char_entropy",
+    # per-character Shannon entropy in integer micro-nats (exact
+    # bigint sums — the unigram-logprob determinism device at the
+    # character level)
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
+      FROM documents
+    ),
+    cc AS (
+      SELECT doc_id, c, count(*) AS n FROM ch WHERE c != '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
+    e AS (
+      SELECT cc.doc_id,
+             sum(CAST(round(-ln(cc.n * 1.0 / tot.t) * 1000000) AS BIGINT) * cc.n)
+               AS ent_micro_sum,
+             CAST(max(tot.t) AS BIGINT) AS n_chars_counted
+      FROM cc JOIN tot USING (doc_id)
+      GROUP BY cc.doc_id
+    )
+    SELECT doc_id, n_chars_counted, ent_micro_sum,
+           round(ent_micro_sum * 1.0 / n_chars_counted / 1000000, 6) AS char_entropy_nats
+    FROM e
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (a curation-grade
+    gibberish/boilerplate signal: natural text sits in a narrow
+    entropy band; base64 blobs and repeated boilerplate fall outside
+    it). Per-character -ln(p) is fixed to integer micro-nats before
+    the weighted sum, so the per-doc total is an exact bigint and
+    engine/order independent. One explode + two aggregates on
+    doc_id — shuffle rows are (doc, char) counts, never raw text."""
+    d = table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "")).alias("c"),
+    ).where(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cc.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    e = (
+        cc.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(-F.log(F.col("n") / F.col("t")) * 1e6, 0).cast("long")
+                * F.col("n")
+            ).alias("ent_micro_sum"),
+            F.max("t").cast("long").alias("n_chars_counted"),
+        )
+    )
+    return e.select(
+        "doc_id",
+        "n_chars_counted",
+        "ent_micro_sum",
+        F.round(F.col("ent_micro_sum") / F.col("n_chars_counted") / 1e6, 6).alias(
+            "char_entropy_nats"
+        ),
+    )

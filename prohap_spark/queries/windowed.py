@@ -491,3 +491,34 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sec_click_to_purchase"),
         )
     )
+
+
+@register(
+    "w_ntile_percent_rank",
+    # quartile + relative-rank analytics per order priority; ROWS
+    # determinism via the (totalprice, orderkey) full tiebreak
+    """
+    SELECT o_orderpriority, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window analytics: ntile quartiles,
+    percent_rank, and cume_dist per order priority — fully
+    deterministic under the (totalprice, orderkey) tiebreak, one
+    shuffle on the partition key."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 7 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
