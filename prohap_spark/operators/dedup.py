@@ -480,6 +480,7 @@ def winnowing_pairs(
     ngram: int = 3,
     window: int = 4,
     min_shared: int = 2,
+    max_fp_docs: int | None = None,
 ) -> DataFrame:
     """Winnowing fingerprints (the MOSS local-fingerprinting scheme):
     hash every word ``ngram``, slide a ``window`` over the hash
@@ -492,8 +493,16 @@ def winnowing_pairs(
 
     All selection is per-document JVM array math (no shuffle); the
     pair generation is one equi-self-join on the fingerprint value —
-    the same bucket-join shape as LSH, with fingerprint frequency
-    bounding each join group. Returns (id_a, id_b, shared_fps).
+    the same bucket-join shape as LSH, so it inherits the same k²
+    degenerate: a fingerprint shared by a million boilerplate docs
+    emits its full pair square from one join group. ``max_fp_docs``
+    is the guard (the `max_bucket_size` of this operator, measured
+    quadratic in the replica scale probe without it): fingerprints
+    appearing in more distinct documents are dropped before the pair
+    join — such fingerprints are non-discriminative boilerplate, and
+    the docs they connect remain connected through their rarer
+    fingerprints or are exact-dedup material upstream. Returns
+    (id_a, id_b, shared_fps).
 
     Each stage materializes in its OWN projection (the
     ngrams_from_words discipline): a sliding-window lambda slicing an
@@ -553,6 +562,15 @@ def winnowing_pairs(
     ex = f.select(id_col, F.explode_outer("__fps").alias("__fp")).where(
         F.col("__fp").isNotNull()
     )
+    if max_fp_docs is not None:
+        keep = (
+            ex.groupBy("__fp")
+            .agg(F.countDistinct(id_col).alias("__nd"))
+            .where(F.col("__nd") <= max_fp_docs)
+            .select("__fp")
+        )
+        # restore (id, fp) column order — the join puts the key first
+        ex = ex.join(keep, "__fp").select(id_col, "__fp")
     a = ex.toDF("id_a", "__fp")
     b = ex.toDF("id_b", "__fp")
     return (

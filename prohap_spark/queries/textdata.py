@@ -1137,7 +1137,11 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> list_min(hs[i:i+3]))) AS fps
       FROM g WHERE len(hs) >= 4
     ),
-    e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+    e0 AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+    keep AS (
+      SELECT fp FROM e0 GROUP BY fp HAVING count(DISTINCT doc_id) <= 20
+    ),
+    e AS (SELECT doc_id, fp FROM e0 JOIN keep USING (fp))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fps
     FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 2
@@ -1153,7 +1157,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prohap_spark.operators.dedup import winnowing_pairs
 
     d = table(spark, sf_dir, "documents")
-    return winnowing_pairs(d, "doc_id", "text", ngram=3, window=4, min_shared=2)
+    return winnowing_pairs(
+        d, "doc_id", "text", ngram=3, window=4, min_shared=2, max_fp_docs=20
+    )
 
 
 @register(

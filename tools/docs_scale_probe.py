@@ -60,7 +60,11 @@ def replicated_embeddings(spark, r: int):
 
 
 def main() -> None:
-    from prohap_spark.operators.dedup import minhash_dedup_pairs, segment_dedup
+    from prohap_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        segment_dedup,
+        winnowing_pairs,
+    )
     from prohap_spark.operators.packing import pack_context_windows
     from prohap_spark.operators.similarity import (
         semantic_dedup_flags,
@@ -96,6 +100,12 @@ def main() -> None:
         row["lsh_sec"] = round(time.monotonic() - t0, 3)
 
         t0 = time.monotonic()
+        row["winnow_pairs"] = winnowing_pairs(
+            docs, "doc_id", "text", ngram=3, window=4, min_shared=2, max_fp_docs=20
+        ).count()
+        row["winnow_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
         cent = train_centroids_by_label(embs, "label", "embedding")
         row["semdedup_rows"] = semantic_dedup_flags(
             embs, cent, "vec_id", "embedding", threshold=0.25
@@ -106,6 +116,7 @@ def main() -> None:
         print(
             f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
             f"pack {row['pack_sec']:6.2f}s  lsh {row['lsh_sec']:6.2f}s  "
+            f"winnow {row['winnow_sec']:6.2f}s  "
             f"semdedup {row['semdedup_sec']:6.2f}s",
             flush=True,
         )
