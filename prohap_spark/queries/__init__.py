@@ -54,10 +54,11 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # driver truncates. Queries registered mid-round AFTER the front
 # window filled sit in the middle: dark this round, locally hash-green
 # via tools/check.py, and front-listed next round under rule (a) —
-# `python tools/rotation_audit.py` prints the exact list (17 as of the
-# fourth wave: the grid/gene-header/threeexon/PQ/BPE/PII batch plus
-# line-dedup, packing, semantic dedup, unigram logprob, token budget,
-# the JPEG codec, and the fuzzy ER join).
+# `python tools/rotation_audit.py` prints the exact, current list
+# (the fourth/fifth-wave additions: grid/gene-header/threeexon/PQ/BPE/
+# PII, line-dedup, packing, semantic dedup, unigram logprob, token
+# budget, JPEG codec, fuzzy ER join, 3-exon haplotype oracle,
+# winnowing, funnel, ntile ranks, char entropy, corpus curation e2e).
 _FRONT = [
     # (a) new in round 5, never driver-checked:
     "domain_prohap_indel_oracle", "domain_provar_start_oracle",

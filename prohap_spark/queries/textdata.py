@@ -1223,3 +1223,144 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_entropy_nats"
         ),
     )
+
+
+@register(
+    "corpus_curation_e2e",
+    # the full curation funnel in one value-checked query:
+    # quality >= 0.82 -> predicted-en -> duplicated-segment scrub ->
+    # exact dedup on scrubbed text -> 600-token/source budget
+    """
+    WITH t AS (
+      SELECT doc_id, source, text,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, text,
+             round((
+               (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+             + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
+             + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
+             ) / 4.0, 6) AS quality,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) * 1.0 / len(ws) ELSE 0 END AS r_en,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) * 1.0 / len(ws) ELSE 0 END AS r_de,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('le','la','les','et','est'))) * 1.0 / len(ws) ELSE 0 END AS r_fr,
+             CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('el','la','los','y','es'))) * 1.0 / len(ws) ELSE 0 END AS r_es
+      FROM t
+    ),
+    flags AS (
+      SELECT doc_id, source, text, quality,
+             quality >= 0.82 AS passed_quality,
+             (greatest(r_en, r_de, r_fr, r_es) >= 0.05
+              AND r_en = greatest(r_en, r_de, r_fr, r_es)) AS is_en
+      FROM q
+    ),
+    cand AS (SELECT doc_id, source, text FROM flags WHERE passed_quality AND is_en),
+    cw AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM cand),
+    csegs AS (
+      SELECT doc_id, source,
+             list_transform(range(0, CAST(ceil(len(ws) / 4.0) AS BIGINT)),
+                 s -> array_to_string(ws[(s*4+1):(s*4+4)], ' ')) AS seglist
+      FROM cw
+    ),
+    cex AS (
+      SELECT doc_id, unnest(seglist) AS seg,
+             generate_subscripts(seglist, 1) AS seg_idx
+      FROM csegs
+    ),
+    cdup AS (SELECT seg FROM cex GROUP BY seg HAVING count(DISTINCT doc_id) > 1),
+    scrub AS (
+      SELECT e.doc_id,
+             CAST(sum(CASE WHEN d.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             coalesce(string_agg(CASE WHEN d.seg IS NULL THEN e.seg END, ' ' ORDER BY e.seg_idx), '') AS scrubbed
+      FROM cex e LEFT JOIN cdup d USING (seg)
+      GROUP BY e.doc_id
+    ),
+    surv AS (SELECT * FROM scrub WHERE scrubbed != ''),
+    exact AS (
+      SELECT *, doc_id != min(doc_id) OVER (PARTITION BY scrubbed) AS is_exact_dup
+      FROM surv
+    ),
+    budget AS (
+      SELECT x.doc_id,
+             CAST(sum(len(string_split(x.scrubbed, ' ')))
+                  OVER (PARTITION BY c.source
+                        ORDER BY md5(CAST(x.doc_id AS VARCHAR)), x.doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM exact x JOIN cand c USING (doc_id)
+      WHERE NOT x.is_exact_dup
+    )
+    SELECT f.doc_id, f.quality, f.passed_quality, f.is_en,
+           s.n_removed, e.is_exact_dup, b.cum_tokens,
+           coalesce(b.cum_tokens <= 600, FALSE) AS final_kept
+    FROM flags f
+    LEFT JOIN scrub s USING (doc_id)
+    LEFT JOIN exact e USING (doc_id)
+    LEFT JOIN budget b USING (doc_id)
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete corpus-curation funnel as ONE value-checked
+    pipeline — the shape a production pretraining-data job takes:
+    quality gate (>= 0.82) → language gate (predicted en) →
+    CCNet-style duplicated-segment scrub over the surviving candidates
+    → exact dedup on the SCRUBBED text (keep-smallest-id) → 600-token
+    per-source budget in deterministic md5 order. Each document
+    carries its per-stage verdicts (NULL = never reached the stage),
+    so the oracle checks the funnel's full decision surface, not just
+    the survivor set. Stage order matters and is the realistic one:
+    dedup runs on the quality/lang-filtered corpus, the budget on the
+    deduped one."""
+    from pyspark.sql import Window
+
+    from prohap_spark.operators.dedup import segment_dedup
+
+    d = table(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.round(quality_score_expr("text"), 6).alias("quality"),
+        (F.round(quality_score_expr("text"), 6) >= 0.82).alias("passed_quality"),
+        (lang_id_expr("text") == "en").alias("is_en"),
+    )
+    cand = flags.where(F.col("passed_quality") & F.col("is_en")).select(
+        "doc_id", "source", "text"
+    )
+    scrub = segment_dedup(cand, "doc_id", "text", seg_words=4).select(
+        "doc_id", "n_removed", F.col("scrubbed_text").alias("scrubbed")
+    )
+    surv = scrub.where(F.col("scrubbed") != "")
+    exact = surv.withColumn(
+        "is_exact_dup",
+        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("scrubbed")),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = (
+        exact.where(~F.col("is_exact_dup"))
+        .join(cand.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            F.sum(F.size(F.split(F.col("scrubbed"), " ")).cast("long"))
+            .over(w)
+            .alias("cum_tokens"),
+        )
+    )
+    return (
+        flags.select("doc_id", "quality", "passed_quality", "is_en")
+        .join(scrub.select("doc_id", "n_removed"), "doc_id", "left")
+        .join(exact.select("doc_id", "is_exact_dup"), "doc_id", "left")
+        .join(budget, "doc_id", "left")
+        .withColumn(
+            "final_kept", F.coalesce(F.col("cum_tokens") <= 600, F.lit(False))
+        )
+    )
