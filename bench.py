@@ -51,6 +51,9 @@ HEADLINE = [
     "text_line_dedup",
     "pack_context_windows",
     "dedup_semantic",
+    # r5 fifth wave: the one-query curation funnel (quality -> lang ->
+    # segment scrub -> exact dedup -> token budget)
+    "corpus_curation_e2e",
 ]
 
 
