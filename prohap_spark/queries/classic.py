@@ -695,3 +695,40 @@ def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(px, 63 * 64 + 1).alias("b63"),
         F.round(mean, 4).alias("px_mean"),
     )
+
+
+@register(
+    "agg_grouping_sets",
+    # explicit GROUPING SETS — the non-uniform lattice CUBE/ROLLUP
+    # can't express: (flag,status), (flag), (), but NOT (status)
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) AS qty_cents
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the asymmetric lattice CUBE/ROLLUP
+    cannot express: both keys, flag alone, grand total — but NOT
+    status alone), with GROUPING() ids and exact integer-cent sums.
+    One expand + one shuffle, like every grouping-set aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "gid",
+        "n",
+        "qty_cents",
+    )
