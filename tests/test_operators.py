@@ -718,3 +718,45 @@ def test_winnowing_guarantee_and_short_docs(spark):
     }
     assert (1, 2) in pairs and pairs[(1, 2)] >= 1
     assert all(3 not in p and 4 not in p and 5 not in p for p in pairs)
+
+
+def test_events_funnel_ordered_semantics(spark):
+    """The funnel requires each stage strictly AFTER the previous:
+    a user whose only click precedes their first view must NOT count
+    as reached_click (a naive per-type min would say otherwise), and
+    a purchase between view and click must not leak into stage 3."""
+    import datetime as dt
+
+    from prohap_spark.queries.registry import REGISTRY
+
+    base = dt.datetime(2025, 1, 1)
+    rows = []
+
+    def ev(i, user, typ, minute):
+        rows.append((i, base + dt.timedelta(minutes=minute), user, typ, 1.0, "{}"))
+
+    # u1: click(1) BEFORE view(5) -> no funnel click; later click(9) counts
+    ev(1, "u1", "click", 1); ev(2, "u1", "view", 5); ev(3, "u1", "click", 9)
+    ev(4, "u1", "purchase", 20)
+    # u2: view(1), purchase(2), click(3) -> purchase BEFORE click ignored
+    ev(5, "u2", "view", 1); ev(6, "u2", "purchase", 2); ev(7, "u2", "click", 3)
+    # u3: view only
+    ev(8, "u3", "view", 4)
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, event_type string, "
+        "value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix=f"funnel_{os.getpid()}_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        spark.read.parquet(src).limit(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    out = {r["user_id"]: r for r in REGISTRY["events_funnel"][0](spark, d).collect()}
+    assert out["u1"]["reached_click"] and out["u1"]["reached_purchase"]
+    assert out["u1"]["sec_view_to_click"] == 240  # 5min -> 9min
+    assert out["u2"]["reached_click"] and not out["u2"]["reached_purchase"]
+    assert not out["u3"]["reached_click"] and not out["u3"]["reached_purchase"]
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
