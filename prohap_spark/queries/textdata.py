@@ -1067,53 +1067,68 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sampling_token_budget",
-    # mixture enforcement: per-source token budget of 800, docs taken
-    # in deterministic md5 order, kept while the inclusive cumsum fits
+    # mixture enforcement, shard-then-allocate: each source's 800-token
+    # budget is split over 4 md5 shards (200 each); docs admitted per
+    # (source, shard) in deterministic md5 order while the inclusive
+    # cumsum fits the shard allocation
     """
     WITH b AS (
       SELECT doc_id, source,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 4 AS shard,
              md5(CAST(doc_id AS VARCHAR)) AS okey,
              CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
-      SELECT doc_id, source, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY okey, doc_id
+      SELECT doc_id, source, CAST(shard AS INT) AS shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY okey, doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM b
     )
-    SELECT doc_id, source, n_tokens, cum_tokens,
-           cum_tokens <= 800 AS kept
+    SELECT doc_id, source, shard, n_tokens, cum_tokens,
+           cum_tokens <= 200 AS kept
     FROM c
     """,
 )
 def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-mixture budget enforcement: each source contributes at most
-    800 whitespace tokens, with documents admitted in the deterministic
-    md5 order (the same reshuffle-stable order packing uses) until the
-    inclusive running total would exceed the budget. One window cumsum
-    partitioned by source — per-source parallelism, no global order,
-    and the kept set is reproducible across runs and engines."""
+    """Data-mixture budget enforcement, shard-then-allocate: each
+    source's 800-token budget is split evenly over 4 deterministic md5
+    shards (200 tokens each — the ``pack_context_windows`` sharding
+    idiom), and documents are admitted per (source, shard) in md5
+    order while the inclusive running total fits the shard allocation.
+    The cumsum window partitions by (source, shard), so parallelism is
+    sources x shards — a corpus with a handful of giant sources never
+    serializes one source through one task (the flaw the per-source
+    cumsum had at 100 TB; raise n_shards with corpus size). The kept
+    set stays reproducible across runs, repartitions, and engines."""
     from pyspark.sql import Window
+
+    from prohap_spark.functions.hashing import md5_bucket
 
     d = table(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         "source",
+        md5_bucket(F.col("doc_id"), 4).cast("int").alias("shard"),
         F.md5(F.col("doc_id").cast("string")).alias("__okey"),
         F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("__okey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return base.select(
         "doc_id",
         "source",
+        "shard",
         "n_tokens",
         F.sum("n_tokens").over(w).alias("cum_tokens"),
-    ).withColumn("kept", F.col("cum_tokens") <= 800)
+    ).withColumn("kept", F.col("cum_tokens") <= 200)
 
 
 @register(
@@ -1282,22 +1297,33 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     surv AS (SELECT * FROM scrub WHERE scrubbed != ''),
     exact AS (
-      SELECT *, doc_id != min(doc_id) OVER (PARTITION BY scrubbed) AS is_exact_dup
+      SELECT doc_id, n_removed,
+             CAST(len(string_split(scrubbed, ' ')) AS BIGINT) AS n_tokens,
+             doc_id != min(doc_id) OVER (PARTITION BY md5(scrubbed)) AS is_exact_dup
       FROM surv
     ),
-    budget AS (
-      SELECT x.doc_id,
-             CAST(sum(len(string_split(x.scrubbed, ' ')))
-                  OVER (PARTITION BY c.source
-                        ORDER BY md5(CAST(x.doc_id AS VARCHAR)), x.doc_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_tokens
+    bsh AS (
+      SELECT x.doc_id, c.source, x.n_tokens,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(x.doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 4 AS shard,
+             md5(CAST(x.doc_id AS VARCHAR)) AS okey
       FROM exact x JOIN cand c USING (doc_id)
       WHERE NOT x.is_exact_dup
+    ),
+    budget AS (
+      SELECT doc_id, CAST(shard AS INT) AS shard,
+             CAST(sum(n_tokens)
+                  OVER (PARTITION BY source, shard ORDER BY okey, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM bsh
     )
     SELECT f.doc_id, f.quality, f.passed_quality, f.is_en,
-           s.n_removed, e.is_exact_dup, b.cum_tokens,
-           coalesce(b.cum_tokens <= 600, FALSE) AS final_kept
+           s.n_removed, e.is_exact_dup, b.shard, b.cum_tokens,
+           coalesce(b.cum_tokens <= 150, FALSE) AS final_kept
     FROM flags f
     LEFT JOIN scrub s USING (doc_id)
     LEFT JOIN exact e USING (doc_id)
@@ -1310,14 +1336,25 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality gate (>= 0.82) → language gate (predicted en) →
     CCNet-style duplicated-segment scrub over the surviving candidates
     → exact dedup on the SCRUBBED text (keep-smallest-id) → 600-token
-    per-source budget in deterministic md5 order. Each document
-    carries its per-stage verdicts (NULL = never reached the stage),
-    so the oracle checks the funnel's full decision surface, not just
-    the survivor set. Stage order matters and is the realistic one:
-    dedup runs on the quality/lang-filtered corpus, the budget on the
-    deduped one."""
+    per-source budget, shard-then-allocate. Each document carries its
+    per-stage verdicts (NULL = never reached the stage), so the oracle
+    checks the funnel's full decision surface, not just the survivor
+    set. Stage order matters and is the realistic one: dedup runs on
+    the quality/lang-filtered corpus, the budget on the deduped one.
+
+    100 TB shape of the two heavy stages: the exact-dedup window keys
+    on md5(scrubbed) — the 32-char digest, never the document text, is
+    the shuffle/sort key, and the token count is computed BEFORE the
+    exchange so scrubbed text doesn't ride through it at all. The
+    budget cumsum partitions by (source, shard): each source's
+    600-token budget is split evenly over 4 md5(doc_id) shards (150
+    each, the ``pack_context_windows`` idiom), so a corpus dominated
+    by a few giant sources still spreads sources x shards ways instead
+    of serializing one source per task; raise n_shards with corpus
+    size."""
     from pyspark.sql import Window
 
+    from prohap_spark.functions.hashing import md5_bucket
     from prohap_spark.operators.dedup import segment_dedup
 
     d = table(spark, sf_dir, "documents")
@@ -1336,24 +1373,35 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_removed", F.col("scrubbed_text").alias("scrubbed")
     )
     surv = scrub.where(F.col("scrubbed") != "")
-    exact = surv.withColumn(
+    exact = surv.select(
+        "doc_id",
+        "n_removed",
+        F.md5(F.col("scrubbed")).alias("__h"),
+        F.size(F.split(F.col("scrubbed"), " ")).cast("long").alias("__ntok"),
+    ).withColumn(
         "is_exact_dup",
-        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("scrubbed")),
+        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("__h")),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    budget = (
+    bsh = (
         exact.where(~F.col("is_exact_dup"))
         .join(cand.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id",
-            F.sum(F.size(F.split(F.col("scrubbed"), " ")).cast("long"))
-            .over(w)
-            .alias("cum_tokens"),
+            "source",
+            "__ntok",
+            md5_bucket(F.col("doc_id"), 4).cast("int").alias("shard"),
+            F.md5(F.col("doc_id").cast("string")).alias("__okey"),
         )
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("__okey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = bsh.select(
+        "doc_id",
+        "shard",
+        F.sum("__ntok").over(w).alias("cum_tokens"),
     )
     return (
         flags.select("doc_id", "quality", "passed_quality", "is_en")
@@ -1361,6 +1409,6 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact.select("doc_id", "is_exact_dup"), "doc_id", "left")
         .join(budget, "doc_id", "left")
         .withColumn(
-            "final_kept", F.coalesce(F.col("cum_tokens") <= 600, F.lit(False))
+            "final_kept", F.coalesce(F.col("cum_tokens") <= 150, F.lit(False))
         )
     )

@@ -204,3 +204,38 @@ def test_semantic_dedup_cell_equijoin(spark, qs):
     assert "CartesianProduct" not in formatted_plan(df)
     assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 2
     assert rep["bnl_joins"] <= 3
+
+
+def test_curation_budget_sharded_and_hash_keyed_dedup(spark, qs):
+    """The funnel's two 100 TB seams, pinned: (1) the token-budget
+    cumsum window partitions by (source, shard) — never by source
+    alone, which would stream each source through one task; (2) no
+    window in the plan partitions on the scrubbed TEXT — the exact
+    dedup keys on its md5 digest, so document bodies are not
+    shuffle/sort keys."""
+    import re
+
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(qs["corpus_curation_e2e"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the funnel plan"
+    assert not any("scrubbed" in s for s in specs)
+    # every source-partitioned window also carries the shard key
+    for s in specs:
+        if s.lstrip().startswith("source"):
+            assert "shard" in s, s
+
+
+def test_token_budget_sharded_window(spark, qs):
+    """sampling_token_budget: the cumsum partitions by (source, shard)
+    so the mixture allocation is sources x shards parallel."""
+    import re
+
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(qs["sampling_token_budget"](spark, SF))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    for s in specs:
+        assert s.lstrip().startswith("source") and "shard" in s, s
