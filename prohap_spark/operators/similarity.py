@@ -739,6 +739,7 @@ def semantic_dedup_flags(
     vec_col: str,
     threshold: float,
     score_decimals: int = 6,
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus by a
     coarse quantizer (nearest-centroid assignment — in production the
@@ -754,6 +755,18 @@ def semantic_dedup_flags(
     best_cos) where best_cos is the max cosine to any lower-id
     same-cell vector (NULL when the cell holds no lower id).
 
+    ``max_cell_size``: skip cells with more members than this in the
+    pairwise pass — the same k² guard ``lsh_candidate_pairs`` applies
+    per bucket. A clustering that lands 10⁶ vectors in one hot cell
+    (near-constant embeddings, a degenerate quantizer) would emit
+    5·10¹¹ pair rows from that cell's join partitions; over-cap cells
+    instead pass through un-flagged (best_cos NULL, is_dup false —
+    re-cluster them with more centroids, or raise the cap). Use
+    ``semantic_cell_stats`` with the same parameters to see what a cap
+    would skip — measured truncation, never silent. The size filter
+    joins the cell-count table broadcast (at most one row per
+    centroid), so no extra shuffle of the corpus.
+
     Plan note: the assignment subplan is referenced three times (both
     sides of the pair join + the final left join), and Spark re-executes
     unshared subplans — each re-execution is one broadcast-argmax pass
@@ -767,9 +780,18 @@ def semantic_dedup_flags(
         F.col(vec_col).alias("__vec"),
         "__vnorm",
     )
+    pair_src = a
+    if max_cell_size is not None:
+        ok = (
+            a.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .where(F.col("__csz") <= max_cell_size)
+            .select("cell_id")
+        )
+        pair_src = a.join(F.broadcast(ok), "cell_id")
     pairs = (
-        a.alias("l")
-        .join(a.alias("r"), "cell_id")
+        pair_src.alias("l")
+        .join(pair_src.alias("r"), "cell_id")
         .where(F.col("l.__id") < F.col("r.__id"))
         .select(
             F.col("r.__id").alias("__id"),
@@ -793,3 +815,34 @@ def semantic_dedup_flags(
             "best_cos",
         )
     )
+
+
+def semantic_cell_stats(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """Observability for the SemDeDup cell distribution (the
+    ``lsh_bucket_stats`` twin): one row per cell with its member count,
+    the pair count its within-cell join would emit, and whether a
+    ``max_cell_size`` cap would skip it. Cheap — stops at the
+    assignment aggregate (one narrow row per vector), no pair join —
+    so it can run before/alongside a capped dedup to make truncation
+    measured rather than silent."""
+    a = assign_nearest_cell(df, centroids, id_col, vec_col)
+    out = (
+        a.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+        .withColumn(
+            "n_pairs",
+            (F.col("cell_size") * (F.col("cell_size") - 1) / 2).cast("long"),
+        )
+    )
+    capped = (
+        F.lit(False)
+        if max_cell_size is None
+        else F.col("cell_size") > max_cell_size
+    )
+    return out.withColumn("capped", capped)

@@ -476,12 +476,16 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e, cn n
       ) WHERE rnk = 1
     ),
+    ok AS (
+      SELECT cell_id FROM assign GROUP BY cell_id HAVING count(*) <= 52
+    ),
     pairs AS (
       SELECT r.cid AS vec_id, r.cell_id,
              max(round({_DUCK_DOT.format(a='l.cv', b='r.cv')} /
                        (l.cvnorm * r.cvnorm), 6)) AS best_cos
       FROM assign l JOIN assign r
         ON l.cell_id = r.cell_id AND l.cid < r.cid
+      JOIN ok ON ok.cell_id = r.cell_id
       GROUP BY r.cid, r.cell_id
     )
     SELECT a.cid AS vec_id, a.cell_id,
@@ -495,11 +499,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup_flags): cluster by nearest centroid, then within
     each cell flag vectors with a lower-id neighbor at cosine >= 0.25
     — the deterministic keep-smallest-id rule. The pairwise pass is
-    confined to cells (equi-self-join on cell_id), never the corpus."""
+    confined to cells (equi-self-join on cell_id), never the corpus,
+    and cells over ``max_cell_size=52`` members are skipped in the
+    pairwise pass entirely (the k² hot-cell guard; at sf0.01 that
+    truncates the three largest of the ten cells, so the capped path
+    is exercised, oracle-mirrored, and its members verifiably pass
+    through un-flagged)."""
     from prohap_spark.operators.similarity import semantic_dedup_flags
 
     e = table(spark, sf_dir, "embeddings")
     cent = train_centroids_by_label(e, "label", "embedding")
     return semantic_dedup_flags(
-        e, cent, "vec_id", "embedding", threshold=0.25
+        e, cent, "vec_id", "embedding", threshold=0.25, max_cell_size=52
     )

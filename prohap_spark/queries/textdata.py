@@ -1011,6 +1011,54 @@ def pack_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack(d, "doc_id", "text", seq_len=128, n_shards=8)
 
 
+def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
+    """Unigram-LM scoring core shared by the registered query and the
+    tail-path-equivalence pytest: corpus unigram distribution →
+    per-token integer-micro-nat NLL → per-doc exact bigint sum.
+
+    The broadcast is BOUNDED: only the ``head_k`` most frequent words
+    (deterministic count-desc, word-asc top-K — a TakeOrderedAndProject,
+    never a global sort) are broadcast for the map-side scoring join.
+    By Zipf's law the head covers nearly all token OCCURRENCES, so the
+    left-join misses — rare-token rows only — are the sole rows that
+    take the shuffle equi-join against the full NLL table. A web-scale
+    corpus with 10⁸⁺ distinct tokens (typos, numbers) therefore never
+    OOMs the driver on an unconditional vocab broadcast; the tail path
+    is value-identical because both paths read the same nll_micro."""
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.agg(F.count(F.lit(1)).alias("total"))
+    lp = uni.crossJoin(F.broadcast(tot)).select(
+        "w",
+        F.round(-F.log(F.col("c") / F.col("total")) * 1e6, 0)
+        .cast("long")
+        .alias("nll_micro"),
+        "c",
+    )
+    head = F.broadcast(
+        lp.orderBy(F.desc("c"), "w").limit(head_k).select("w", "nll_micro")
+    )
+    scored = toks.join(head, "w", "left")
+    hit = scored.where(F.col("nll_micro").isNotNull()).select("doc_id", "nll_micro")
+    tail = (
+        scored.where(F.col("nll_micro").isNull())
+        .select("doc_id", "w")
+        .join(lp.select("w", "nll_micro"), "w")
+        .select("doc_id", "nll_micro")
+    )
+    return (
+        hit.unionByName(tail)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("nll_micro").alias("sum_nll_micro"),
+            F.round(F.sum("nll_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
+        )
+    )
+
+
 @register(
     "text_unigram_logprob",
     # per-token NLL in integer micro-nats (round(-ln(p)*1e6)) so the
@@ -1039,30 +1087,11 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): corpus unigram distribution → per-token negative log
     likelihood → per-doc mean NLL. The per-token NLL is fixed to
     integer micro-nats before summing, so the per-doc total is an
-    exact bigint and order-independent; the tiny (vocab-sized) NLL
-    table is broadcast, making the scoring pass a map-side join —
-    one corpus scan, one vocab aggregate."""
-    d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w")
-    )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("total"))
-    lp = uni.crossJoin(F.broadcast(tot)).select(
-        "w",
-        F.round(-F.log(F.col("c") / F.col("total")) * 1e6, 0)
-        .cast("long")
-        .alias("nll_micro"),
-    )
-    return (
-        toks.join(F.broadcast(lp), "w")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("nll_micro").alias("sum_nll_micro"),
-            F.round(F.sum("nll_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
-        )
-    )
+    exact bigint and order-independent. The broadcast side is bounded
+    to the 65536 most frequent words; rare tokens score through a
+    shuffle-join tail (see ``unigram_logprob_scores``), so the plan
+    survives a web-scale vocabulary."""
+    return unigram_logprob_scores(table(spark, sf_dir, "documents"), head_k=65536)
 
 
 @register(

@@ -692,6 +692,52 @@ def test_semantic_dedup_keep_smallest_id(spark):
     assert not out[3]["is_dup"] and out[3]["best_cos"] < 0.95
 
 
+def test_semantic_dedup_cell_cap_and_stats(spark):
+    """max_cell_size: the hot cell (3 members, would flag its
+    near-identical pair) is skipped in the pairwise pass — its members
+    come back un-flagged with best_cos NULL — while the under-cap cell
+    still flags; semantic_cell_stats reports the truncation."""
+    from prohap_spark.operators.similarity import (
+        semantic_cell_stats,
+        semantic_dedup_flags,
+        train_centroids_by_label,
+    )
+
+    rows = [
+        # cell 'a': 3 members, two near-identical
+        (0, [1.0, 0.0, 0.0, 0.0], "a"),
+        (1, [0.999, 0.01, 0.0, 0.0], "a"),
+        (2, [0.9, 0.1, 0.0, 0.0], "a"),
+        # cell 'b': 2 near-identical members
+        (3, [0.0, 1.0, 0.0, 0.0], "b"),
+        (4, [0.0, 0.999, 0.01, 0.0], "b"),
+    ]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    cent = train_centroids_by_label(e, "label", "embedding")
+    capped = {
+        r["vec_id"]: r
+        for r in semantic_dedup_flags(
+            e, cent, "vec_id", "embedding", threshold=0.95, max_cell_size=2
+        ).collect()
+    }
+    # hot cell skipped: nothing flagged, no best_cos
+    for v in (0, 1, 2):
+        assert not capped[v]["is_dup"] and capped[v]["best_cos"] is None
+    # under-cap cell unaffected by the cap
+    assert capped[4]["is_dup"] and capped[4]["best_cos"] > 0.99
+    assert not capped[3]["is_dup"]
+    stats = {
+        r["cell_id"]: r
+        for r in semantic_cell_stats(
+            e, cent, "vec_id", "embedding", max_cell_size=2
+        ).collect()
+    }
+    hot = next(r for r in stats.values() if r["cell_size"] == 3)
+    assert hot["capped"] and hot["n_pairs"] == 3
+    small = next(r for r in stats.values() if r["cell_size"] == 2)
+    assert not small["capped"] and small["n_pairs"] == 1
+
+
 def test_winnowing_guarantee_and_short_docs(spark):
     """The winnowing property: any shared run of >= window+ngram-1
     (=6) words yields at least one shared fingerprint; documents
@@ -760,3 +806,30 @@ def test_events_funnel_ordered_semantics(spark):
     assert not out["u3"]["reached_click"] and not out["u3"]["reached_purchase"]
     import shutil
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_unigram_logprob_tail_path_value_identical(spark):
+    """The bounded-broadcast guard: with head_k=2 most tokens must
+    score through the shuffle-join tail; the result is row-for-row
+    identical to an effectively-unbounded head (every token hits the
+    broadcast). Both read the same nll_micro table, so the split is a
+    pure execution-strategy choice."""
+    from prohap_spark.queries.textdata import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the dog ate the cat food"),
+            (3, "rare zyzzyva token soup"),
+        ],
+        ["doc_id", "text"],
+    )
+    small = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_micro"])
+        for r in unigram_logprob_scores(docs, head_k=2).collect()
+    }
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["sum_nll_micro"])
+        for r in unigram_logprob_scores(docs, head_k=1_000_000).collect()
+    }
+    assert small == full and len(full) == 3

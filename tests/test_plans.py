@@ -163,10 +163,12 @@ def test_unigram_logprob_broadcast_vocab(spark, qs):
     from prohap_spark.plans import plan_report
 
     rep = plan_report(qs["text_unigram_logprob"](spark, SF))
-    # the vocab-sized NLL table joins broadcast (map-side scoring);
-    # the only nested-loop is the broadcast 1-row corpus total
+    # the BOUNDED top-K head broadcasts (map-side scoring for the hot
+    # path); the only nested-loops are broadcast 1-row corpus-total
+    # joins — one per derivation of the NLL table (head, and the
+    # shuffle-join tail for rare tokens)
     assert rep["broadcast_joins"] >= 1
-    assert rep["bnl_joins"] <= 1
+    assert rep["bnl_joins"] <= 3
     assert all(set(c) <= {"doc_id", "text"} for c in rep["scan_columns"])
 
 

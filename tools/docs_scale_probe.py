@@ -14,8 +14,13 @@ as the corpus grows. The interesting shapes:
 - dedup_minhash_lsh_capped: bucket equi-join with the k² cap — the cap
   is exactly what keeps replica-inflated buckets from going quadratic.
 - dedup_semantic (embeddings replicated the same way): within-cell
-  pairwise — quadratic IN THE CELL, so replication quantifies how the
-  cell-size bound spends at scale.
+  pairwise — quadratic IN THE CELL. Replicas keep the original
+  embedding, so every replica lands in its source's cell and each cell
+  is R× hotter: exactly the hot-cell degenerate the max_cell_size
+  guard exists for. The probe times the uncapped pass (grows ~R² in
+  the pair stage) against the capped one (max_cell_size=700 — above
+  the 1× cell sizes, exceeded by every cell from 2× on, so the capped
+  series must stay bounded).
 
 Usage: python tools/docs_scale_probe.py [replicas...]   (default 1 4 8)
 """
@@ -112,12 +117,19 @@ def main() -> None:
         ).count()
         row["semdedup_sec"] = round(time.monotonic() - t0, 3)
 
+        t0 = time.monotonic()
+        row["semdedup_capped_rows"] = semantic_dedup_flags(
+            embs, cent, "vec_id", "embedding", threshold=0.25, max_cell_size=700
+        ).count()
+        row["semdedup_capped_sec"] = round(time.monotonic() - t0, 3)
+
         out[r] = row
         print(
             f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
             f"pack {row['pack_sec']:6.2f}s  lsh {row['lsh_sec']:6.2f}s  "
             f"winnow {row['winnow_sec']:6.2f}s  "
-            f"semdedup {row['semdedup_sec']:6.2f}s",
+            f"semdedup {row['semdedup_sec']:6.2f}s  "
+            f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s",
             flush=True,
         )
     print(json.dumps(out))
