@@ -591,6 +591,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so a spec-legal padded stream decodes
+        # instead of parsing the pad as a marker with a garbage length
+        while pos + 2 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(payload):
+            break
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break

@@ -57,7 +57,12 @@ def pack_context_windows(
         .withColumn("__first", F.floor(F.col("start_off") / seq_len))
         .withColumn("__last", F.floor((F.col("__end") - 1) / seq_len))
     )
-    ex = d.select(
+    # n_tokens == 0 would make __last = __first - 1 and F.sequence
+    # would generate a DESCENDING range instead of an empty one —
+    # unreachable with the whitespace tokenizer (split of trimmed text
+    # yields >= 1 element) but made explicit so a future regex-split or
+    # filtering tokenizer can't silently emit bogus rows
+    ex = d.where(F.col("n_tokens") > 0).select(
         idc,
         "shard",
         "n_tokens",

@@ -483,8 +483,10 @@ def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bytes straight off the text. Odd media_ids encode as RGB
     # (r=g=b → integer luma is exact); every third id carries a tEXt
     # ancillary chunk the walker must skip. p33 (row 3, col 3 = byte
-    # 28) sits in a Paeth-filtered row (3 % 5) — a broken Paeth
-    # predictor or a mis-stitched IDAT boundary breaks the hash
+    # 28) sits in an Average-filtered row (filter 3 % 5 = 3) — a
+    # broken Average predictor or a mis-stitched IDAT boundary breaks
+    # the hash; the Paeth predictor (filter 4, row 4) is exercised by
+    # the pytest roundtrips over all 8 rows
     """
     WITH m AS (
       SELECT doc_id AS media_id, text

@@ -48,9 +48,14 @@ def stream_near_dup_candidates(
     """(new_id, prior_id, band_idx) candidate stream: ``new_id``
     arrived in the current micro-batch and shares an LSH band bucket
     with ``prior_id`` seen earlier (or earlier in the same batch,
-    ordered by id for determinism). Batch mode runs the identical
-    plan shape without state — every doc is "prior" to every larger
-    id in its bucket, matching lsh_candidate_pairs' orientation."""
+    ordered by id for determinism). ``max_bucket`` caps how many
+    members a bucket STORES as prior candidates — docs beyond the cap
+    still pair against the stored members but are never stored, so a
+    boilerplate bucket's state and pair count stay bounded. Batch mode
+    runs the equivalent plan without state and applies the SAME cap
+    (only the bucket's max_bucket smallest ids act as priors), so for
+    a single-batch input both modes return the identical candidate
+    set, matching lsh_candidate_pairs' orientation."""
     import pandas as pd
     from prohap_spark.operators.dedup import tokens_expr
     from pyspark.sql import functions as F
@@ -61,9 +66,20 @@ def stream_near_dup_candidates(
     bands = band_table(toks, id_col, "__tokens", num_hashes, band_size)
 
     if not docs.isStreaming:
-        # one-shot equivalent: id-ordered pairs within each bucket
-        a = bands.select(
-            F.col(id_col).alias("prior_id"), "band_idx", "band_hash"
+        # one-shot equivalent: id-ordered pairs within each bucket,
+        # under the SAME per-bucket cap as the stateful branch — only
+        # the first max_bucket ids (ascending, the order the stream
+        # would store them in a single batch) act as "prior"
+        # candidates, so an over-cap boilerplate bucket emits at most
+        # k * max_bucket pairs, not k², and both modes return the
+        # identical candidate set
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_hash").orderBy(id_col)
+        a = (
+            bands.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_bucket)
+            .select(F.col(id_col).alias("prior_id"), "band_idx", "band_hash")
         )
         b = bands.select(F.col(id_col).alias("new_id"), "band_idx", "band_hash")
         return (

@@ -453,3 +453,22 @@ def test_jpeg_foreign_payload_shapes():
 
     with pytest.raises(ValueError, match="65535"):
         encode_jpeg(np.zeros((65536, 8), dtype=np.uint8))
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a
+    marker. Injecting pads before the DQT segment must not change the
+    decode — a naive walker would parse the pad pair as a marker with
+    a garbage segment length."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    vals = np.array([0, 1, 17, 128, 200, 254, 255, 63] * 8, dtype=np.uint8)
+    raster = vals.repeat(64).reshape(512, 8)
+    enc = bytes(encode_jpeg(raster, quant=np.ones((8, 8))))
+    # pad immediately after SOI, before the first marker segment
+    assert enc[:2] == b"\xff\xd8"
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    out = decode_jpeg(padded)
+    assert (out == raster).all()

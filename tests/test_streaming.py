@@ -236,3 +236,54 @@ def test_stream_near_dup_matches_batch_lsh(spark, tmp_path):
         .collect()
     }
     assert batch == want
+
+
+def test_stream_near_dup_over_cap_bucket_parity(spark, tmp_path):
+    """Over-cap bucket: five identical docs share every band bucket
+    with max_bucket=2, so only the two smallest ids may act as prior
+    candidates — in BOTH modes. Batch must not emit the full k² pair
+    square (the cap exists to prevent exactly that), and the streaming
+    run split over two triggers must produce the same capped set."""
+    from prohap_spark.streaming.dedup import stream_near_dup_candidates
+
+    rows = [(i, "boiler plate text repeated verbatim for every doc") for i in (1, 2, 3, 4, 5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    expected = {(2, 1), (3, 1), (3, 2), (4, 1), (4, 2), (5, 1), (5, 2)}
+
+    batch = {
+        (r["new_id"], r["prior_id"])
+        for r in stream_near_dup_candidates(docs, max_bucket=2)
+        .select("new_id", "prior_id")
+        .distinct()
+        .collect()
+    }
+    assert batch == expected
+
+    d = str(tmp_path / "hot_bucket_stream")
+    for lo, hi in ((1, 4), (4, 6)):  # ids 1-3 then 4-5 -> two triggers
+        docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(d)
+    stream = stream_near_dup_candidates(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        max_bucket=2,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hot_bucket_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["new_id"], r["prior_id"])
+        for r in spark.sql(
+            "SELECT DISTINCT new_id, prior_id FROM hot_bucket_out"
+        ).collect()
+    }
+    assert got == expected
