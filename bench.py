@@ -69,7 +69,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = queries()
-    from prohap_spark.pipeline.synthetic import run_prohap_e2e, run_provar_e2e
+    from prohap_spark.pipeline.synthetic import (
+        run_peptides_e2e,
+        run_prohap_e2e,
+        run_provar_e2e,
+    )
 
     # prepare every plan once (plan-build + analysis are one-time,
     # amortized-to-zero costs — see module docstring). Crash-isolated:
@@ -93,6 +97,13 @@ def main() -> None:
             plans.append((name, builder(spark, scale=1)))
         except Exception as e:  # noqa: BLE001
             errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
+    # peptide-annotation chain (J6→J11+U4) at corpus scale — the one
+    # §2.9 kernel-adjacent path whose full-pipeline shape was not in
+    # the headline set before r6
+    try:
+        plans.append(("domain_peptides_e2e", run_peptides_e2e(spark, sf_dir)))
+    except Exception as e:  # noqa: BLE001
+        errors["domain_peptides_e2e"] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
 
     def run_all(record: dict[str, list[float]] | None) -> None:
         for name, df in plans:

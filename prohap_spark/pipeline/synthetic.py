@@ -206,3 +206,33 @@ def run_provar_e2e(spark: SparkSession, scale: int = 1) -> DataFrame:
 
     variants, transcripts, cdna, _names, _meta = materialized_cohort(spark, scale)
     return run_provar(variants.drop("genotypes"), transcripts, cdna, min_af=0.01)
+
+
+def run_peptides_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end peptide annotation at corpus scale (bench entry):
+    the same J6→J9→J10→J11+U4 chain the oracle-checked
+    ``u4_peptide_classes`` runs, but over EVERY qualifying document at
+    ``sf_dir`` instead of the capped 12-doc oracle set — ~1000 protein
+    groups and ~4000 peptides at sf0.1 — so the chain's scale shape is
+    measured round-over-round like the prohap/provar pipelines."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.pipeline.peptides import annotate_peptides
+    from prohap_spark.queries.peptide_board import peptide_workload
+    from prohap_spark.queries.registry import table
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") % 5 == 0)
+            & (F.length(F.regexp_replace("text", " ", "")) >= 140)
+        )
+        .select(
+            "doc_id",
+            F.upper(
+                F.substring(F.regexp_replace("text", " ", ""), 1, 120)
+            ).alias("base"),
+        )
+    )
+    peptides, canonical, alleles = peptide_workload(d)
+    return annotate_peptides(peptides, canonical, alleles)

@@ -105,29 +105,15 @@ FROM classified
 """
 
 
-@register("u4_peptide_classes", PEPTIDE_BOARD_SQL)
-def u4_peptide_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL annotate_peptides chain (pipeline/peptides.py) over a
-    deterministic synthetic peptide workload — J6 explode, J9 I/L
-    containment, J10 verified allele coverage, J11 canonical-first,
-    U4 classes + specificity — value-checked against a from-scratch
-    SQL derivation."""
-    from prohap_spark.pipeline.peptides import annotate_peptides
-
-    d = (
-        table(spark, sf_dir, "documents")
-        .where(
-            (F.col("doc_id") < 60)
-            & (F.col("doc_id") % 5 == 0)
-            & (F.length(F.regexp_replace("text", " ", "")) >= 140)
-        )
-        .select(
-            "doc_id",
-            F.upper(
-                F.substring(F.regexp_replace("text", " ", ""), 1, 120)
-            ).alias("base"),
-        )
-    )
+def peptide_workload(d: DataFrame):
+    """Deterministic peptide workload derived from a (doc_id, base)
+    frame: per base sequence one single-substitution mutant, one
+    canonical peptide, one variant peptide, one novel-position
+    peptide, and one two-protein degenerate peptide joined to the
+    doc_id+5 mutant. Returns (peptides, canonical, alleles) shaped
+    for :func:`prohap_spark.pipeline.peptides.annotate_peptides`.
+    Shared by the oracle-checked ``u4_peptide_classes`` (capped doc
+    set) and the bench-scale ``run_peptides_e2e`` (full corpus)."""
     alt_ch = F.expr("char(((ascii(substring(base, 20, 1)) - 65 + 1) % 26) + 65)")
     mm = d.select(
         "doc_id",
@@ -178,6 +164,33 @@ def u4_peptide_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     peptides = pep_c.unionByName(pep_v).unionByName(pep_n).unionByName(pep_d)
 
+    return peptides, canonical, alleles
+
+
+@register("u4_peptide_classes", PEPTIDE_BOARD_SQL)
+def u4_peptide_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL annotate_peptides chain (pipeline/peptides.py) over a
+    deterministic synthetic peptide workload — J6 explode, J9 I/L
+    containment, J10 verified allele coverage, J11 canonical-first,
+    U4 classes + specificity — value-checked against a from-scratch
+    SQL derivation."""
+    from prohap_spark.pipeline.peptides import annotate_peptides
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .where(
+            (F.col("doc_id") < 60)
+            & (F.col("doc_id") % 5 == 0)
+            & (F.length(F.regexp_replace("text", " ", "")) >= 140)
+        )
+        .select(
+            "doc_id",
+            F.upper(
+                F.substring(F.regexp_replace("text", " ", ""), 1, 120)
+            ).alias("base"),
+        )
+    )
+    peptides, canonical, alleles = peptide_workload(d)
     out = annotate_peptides(peptides, canonical, alleles)
     return out.select(
         "peptide_id",
