@@ -371,6 +371,18 @@ _STD_LUMA_QUANT = np.array([
     [72, 92, 95, 98, 112, 100, 103, 99],
 ], dtype=np.int64)
 
+# Annex K.2 chrominance quantization table (row-major)
+_STD_CHROMA_QUANT = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
 
 def _dct_matrix() -> np.ndarray:
     m = np.zeros((8, 8))
@@ -432,76 +444,152 @@ def _encode_coeff_bits(v: int, size: int) -> int:
     return v if v >= 0 else v + (1 << size) - 1
 
 
+def _pad_to_blocks(plane: np.ndarray) -> np.ndarray:
+    """Replicate-pad a 2-D plane to 8-multiples (decoder crops)."""
+    h, w = plane.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
+def _encode_block(
+    bw_: "_BitWriter",
+    blk: np.ndarray,
+    q: np.ndarray,
+    dc_enc: dict,
+    ac_enc: dict,
+    pred: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 spatial block; returns
+    the new DC predictor for the block's component."""
+    coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+    qz = np.round(coef / q).astype(np.int64)
+    zz = qz.ravel()[_ZIGZAG]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    s = _category(diff)
+    code, length = dc_enc[s]
+    bw_.write(code, length)
+    if s:
+        bw_.write(_encode_coeff_bits(diff, s), s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_enc[0xF0]  # ZRL
+            bw_.write(zc, zl)
+            run -= 16
+        s = _category(v)
+        code, length = ac_enc[(run << 4) | s]
+        bw_.write(code, length)
+        bw_.write(_encode_coeff_bits(v, s), s)
+        run = 0
+    if run:
+        ec, el = ac_enc[0x00]  # EOB
+        bw_.write(ec, el)
+    return pred
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF full-range RGB → YCbCr planes as float64 (T.871)."""
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    return y, cb, cr
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """JFIF YCbCr planes → (h, w, 3) uint8 RGB (T.871 inverse)."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
 def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """Write a 2-D uint8 grayscale raster as a REAL baseline JPEG:
-    level shift, 8×8 FDCT, quantization (``quant`` 8×8 table, Annex K
-    luminance by default; pass all-ones for the highest-fidelity
-    stream), zigzag, Annex-K Huffman entropy coding with byte
-    stuffing. Edge blocks replicate-pad to 8×8 (decoder crops)."""
-    if raster.ndim != 2:
-        raise ValueError("encode_jpeg expects a 2-D grayscale raster")
+    """Write a REAL baseline JPEG. 2-D uint8 input → single-component
+    grayscale (byte-identical to the pre-color encoder); (h, w, 3)
+    uint8 input → interleaved 3-component YCbCr color, 4:4:4 (no
+    chroma subsampling), Annex-K luminance quant for Y and chrominance
+    quant for Cb/Cr (``quant`` overrides the LUMA table only; pass
+    all-ones for the highest-fidelity luma stream), all components
+    sharing the Annex-K luminance Huffman tables (a legal table
+    assignment any conformant decoder accepts). Pipeline per
+    component: level shift, 8×8 FDCT, quantization, zigzag, Huffman
+    entropy coding with byte stuffing. Edge blocks replicate-pad
+    (decoder crops)."""
+    if raster.ndim not in (2, 3) or (raster.ndim == 3 and raster.shape[2] != 3):
+        raise ValueError("encode_jpeg expects 2-D grayscale or (h, w, 3) RGB")
     if raster.shape[0] > 65535 or raster.shape[1] > 65535:
         raise ValueError("JPEG dimensions exceed 65535")
     q = _STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 8x8 with entries in 1..255")
-    h, w = raster.shape
+    h, w = raster.shape[:2]
     bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.empty((bh * 8, bw * 8), dtype=np.float64)
-    padded[:h, :w] = raster
-    padded[h:, :w] = raster[h - 1 : h, :]  # replicate pad
-    padded[:, w:] = padded[:, w - 1 : w]
-
     dc_enc = _huffman_codes(_DC_BITS, _DC_VALS)
     ac_enc = _huffman_codes(_AC_BITS, _AC_VALS)
     bw_ = _BitWriter()
-    pred = 0
-    for by in range(bh):
-        for bx in range(bw):
-            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coef = _DCT_M @ blk @ _DCT_M.T
-            qz = np.round(coef / q).astype(np.int64)
-            zz = qz.ravel()[_ZIGZAG]
-            # DC
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            s = _category(diff)
-            code, length = dc_enc[s]
-            bw_.write(code, length)
-            if s:
-                bw_.write(_encode_coeff_bits(diff, s), s)
-            # AC
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_enc[0xF0]  # ZRL
-                    bw_.write(zc, zl)
-                    run -= 16
-                s = _category(v)
-                code, length = ac_enc[(run << 4) | s]
-                bw_.write(code, length)
-                bw_.write(_encode_coeff_bits(v, s), s)
-                run = 0
-            if run:
-                ec, el = ac_enc[0x00]  # EOB
-                bw_.write(ec, el)
-    entropy = bw_.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
-    zz_quant = q.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
     out = b"\xff\xd8"  # SOI
-    out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
-    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
-    out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
-    out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
-    out += entropy
+    if raster.ndim == 2:
+        padded = _pad_to_blocks(raster)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                pred = _encode_block(
+                    bw_,
+                    padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    q, dc_enc, ac_enc, pred,
+                )
+        zz_quant = q.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
+        out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+        out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+        out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+    else:
+        qc = _STD_CHROMA_QUANT
+        planes = [_pad_to_blocks(p) for p in _rgb_to_ycbcr(raster)]
+        qtabs = [q, qc, qc]
+        preds = [0, 0, 0]
+        # interleaved MCU scan: one 8×8 block per component per MCU
+        # (4:4:4 — every component has sampling factor 1×1)
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    preds[ci] = _encode_block(
+                        bw_,
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                        qtabs[ci], dc_enc, ac_enc, preds[ci],
+                    )
+        out += seg(0xDB, b"\x00" + q.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
+        out += seg(0xDB, b"\x01" + qc.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
+        # SOF0: Y uses quant 0, Cb/Cr quant 1, all 1×1 sampling
+        out += seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 3)
+            + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        )
+        out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
+        out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+        # SOS: all three components select Huffman pair 0
+        out += seg(0xDA, b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00")
+    out += bw_.flush()
     out += b"\xff\xd9"  # EOI
     # SOF carries the TRUE logical dims (as every real encoder writes);
     # the decoder derives padded block counts with a ceil and crops
@@ -575,19 +663,55 @@ class _BitReader:
         return v
 
 
+def _decode_block(
+    reader: "_BitReader",
+    dc_dec: _HuffDecoder,
+    ac_dec: _HuffDecoder,
+    quant_zz: np.ndarray,
+    pred: int,
+) -> tuple[np.ndarray, int]:
+    """Entropy-decode one block → (8×8 float spatial block, new DC
+    predictor): Huffman decode, dequantize, un-zigzag, IDCT."""
+    zz = np.zeros(64, dtype=np.int64)
+    s = dc_dec.decode(reader)
+    pred += reader.receive_extend(s)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(reader)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past block end")
+        zz[k] = reader.receive_extend(size)
+        k += 1
+    coef = np.zeros(64, dtype=np.float64)
+    coef[_ZIGZAG] = zz * quant_zz
+    return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0, pred
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Parse a REAL baseline JPEG byte-for-byte: marker walk (with
-    ancillary APPn/COM handling), DQT, SOF0 (grayscale only — color
-    and progressive raise), canonical Huffman reconstruction from DHT,
-    entropy decode with stuffing removal, dequantize, un-zigzag, IDCT,
-    level shift, clip, crop to the logical dimensions."""
+    ancillary APPn/COM handling), DQT/DHT table registries (any legal
+    table ids), SOF0 with 1 component (grayscale → 2-D uint8) or 3
+    components at 1×1 sampling (4:4:4 YCbCr → (h, w, 3) uint8 RGB via
+    the T.871 inverse transform); chroma-SUBSAMPLED (4:2:0/4:2:2) and
+    progressive streams raise loudly. Canonical Huffman reconstruction
+    from DHT, interleaved-MCU entropy decode with stuffing removal and
+    per-component DC predictors, dequantize, un-zigzag, IDCT, level
+    shift, clip, crop to the logical dimensions."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    quant: np.ndarray | None = None
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
     dims: tuple[int, int] | None = None
-    dc_dec: _HuffDecoder | None = None
-    ac_dec: _HuffDecoder | None = None
+    comps: list[tuple[int, int]] | None = None  # (component_id, quant_id)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -613,77 +737,91 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if len(body) != seglen - 2:
             raise ValueError("truncated JPEG segment")
         if marker == 0xDB:
-            if len(body) < 65:
-                raise ValueError("truncated JPEG quant table")
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables unsupported")
-            # only the scan component's table (Tq 0) matters for the
-            # grayscale path; chroma tables (id 1+) are skipped —
-            # previously any DQT overwrote the luma table
-            if body[0] & 0x0F == 0:
-                zzq = np.frombuffer(body[1:65], dtype=np.uint8).astype(np.int64)
-                quant = np.empty(64, dtype=np.int64)
-                quant[_ZIGZAG] = zzq
-                quant = quant.reshape(8, 8)
+            # a DQT segment may carry several tables back to back
+            off = 0
+            while off < len(body):
+                if body[off] & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if off + 65 > len(body):
+                    raise ValueError("truncated JPEG quant table")
+                qtables[body[off] & 0x0F] = np.frombuffer(
+                    body[off + 1 : off + 65], dtype=np.uint8
+                ).astype(np.int64)  # kept in zigzag order
+                off += 65
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential JPEG supported")
         elif marker == 0xC0:
             if len(body) < 6:
                 raise ValueError("truncated JPEG frame header")
             prec, ph, pw, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale JPEG supported")
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG frame header")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "chroma-subsampled baseline JPEG unsupported (only "
+                        "1x1 sampling / 4:4:4)"
+                    )
+                comps.append((cid, tq))
             dims = (ph, pw)
         elif marker == 0xC4:
-            if len(body) < 17:
-                raise ValueError("truncated JPEG Huffman table")
-            cls, tid = body[0] >> 4, body[0] & 0x0F
-            if tid != 0:
-                raise ValueError("unexpected Huffman table id")
-            bits = list(body[1:17])
-            if len(body) < 17 + sum(bits):
-                raise ValueError("truncated JPEG Huffman table")
-            vals = list(body[17 : 17 + sum(bits)])
-            if cls == 0:
-                dc_dec = _HuffDecoder(bits, vals)
-            else:
-                ac_dec = _HuffDecoder(bits, vals)
+            # a DHT segment may carry several tables back to back
+            off = 0
+            while off < len(body):
+                if off + 17 > len(body):
+                    raise ValueError("truncated JPEG Huffman table")
+                cls, tid = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                if off + 17 + n > len(body):
+                    raise ValueError("truncated JPEG Huffman table")
+                vals = list(body[off + 17 : off + 17 + n])
+                huff[(cls, tid)] = _HuffDecoder(bits, vals)
+                off += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:
-            if quant is None or dims is None or dc_dec is None or ac_dec is None:
-                raise ValueError("JPEG scan before tables/frame header")
+            if dims is None or comps is None:
+                raise ValueError("JPEG scan before frame header")
+            if len(body) < 1 or body[0] != len(comps):
+                raise ValueError(
+                    "multi-scan sequential JPEG unsupported (scan must "
+                    "carry every frame component)"
+                )
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG scan header")
+            # per-scan-component entropy tables, in frame-component order
+            scan: list[tuple[_HuffDecoder, _HuffDecoder, np.ndarray]] = []
+            sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
+            for cid, tq in comps:
+                if cid not in sel:
+                    raise ValueError("scan component not declared in frame")
+                td, ta = sel[cid] >> 4, sel[cid] & 0x0F
+                if (0, td) not in huff or (1, ta) not in huff or tq not in qtables:
+                    raise ValueError("JPEG scan references a missing table")
+                scan.append((huff[(0, td)], huff[(1, ta)], qtables[tq]))
             ph, pw = dims
             bh, bw = -(-ph // 8), -(-pw // 8)
             reader = _BitReader(payload, pos + 2 + seglen)
-            out = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-            pred = 0
+            planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+            preds = [0] * len(comps)
             for by in range(bh):
                 for bx in range(bw):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = dc_dec.decode(reader)
-                    pred += reader.receive_extend(s)
-                    zz[0] = pred
-                    k = 1
-                    while k < 64:
-                        rs = ac_dec.decode(reader)
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run == 15:
-                                k += 16  # ZRL
-                                continue
-                            break  # EOB
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        zz[k] = reader.receive_extend(size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[_ZIGZAG] = zz * quant.ravel()[_ZIGZAG]
-                    blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                        np.round(blk + 128.0), 0, 255
-                    ).astype(np.uint8)
-            return out[:ph, :pw]
+                    for ci, (dc_dec, ac_dec, qzz) in enumerate(scan):
+                        blk, preds[ci] = _decode_block(
+                            reader, dc_dec, ac_dec, qzz, preds[ci]
+                        )
+                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            if len(comps) == 1:
+                return np.clip(np.round(planes[0][:ph, :pw]), 0, 255).astype(
+                    np.uint8
+                )
+            y, cb, cr = (p[:ph, :pw] for p in planes)
+            return _ycbcr_to_rgb(y, cb, cr)
         pos += 2 + seglen
     raise ValueError("no JPEG scan found")

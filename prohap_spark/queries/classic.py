@@ -700,6 +700,80 @@ def multimodal_jpeg_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_color_codec",
+    # same constant-block construction as the grayscale JPEG oracle,
+    # but in an RGB container (r=g=b=byte): gray-in-RGB maps to
+    # integer Y with Cb=Cr=128 exactly, so the full 3-component
+    # interleaved 4:4:4 pipeline (two quant tables, per-component DC
+    # predictors, YCbCr<->RGB) is byte-exact and the oracle reads
+    # truth off the text. b0/b31/b63 probe channels R, G and B
+    # respectively (flattened layout is interleaved RGB); hue
+    # fidelity for r!=g!=b is pinned in tests/test_multimodal.py
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    )
+    SELECT media_id,
+           ord(substr(text, 1, 1)) AS b0,
+           ord(substr(text, 32, 1)) AS b31,
+           ord(substr(text, 64, 1)) AS b63,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE))) / 64,
+                 4) AS px_mean
+    FROM m
+    """,
+)
+def multimodal_jpeg_color_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-JPEG path: each document's first 64 bytes become 64
+    constant 8×8 blocks of a 512×8 RGB raster (r=g=b), written as a
+    genuine interleaved baseline 4:4:4 color JPEG (three components,
+    luma + chroma quant tables, shared Annex-K Huffman tables, T.871
+    color transform) and decoded back through the full T.81 parse.
+    Constant gray-in-RGB blocks make the pipeline exactly invertible
+    (integer Y, Cb=Cr=128 → zero chroma coefficients under ANY quant
+    table), so the oracle compares all three decoded channels
+    byte-for-byte against the text."""
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import decode_images
+    from prohap_spark.multimodal.codecs import encode_jpeg
+
+    media = _docs_as_media(spark, sf_dir, 64)
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    def to_jpeg(batches):
+        for pdf in batches:
+            payloads = []
+            for tb in pdf["text_bytes"]:
+                gray = (
+                    np.frombuffer(bytes(tb), dtype=np.uint8)[:64]
+                    .repeat(64)
+                    .reshape(512, 8)
+                )
+                payloads.append(
+                    encode_jpeg(np.stack([gray, gray, gray], axis=-1), quant=ones)
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    jpegs = media.mapInPandas(to_jpeg, schema="media_id long, payload binary")
+    decoded = decode_images(jpegs, real_codec=True)
+    px = F.col("pixels")
+    n = F.size(px)
+    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
+    # interleaved RGB layout: block k channel c = element 64*3*k + c + 1
+    return decoded.select(
+        "media_id",
+        F.element_at(px, 1).alias("b0"),                 # R of block 0
+        F.element_at(px, 31 * 64 * 3 + 2).alias("b31"),  # G of block 31
+        F.element_at(px, 63 * 64 * 3 + 3).alias("b63"),  # B of block 63
+        F.round(mean, 4).alias("px_mean"),
+    )
+
+
+@register(
     "agg_grouping_sets",
     # explicit GROUPING SETS — the non-uniform lattice CUBE/ROLLUP
     # can't express: (flag,status), (flag), (), but NOT (status)

@@ -379,10 +379,14 @@ def test_jpeg_rejects_malformed():
     sof = good.index(b"\xff\xc0")
     with pytest.raises(ValueError, match="baseline"):
         decode_jpeg(good[:sof + 1] + b"\xc2" + good[sof + 2:])
-    # 3-component (color) frame header -> explicit reject
-    with pytest.raises(ValueError, match="grayscale"):
-        ncomp_at = sof + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2) -> ncomp
-        decode_jpeg(good[:ncomp_at] + b"\x03" + good[ncomp_at + 1:])
+    # 4-component (CMYK-style) frame header -> explicit reject
+    ncomp_at = sof + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2) -> ncomp
+    with pytest.raises(ValueError, match="1- or 3-component"):
+        decode_jpeg(good[:ncomp_at] + b"\x04" + good[ncomp_at + 1:])
+    # chroma-subsampled sampling factor (2x2) -> explicit reject
+    with pytest.raises(ValueError, match="subsampled"):
+        hv_at = ncomp_at + 2  # ncomp(1) cid(1) -> sampling byte
+        decode_jpeg(good[:hv_at] + b"\x22" + good[hv_at + 1:])
 
 
 def test_jpeg_decode_images_dispatch(spark):
@@ -472,3 +476,59 @@ def test_jpeg_fill_bytes_before_markers():
     padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
     out = decode_jpeg(padded)
     assert (out == raster).all()
+
+
+def test_jpeg_color_roundtrip_exact_grays_and_tolerance():
+    """Baseline 4:4:4 color JPEG: (1) RGB grays (r=g=b) map to integer
+    Y with Cb=Cr=128 exactly, so a gray-in-RGB image with all-ones
+    luma quant round-trips byte-exact in every channel; (2) a smooth
+    color ramp under the standard quant tables stays within a small
+    tolerance; (3) non-multiple-of-8 dims crop correctly."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    # (1) exact: constant-per-block gray levels in an RGB container
+    vals = np.array([0, 1, 17, 128, 200, 254, 255, 63] * 2, dtype=np.uint8)
+    gray = vals.repeat(64).reshape(128, 8)
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    out = decode_jpeg(encode_jpeg(rgb, quant=np.ones((8, 8))))
+    assert out.shape == (128, 8, 3)
+    assert (out == rgb).all()
+
+    # (2) tolerance: smooth color ramp, standard tables
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    ramp = np.stack(
+        [
+            (xx * 255 // max(w - 1, 1)).astype(np.uint8),
+            (yy * 255 // max(h - 1, 1)).astype(np.uint8),
+            ((xx + yy) * 255 // (h + w - 2)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    dec = decode_jpeg(encode_jpeg(ramp))
+    assert dec.shape == ramp.shape
+    err = np.abs(dec.astype(np.int64) - ramp.astype(np.int64))
+    assert err.mean() < 6 and err.max() < 60
+
+    # (3) crop on non-multiple-of-8 dims with ones luma quant
+    odd = np.stack([gray[:13, :5]] * 3, axis=-1)
+    dec2 = decode_jpeg(encode_jpeg(odd, quant=np.ones((8, 8))))
+    assert dec2.shape == (13, 5, 3)
+    assert (dec2 == odd).all()
+
+
+def test_jpeg_color_channels_are_independent():
+    """A pure-red block must decode red, not gray — i.e. the chroma
+    planes genuinely carry through the interleaved scan and the T.871
+    inverse transform recovers the hue."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 200
+    dec = decode_jpeg(encode_jpeg(red, quant=np.ones((8, 8))))
+    err = np.abs(dec.astype(np.int64) - red.astype(np.int64))
+    assert err.max() <= 2, dec[0, 0]
