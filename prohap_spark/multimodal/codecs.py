@@ -517,18 +517,24 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg(
+    raster: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
     """Write a REAL baseline JPEG. 2-D uint8 input → single-component
     grayscale (byte-identical to the pre-color encoder); (h, w, 3)
-    uint8 input → interleaved 3-component YCbCr color, 4:4:4 (no
-    chroma subsampling), Annex-K luminance quant for Y and chrominance
-    quant for Cb/Cr (``quant`` overrides the LUMA table only; pass
-    all-ones for the highest-fidelity luma stream), all components
-    sharing the Annex-K luminance Huffman tables (a legal table
-    assignment any conformant decoder accepts). Pipeline per
-    component: level shift, 8×8 FDCT, quantization, zigzag, Huffman
-    entropy coding with byte stuffing. Edge blocks replicate-pad
-    (decoder crops)."""
+    uint8 input → interleaved 3-component YCbCr color — 4:4:4 by
+    default, or 4:2:0 with ``subsample=True`` (2×2 box-mean chroma
+    downsampling, 16×16 MCUs of 4 Y + 1 Cb + 1 Cr blocks, the layout
+    virtually every real-world JPEG uses). Annex-K luminance quant for
+    Y and chrominance quant for Cb/Cr (``quant`` overrides the LUMA
+    table only; pass all-ones for the highest-fidelity luma stream),
+    all components sharing the Annex-K luminance Huffman tables (a
+    legal table assignment any conformant decoder accepts). Pipeline
+    per component: level shift, 8×8 FDCT, quantization, zigzag,
+    Huffman entropy coding with byte stuffing. Edge blocks
+    replicate-pad (decoder crops)."""
     if raster.ndim not in (2, 3) or (raster.ndim == 3 and raster.shape[2] != 3):
         raise ValueError("encode_jpeg expects 2-D grayscale or (h, w, 3) RGB")
     if raster.shape[0] > 65535 or raster.shape[1] > 65535:
@@ -537,7 +543,6 @@ def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 8x8 with entries in 1..255")
     h, w = raster.shape[:2]
-    bh, bw = -(-h // 8), -(-w // 8)
     dc_enc = _huffman_codes(_DC_BITS, _DC_VALS)
     ac_enc = _huffman_codes(_AC_BITS, _AC_VALS)
     bw_ = _BitWriter()
@@ -547,6 +552,7 @@ def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
 
     out = b"\xff\xd8"  # SOI
     if raster.ndim == 2:
+        bh, bw = -(-h // 8), -(-w // 8)
         padded = _pad_to_blocks(raster)
         pred = 0
         for by in range(bh):
@@ -564,27 +570,64 @@ def encode_jpeg(raster: np.ndarray, quant: np.ndarray | None = None) -> bytes:
         out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     else:
         qc = _STD_CHROMA_QUANT
-        planes = [_pad_to_blocks(p) for p in _rgb_to_ycbcr(raster)]
-        qtabs = [q, qc, qc]
-        preds = [0, 0, 0]
-        # interleaved MCU scan: one 8×8 block per component per MCU
-        # (4:4:4 — every component has sampling factor 1×1)
-        for by in range(bh):
-            for bx in range(bw):
-                for ci in range(3):
-                    preds[ci] = _encode_block(
-                        bw_,
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                        qtabs[ci], dc_enc, ac_enc, preds[ci],
-                    )
+        y, cb, cr = _rgb_to_ycbcr(raster)
+        if subsample:
+            # 4:2:0: pad everything to the 16×16 MCU grid first, then
+            # 2×2 box-mean the chroma planes (the padded grid halves to
+            # exact 8-multiples)
+            mcu_h, mcu_w = -(-h // 16), -(-w // 16)
+            yp = np.empty((mcu_h * 16, mcu_w * 16), dtype=np.float64)
+            planes_full = []
+            for p in (y, cb, cr):
+                full = np.empty_like(yp)
+                full[:h, :w] = p
+                full[h:, :w] = p[h - 1 : h, :]
+                full[:, w:] = full[:, w - 1 : w]
+                planes_full.append(full)
+            yp = planes_full[0]
+            sub = [
+                p.reshape(mcu_h * 8, 2, mcu_w * 8, 2).mean(axis=(1, 3))
+                for p in planes_full[1:]
+            ]
+            qtabs = [q, qc, qc]
+            preds = [0, 0, 0]
+            for my in range(mcu_h):
+                for mx in range(mcu_w):
+                    # 4 Y blocks in 2×2 raster order, then Cb, then Cr
+                    for bv in range(2):
+                        for bhx in range(2):
+                            r0 = (my * 2 + bv) * 8
+                            c0 = (mx * 2 + bhx) * 8
+                            preds[0] = _encode_block(
+                                bw_, yp[r0 : r0 + 8, c0 : c0 + 8],
+                                q, dc_enc, ac_enc, preds[0],
+                            )
+                    for ci, p in enumerate(sub, start=1):
+                        preds[ci] = _encode_block(
+                            bw_,
+                            p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+                            qc, dc_enc, ac_enc, preds[ci],
+                        )
+            sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        else:
+            bh, bw = -(-h // 8), -(-w // 8)
+            planes = [_pad_to_blocks(p) for p in (y, cb, cr)]
+            qtabs = [q, qc, qc]
+            preds = [0, 0, 0]
+            # interleaved MCU scan: one 8×8 block per component per MCU
+            # (4:4:4 — every component has sampling factor 1×1)
+            for by in range(bh):
+                for bx in range(bw):
+                    for ci in range(3):
+                        preds[ci] = _encode_block(
+                            bw_,
+                            planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                            qtabs[ci], dc_enc, ac_enc, preds[ci],
+                        )
+            sof_comps = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
         out += seg(0xDB, b"\x00" + q.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
         out += seg(0xDB, b"\x01" + qc.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
-        # SOF0: Y uses quant 0, Cb/Cr quant 1, all 1×1 sampling
-        out += seg(
-            0xC0,
-            struct.pack(">BHHB", 8, h, w, 3)
-            + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
-        )
+        out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
         out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
         out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
         # SOS: all three components select Huffman pair 0
@@ -699,19 +742,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Parse a REAL baseline JPEG byte-for-byte: marker walk (with
     ancillary APPn/COM handling), DQT/DHT table registries (any legal
     table ids), SOF0 with 1 component (grayscale → 2-D uint8) or 3
-    components at 1×1 sampling (4:4:4 YCbCr → (h, w, 3) uint8 RGB via
-    the T.871 inverse transform); chroma-SUBSAMPLED (4:2:0/4:2:2) and
-    progressive streams raise loudly. Canonical Huffman reconstruction
-    from DHT, interleaved-MCU entropy decode with stuffing removal and
-    per-component DC predictors, dequantize, un-zigzag, IDCT, level
-    shift, clip, crop to the logical dimensions."""
+    components at any sampling factors in {1, 2} — 4:4:4, 4:2:2,
+    4:4:0 and the ubiquitous 4:2:0 all decode (YCbCr → (h, w, 3)
+    uint8 RGB via the T.871 inverse transform, subsampled chroma
+    replicated back up); progressive streams and sampling factors
+    beyond 2 raise loudly. Canonical Huffman reconstruction from DHT,
+    interleaved-MCU entropy decode (each MCU carries h×v blocks per
+    component) with stuffing removal and per-component DC predictors,
+    dequantize, un-zigzag, IDCT, level shift, clip, crop to the
+    logical dimensions."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     dims: tuple[int, int] | None = None
-    comps: list[tuple[int, int]] | None = None  # (component_id, quant_id)
+    comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, quant_id)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -761,12 +807,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0x0F
+                if ncomp == 1:
+                    # a single-component scan is non-interleaved:
+                    # sampling factors do not affect its block layout
+                    ch = cv = 1
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
                     raise ValueError(
-                        "chroma-subsampled baseline JPEG unsupported (only "
-                        "1x1 sampling / 4:4:4)"
+                        "JPEG sampling factors beyond 2 unsupported"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, ch, cv, tq))
             dims = (ph, pw)
         elif marker == 0xC4:
             # a DHT segment may carry several tables back to back
@@ -798,7 +848,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             # per-scan-component entropy tables, in frame-component order
             scan: list[tuple[_HuffDecoder, _HuffDecoder, np.ndarray]] = []
             sel = {body[1 + 2 * i]: body[2 + 2 * i] for i in range(ns)}
-            for cid, tq in comps:
+            for cid, _ch, _cv, tq in comps:
                 if cid not in sel:
                     raise ValueError("scan component not declared in frame")
                 td, ta = sel[cid] >> 4, sel[cid] & 0x0F
@@ -806,17 +856,33 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("JPEG scan references a missing table")
                 scan.append((huff[(0, td)], huff[(1, ta)], qtables[tq]))
             ph, pw = dims
-            bh, bw = -(-ph // 8), -(-pw // 8)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcu_y, mcu_x = -(-ph // (8 * vmax)), -(-pw // (8 * hmax))
             reader = _BitReader(payload, pos + 2 + seglen)
-            planes = [np.empty((bh * 8, bw * 8), dtype=np.float64) for _ in comps]
+            planes = [
+                np.empty((mcu_y * cv * 8, mcu_x * ch * 8), dtype=np.float64)
+                for _cid, ch, cv, _tq in comps
+            ]
             preds = [0] * len(comps)
-            for by in range(bh):
-                for bx in range(bw):
+            for my in range(mcu_y):
+                for mx in range(mcu_x):
                     for ci, (dc_dec, ac_dec, qzz) in enumerate(scan):
-                        blk, preds[ci] = _decode_block(
-                            reader, dc_dec, ac_dec, qzz, preds[ci]
-                        )
-                        planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+                        _cid, ch, cv, _tq = comps[ci]
+                        # h×v data units per component per MCU, raster order
+                        for bv in range(cv):
+                            for bhx in range(ch):
+                                blk, preds[ci] = _decode_block(
+                                    reader, dc_dec, ac_dec, qzz, preds[ci]
+                                )
+                                r0 = (my * cv + bv) * 8
+                                c0 = (mx * ch + bhx) * 8
+                                planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+            # replicate subsampled components back to full resolution
+            planes = [
+                p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)
+                for p, (_cid, ch, cv, _tq) in zip(planes, comps)
+            ]
             if len(comps) == 1:
                 return np.clip(np.round(planes[0][:ph, :pw]), 0, 255).astype(
                     np.uint8

@@ -383,10 +383,14 @@ def test_jpeg_rejects_malformed():
     ncomp_at = sof + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2) -> ncomp
     with pytest.raises(ValueError, match="1- or 3-component"):
         decode_jpeg(good[:ncomp_at] + b"\x04" + good[ncomp_at + 1:])
-    # chroma-subsampled sampling factor (2x2) -> explicit reject
-    with pytest.raises(ValueError, match="subsampled"):
-        hv_at = ncomp_at + 2  # ncomp(1) cid(1) -> sampling byte
-        decode_jpeg(good[:hv_at] + b"\x22" + good[hv_at + 1:])
+    # sampling factor beyond 2 (3x3 luma) in a COLOR stream -> reject
+    color = encode_jpeg(
+        np.zeros((8, 8, 3), dtype=np.uint8), quant=np.ones((8, 8))
+    )
+    csof = color.index(b"\xff\xc0")
+    hv_at = csof + 4 + 5 + 2  # header + ncomp(1) + cid(1) -> sampling
+    with pytest.raises(ValueError, match="beyond 2"):
+        decode_jpeg(color[:hv_at] + b"\x33" + color[hv_at + 1:])
 
 
 def test_jpeg_decode_images_dispatch(spark):
@@ -531,4 +535,59 @@ def test_jpeg_color_channels_are_independent():
     red[:, :, 0] = 200
     dec = decode_jpeg(encode_jpeg(red, quant=np.ones((8, 8))))
     err = np.abs(dec.astype(np.int64) - red.astype(np.int64))
+    assert err.max() <= 2, dec[0, 0]
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 — the layout virtually every real-world JPEG uses: 16×16
+    MCUs of 4 Y + 1 Cb + 1 Cr blocks, 2×2 box-mean chroma. (1)
+    Constant-per-MCU grays with all-ones luma quant are exact (chroma
+    constant 128 → zero coefficients under any table); (2) a smooth
+    color ramp survives encode/decode within tolerance — chroma is
+    halved and replicated, so the bound is looser than 4:4:4; (3)
+    non-multiple-of-16 dims crop correctly."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    vals = np.array([0, 17, 128, 255, 63, 200, 1, 254], dtype=np.uint8)
+    gray = vals.repeat(256).reshape(128, 16)  # constant 16x16 MCUs
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    out = decode_jpeg(encode_jpeg(rgb, quant=np.ones((8, 8)), subsample=True))
+    assert out.shape == (128, 16, 3)
+    assert (out == rgb).all()
+
+    h, w = 40, 56
+    yy, xx = np.mgrid[0:h, 0:w]
+    ramp = np.stack(
+        [
+            (xx * 255 // (w - 1)).astype(np.uint8),
+            (yy * 255 // (h - 1)).astype(np.uint8),
+            ((xx + yy) * 255 // (h + w - 2)).astype(np.uint8),
+        ],
+        axis=-1,
+    )
+    dec = decode_jpeg(encode_jpeg(ramp, subsample=True))
+    assert dec.shape == ramp.shape
+    err = np.abs(dec.astype(np.int64) - ramp.astype(np.int64))
+    assert err.mean() < 8 and err.max() < 80
+
+    odd = np.stack([gray[:19, :11]] * 3, axis=-1)
+    dec2 = decode_jpeg(encode_jpeg(odd, quant=np.ones((8, 8)), subsample=True))
+    assert dec2.shape == (19, 11, 3)
+    assert (dec2 == odd).all()
+
+
+def test_jpeg_420_chroma_carries_hue():
+    """A solid color block must keep its hue through the subsampled
+    chroma path (constant chroma loses nothing to 2x2 averaging)."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    teal = np.zeros((16, 16, 3), dtype=np.uint8)
+    teal[:, :, 1] = 150
+    teal[:, :, 2] = 180
+    dec = decode_jpeg(encode_jpeg(teal, quant=np.ones((8, 8)), subsample=True))
+    err = np.abs(dec.astype(np.int64) - teal.astype(np.int64))
     assert err.max() <= 2, dec[0, 0]
