@@ -433,6 +433,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
         return bytes(self.buf)
 
+    def emit_restart(self, n: int) -> None:
+        """1-pad to the byte boundary and append RSTn verbatim (marker
+        bytes are never stuffed)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
@@ -521,6 +529,7 @@ def encode_jpeg(
     raster: np.ndarray,
     quant: np.ndarray | None = None,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Write a REAL baseline JPEG. 2-D uint8 input → single-component
     grayscale (byte-identical to the pre-color encoder); (h, w, 3)
@@ -534,7 +543,10 @@ def encode_jpeg(
     legal table assignment any conformant decoder accepts). Pipeline
     per component: level shift, 8×8 FDCT, quantization, zigzag,
     Huffman entropy coding with byte stuffing. Edge blocks
-    replicate-pad (decoder crops)."""
+    replicate-pad (decoder crops). ``restart_interval`` > 0 writes a
+    DRI segment and emits cycling RSTn markers every that many MCUs
+    (DC predictors reset, entropy stream byte-aligned) — the
+    resync-point discipline real encoders use."""
     if raster.ndim not in (2, 3) or (raster.ndim == 3 and raster.shape[2] != 3):
         raise ValueError("encode_jpeg expects 2-D grayscale or (h, w, 3) RGB")
     if raster.shape[0] > 65535 or raster.shape[1] > 65535:
@@ -555,6 +567,7 @@ def encode_jpeg(
         bh, bw = -(-h // 8), -(-w // 8)
         padded = _pad_to_blocks(raster)
         pred = 0
+        mcu_idx, total_mcus, rst = 0, bh * bw, 0
         for by in range(bh):
             for bx in range(bw):
                 pred = _encode_block(
@@ -562,8 +575,19 @@ def encode_jpeg(
                     padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                     q, dc_enc, ac_enc, pred,
                 )
+                mcu_idx += 1
+                if (
+                    restart_interval
+                    and mcu_idx % restart_interval == 0
+                    and mcu_idx < total_mcus
+                ):
+                    bw_.emit_restart(rst)
+                    rst = (rst + 1) % 8
+                    pred = 0
         zz_quant = q.ravel()[_ZIGZAG].astype(np.uint8).tobytes()
         out += seg(0xDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
         out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
         out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
@@ -591,6 +615,7 @@ def encode_jpeg(
             ]
             qtabs = [q, qc, qc]
             preds = [0, 0, 0]
+            mcu_idx, total_mcus, rst = 0, mcu_h * mcu_w, 0
             for my in range(mcu_h):
                 for mx in range(mcu_w):
                     # 4 Y blocks in 2×2 raster order, then Cb, then Cr
@@ -608,6 +633,15 @@ def encode_jpeg(
                             p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
                             qc, dc_enc, ac_enc, preds[ci],
                         )
+                    mcu_idx += 1
+                    if (
+                        restart_interval
+                        and mcu_idx % restart_interval == 0
+                        and mcu_idx < total_mcus
+                    ):
+                        bw_.emit_restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0, 0, 0]
             sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
         else:
             bh, bw = -(-h // 8), -(-w // 8)
@@ -616,6 +650,7 @@ def encode_jpeg(
             preds = [0, 0, 0]
             # interleaved MCU scan: one 8×8 block per component per MCU
             # (4:4:4 — every component has sampling factor 1×1)
+            mcu_idx, total_mcus, rst = 0, bh * bw, 0
             for by in range(bh):
                 for bx in range(bw):
                     for ci in range(3):
@@ -624,9 +659,20 @@ def encode_jpeg(
                             planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
                             qtabs[ci], dc_enc, ac_enc, preds[ci],
                         )
+                    mcu_idx += 1
+                    if (
+                        restart_interval
+                        and mcu_idx % restart_interval == 0
+                        and mcu_idx < total_mcus
+                    ):
+                        bw_.emit_restart(rst)
+                        rst = (rst + 1) % 8
+                        preds = [0, 0, 0]
             sof_comps = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
         out += seg(0xDB, b"\x00" + q.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
         out += seg(0xDB, b"\x01" + qc.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
+        if restart_interval:
+            out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
         out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 3) + sof_comps)
         out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
         out += seg(0xC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
@@ -705,6 +751,26 @@ class _BitReader:
             v += -(1 << size) + 1
         return v
 
+    def sync_restart(self) -> int:
+        """Discard pad bits to the byte boundary, skip 0xFF fill bytes,
+        and consume one RSTn marker; returns n (0-7)."""
+        self.nbits = 0
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not (0xD0 <= self.data[self.pos + 1] <= 0xD7)
+        ):
+            raise ValueError("expected JPEG restart marker")
+        n = self.data[self.pos + 1] - 0xD0
+        self.pos += 2
+        return n
+
 
 def _decode_block(
     reader: "_BitReader",
@@ -745,7 +811,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     components at any sampling factors in {1, 2} — 4:4:4, 4:2:2,
     4:4:0 and the ubiquitous 4:2:0 all decode (YCbCr → (h, w, 3)
     uint8 RGB via the T.871 inverse transform, subsampled chroma
-    replicated back up); progressive streams and sampling factors
+    replicated back up); restart intervals (DRI/RSTn with sequence
+    checking) are honored; progressive streams and sampling factors
     beyond 2 raise loudly. Canonical Huffman reconstruction from DHT,
     interleaved-MCU entropy decode (each MCU carries h×v blocks per
     component) with stuffing removal and per-component DC predictors,
@@ -758,6 +825,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], _HuffDecoder] = {}
     dims: tuple[int, int] | None = None
     comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, quant_id)
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -833,7 +901,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 huff[(cls, tid)] = _HuffDecoder(bits, vals)
                 off += 17 + n
         elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+            if len(body) != 2:
+                raise ValueError("malformed DRI segment")
+            restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:
             if dims is None or comps is None:
                 raise ValueError("JPEG scan before frame header")
@@ -865,6 +935,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 for _cid, ch, cv, _tq in comps
             ]
             preds = [0] * len(comps)
+            mcu_idx, total_mcus, expected_rst = 0, mcu_y * mcu_x, 0
             for my in range(mcu_y):
                 for mx in range(mcu_x):
                     for ci, (dc_dec, ac_dec, qzz) in enumerate(scan):
@@ -878,6 +949,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                 r0 = (my * cv + bv) * 8
                                 c0 = (mx * ch + bhx) * 8
                                 planes[ci][r0 : r0 + 8, c0 : c0 + 8] = blk
+                    mcu_idx += 1
+                    if (
+                        restart_interval
+                        and mcu_idx % restart_interval == 0
+                        and mcu_idx < total_mcus
+                    ):
+                        if reader.sync_restart() != expected_rst:
+                            raise ValueError(
+                                "JPEG restart marker out of sequence"
+                            )
+                        expected_rst = (expected_rst + 1) % 8
+                        preds = [0] * len(comps)
             # replicate subsampled components back to full resolution
             planes = [
                 p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1)

@@ -591,3 +591,37 @@ def test_jpeg_420_chroma_carries_hue():
     dec = decode_jpeg(encode_jpeg(teal, quant=np.ones((8, 8)), subsample=True))
     err = np.abs(dec.astype(np.int64) - teal.astype(np.int64))
     assert err.max() <= 2, dec[0, 0]
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: restart markers byte-align the entropy stream, reset
+    DC predictors, and cycle RST0-RST7 — all three layouts (gray,
+    4:4:4, 4:2:0) must round-trip exactly on constant-block inputs
+    with restarts every 3 MCUs, and an out-of-sequence restart marker
+    must be rejected."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg
+
+    ones = np.ones((8, 8))
+    vals = np.array([0, 17, 128, 255, 63, 200, 1, 254] * 4, dtype=np.uint8)
+    gray = vals.repeat(64).reshape(256, 8)  # 32 blocks -> 10 restarts
+    enc = encode_jpeg(gray, quant=ones, restart_interval=3)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc and b"\xff\xd7" in enc
+    assert (decode_jpeg(enc) == gray).all()
+
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    enc444 = encode_jpeg(rgb, quant=ones, restart_interval=3)
+    assert (decode_jpeg(enc444) == rgb).all()
+
+    gray16 = vals[:8].repeat(256).reshape(128, 16)  # 8 16x16 MCUs
+    rgb420 = np.stack([gray16, gray16, gray16], axis=-1)
+    enc420 = encode_jpeg(rgb420, quant=ones, subsample=True, restart_interval=3)
+    assert (decode_jpeg(enc420) == rgb420).all()
+
+    # corrupt the first RST0 into RST5 -> sequence error
+    bad = enc.replace(b"\xff\xd0", b"\xff\xd5", 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg(bad)
