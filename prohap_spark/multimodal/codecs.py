@@ -322,13 +322,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 # --------------------------------------------------------------- JPEG
 #
-# Baseline sequential DCT JPEG (ITU-T T.81), grayscale (one component),
-# pure Python + numpy: FDCT/quantize/zigzag/Huffman on the encode side;
-# marker walk, DHT canonical-code reconstruction, entropy decode with
-# 0xFF00 byte-stuffing removal, dequantize/un-zigzag/IDCT on the decode
-# side. Huffman tables are the public Annex K typical tables. Color
-# (multi-component) and progressive scans raise — fail loud, the same
-# posture as the other codecs' unsupported branches.
+# Baseline sequential DCT JPEG (ITU-T T.81), pure Python + numpy:
+# grayscale and 3-component YCbCr color at any sampling factors in
+# {1, 2} (4:4:4, 4:2:2, 4:4:0 and the ubiquitous 4:2:0), restart
+# intervals (DRI/RSTn), 0xFF fill bytes, multi-table DQT/DHT segments.
+# FDCT/quantize/zigzag/Huffman on the encode side; marker walk, DHT
+# canonical-code reconstruction, entropy decode with 0xFF00
+# byte-stuffing removal, dequantize/un-zigzag/IDCT, T.871 color
+# transform on the decode side. Huffman tables are the public Annex K
+# typical tables. Progressive scans and sampling factors beyond 2
+# raise — fail loud, the same posture as the other codecs'
+# unsupported branches.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
