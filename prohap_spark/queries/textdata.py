@@ -1161,6 +1161,52 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ngram_topk",
+    # corpus boilerplate mining: top 20 word trigrams by DOCUMENT
+    # frequency (distinct per doc), ties broken by the gram string
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+      FROM w WHERE len(ws) >= 3
+    ),
+    e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+    c AS (SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM e GROUP BY gram)
+    SELECT gram, doc_freq FROM c
+    ORDER BY doc_freq DESC, gram
+    LIMIT 20
+    """,
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent-n-gram mining (the boilerplate-detection
+    primitive: trigrams shared by many documents are headers, footers,
+    licenses, templates — the candidates a curation pipeline scrubs or
+    a winnowing/LSH pass will flood on). Counts DOCUMENT frequency —
+    shingles are distinct per doc via the shared ``shingle_table``
+    path, so one explode + one partially-aggregated groupBy is the
+    whole plan, and the top-k is an orderBy+limit that Spark executes
+    as TakeOrderedAndProject (per-partition heaps merged on the
+    driver, never a global sort). Ties at the cut break on the gram
+    string, so the selected set is engine-deterministic."""
+    from prohap_spark.operators.dedup import shingle_table
+
+    d = table(spark, sf_dir, "documents")
+    toks = shingle_table(d, "doc_id", "text", ngram=3)
+    return (
+        toks.select(F.explode("__tokens").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "gram")
+        .limit(20)
+    )
+
+
+@register(
     "dedup_winnowing",
     # winnowing (MOSS): word-trigram 60-bit hashes, window-4 minima,
     # distinct kept set; pairs sharing >= 2 fingerprints

@@ -241,3 +241,13 @@ def test_token_budget_sharded_window(spark, qs):
     assert specs
     for s in specs:
         assert s.lstrip().startswith("source") and "shard" in s, s
+
+
+def test_ngram_topk_take_ordered_not_global_sort(spark, qs):
+    """The frequent-n-gram top-k must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global Sort feeding a limit."""
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(qs["text_ngram_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
