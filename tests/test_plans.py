@@ -202,10 +202,12 @@ def test_semantic_dedup_cell_equijoin(spark, qs):
     rep = plan_report(df)
     # the pairwise pass is an equi-join on cell_id, never a cartesian;
     # the only nested-loops are the broadcast tiny-centroid argmax
-    # scans (one per reference to the assignment subplan)
+    # scans — one per reference to the assignment subplan, of which
+    # the max_cell_size filter added a fifth (the cell-size aggregate
+    # that decides which cells enter the pair join)
     assert "CartesianProduct" not in formatted_plan(df)
     assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 2
-    assert rep["bnl_joins"] <= 3
+    assert rep["bnl_joins"] <= 5
 
 
 def test_curation_budget_sharded_and_hash_keyed_dedup(spark, qs):
