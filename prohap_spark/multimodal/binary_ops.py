@@ -8,10 +8,11 @@ behavior, UDF signatures) is real and tested. Two codec tiers:
 sha256/byte-derived fake (cheap, oracle-friendly); ``real_codec=True``
 / ``codec="pcm16_wav"`` run REAL container parsers (``codecs.py``:
 uncompressed BMP, COMPRESSED PNG via stdlib-zlib DEFLATE, RIFF/WAVE
-PCM16, and baseline JPEG including 4:2:0-subsampled color and restart
-intervals — pure Python + numpy, no external media libraries; the
-image path sniffs the magic bytes and dispatches per payload). MP3
-and progressive JPEG remain out of scope and fail loudly.
+PCM16, and JPEG — baseline AND progressive, including
+4:2:0-subsampled color and restart intervals — pure Python + numpy,
+no external media libraries; the image path sniffs the magic bytes
+and dispatches per payload). MP3 remains out of scope and fails
+loudly.
 
 Design for 100 TB of media:
 - media bytes live in their own column; metadata-only queries never

@@ -330,9 +330,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 # canonical-code reconstruction, entropy decode with 0xFF00
 # byte-stuffing removal, dequantize/un-zigzag/IDCT, T.871 color
 # transform on the decode side. Huffman tables are the public Annex K
-# typical tables. Progressive scans and sampling factors beyond 2
-# raise — fail loud, the same posture as the other codecs'
-# unsupported branches.
+# typical tables. Progressive (SOF2, Annex G) decodes too: spectral
+# selection, successive approximation (DC and AC refinement with
+# correction bits), EOB runs — with a progressive encoder whose
+# completed scan script reproduces the sequential coefficients
+# exactly, so the whole path is hermetically roundtrip-tested.
+# Sampling factors beyond 2 and lossless/arithmetic modes raise —
+# fail loud, the same posture as the other codecs' unsupported
+# branches.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -362,6 +367,15 @@ _AC_VALS = [
     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
+
+# Progressive AC scans additionally need the EOBn symbols (r << 4 for
+# r = 1..14, run lengths 2..32767) that the sequential Annex K table
+# does not define — real progressive encoders ship custom DHTs. This
+# one assigns every needed symbol an 8-bit canonical code (176 ≤ 256
+# leaves: a legal, if uncompressed-ish, Huffman table any conformant
+# decoder accepts).
+_AC_PROG_VALS = _AC_VALS + [r << 4 for r in range(1, 15)]
+_AC_PROG_BITS = [0] * 7 + [len(_AC_PROG_VALS)] + [0] * 8
 
 # Annex K.1 luminance quantization table (row-major), the encoder default
 _STD_LUMA_QUANT = np.array([
@@ -689,6 +703,276 @@ def encode_jpeg(
     return out
 
 
+def _quantize_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Vectorized forward pipeline for one component: spatial plane
+    (8-multiples) → level shift, FDCT, quantize → (nby, nbx, 64)
+    zigzag-order coefficient grid."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+    coef = np.einsum("ij,abjk,kl->abil", _DCT_M, blocks, _DCT_M.T)
+    qz = np.round(coef / q).astype(np.int64)
+    return qz.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+
+
+def _enc_ac_first_scan(
+    bw_: "_BitWriter",
+    grid: np.ndarray,
+    cbh: int,
+    cbw: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_enc: dict,
+) -> None:
+    """Progressive AC first scan (T.81 G.1.2.2): run/size coding of the
+    point-transformed band with EOB-run codes aggregating blocks whose
+    band is (or ends) all-zero."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_enc[r << 4]
+            bw_.write(c, ln)
+            if r:
+                bw_.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            blk = grid[by, bx]
+            band = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+            last = -1
+            for idx, v in enumerate(band):
+                if v:
+                    last = idx
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for idx in range(last + 1):
+                v = band[idx]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_enc[0xF0]
+                    bw_.write(c, ln)
+                    run -= 16
+                s = _category(v)
+                c, ln = ac_enc[(run << 4) | s]
+                bw_.write(c, ln)
+                bw_.write(_encode_coeff_bits(v, s), s)
+                run = 0
+            if last < se - ss:
+                eobrun = 1
+    flush_eob()
+
+
+def _enc_ac_refine_scan(
+    bw_: "_BitWriter",
+    grid: np.ndarray,
+    cbh: int,
+    cbw: int,
+    ss: int,
+    se: int,
+    al: int,
+    ac_enc: dict,
+) -> None:
+    """Progressive AC refinement scan (T.81 G.1.2.3): newly nonzero
+    coefficients code as (zero-history-run, 1) + sign; every
+    nonzero-history coefficient passed contributes one correction bit,
+    buffered and flushed after the next symbol (or with the EOB run it
+    folds into) — the ordering the decoder's advance loop consumes."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits riding with the EOB run
+
+    def emit_eobrun() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            c, ln = ac_enc[r << 4]
+            bw_.write(c, ln)
+            if r:
+                bw_.write(eobrun - (1 << r), r)
+            for b in pending:
+                bw_.write(b, 1)
+            pending = []
+            eobrun = 0
+
+    for by in range(cbh):
+        for bx in range(cbw):
+            blk = grid[by, bx]
+            vals = [_pt_ac(int(blk[k]), al) for k in range(ss, se + 1)]
+            absv = [abs(v) for v in vals]
+            eob = -1
+            for idx, a in enumerate(absv):
+                if a == 1:
+                    eob = idx
+            r = 0
+            br: list[int] = []  # bits buffered since the last symbol
+            for idx, a in enumerate(absv):
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and idx <= eob:
+                    emit_eobrun()
+                    c, ln = ac_enc[0xF0]
+                    bw_.write(c, ln)
+                    r -= 16
+                    for b in br:
+                        bw_.write(b, 1)
+                    br = []
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                emit_eobrun()
+                c, ln = ac_enc[(r << 4) | 1]
+                bw_.write(c, ln)
+                r = 0
+                bw_.write(1 if vals[idx] > 0 else 0, 1)
+                for b in br:
+                    bw_.write(b, 1)
+                br = []
+            if r > 0 or br:
+                eobrun += 1
+                pending.extend(br)
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    emit_eobrun()
+    emit_eobrun()
+
+
+def encode_jpeg_progressive(
+    raster: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: bool = False,
+) -> bytes:
+    """Write a REAL progressive JPEG (SOF2, T.81 Annex G) with a
+    standard-shaped scan script exercising every progressive mechanism:
+    DC first at Al=1 (interleaved when color) → DC refinement → per
+    component, AC first scans over the split spectral bands 1-5 and
+    6-63 at Al=1 → the matching AC refinement scans at Ah=1. The
+    successive approximation is complete, so the decoded coefficients
+    equal the sequential encoder's exactly (same quantization) —
+    decode(progressive) == decode(sequential) byte-for-byte, which the
+    tests pin. Accepts the same inputs as :func:`encode_jpeg`
+    (grayscale / RGB, optional 4:2:0 ``subsample``)."""
+    if raster.ndim not in (2, 3) or (raster.ndim == 3 and raster.shape[2] != 3):
+        raise ValueError("encode_jpeg expects 2-D grayscale or (h, w, 3) RGB")
+    if raster.shape[0] > 65535 or raster.shape[1] > 65535:
+        raise ValueError("JPEG dimensions exceed 65535")
+    q = _STD_LUMA_QUANT if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in 1..255")
+    qc = _STD_CHROMA_QUANT
+    h, w = raster.shape[:2]
+
+    if raster.ndim == 2:
+        comps = [(1, 1, 1, 0)]
+        grids = [_quantize_grid(_pad_to_blocks(raster), q)]
+        qsegs = [(0, q)]
+        sof_comps = b"\x01\x11\x00"
+        hmax = vmax = 1
+    elif not subsample:
+        y, cb, cr = _rgb_to_ycbcr(raster)
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        grids = [
+            _quantize_grid(_pad_to_blocks(p), qq)
+            for p, qq in ((y, q), (cb, qc), (cr, qc))
+        ]
+        qsegs = [(0, q), (1, qc)]
+        sof_comps = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        hmax = vmax = 1
+    else:
+        mcu_h, mcu_w = -(-h // 16), -(-w // 16)
+        planes_full = []
+        for p in _rgb_to_ycbcr(raster):
+            full = np.empty((mcu_h * 16, mcu_w * 16), dtype=np.float64)
+            full[:h, :w] = p
+            full[h:, :w] = p[h - 1 : h, :]
+            full[:, w:] = full[:, w - 1 : w]
+            planes_full.append(full)
+        sub = [
+            p.reshape(mcu_h * 8, 2, mcu_w * 8, 2).mean(axis=(1, 3))
+            for p in planes_full[1:]
+        ]
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        grids = [
+            _quantize_grid(planes_full[0], q),
+            _quantize_grid(sub[0], qc),
+            _quantize_grid(sub[1], qc),
+        ]
+        qsegs = [(0, q), (1, qc)]
+        sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+        hmax = vmax = 2
+
+    mcu_y, mcu_x = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    ac_grids = []
+    for _cid, chs, cvs, _tq in comps:
+        comp_h = -(-(h * cvs) // vmax)
+        comp_w = -(-(w * chs) // hmax)
+        ac_grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+    dc_enc = _huffman_codes(_DC_BITS, _DC_VALS)
+    ac_enc = _huffman_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        b = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            b += bytes([cid, 0x00])
+        return seg(0xDA, b + bytes([ss, se, (ah << 4) | al]))
+
+    out = b"\xff\xd8"
+    for tq, table in qsegs:
+        out += seg(0xDB, bytes([tq]) + table.ravel()[_ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(0xC2, struct.pack(">BHHB", 8, h, w, len(comps)) + sof_comps)
+    out += seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(_AC_PROG_BITS) + bytes(_AC_PROG_VALS))
+
+    def dc_walk(al: int, refine: bool) -> bytes:
+        bw_ = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                for ci, (_cid, chs, cvs, _tq) in enumerate(comps):
+                    for bv in range(cvs):
+                        for bhx in range(chs):
+                            dc = int(grids[ci][my * cvs + bv, mx * chs + bhx, 0])
+                            if refine:
+                                bw_.write((dc >> al) & 1, 1)
+                                continue
+                            v = dc >> al  # arithmetic shift (T.81 G.1.2.1)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            s = _category(diff)
+                            c, ln = dc_enc[s]
+                            bw_.write(c, ln)
+                            if s:
+                                bw_.write(_encode_coeff_bits(diff, s), s)
+        return bw_.flush()
+
+    all_ids = [c[0] for c in comps]
+    out += sos(all_ids, 0, 0, 0, 1) + dc_walk(1, refine=False)
+    out += sos(all_ids, 0, 0, 1, 0) + dc_walk(0, refine=True)
+    for ci, (cid, _chs, _cvs, _tq) in enumerate(comps):
+        cbh, cbw = ac_grids[ci]
+        for ss_, se_ in ((1, 5), (6, 63)):
+            bw_ = _BitWriter()
+            _enc_ac_first_scan(bw_, grids[ci], cbh, cbw, ss_, se_, 1, ac_enc)
+            out += sos([cid], ss_, se_, 0, 1) + bw_.flush()
+        for ss_, se_ in ((1, 5), (6, 63)):
+            bw_ = _BitWriter()
+            _enc_ac_refine_scan(bw_, grids[ci], cbh, cbw, ss_, se_, 0, ac_enc)
+            out += sos([cid], ss_, se_, 1, 0) + bw_.flush()
+    return out + b"\xff\xd9"
+
+
 class _HuffDecoder:
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.maxcode = [-1] * 17
@@ -755,6 +1039,14 @@ class _BitReader:
             v += -(1 << size) + 1
         return v
 
+    def read_bits(self, n: int) -> int:
+        """``n`` raw magnitude bits (no sign extension) — the EOB-run
+        length extension of progressive scans (T.81 G.1.2.2)."""
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
     def sync_restart(self) -> int:
         """Discard pad bits to the byte boundary, skip 0xFF fill bytes,
         and consume one RSTn marker; returns n (0-7)."""
@@ -808,6 +1100,184 @@ def _decode_block(
     return _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0, pred
 
 
+def _reconstruct_plane(coef_zz: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
+    """Vectorized inverse pipeline for one component: (nby, nbx, 64)
+    zigzag-order quantized coefficients → dequantize, un-zigzag, IDCT,
+    level shift → spatial (nby*8, nbx*8) float plane."""
+    nby, nbx, _ = coef_zz.shape
+    nat = np.zeros_like(coef_zz, dtype=np.float64)
+    nat[..., _ZIGZAG] = coef_zz * q_zz
+    blocks = nat.reshape(nby, nbx, 8, 8)
+    spatial = np.einsum("ij,abjk,kl->abil", _DCT_M.T, blocks, _DCT_M) + 128.0
+    return spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
+def _pt_ac(v: int, al: int) -> int:
+    """AC successive-approximation point transform: divide by 2^Al
+    truncating toward zero (T.81 G.1.2.1 — DC uses an arithmetic
+    shift instead)."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    entropy_pos: int,
+    comps: list,
+    scan_comps: list,
+    coefs: list,
+    dc_preds: list,
+    params: tuple,
+    grids: list,
+    mcu_dims: tuple,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    ``coefs`` buffers; returns the payload offset of the next marker.
+
+    ``scan_comps``: [(comp_idx, dc_dec|None, ac_dec|None)] in scan
+    order. ``params`` = (Ss, Se, Ah, Al). Interleaved (ns > 1) scans
+    walk the MCU grid with h×v data units per component; ns == 1 scans
+    walk the single component's own ceil block grid. Four scan kinds:
+    DC first (diff coding, coef = pred << Al), DC refinement (one raw
+    bit ORs in 1 << Al), AC first (run/size with EOB-run codes), AC
+    refinement (the correction-bit algorithm: zero-history runs code
+    new ±1<<Al coefficients while every nonzero-history coefficient
+    passed consumes one correction bit). Restart markers reset DC
+    predictors AND the EOB run."""
+    ss, se, ah, al = params
+    reader = _BitReader(payload, entropy_pos)
+    eobrun = 0
+    interleaved = len(scan_comps) > 1
+    mcu_y, mcu_x = mcu_dims
+
+    def decode_dc_unit(ci: int, dc_dec, by: int, bx: int) -> None:
+        nonlocal eobrun
+        blk = coefs[ci][by, bx]
+        if ah == 0:
+            s = dc_dec.decode(reader)
+            dc_preds[ci] += reader.receive_extend(s)
+            blk[0] = dc_preds[ci] << al
+        else:
+            if reader.read_bit():
+                blk[0] |= 1 << al
+
+    def decode_ac_unit(ci: int, ac_dec, by: int, bx: int) -> None:
+        nonlocal eobrun
+        blk = coefs[ci][by, bx]
+        if ah == 0:  # AC first scan
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = ac_dec.decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = reader.receive_extend(s) << al
+                k += 1
+            return
+        # AC refinement scan
+        p1, m1 = 1 << al, -1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_dec.decode(reader)
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    if s != 1:
+                        raise ValueError("invalid AC refinement size")
+                    new_val = p1 if reader.read_bit() else m1
+                else:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read_bits(r)
+                        break
+                    new_val = 0  # ZRL: 16 zero-history skips
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if new_val and k <= se:
+                    blk[k] = new_val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.read_bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+
+    def unit(ci: int, dc_dec, ac_dec, by: int, bx: int) -> None:
+        if ss == 0:
+            decode_dc_unit(ci, dc_dec, by, bx)
+        else:
+            decode_ac_unit(ci, ac_dec, by, bx)
+
+    expected_rst = 0
+    mcu_idx = 0
+
+    def maybe_restart(total: int) -> None:
+        nonlocal expected_rst, eobrun
+        if (
+            restart_interval
+            and mcu_idx % restart_interval == 0
+            and mcu_idx < total
+        ):
+            if reader.sync_restart() != expected_rst:
+                raise ValueError("JPEG restart marker out of sequence")
+            expected_rst = (expected_rst + 1) % 8
+            eobrun = 0
+            for i in range(len(dc_preds)):
+                dc_preds[i] = 0
+
+    if interleaved:
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan is illegal")
+        total = mcu_y * mcu_x
+        for my in range(mcu_y):
+            for mx in range(mcu_x):
+                for ci, dc_dec, ac_dec in scan_comps:
+                    _cid, ch, cv, _tq = comps[ci]
+                    for bv in range(cv):
+                        for bhx in range(ch):
+                            unit(ci, dc_dec, ac_dec, my * cv + bv, mx * ch + bhx)
+                mcu_idx += 1
+                maybe_restart(total)
+    else:
+        ci, dc_dec, ac_dec = scan_comps[0]
+        cbh, cbw = grids[ci]
+        total = cbh * cbw
+        for by in range(cbh):
+            for bx in range(cbw):
+                unit(ci, dc_dec, ac_dec, by, bx)
+                mcu_idx += 1
+                maybe_restart(total)
+
+    # resync the marker walk: entropy data ends at the next real marker
+    p = max(reader.pos, entropy_pos)
+    n = len(payload)
+    while p + 1 < n and not (payload[p] == 0xFF and payload[p + 1] != 0x00):
+        p += 1
+    return p
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Parse a REAL baseline JPEG byte-for-byte: marker walk (with
     ancillary APPn/COM handling), DQT/DHT table registries (any legal
@@ -816,7 +1286,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     4:4:0 and the ubiquitous 4:2:0 all decode (YCbCr → (h, w, 3)
     uint8 RGB via the T.871 inverse transform, subsampled chroma
     replicated back up); restart intervals (DRI/RSTn with sequence
-    checking) are honored; progressive streams and sampling factors
+    checking) are honored. Progressive streams (SOF2) decode via
+    per-component coefficient buffers accumulated across scans —
+    spectral selection, successive approximation (DC and AC
+    refinement), EOB runs — reconstructed at EOI. Sampling factors
     beyond 2 raise loudly. Canonical Huffman reconstruction from DHT,
     interleaved-MCU entropy decode (each MCU carries h×v blocks per
     component) with stuffing removal and per-component DC predictors,
@@ -830,6 +1303,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     dims: tuple[int, int] | None = None
     comps: list[tuple[int, int, int, int]] | None = None  # (id, h, v, quant_id)
     restart_interval = 0
+    progressive = False
+    coefs: list | None = None  # per-comp (nby, nbx, 64) buffers (progressive)
+    grids: list | None = None  # per-comp non-interleaved (cbh, cbw)
+    scanned = False
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -866,9 +1343,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     body[off + 1 : off + 65], dtype=np.uint8
                 ).astype(np.int64)  # kept in zigzag order
                 off += 65
-        elif marker in (0xC1, 0xC2, 0xC3):
-            raise ValueError("only baseline sequential JPEG supported")
-        elif marker == 0xC0:
+        elif marker in (0xC1, 0xC3):
+            raise ValueError(
+                "only baseline sequential and progressive JPEG supported"
+            )
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if len(body) < 6:
                 raise ValueError("truncated JPEG frame header")
             prec, ph, pw, ncomp = struct.unpack(">BHHB", body[:6])
@@ -911,6 +1391,61 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if dims is None or comps is None:
                 raise ValueError("JPEG scan before frame header")
+            if progressive:
+                if len(body) < 1:
+                    raise ValueError("truncated JPEG scan header")
+                ns = body[0]
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("truncated JPEG scan header")
+                ph, pw = dims
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcu_y = -(-ph // (8 * vmax))
+                mcu_x = -(-pw // (8 * hmax))
+                if coefs is None:
+                    coefs = [
+                        np.zeros((mcu_y * cv, mcu_x * ch, 64), dtype=np.int64)
+                        for _cid, ch, cv, _tq in comps
+                    ]
+                    grids = []
+                    for _cid, ch, cv, _tq in comps:
+                        comp_h = -(-(ph * cv) // vmax)  # ceil
+                        comp_w = -(-(pw * ch) // hmax)
+                        grids.append((-(-comp_h // 8), -(-comp_w // 8)))
+                ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah_, al_ = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+                if (ss_ == 0 and se_ != 0) or se_ > 63 or ss_ > se_:
+                    raise ValueError(
+                        "invalid progressive spectral selection"
+                    )
+                cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+                scan_comps = []
+                for i in range(ns):
+                    cid, tsel = body[1 + 2 * i], body[2 + 2 * i]
+                    if cid not in cid_to_idx:
+                        raise ValueError("scan component not declared in frame")
+                    td, ta = tsel >> 4, tsel & 0x0F
+                    dc_dec = huff.get((0, td))
+                    ac_dec = huff.get((1, ta))
+                    if (ss_ == 0 and ah_ == 0 and dc_dec is None) or (
+                        ss_ > 0 and ac_dec is None
+                    ):
+                        raise ValueError("JPEG scan references a missing table")
+                    scan_comps.append((cid_to_idx[cid], dc_dec, ac_dec))
+                pos = _decode_progressive_scan(
+                    payload,
+                    pos + 2 + seglen,
+                    comps,
+                    scan_comps,
+                    coefs,
+                    [0] * len(comps),
+                    (ss_, se_, ah_, al_),
+                    grids,
+                    (mcu_y, mcu_x),
+                    restart_interval,
+                )
+                scanned = True
+                continue
             if len(body) < 1 or body[0] != len(comps):
                 raise ValueError(
                     "multi-scan sequential JPEG unsupported (scan must "
@@ -977,4 +1512,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             y, cb, cr = (p[:ph, :pw] for p in planes)
             return _ycbcr_to_rgb(y, cb, cr)
         pos += 2 + seglen
+    if progressive and scanned:
+        # all scans consumed (EOI or stream end): dequantize + IDCT the
+        # accumulated coefficient buffers and assemble the image
+        ph, pw = dims
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        planes = []
+        for i, (_cid, ch, cv, tq) in enumerate(comps):
+            if tq not in qtables:
+                raise ValueError("JPEG scan references a missing table")
+            p = _reconstruct_plane(coefs[i], qtables[tq])
+            planes.append(p.repeat(vmax // cv, axis=0).repeat(hmax // ch, axis=1))
+        if len(comps) == 1:
+            return np.clip(np.round(planes[0][:ph, :pw]), 0, 255).astype(np.uint8)
+        y, cb, cr = (p[:ph, :pw] for p in planes)
+        return _ycbcr_to_rgb(y, cb, cr)
     raise ValueError("no JPEG scan found")

@@ -375,10 +375,14 @@ def test_jpeg_rejects_malformed():
         decode_jpeg(b"\x00\x01" + good[2:])
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg(good[:30])
-    # flip SOF0 (0xC0) to progressive SOF2 (0xC2) -> explicit reject
+    # flip SOF0 (0xC0) to progressive SOF2 (0xC2): the sequential scan
+    # header (Ss=0, Se=63) is an illegal progressive spectral range
     sof = good.index(b"\xff\xc0")
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="spectral"):
         decode_jpeg(good[:sof + 1] + b"\xc2" + good[sof + 2:])
+    # lossless SOF3 -> explicit reject
+    with pytest.raises(ValueError, match="baseline sequential and progressive"):
+        decode_jpeg(good[:sof + 1] + b"\xc3" + good[sof + 2:])
     # 4-component (CMYK-style) frame header -> explicit reject
     ncomp_at = sof + 4 + 5  # marker(2) len(2) prec(1) h(2) w(2) -> ncomp
     with pytest.raises(ValueError, match="1- or 3-component"):
@@ -625,3 +629,56 @@ def test_jpeg_restart_intervals_roundtrip():
 
     with pytest.raises(ValueError, match="restart"):
         decode_jpeg(bad)
+
+
+def test_jpeg_progressive_equals_sequential():
+    """Progressive (SOF2) completeness: the scan script (DC first at
+    Al=1, DC refinement, split-band AC first scans, AC refinement with
+    correction bits and EOB runs) reconstructs the IDENTICAL
+    coefficients the sequential encoder writes, so the decoded images
+    are equal byte-for-byte across gray, 4:4:4 and 4:2:0 — and a
+    constant-block image with all-ones luma quant decodes exactly."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(g)) ==
+            decode_jpeg(encode_jpeg(g))).all()
+
+    vals = np.array([0, 17, 128, 255, 63, 200, 1, 254], dtype=np.uint8)
+    cg = vals.repeat(64).reshape(64, 8)
+    assert (decode_jpeg(
+        encode_jpeg_progressive(cg, quant=np.ones((8, 8)))) == cg).all()
+
+    rgb = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(rgb)) ==
+            decode_jpeg(encode_jpeg(rgb))).all()
+    assert (decode_jpeg(encode_jpeg_progressive(rgb, subsample=True)) ==
+            decode_jpeg(encode_jpeg(rgb, subsample=True))).all()
+
+    # smooth gradient: long EOB runs across blocks in the 6-63 band,
+    # exercising EOBn codes with nonzero run-length extensions
+    smooth = np.outer(np.linspace(0, 255, 48), np.ones(64)).astype(np.uint8)
+    assert (decode_jpeg(encode_jpeg_progressive(smooth)) ==
+            decode_jpeg(encode_jpeg(smooth))).all()
+
+
+def test_jpeg_progressive_stream_shape():
+    """The progressive stream is structurally progressive: SOF2 marker,
+    multiple SOS scans, and the non-multiple-of-8 crop still works."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (13, 21, 3)).astype(np.uint8)
+    enc = encode_jpeg_progressive(rgb)
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc[:200]
+    assert enc.count(b"\xff\xda") >= 6  # DC first + refine + per-comp AC scans
+    assert decode_jpeg(enc).shape == (13, 21, 3)
