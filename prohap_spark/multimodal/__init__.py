@@ -1,6 +1,7 @@
 from prohap_spark.multimodal.binary_ops import (
     MEDIA_SCHEMA,
     attach_media_metadata,
+    audio_container_stats,
     audio_window_features,
     decode_images,
     extract_image_features,
@@ -11,6 +12,7 @@ from prohap_spark.multimodal.binary_ops import (
 __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
+    "audio_container_stats",
     "audio_window_features",
     "decode_images",
     "extract_image_features",

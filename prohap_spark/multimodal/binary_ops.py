@@ -261,3 +261,56 @@ def audio_window_features(
             )
 
     return df.select("media_id", payload_col).mapInPandas(run, schema=out_schema)
+
+
+def audio_container_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas container-metadata extraction over an audio binary
+    column — the curation-stats pass (duration/bitrate/channel
+    histograms) that runs BEFORE any expensive decode. Dispatches on
+    magic bytes: RIFF/WAVE (real PCM16 parse, duration from the data
+    chunk) or MPEG audio (real frame-header walk incl. ID3v2 skip and
+    VBR detection — audio decode itself stays out of scope). Anything
+    else fails loudly."""
+    from prohap_spark.multimodal.codecs import decode_wav, mp3_frame_stats
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + (
+        ", fmt string, duration_ms long, sample_rate int, channels int"
+        ", n_frames int, bitrate_kbps int, is_vbr boolean"
+    )
+
+    def _stats(p: bytes) -> dict:
+        if p[:4] == b"RIFF":
+            samples, rate, ch = decode_wav(p)
+            n = len(samples) // ch
+            return {
+                "fmt": "wav",
+                "duration_ms": int(round(n / rate * 1000)),
+                "sample_rate": rate,
+                "channels": ch,
+                "n_frames": None,
+                "bitrate_kbps": rate * ch * 16 // 1000,
+                "is_vbr": False,
+            }
+        s = mp3_frame_stats(p)  # raises on non-MPEG payloads
+        return {
+            "fmt": "mpeg_audio",
+            "duration_ms": s["duration_ms"],
+            "sample_rate": s["sample_rate"],
+            "channels": s["channels"],
+            "n_frames": s["n_frames"],
+            "bitrate_kbps": s["bitrate_kbps"],
+            "is_vbr": s["is_vbr"],
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stats = [_stats(bytes(p)) for p in pdf[payload_col]]
+            out = pdf.copy()
+            for k in ("fmt", "duration_ms", "sample_rate", "channels",
+                      "n_frames", "bitrate_kbps", "is_vbr"):
+                out[k] = [s[k] for s in stats]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

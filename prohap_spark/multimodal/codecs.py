@@ -1529,3 +1529,100 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         y, cb, cr = (p[:ph, :pw] for p in planes)
         return _ycbcr_to_rgb(y, cb, cr)
     raise ValueError("no JPEG scan found")
+
+
+# ---------------------------------------------------------------- MP3
+#
+# MP3 AUDIO DECODE remains out of scope (it needs the full Layer III
+# chain: side info, 34 Huffman tables, requantization, IMDCT,
+# polyphase synthesis). What a curation pipeline actually needs from
+# an MP3 column, though, is METADATA — duration, bitrate profile,
+# sample rate, channel mode — and that only requires the frame-header
+# walk below, which is implemented for real (ISO/IEC 11172-3 header
+# layout; ID3v2 skip; CBR/VBR aware). Calling it on a non-MPEG
+# payload fails loudly.
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table indexed by the 4-bit field
+    ("1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+}
+_MP3_RATES = {"1": [44100, 48000, 32000], "2": [22050, 24000, 16000],
+              "2.5": [11025, 12000, 8000]}
+_MP3_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def mp3_frame_stats(payload: bytes) -> dict:
+    """Walk every MPEG audio frame header in ``payload`` and return
+    container metadata: {n_frames, duration_ms, sample_rate, channels,
+    channel_mode, layer, is_vbr, bitrate_kbps (mean, rounded)}.
+    Skips a leading ID3v2 tag (syncsafe length). Raises on a payload
+    that does not start with a valid frame sync, on a corrupt header
+    mid-stream, or on free-format bitrate (frame length unknowable
+    without decoding)."""
+    pos = 0
+    if payload[:3] == b"ID3":
+        if len(payload) < 10:
+            raise ValueError("truncated ID3v2 header")
+        size = (
+            (payload[6] << 21) | (payload[7] << 14)
+            | (payload[8] << 7) | payload[9]
+        )
+        pos = 10 + size
+    n_frames = 0
+    duration_s = 0.0
+    bitrates: list[int] = []
+    sample_rate = channel_mode = layer_out = None
+    while pos + 4 <= len(payload):
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            if n_frames == 0:
+                raise ValueError("not an MPEG audio payload (no frame sync)")
+            break  # trailing junk / ID3v1 tag after the last frame
+        ver_bits = (b1 >> 3) & 0x03
+        if ver_bits == 0x01:
+            raise ValueError("reserved MPEG version")
+        version = {0x00: "2.5", 0x02: "2", 0x03: "1"}[ver_bits]
+        layer = 4 - ((b1 >> 1) & 0x03)  # 1..3; 4 = reserved
+        if layer == 4:
+            raise ValueError("reserved MPEG layer")
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        if br_idx == 0x0F or sr_idx == 0x03:
+            raise ValueError("invalid MPEG bitrate/samplerate index")
+        if br_idx == 0:
+            raise ValueError("free-format MPEG bitrate unsupported")
+        vgroup = "1" if version == "1" else "2"
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+        rate = _MP3_RATES[version][sr_idx]
+        padding = (b2 >> 1) & 0x01
+        mode = _MP3_MODES[(b3 >> 6) & 0x03]
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // rate + padding) * 4
+            samples = 384
+        else:
+            samples = 1152 if (layer == 2 or version == "1") else 576
+            frame_len = samples // 8 * kbps * 1000 // rate + padding
+        if frame_len <= 4:
+            raise ValueError("corrupt MPEG frame length")
+        sample_rate, channel_mode, layer_out = rate, mode, layer
+        bitrates.append(kbps)
+        duration_s += samples / rate
+        n_frames += 1
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("not an MPEG audio payload (no frame sync)")
+    return {
+        "n_frames": n_frames,
+        "duration_ms": int(round(duration_s * 1000)),
+        "sample_rate": sample_rate,
+        "channels": 1 if channel_mode == "mono" else 2,
+        "channel_mode": channel_mode,
+        "layer": layer_out,
+        "is_vbr": len(set(bitrates)) > 1,
+        "bitrate_kbps": int(round(sum(bitrates) / len(bitrates))),
+    }

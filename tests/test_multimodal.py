@@ -682,3 +682,39 @@ def test_jpeg_progressive_stream_shape():
     assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc[:200]
     assert enc.count(b"\xff\xda") >= 6  # DC first + refine + per-comp AC scans
     assert decode_jpeg(enc).shape == (13, 21, 3)
+
+
+def test_audio_container_stats_wav_and_mpeg(spark):
+    """Container metadata over a mixed audio column: WAV duration from
+    the real PCM parse; MPEG duration/bitrate from the real
+    frame-header walk (with an ID3v2 tag to skip and a VBR stream to
+    flag). Decode of MPEG audio itself stays out of scope."""
+    import numpy as np
+
+    from prohap_spark.multimodal import audio_container_stats
+    from prohap_spark.multimodal.codecs import encode_wav
+
+    def mp3_frame(kbps_idx, sr_idx=0, pad=0, mode=3):
+        b2 = (kbps_idx << 4) | (sr_idx << 2) | (pad << 1)
+        hdr = bytes([0xFF, 0xFB, b2, mode << 6])
+        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320][kbps_idx]
+        rate = [44100, 48000, 32000][sr_idx]
+        return hdr + b"\x00" * (144 * kbps * 1000 // rate + pad - 4)
+
+    wav = encode_wav((np.arange(8000) % 256 - 128).astype(np.int16),
+                     sample_rate=8000)
+    cbr = b"".join(mp3_frame(9) for _ in range(5))
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"x" * 10 + cbr
+    vbr = mp3_frame(9) + mp3_frame(12) + mp3_frame(5)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(id3)), (3, bytearray(vbr))],
+        ["media_id", "payload"],
+    )
+    rows = {r["media_id"]: r for r in audio_container_stats(df).collect()}
+    assert rows[1]["fmt"] == "wav" and rows[1]["duration_ms"] == 1000
+    assert rows[1]["sample_rate"] == 8000 and rows[1]["bitrate_kbps"] == 128
+    assert rows[2]["fmt"] == "mpeg_audio" and rows[2]["n_frames"] == 5
+    assert rows[2]["bitrate_kbps"] == 128 and not rows[2]["is_vbr"]
+    assert rows[3]["is_vbr"] and rows[3]["n_frames"] == 3
+    expected_ms = int(round(5 * 1152 / 44100 * 1000))
+    assert abs(rows[2]["duration_ms"] - expected_ms) <= 1
