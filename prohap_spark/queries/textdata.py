@@ -1427,12 +1427,18 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     by a few giant sources still spreads sources x shards ways instead
     of serializing one source per task; raise n_shards with corpus
     size."""
+    return curation_funnel(table(spark, sf_dir, "documents"))
+
+
+def curation_funnel(d: DataFrame) -> DataFrame:
+    """The funnel body over any (doc_id, source, text) frame — shared
+    by the registered oracle query and tools/docs_scale_probe.py's
+    replicated-corpus scaling leg."""
     from pyspark.sql import Window
 
     from prohap_spark.functions.hashing import md5_bucket
     from prohap_spark.operators.dedup import segment_dedup
 
-    d = table(spark, sf_dir, "documents")
     flags = d.select(
         "doc_id",
         "source",

@@ -75,6 +75,7 @@ def main() -> None:
         semantic_dedup_flags,
         train_centroids_by_label,
     )
+    from prohap_spark.queries.textdata import curation_funnel
     from prohap_spark.session import get_spark
 
     spark = get_spark("docs-scale-probe")
@@ -123,13 +124,18 @@ def main() -> None:
         ).count()
         row["semdedup_capped_sec"] = round(time.monotonic() - t0, 3)
 
+        t0 = time.monotonic()
+        row["funnel_rows"] = curation_funnel(docs).count()
+        row["funnel_sec"] = round(time.monotonic() - t0, 3)
+
         out[r] = row
         print(
             f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
             f"pack {row['pack_sec']:6.2f}s  lsh {row['lsh_sec']:6.2f}s  "
             f"winnow {row['winnow_sec']:6.2f}s  "
             f"semdedup {row['semdedup_sec']:6.2f}s  "
-            f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s",
+            f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s  "
+            f"funnel {row['funnel_sec']:6.2f}s",
             flush=True,
         )
     print(json.dumps(out))
