@@ -1463,9 +1463,13 @@ def curation_funnel(d: DataFrame) -> DataFrame:
         "is_exact_dup",
         F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("__h")),
     )
+    # join the RAW frame for `source` — joining `cand` here would
+    # re-evaluate the quality/langid expressions over the whole corpus
+    # a fourth time just to read a stored column (exact already
+    # contains only funnel survivors, so the filter is implied)
     bsh = (
         exact.where(~F.col("is_exact_dup"))
-        .join(cand.select("doc_id", "source"), "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
         .select(
             "doc_id",
             "source",
