@@ -101,3 +101,102 @@ def bpe_doc_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     return df.select(id_col, text_col).mapInPandas(
         run, schema=f"{id_col} long, n_words long, n_bpe_tokens long, token_digest string"
     )
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    num_merges: int = 16,
+    min_count: int = 2,
+) -> list[tuple[str, str, int]]:
+    """DISTRIBUTED BPE training (Sennrich et al. 2016, public method):
+    learn up to ``num_merges`` merge rules from a corpus. Returns
+    [(left, right, pair_count)] in learned (rank) order.
+
+    The 100 TB shape: the corpus is touched EXACTLY ONCE — the word-
+    frequency aggregation (map-side partial agg on the word). Every
+    training iteration thereafter runs on the VOCAB table (one row per
+    distinct word, weighted by freq): a pair-count aggregate, a
+    driver-side argmax of one row, and a pure-JVM array rewrite that
+    applies the chosen merge to every word simultaneously. The vocab
+    table is cached and re-cached per iteration (the iterative-
+    algorithm pattern — lineage would otherwise grow to O(K) passes),
+    and everything is unpersisted before returning.
+
+    Determinism: argmax ties break on (count DESC, left ASC, right
+    ASC). Same-sided pairs (left == right, e.g. 'l'+'l') are EXCLUDED
+    from candidates — the module-level constraint that makes
+    "merge all occurrences" order-free (see module docstring) — so the
+    one-pass zip_with rewrite below is exact. Training stops early
+    when the best remaining pair's count drops below ``min_count``."""
+    from pyspark.sql import functions as F
+
+    def pair_struct(a, b):
+        return F.struct(a.alias("l"), b.alias("r"))
+
+    vocab = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("w", "").alias("syms"), "freq")
+        .where(F.size("syms") > 0)
+    )
+    vocab = vocab.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            s = F.col("syms")
+            shifted = F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0)))
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            s,
+                            shifted,
+                            lambda a, b: F.when(b.isNotNull(), pair_struct(a, b)),
+                        )
+                    ).alias("p"),
+                )
+                .where(F.col("p").isNotNull() & (F.col("p.l") != F.col("p.r")))
+                .groupBy("p")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.col("p.l"), F.col("p.r"))
+                .limit(1)
+                .collect()
+            )
+            if not pairs or pairs[0]["cnt"] < min_count:
+                break
+            left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
+            merges.append((left, right, int(pairs[0]["cnt"])))
+            # apply the merge to every word: element i becomes left+right
+            # when (s[i], s[i+1]) == (left, right); element i is DROPPED
+            # when (s[i-1], s[i]) == (left, right). With left != right the
+            # two conditions are disjoint, so the rewrite is one pass of
+            # constant-reference array ops (no element_at-in-lambda trap).
+            prv = F.concat(F.array(F.lit("")), F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))))
+            nxt = F.concat(F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))), F.array(F.lit("")))
+            vals = F.zip_with(
+                s, nxt,
+                lambda x, n: F.when((x == left) & (n == right), F.lit(left + right)).otherwise(x),
+            )
+            keep = F.zip_with(
+                s, prv,
+                lambda x, p: ~((x == right) & (p == left)),
+            )
+            merged = F.filter(
+                F.zip_with(vals, keep, lambda v, k: F.struct(v.alias("v"), k.alias("k"))),
+                lambda z: z["k"],
+            )
+            new_vocab = vocab.select(
+                F.transform(merged, lambda z: z["v"]).alias("syms"), "freq"
+            ).persist()
+            new_vocab.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges

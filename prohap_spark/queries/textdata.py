@@ -846,6 +846,30 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_bpe_train")  # rows-only BY DESIGN: K-iteration argmax
+# training is an iterative driver-loop algorithm a single SQL statement
+# can't express (each iteration's vocabulary depends on the previous
+# argmax); the value signal is pinned in tests/test_operators.py as
+# merge-sequence equality against an independent pure-Python reference
+# trainer on a literal corpus.
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED BPE training (functions/bpe.py bpe_train): learn 8
+    merge rules from the documents corpus. One corpus pass builds the
+    weighted word vocabulary; each iteration is a vocab-sized pair
+    aggregate + driver argmax + pure-JVM array rewrite (cached per
+    iteration, unpersisted on return). Deterministic: ties break on
+    (count DESC, pair ASC); same-sided pairs excluded (makes the
+    simultaneous merge order-free)."""
+    from prohap_spark.functions.bpe import bpe_train
+
+    d = table(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank int, left string, right string, pair_count bigint",
+    )
+
+
 @register(
     "text_pii_scrub",
     # the three redaction regexes are applied in a fixed order (emails

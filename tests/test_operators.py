@@ -833,3 +833,63 @@ def test_unigram_logprob_tail_path_value_identical(spark):
         for r in unigram_logprob_scores(docs, head_k=1_000_000).collect()
     }
     assert small == full and len(full) == 3
+
+
+def test_bpe_train_matches_reference_trainer(spark):
+    """Distributed BPE training: the learned merge SEQUENCE (rules,
+    order, and pair counts) must equal an independent pure-Python
+    reference trainer with the same tiebreak (count DESC, pair ASC)
+    and the same same-sided-pair exclusion on a literal corpus."""
+    from collections import Counter
+
+    from prohap_spark.functions.bpe import bpe_train
+
+    def ref_train(texts, k, min_count=2):
+        vocab = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                vocab[tuple(w)] += 1
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    if a != b:
+                        pc[(a, b)] += f
+            if not pc:
+                break
+            (left, right), cnt = sorted(
+                pc.items(), key=lambda kv: (-kv[1], kv[0])
+            )[0]
+            if cnt < min_count:
+                break
+            merges.append((left, right, cnt))
+            nv = Counter()
+            for syms, f in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] += f
+            vocab = nv
+        return merges
+
+    texts = [
+        "the cat in the hat", "the thin thing", "in the then there",
+        "and another antelope", "banana bandana", "thee the them",
+        "little lull and tall walls",  # 'l' pairs: same-sided exclusion
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = bpe_train(df, num_merges=10)
+    assert got == ref_train(texts, 10)
+    assert len(got) >= 8  # training genuinely ran several iterations
