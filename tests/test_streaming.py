@@ -287,3 +287,69 @@ def test_stream_near_dup_over_cap_bucket_parity(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_stream_token_budget_batch_parity_and_cross_batch_state(spark, tmp_path):
+    """Streaming mixture-budget enforcement: (1) the batch branch
+    equals the registered sampling_token_budget allocation row-for-row
+    at sf0.001; (2) under a two-trigger stream, a (source, shard)
+    budget filled by the first batch rejects the second batch's
+    documents — proof the counter genuinely persists in state."""
+    from prohap_spark.queries.registry import REGISTRY, table
+    from prohap_spark.streaming.budget import stream_token_budget
+
+    sf = "/root/testdata/sf0.001"
+    want = {
+        r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"])
+        for r in REGISTRY["sampling_token_budget"][0](spark, sf).collect()
+    }
+    got = {
+        r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"])
+        for r in stream_token_budget(
+            table(spark, sf, "documents"), budget_per_source=800, n_shards=4
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # cross-batch: one source; 10-token docs against a 20-token shard
+    # budget (80 // 4) so shards holding 3-4 docs must reject tails
+    docs = spark.createDataFrame(
+        [(i, "s0", " ".join(["w"] * 10)) for i in range(12)],
+        ["doc_id", "source", "text"],
+    )
+    d = str(tmp_path / "budget_stream")
+    docs.where(F.col("doc_id") < 6).coalesce(1).write.mode("append").parquet(d)
+    docs.where(F.col("doc_id") >= 6).coalesce(1).write.mode("append").parquet(d)
+    stream = stream_token_budget(
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        budget_per_source=80,
+        n_shards=4,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("budget_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM budget_out").collect()
+    assert len(rows) == 12
+    by_shard: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["cum_tokens"]):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        # cumulative counts are strictly increasing across BOTH batches
+        assert [r["cum_tokens"] for r in rs] == [10 * (i + 1) for i in range(len(rs))]
+        # exactly the first 2 docs (20 tokens) per shard are kept
+        assert [r["kept"] for r in rs] == [i < 2 for i in range(len(rs))]
+    # at least one shard received docs in both triggers and rejected a
+    # second-trigger doc (state carried across batches)
+    crossed = [
+        s for s, rs in by_shard.items()
+        if {r["doc_id"] < 6 for r in rs} == {True, False} and len(rs) > 2
+    ]
+    assert crossed, {s: [r["doc_id"] for r in rs] for s, rs in by_shard.items()}
