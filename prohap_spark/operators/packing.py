@@ -83,3 +83,73 @@ def pack_context_windows(
             - F.greatest(F.col("start_off"), seq_start)
         ).alias("tokens_in_seq"),
     )
+
+
+def pack_best_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 128,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Best-fit document packing (the padding-minimizing alternative to
+    concat-and-chunk): documents are binned whole — no document spans
+    a sequence boundary — using first-fit-decreasing within each
+    deterministic md5 shard. Returns one row per document: (id_col,
+    shard, n_tokens, bin_id, bin_fill) where bin_fill is the bin's
+    final token total (<= seq_len; padding = seq_len - bin_fill).
+    Documents longer than seq_len get their own overflow bin, flagged
+    by bin_fill > seq_len (callers truncate or route to the
+    chunking packer).
+
+    The 100 TB shape: FFD is inherently sequential, so the sequential
+    unit is the SHARD, not the corpus — one applyInPandas group per
+    (shard), each packing its own slice independently (the same
+    determinism contract as ``pack_context_windows``: md5 ordering, so
+    the assignment is reproducible across runs and repartitions).
+    Within a shard the sort is by (n_tokens DESC, md5, id) — the
+    "decreasing" in FFD — and bins scan first-fit. Shard count is the
+    parallelism knob; raise it with corpus size."""
+    import pandas as pd
+
+    idc = F.col(id_col)
+    base = df.select(
+        idc,
+        md5_bucket(idc, n_shards).cast("int").alias("shard"),
+        F.md5(idc.cast("string")).alias("__okey"),
+        F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long").alias("n_tokens"),
+    )
+    out_schema = (
+        f"{id_col} long, shard int, n_tokens long, bin_id long, bin_fill long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "__okey", id_col], ascending=[False, True, True]
+        )
+        fills: list[int] = []
+        assign: list[int] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            placed = None
+            if n <= seq_len:
+                for b, f in enumerate(fills):
+                    if f + n <= seq_len:
+                        placed = b
+                        break
+            if placed is None:
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += n
+            assign.append(placed)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].values,
+                "shard": pdf["shard"].values,
+                "n_tokens": pdf["n_tokens"].values,
+                "bin_id": assign,
+                "bin_fill": [fills[b] for b in assign],
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(pack, out_schema)

@@ -1184,6 +1184,22 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("kept", F.col("cum_tokens") <= 200)
 
 
+@register("pack_best_fit")  # rows-only BY DESIGN: first-fit-decreasing
+# bin packing is a stateful sequential scan per shard that a single SQL
+# statement can't express; bin invariants, padding-beats-naive, and
+# run-to-run determinism are pinned in tests/test_operators.py.
+def pack_best_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit whole-document packing (operators/packing.py
+    pack_best_fit): first-fit-decreasing within each md5 shard — the
+    padding-minimizing alternative to concat-and-chunk where no
+    document crosses a sequence boundary. Sequentiality is confined to
+    the shard (the parallelism knob), ordering is md5-deterministic."""
+    from prohap_spark.operators.packing import pack_best_fit
+
+    d = table(spark, sf_dir, "documents")
+    return pack_best_fit(d, "doc_id", "text", seq_len=128, n_shards=8)
+
+
 @register(
     "text_ngram_topk",
     # corpus boilerplate mining: top 20 word trigrams by DOCUMENT

@@ -893,3 +893,37 @@ def test_bpe_train_matches_reference_trainer(spark):
     got = bpe_train(df, num_merges=10)
     assert got == ref_train(texts, 10)
     assert len(got) >= 8  # training genuinely ran several iterations
+
+
+def test_pack_best_fit_invariants_and_beats_naive(spark):
+    """Best-fit packing: (1) every bin fills to <= seq_len (overflow
+    bins only for over-length docs, which sit alone); (2) bin_fill is
+    consistent with the member token sums; (3) deterministic across
+    runs; (4) total padding beats the naive one-doc-per-sequence
+    layout on a workload with many small docs."""
+    from prohap_spark.operators.packing import pack_best_fit
+    from prohap_spark.queries.registry import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    out = pack_best_fit(d, "doc_id", "text", seq_len=128, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == d.count()
+
+    by_bin: dict[tuple, list] = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    total_pad = 0
+    for (_s, _b), members in by_bin.items():
+        fill = members[0]["bin_fill"]
+        assert all(m["bin_fill"] == fill for m in members)
+        assert fill == sum(m["n_tokens"] for m in members)
+        if fill > 128:  # overflow bin: a single over-length document
+            assert len(members) == 1 and members[0]["n_tokens"] > 128
+        else:
+            total_pad += 128 - fill
+    naive_pad = sum(128 - r["n_tokens"] for r in rows if r["n_tokens"] <= 128)
+    assert total_pad < naive_pad / 2  # packing genuinely packs
+
+    rerun = {(r["doc_id"], r["bin_id"]) for r in
+             pack_best_fit(d, "doc_id", "text", seq_len=128, n_shards=4).collect()}
+    assert rerun == {(r["doc_id"], r["bin_id"]) for r in rows}
