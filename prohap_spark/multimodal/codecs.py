@@ -533,6 +533,30 @@ def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return y, cb, cr
 
 
+def _ycbcr_420_planes(
+    raster: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """4:2:0 encoder geometry shared by the sequential and progressive
+    encoders (one copy, so the two streams stay coefficient-identical):
+    replicate-pad the RGB raster to the 16×16 MCU grid, convert to
+    YCbCr, and 2×2 box-mean the chroma planes (the padded grid halves
+    to exact 8-multiples). Returns (y_full, cb_sub, cr_sub)."""
+    h, w = raster.shape[:2]
+    mcu_h, mcu_w = -(-h // 16), -(-w // 16)
+    planes_full = []
+    for p in _rgb_to_ycbcr(raster):
+        full = np.empty((mcu_h * 16, mcu_w * 16), dtype=np.float64)
+        full[:h, :w] = p
+        full[h:, :w] = p[h - 1 : h, :]
+        full[:, w:] = full[:, w - 1 : w]
+        planes_full.append(full)
+    cb, cr = (
+        p.reshape(mcu_h * 8, 2, mcu_w * 8, 2).mean(axis=(1, 3))
+        for p in planes_full[1:]
+    )
+    return planes_full[0], cb, cr
+
+
 def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     """JFIF YCbCr planes → (h, w, 3) uint8 RGB (T.871 inverse)."""
     cb = cb - 128.0
@@ -612,26 +636,10 @@ def encode_jpeg(
         out += seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     else:
         qc = _STD_CHROMA_QUANT
-        y, cb, cr = _rgb_to_ycbcr(raster)
         if subsample:
-            # 4:2:0: pad everything to the 16×16 MCU grid first, then
-            # 2×2 box-mean the chroma planes (the padded grid halves to
-            # exact 8-multiples)
             mcu_h, mcu_w = -(-h // 16), -(-w // 16)
-            yp = np.empty((mcu_h * 16, mcu_w * 16), dtype=np.float64)
-            planes_full = []
-            for p in (y, cb, cr):
-                full = np.empty_like(yp)
-                full[:h, :w] = p
-                full[h:, :w] = p[h - 1 : h, :]
-                full[:, w:] = full[:, w - 1 : w]
-                planes_full.append(full)
-            yp = planes_full[0]
-            sub = [
-                p.reshape(mcu_h * 8, 2, mcu_w * 8, 2).mean(axis=(1, 3))
-                for p in planes_full[1:]
-            ]
-            qtabs = [q, qc, qc]
+            yp, cb_s, cr_s = _ycbcr_420_planes(raster)
+            sub = [cb_s, cr_s]
             preds = [0, 0, 0]
             mcu_idx, total_mcus, rst = 0, mcu_h * mcu_w, 0
             for my in range(mcu_h):
@@ -663,7 +671,7 @@ def encode_jpeg(
             sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
         else:
             bh, bw = -(-h // 8), -(-w // 8)
-            planes = [_pad_to_blocks(p) for p in (y, cb, cr)]
+            planes = [_pad_to_blocks(p) for p in _rgb_to_ycbcr(raster)]
             qtabs = [q, qc, qc]
             preds = [0, 0, 0]
             # interleaved MCU scan: one 8×8 block per component per MCU
@@ -704,14 +712,22 @@ def encode_jpeg(
 
 
 def _quantize_grid(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """Vectorized forward pipeline for one component: spatial plane
-    (8-multiples) → level shift, FDCT, quantize → (nby, nbx, 64)
-    zigzag-order coefficient grid."""
+    """Forward pipeline for one component: spatial plane (8-multiples)
+    → level shift, FDCT, quantize → (nby, nbx, 64) zigzag-order
+    coefficient grid. Deliberately the EXACT per-block arithmetic of
+    ``_encode_block`` (same matmul association, same np.round) — a
+    vectorized einsum changes float summation order and rounds
+    quantization-boundary ties (x.5) the other way, silently breaking
+    the decode(progressive) == decode(sequential) invariant."""
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
-    blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
-    coef = np.einsum("ij,abjk,kl->abil", _DCT_M, blocks, _DCT_M.T)
-    qz = np.round(coef / q).astype(np.int64)
-    return qz.reshape(bh, bw, 64)[:, :, _ZIGZAG]
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = _DCT_M @ blk @ _DCT_M.T
+            qz = np.round(coef / q).astype(np.int64)
+            out[by, bx] = qz.ravel()[_ZIGZAG]
+    return out
 
 
 def _enc_ac_first_scan(
@@ -888,23 +904,12 @@ def encode_jpeg_progressive(
         sof_comps = b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
         hmax = vmax = 1
     else:
-        mcu_h, mcu_w = -(-h // 16), -(-w // 16)
-        planes_full = []
-        for p in _rgb_to_ycbcr(raster):
-            full = np.empty((mcu_h * 16, mcu_w * 16), dtype=np.float64)
-            full[:h, :w] = p
-            full[h:, :w] = p[h - 1 : h, :]
-            full[:, w:] = full[:, w - 1 : w]
-            planes_full.append(full)
-        sub = [
-            p.reshape(mcu_h * 8, 2, mcu_w * 8, 2).mean(axis=(1, 3))
-            for p in planes_full[1:]
-        ]
+        yp, cb_s, cr_s = _ycbcr_420_planes(raster)
         comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
         grids = [
-            _quantize_grid(planes_full[0], q),
-            _quantize_grid(sub[0], qc),
-            _quantize_grid(sub[1], qc),
+            _quantize_grid(yp, q),
+            _quantize_grid(cb_s, qc),
+            _quantize_grid(cr_s, qc),
         ]
         qsegs = [(0, q), (1, qc)]
         sof_comps = b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
@@ -1101,15 +1106,21 @@ def _decode_block(
 
 
 def _reconstruct_plane(coef_zz: np.ndarray, q_zz: np.ndarray) -> np.ndarray:
-    """Vectorized inverse pipeline for one component: (nby, nbx, 64)
-    zigzag-order quantized coefficients → dequantize, un-zigzag, IDCT,
-    level shift → spatial (nby*8, nbx*8) float plane."""
+    """Inverse pipeline for one component: (nby, nbx, 64) zigzag-order
+    quantized coefficients → dequantize, un-zigzag, IDCT, level shift
+    → spatial (nby*8, nbx*8) float plane. Same per-block arithmetic as
+    the sequential ``_decode_block`` (see ``_quantize_grid`` for why a
+    vectorized einsum would diverge on rounding ties)."""
     nby, nbx, _ = coef_zz.shape
-    nat = np.zeros_like(coef_zz, dtype=np.float64)
-    nat[..., _ZIGZAG] = coef_zz * q_zz
-    blocks = nat.reshape(nby, nbx, 8, 8)
-    spatial = np.einsum("ij,abjk,kl->abil", _DCT_M.T, blocks, _DCT_M) + 128.0
-    return spatial.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    out = np.empty((nby * 8, nbx * 8), dtype=np.float64)
+    for by in range(nby):
+        for bx in range(nbx):
+            coef = np.zeros(64, dtype=np.float64)
+            coef[_ZIGZAG] = coef_zz[by, bx] * q_zz
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+            )
+    return out
 
 
 def _pt_ac(v: int, al: int) -> int:
@@ -1573,6 +1584,8 @@ def mp3_frame_stats(payload: bytes) -> dict:
             | (payload[8] << 7) | payload[9]
         )
         pos = 10 + size
+        if payload[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes
+            pos += 10
     n_frames = 0
     duration_s = 0.0
     bitrates: list[int] = []

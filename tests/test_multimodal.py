@@ -704,7 +704,9 @@ def test_audio_container_stats_wav_and_mpeg(spark):
     wav = encode_wav((np.arange(8000) % 256 - 128).astype(np.int16),
                      sample_rate=8000)
     cbr = b"".join(mp3_frame(9) for _ in range(5))
-    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"x" * 10 + cbr
+    # flags byte 0x10 = ID3v2.4 FOOTER present: tag = 10 + size + 10
+    id3 = (b"ID3\x04\x00\x10\x00\x00\x00\x0a" + b"x" * 10
+           + b"3DI\x04\x00\x10\x00\x00\x00\x0a" + cbr)
     vbr = mp3_frame(9) + mp3_frame(12) + mp3_frame(5)
     df = spark.createDataFrame(
         [(1, bytearray(wav)), (2, bytearray(id3)), (3, bytearray(vbr))],

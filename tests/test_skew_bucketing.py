@@ -74,7 +74,12 @@ def test_aqe_splits_skewed_join_partition(spark):
     s.conf.set("spark.sql.shuffle.partitions", "4")
 
     left = s.range(0, 200_000).select(
-        F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id") % 10).alias("k"),
+        # ~95% of rows on key 0; the rest spread over keys 1-9 (id % 10
+        # would be 0 whenever id % 20 is, collapsing EVERYTHING to one
+        # key — the degenerate all-one-key case, not a skewed mix)
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise((F.floor(F.col("id") / 20) % 9) + 1)
+        .alias("k"),
         F.col("id").alias("lv"),
     )
     right = s.range(0, 10).select(F.col("id").alias("k"), F.col("id").alias("rv"))
