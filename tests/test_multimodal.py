@@ -720,3 +720,114 @@ def test_audio_container_stats_wav_and_mpeg(spark):
     assert rows[3]["is_vbr"] and rows[3]["n_frames"] == 3
     expected_ms = int(round(5 * 1152 / 44100 * 1000))
     assert abs(rows[2]["duration_ms"] - expected_ms) <= 1
+
+
+def test_jpeg_progressive_ac_scan_codec_symmetry():
+    """Drive the progressive AC scan coders directly on hand-crafted
+    coefficient grids that force the rare paths the image roundtrips
+    may not hit: refinement-scan ZRLs (>16 zero-history zeros before a
+    newly nonzero coefficient), correction bits interleaved with zero
+    runs, and multi-block EOB runs carrying pending correction bits.
+    Encoding each grid as (AC first at Al=1) + (AC refine to Al=0) and
+    decoding both scans must reproduce the grid exactly."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import (
+        _AC_PROG_BITS,
+        _AC_PROG_VALS,
+        _BitWriter,
+        _HuffDecoder,
+        _decode_progressive_scan,
+        _enc_ac_first_scan,
+        _enc_ac_refine_scan,
+        _huffman_codes,
+    )
+
+    patterns = []
+    # A: 20 zero positions then +1 at band index 26 (forces ZRL in the
+    # refinement scan: the +1 is invisible at Al=1, newly nonzero at 0)
+    a = np.zeros(64, dtype=np.int64)
+    a[26] = 1
+    patterns.append(a)
+    # B: correction coefficients (|v| > 1) interleaved with zeros and a
+    # late newly-nonzero; negative values exercise the sign paths
+    b = np.zeros(64, dtype=np.int64)
+    b[2], b[5], b[24], b[40] = 5, -3, -1, 7
+    patterns.append(b)
+    # C/D: all-zero bands -> multi-block EOB run; D carries pending
+    # correction bits into the run via a lone |v|>1 coefficient
+    patterns.append(np.zeros(64, dtype=np.int64))
+    dd = np.zeros(64, dtype=np.int64)
+    dd[9] = -6
+    patterns.append(dd)
+    # E: dense low band with values straddling the Al=1 cut
+    e = np.zeros(64, dtype=np.int64)
+    e[1:12] = [2, 1, -1, 3, 0, -2, 1, 0, 0, -5, 1]
+    patterns.append(e)
+
+    grid = np.stack(patterns).reshape(len(patterns), 1, 64)
+    ss, se = 1, 63
+    ac_enc = _huffman_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    ac_dec = _HuffDecoder(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    comps = [(1, 1, 1, 0)]
+    grids_meta = [(len(patterns), 1)]
+    decoded = [np.zeros((len(patterns), 1, 64), dtype=np.int64)]
+    for ah, al in ((0, 1), (1, 0)):
+        bw_ = _BitWriter()
+        if ah == 0:
+            _enc_ac_first_scan(bw_, grid, len(patterns), 1, ss, se, al, ac_enc)
+        else:
+            _enc_ac_refine_scan(bw_, grid, len(patterns), 1, ss, se, al, ac_enc)
+        payload = bw_.flush() + b"\xff\xd9"
+        _decode_progressive_scan(
+            payload, 0, comps, [(0, None, ac_dec)], decoded, [0],
+            (ss, se, ah, al), grids_meta, (len(patterns), 1), 0,
+        )
+    assert (decoded[0] == grid).all(), (decoded[0] - grid).nonzero()
+
+
+def test_jpeg_progressive_ac_scan_codec_randomized():
+    """Randomized scan-codec property check: 30 random sparse/dense
+    multi-block coefficient grids, each encoded as first+refine scans
+    over the full 1..63 band AND over a split band, must decode back
+    exactly. Catches any residual mismatch between the encoder's
+    buffered-correction-bit discipline and the decoder's advance."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import (
+        _AC_PROG_BITS,
+        _AC_PROG_VALS,
+        _BitWriter,
+        _HuffDecoder,
+        _decode_progressive_scan,
+        _enc_ac_first_scan,
+        _enc_ac_refine_scan,
+        _huffman_codes,
+    )
+
+    ac_enc = _huffman_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    ac_dec = _HuffDecoder(_AC_PROG_BITS, _AC_PROG_VALS)
+    rng = np.random.default_rng(99)
+    for trial in range(30):
+        nb = int(rng.integers(1, 6))
+        grid = np.zeros((nb, 1, 64), dtype=np.int64)
+        density = rng.uniform(0.02, 0.5)
+        mask = rng.random((nb, 1, 64)) < density
+        grid[mask] = rng.integers(-40, 41, mask.sum())
+        grid[..., 0] = 0  # DC not part of AC scans
+        for bands in (((1, 63),), ((1, 5), (6, 63))):
+            dec = [np.zeros_like(grid)]
+            for ss, se in bands:
+                for ah, al in ((0, 1), (1, 0)):
+                    bw_ = _BitWriter()
+                    if ah == 0:
+                        _enc_ac_first_scan(bw_, grid, nb, 1, ss, se, al, ac_enc)
+                    else:
+                        _enc_ac_refine_scan(bw_, grid, nb, 1, ss, se, al, ac_enc)
+                    payload = bw_.flush() + b"\xff\xd9"
+                    _decode_progressive_scan(
+                        payload, 0, [(1, 1, 1, 0)], [(0, None, ac_dec)],
+                        dec, [0], (ss, se, ah, al), [(nb, 1)], (nb, 1), 0,
+                    )
+            assert (dec[0] == grid).all(), (trial, bands)
