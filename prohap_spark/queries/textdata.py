@@ -754,6 +754,117 @@ def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sampling_temperature_mix",
+    # temperature-flattened mixture: per-language keep rates
+    # proportional to sqrt(share) (tau = 2), scaled so the largest
+    # stratum keeps everything; sqrt/division are IEEE-correctly
+    # rounded in both engines, so the floored integer thresholds match
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT sum(n) AS total FROM c),
+    w AS (SELECT lang, sqrt(n * 1.0 / total) AS wt FROM c, t),
+    m AS (SELECT max(wt) AS mx FROM w),
+    r AS (SELECT lang, CAST(floor(wt / mx * 1000000) AS BIGINT) AS thresh FROM w, m),
+    b AS (
+      SELECT doc_id, lang,
+             list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT b.doc_id, b.lang, CAST(b.bucket AS INT) AS bucket,
+           r.thresh, b.bucket < r.thresh AS kept
+    FROM b JOIN r USING (lang)
+    """,
+)
+def sampling_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-LM recipe:
+    sample strata proportional to share^(1/tau) so small languages are
+    upweighted relative to their raw frequency; tau = 2 here, i.e.
+    sqrt flattening). Per-language keep rate = sqrt(share) scaled so
+    the LARGEST stratum keeps 100%; admission is the deterministic
+    md5 bucket against the stratum's floored integer threshold —
+    reproducible across runs, repartitions, and engines (sqrt and
+    division are IEEE-correctly-rounded everywhere, unlike pow). One
+    scan + two tiny broadcast aggregates; the scoring join is
+    map-side."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    w = counts.crossJoin(F.broadcast(tot)).select(
+        "lang", F.sqrt(F.col("n") / F.col("total")).alias("wt")
+    )
+    mx = w.agg(F.max("wt").alias("mx"))
+    rates = w.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        F.floor(F.col("wt") / F.col("mx") * 1000000).cast("long").alias("thresh"),
+    )
+    bucket = md5_bucket(F.col("doc_id"), 1000000)
+    return (
+        d.select("doc_id", "lang", bucket.cast("int").alias("bucket"))
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "bucket",
+            "thresh",
+            (F.col("bucket") < F.col("thresh")).alias("kept"),
+        )
+    )
+
+
+@register(
+    "text_intradoc_dedup",
+    # consecutive-duplicate-word removal ("the the" cleanup): keep
+    # word i unless it equals word i-1; 388 of the 500 sf0.01 docs
+    # carry at least one adjacent repeat, so the signal is real
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ws,
+             list_filter(list_transform(range(1, len(ws) + 1),
+               i -> CASE WHEN i = 1 OR ws[i] != ws[i-1] THEN ws[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(len(ws) - len(kept) AS BIGINT) AS n_removed,
+           md5(array_to_string(kept, ' ')) AS scrubbed_md5
+    FROM k
+    """,
+)
+def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document consecutive-duplicate-word removal — the classic
+    stutter cleanup ("the the", OCR doubling) every text-cleaning
+    stack runs before token counting. Pure JVM array ops on the
+    shifted-zip idiom (zip the word list with itself shifted by one —
+    constant array references, never element_at inside a lambda, which
+    CollapseProject degrades to O(n²) per row). The output compares
+    the md5 of the scrubbed text, so one wrongly dropped or kept word
+    anywhere breaks the hash."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.lower(F.col("text"))), " ")
+    prev = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+    )
+    marked = F.zip_with(ws, prev, lambda s, p: F.when(p.isNull() | (s != p), s))
+    kept = F.array_compact(marked)
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        (F.size(ws) - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("scrubbed_md5"),
+    )
+
+
 from prohap_spark.functions.bpe import MERGES as _BPE_MERGES
 
 _SQL_MERGES = ",\n      ".join(
