@@ -92,24 +92,26 @@ def pack_best_fit(
     seq_len: int = 128,
     n_shards: int = 8,
 ) -> DataFrame:
-    """Best-fit document packing (the padding-minimizing alternative to
-    concat-and-chunk): documents are binned whole — no document spans
-    a sequence boundary — using first-fit-decreasing within each
-    deterministic md5 shard. Returns one row per document: (id_col,
-    shard, n_tokens, bin_id, bin_fill) where bin_fill is the bin's
-    final token total (<= seq_len; padding = seq_len - bin_fill).
-    Documents longer than seq_len get their own overflow bin, flagged
-    by bin_fill > seq_len (callers truncate or route to the
-    chunking packer).
+    """Best-fit-decreasing document packing (the padding-minimizing
+    alternative to concat-and-chunk): documents are binned whole — no
+    document spans a sequence boundary — each placed into the
+    TIGHTEST-FITTING open bin (smallest remaining space that still
+    fits), within each deterministic md5 shard. Returns one row per
+    document: (id_col, shard, n_tokens, bin_id, bin_fill) where
+    bin_fill is the bin's final token total (<= seq_len; padding =
+    seq_len - bin_fill). Documents longer than seq_len get their own
+    overflow bin, flagged by bin_fill > seq_len (callers truncate or
+    route to the chunking packer).
 
-    The 100 TB shape: FFD is inherently sequential, so the sequential
-    unit is the SHARD, not the corpus — one applyInPandas group per
-    (shard), each packing its own slice independently (the same
-    determinism contract as ``pack_context_windows``: md5 ordering, so
-    the assignment is reproducible across runs and repartitions).
-    Within a shard the sort is by (n_tokens DESC, md5, id) — the
-    "decreasing" in FFD — and bins scan first-fit. Shard count is the
-    parallelism knob; raise it with corpus size."""
+    The 100 TB shape: bin packing is inherently sequential, so the
+    sequential unit is the SHARD, not the corpus — one applyInPandas
+    group per (shard), each packing its own slice independently (the
+    same determinism contract as ``pack_context_windows``: md5
+    ordering, so the assignment is reproducible across runs and
+    repartitions). Within a shard the sort is by (n_tokens DESC, md5,
+    id) — the "decreasing" — and ties in bin tightness break on the
+    lowest bin id. Shard count is the parallelism knob; raise it with
+    corpus size."""
     import pandas as pd
 
     idc = F.col(id_col)
@@ -133,10 +135,13 @@ def pack_best_fit(
             n = int(n)
             placed = None
             if n <= seq_len:
+                best_rem = None
                 for b, f in enumerate(fills):
-                    if f + n <= seq_len:
-                        placed = b
-                        break
+                    rem = seq_len - f - n
+                    if rem >= 0 and (best_rem is None or rem < best_rem):
+                        placed, best_rem = b, rem
+                        if rem == 0:
+                            break
             if placed is None:
                 placed = len(fills)
                 fills.append(0)

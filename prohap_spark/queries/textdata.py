@@ -1159,7 +1159,16 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     take the shuffle equi-join against the full NLL table. A web-scale
     corpus with 10⁸⁺ distinct tokens (typos, numbers) therefore never
     OOMs the driver on an unconditional vocab broadcast; the tail path
-    is value-identical because both paths read the same nll_micro."""
+    is value-identical because both paths read the same nll_micro.
+
+    Plan note: the hit/tail split references the scored subplan twice,
+    and Spark re-executes unshared subplans — each re-execution is the
+    map-side scan + explode + broadcast-head join (narrow, no extra
+    shuffle). This is the deliberate trade: routing ALL rows through a
+    shuffle join against the tail table instead would put the entire
+    token stream through an exchange keyed mostly by nulls; a long
+    pipeline scoring repeatedly should persist the scored frame and
+    pay the scan once."""
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("w")
     )
@@ -1268,40 +1277,25 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources x shards — a corpus with a handful of giant sources never
     serializes one source through one task (the flaw the per-source
     cumsum had at 100 TB; raise n_shards with corpus size). The kept
-    set stays reproducible across runs, repartitions, and engines."""
-    from pyspark.sql import Window
-
-    from prohap_spark.functions.hashing import md5_bucket
+    set stays reproducible across runs, repartitions, and engines.
+    Delegates to the ONE allocation implementation in
+    streaming/budget.py (its batch branch — the same code path the
+    streaming form's single-batch parity test compares against), so
+    the batch query and the streaming operator cannot drift."""
+    from prohap_spark.streaming.budget import stream_token_budget
 
     d = table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id",
-        "source",
-        md5_bucket(F.col("doc_id"), 4).cast("int").alias("shard"),
-        F.md5(F.col("doc_id").cast("string")).alias("__okey"),
-        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("source", "shard")
-        .orderBy("__okey", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return base.select(
-        "doc_id",
-        "source",
-        "shard",
-        "n_tokens",
-        F.sum("n_tokens").over(w).alias("cum_tokens"),
-    ).withColumn("kept", F.col("cum_tokens") <= 200)
+    return stream_token_budget(d, budget_per_source=800, n_shards=4)
 
 
-@register("pack_best_fit")  # rows-only BY DESIGN: first-fit-decreasing
+@register("pack_best_fit")  # rows-only BY DESIGN: best-fit-decreasing
 # bin packing is a stateful sequential scan per shard that a single SQL
 # statement can't express; bin invariants, padding-beats-naive, and
 # run-to-run determinism are pinned in tests/test_operators.py.
 def pack_best_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit whole-document packing (operators/packing.py
-    pack_best_fit): first-fit-decreasing within each md5 shard — the
+    pack_best_fit): best-fit-decreasing within each md5 shard — each
+    document goes to the tightest-fitting open bin — the
     padding-minimizing alternative to concat-and-chunk where no
     document crosses a sequence boundary. Sequentiality is confined to
     the shard (the parallelism knob), ordering is md5-deterministic."""

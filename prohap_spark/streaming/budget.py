@@ -72,14 +72,19 @@ def stream_token_budget(
 
     def fn(key, pdfs, state: GroupState):
         cum = state.get[0] if state.exists else 0
+        # a group arrives as MULTIPLE pandas chunks (split at the Arrow
+        # batch size); sorting per chunk would admit in chunk-then-md5
+        # order and break the documented batch parity for groups larger
+        # than one chunk — drain everything, sort ONCE
+        chunks = [pdf[[id_col, "__okey", "n_tokens"]] for pdf in pdfs]
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values(["__okey", id_col])
         ids, toks, cums = [], [], []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["__okey", id_col])
-            for doc_id, n in zip(pdf[id_col], pdf["n_tokens"]):
-                cum += int(n)
-                ids.append(int(doc_id))
-                toks.append(int(n))
-                cums.append(cum)
+        for doc_id, n in zip(batch[id_col], batch["n_tokens"]):
+            cum += int(n)
+            ids.append(int(doc_id))
+            toks.append(int(n))
+            cums.append(cum)
         state.update((cum,))
         yield pd.DataFrame(
             {

@@ -98,16 +98,22 @@ def stream_near_dup_candidates(
         members = list(state.get[0]) if state.exists else []
         stored = set(members)
         new_ids, prior_ids = [], []
+        # drain ALL chunks before ordering: a bucket larger than one
+        # Arrow chunk would otherwise process ids in chunk-then-sorted
+        # order, storing different priors than the batch branch's
+        # global id ranking (the single-batch parity contract)
+        batch_ids: set[int] = set()
         for pdf in pdfs:
-            for i in sorted(set(int(x) for x in pdf[id_col])):
-                if i in stored:
-                    continue
-                for m in members:
-                    new_ids.append(i)
-                    prior_ids.append(m)
-                if len(members) < max_bucket:
-                    members.append(i)
-                    stored.add(i)
+            batch_ids.update(int(x) for x in pdf[id_col])
+        for i in sorted(batch_ids):
+            if i in stored:
+                continue
+            for m in members:
+                new_ids.append(i)
+                prior_ids.append(m)
+            if len(members) < max_bucket:
+                members.append(i)
+                stored.add(i)
         state.update((members,))
         yield pd.DataFrame(
             {

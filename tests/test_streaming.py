@@ -353,3 +353,48 @@ def test_stream_token_budget_batch_parity_and_cross_batch_state(spark, tmp_path)
         if {r["doc_id"] < 6 for r in rs} == {True, False} and len(rs) > 2
     ]
     assert crossed, {s: [r["doc_id"] for r in rs] for s, rs in by_shard.items()}
+
+
+def test_stream_token_budget_multi_chunk_group_order(spark, tmp_path):
+    """Regression: a (source, shard) group larger than one Arrow chunk
+    must still admit in GLOBAL (md5, id) order — sorting per chunk
+    would admit chunk-then-md5 and diverge from the batch allocation.
+    Forced by shrinking maxRecordsPerBatch to 3 so the 24-doc group
+    spans many chunks."""
+    s = spark.newSession()
+    s.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    from prohap_spark.streaming.budget import stream_token_budget
+
+    docs = spark.createDataFrame(
+        [(i * 4, "s0", " ".join(["w"] * 10)) for i in range(24)],
+        ["doc_id", "source", "text"],
+    )
+    want = {
+        r["doc_id"]: (r["cum_tokens"], r["kept"])
+        for r in stream_token_budget(
+            docs, budget_per_source=200, n_shards=4
+        ).collect()
+    }
+
+    d = str(tmp_path / "chunked_budget_stream")
+    docs.coalesce(1).write.mode("overwrite").parquet(d)
+    stream = stream_token_budget(
+        s.readStream.schema("doc_id long, source string, text string").parquet(d),
+        budget_per_source=200,
+        n_shards=4,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chunked_budget_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["cum_tokens"], r["kept"])
+        for r in s.sql("SELECT * FROM chunked_budget_out").collect()
+    }
+    assert got == want and len(got) == 24
