@@ -754,6 +754,22 @@ def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_quality_classifier")  # rows-only BY DESIGN: L-BFGS
+# training is iterative and its float coefficients are not
+# SQL-replayable; the held-out accuracy floor and label discipline are
+# pinned in tests/test_operators.py.
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (operators/classifier.py): a
+    logistic-regression classifier over hashed token features, trained
+    on weak top/bottom-quantile labels from the heuristic quality
+    score (the GPT-3-style curation filter), scoring every document.
+    Training aggregates gradients tree-wise; scoring broadcasts the
+    single coefficient vector — nothing corpus-sized materializes."""
+    from prohap_spark.operators.classifier import quality_classifier_scores
+
+    return quality_classifier_scores(table(spark, sf_dir, "documents"))
+
+
 @register(
     "sampling_temperature_mix",
     # temperature-flattened mixture: per-language keep rates

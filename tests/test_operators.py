@@ -927,3 +927,35 @@ def test_pack_best_fit_invariants_and_beats_naive(spark):
     rerun = {(r["doc_id"], r["bin_id"]) for r in
              pack_best_fit(d, "doc_id", "text", seq_len=128, n_shards=4).collect()}
     assert rerun == {(r["doc_id"], r["bin_id"]) for r in rows}
+
+
+def test_quality_classifier_learns_heuristic_signal(spark):
+    """Model-based quality filtering: the LR classifier trained on
+    weak top/bottom-quantile labels must (1) label only the extreme
+    quantiles (middle NULL), (2) score every document, and (3) recover
+    the held-out weak labels with >= 0.8 accuracy — i.e. the model
+    genuinely learns the signal, not memorizes the train slice."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.classifier import quality_classifier_scores
+    from prohap_spark.queries.registry import table
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    out = quality_classifier_scores(d).cache()
+    try:
+        assert out.count() == d.count()
+        labeled = out.where(F.col("weak_label").isNotNull()).count()
+        # ~half the corpus labeled (top+bottom quartiles)
+        assert 0.3 * 500 <= labeled <= 0.7 * 500
+        hold = out.where(F.col("weak_label").isNotNull() & ~F.col("is_train"))
+        stats = hold.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("pred_good").cast("int") == F.col("weak_label")).cast("int")
+            ).alias("ok"),
+        ).collect()[0]
+        assert stats["n"] >= 20
+        assert stats["ok"] / stats["n"] >= 0.8
+        assert out.where((F.col("p_good") < 0) | (F.col("p_good") > 1)).count() == 0
+    finally:
+        out.unpersist()
