@@ -774,6 +774,101 @@ def multimodal_jpeg_color_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_container",
+    # container metadata is fully determined by the construction
+    # arithmetic, so the oracle never touches bytes: even media_ids get
+    # a WAV whose sample count is the text length truncated to ≤288 and
+    # a multiple of 8 (duration_ms = n8/8 exactly at 8 kHz — integer,
+    # no rounding ambiguity between engines); odd media_ids get
+    # k = 3 + id % 7 MPEG-1 Layer III mono frames at 44.1 kHz —
+    # duration round(k*1152/44100*1000), CBR 128 kbps except id%4==1
+    # which alternates 128/160 (VBR; mean = (128*ceil(k/2) +
+    # 160*floor(k/2))/k, never a .5 so both engines round identically)
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             (least(octet_length(encode(text)), 288) // 8) * 8 AS n8,
+             CAST(3 + doc_id % 7 AS INT) AS k
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    )
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'wav' ELSE 'mpeg_audio' END AS fmt,
+           CASE WHEN media_id % 2 = 0 THEN CAST(n8 // 8 AS BIGINT)
+                ELSE CAST(round(k * 1152.0 / 44100 * 1000) AS BIGINT)
+           END AS duration_ms,
+           CASE WHEN media_id % 2 = 0 THEN 8000 ELSE 44100 END AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CASE WHEN media_id % 2 = 0 THEN CAST(NULL AS INT) ELSE k END AS n_frames,
+           CASE WHEN media_id % 2 = 0 THEN 128
+                WHEN media_id % 4 = 1 THEN
+                  CAST(round((128.0 * ceil(k / 2.0) + 160.0 * floor(k / 2.0)) / k)
+                       AS INT)
+                ELSE 128
+           END AS bitrate_kbps,
+           (media_id % 2 = 1 AND media_id % 4 = 1) AS is_vbr
+    FROM m
+    """,
+)
+def multimodal_audio_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-metadata extraction over mixed audio payloads — the
+    curation-stats pass that runs BEFORE any expensive decode. Even
+    media_ids carry a genuine RIFF/WAVE (PCM16, 8 kHz mono); odd ones
+    a genuine MPEG-1 Layer III stream built frame-by-frame (valid
+    sync/bitrate/samplerate headers, alternating padding bits, an
+    ID3v2 tag prefix on id%6==3, and a VBR bitrate mix on id%4==1).
+    ``audio_container_stats`` dispatches on magic bytes: the WAV chunk
+    walk or the ISO 11172-3 frame-header walk (ID3v2 skip, frame
+    length arithmetic, VBR detection). Audio DECODE of MPEG streams
+    stays the declared out-of-scope capability; container metadata is
+    what a 100 TB curation pass actually needs, and it is one
+    mapInPandas over the payload column — no shuffle at all."""
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import audio_container_stats
+    from prohap_spark.multimodal.codecs import encode_wav
+
+    media = _docs_as_media(spark, sf_dir, 64)
+
+    def mp3_frame(kbps_idx: int, pad: int) -> bytes:
+        # MPEG-1 (ver bits 11), Layer III (bits 01), no CRC → 0xFB;
+        # 44.1 kHz (sr_idx 0), mono (mode 3)
+        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                224, 256, 320][kbps_idx]
+        frame_len = 1152 // 8 * kbps * 1000 // 44100 + pad
+        hdr = bytes([0xFF, 0xFB, (kbps_idx << 4) | (pad << 1), 0xC0])
+        return hdr + b"\x00" * (frame_len - 4)
+
+    def to_audio(batches):
+        for pdf in batches:
+            payloads = []
+            for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
+                if mid % 2 == 0:
+                    buf = np.frombuffer(bytes(tb), dtype=np.uint8)[:288]
+                    buf = buf[: len(buf) // 8 * 8]
+                    samples = ((buf.astype(np.int64) - 128) * 256).astype(np.int16)
+                    payloads.append(encode_wav(samples, sample_rate=8000))
+                else:
+                    k = 3 + mid % 7
+                    vbr = mid % 4 == 1
+                    p = b"".join(
+                        mp3_frame(10 if (vbr and i % 2 == 1) else 9, pad=i % 2)
+                        for i in range(k)
+                    )
+                    if mid % 6 == 3:  # exercise the ID3v2 skip
+                        p = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 16]) + b"\x00" * 16 + p
+                    payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    payloads = media.mapInPandas(to_audio, schema="media_id long, payload binary")
+    return audio_container_stats(payloads).select(
+        "media_id", "fmt", "duration_ms", "sample_rate",
+        "channels", "n_frames", "bitrate_kbps", "is_vbr",
+    )
+
+
+@register(
     "agg_grouping_sets",
     # explicit GROUPING SETS — the non-uniform lattice CUBE/ROLLUP
     # can't express: (flag,status), (flag), (), but NOT (status)
