@@ -62,7 +62,13 @@ def quality_classifier_scores(
     tf = HashingTF(inputCol="__words", outputCol="__features", numFeatures=num_features)
     featured = tf.transform(tok.transform(labeled))
 
-    train = featured.where(F.col("weak_label").isNotNull() & F.col("is_train"))
+    # L-BFGS re-reads its input every iteration; persist ONLY the
+    # (features, label) projection of the labeled train slice — at
+    # corpus scale that is the hashed sparse vectors (~bounded by
+    # num_features per row), never the document text
+    train = featured.where(
+        F.col("weak_label").isNotNull() & F.col("is_train")
+    ).select("__features", "weak_label").persist()
     lr = LogisticRegression(
         featuresCol="__features",
         labelCol="weak_label",
@@ -70,7 +76,10 @@ def quality_classifier_scores(
         regParam=0.01,
         standardization=False,
     )
-    model = lr.fit(train)
+    try:
+        model = lr.fit(train)
+    finally:
+        train.unpersist()
 
     from pyspark.ml.functions import vector_to_array
 

@@ -74,6 +74,39 @@ def cosine_topk(
     )
 
 
+def knn_classify(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """KNN label transfer: each probe gets the majority label of its
+    ``k`` exact cosine nearest corpus rows (rank ties to the smaller
+    corpus id, vote ties to the smaller label). Returns
+    (qid, pred_label, n_votes). The top-k stage is ``cosine_topk``
+    (probe side broadcast); swapping it for an ANN index
+    (``ivf_ann_topk`` etc.) leaves the vote unchanged — the vote is
+    one broadcast label join + one groupBy on the probe id."""
+    knn = cosine_topk(
+        probes, corpus, id_col, id_col, vec_col, k=k, score_decimals=score_decimals
+    ).toDF("qid", "cid", "cosine", "rank")
+    labels = corpus.select(F.col(id_col).alias("cid"), F.col(label_col).alias("label"))
+    votes = (
+        knn.join(F.broadcast(labels), "cid")
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("qid", F.col("label").cast("int").alias("pred_label"), "n_votes")
+    )
+
+
 def hyperplane_sign_string(seed: str, plane: int, dim: int) -> str:
     """The ±1 hyperplane as a '1'/'0' string: component d is +1 iff the
     first hex digit of md5('seed|plane|d') >= '8'. Shared by the Spark

@@ -512,3 +512,78 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_flags(
         e, cent, "vec_id", "embedding", threshold=0.25, max_cell_size=52
     )
+
+
+@register(
+    "sim_knn_classify",
+    # exact 5-NN majority-vote label prediction for the held-out
+    # probes (vec_id % 10 = 0): cosine rounded to 6 dp BEFORE ranking
+    # so rank ties resolve identically in both engines; vote ties
+    # break to the smallest label. No floats survive into the output
+    # (labels, counts, booleans only), so the hash compare is exact.
+    f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    c AS (
+      SELECT vec_id AS cid, embedding AS cv, label
+      FROM embeddings WHERE vec_id % 10 <> 0
+    ),
+    scored AS (
+      SELECT q.qid, c.cid, c.label,
+             round({_DUCK_DOT.format(a='q.qv', b='c.cv')} /
+                   ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}),
+                   6) AS cosine
+      FROM q, c
+    ),
+    knn AS (
+      SELECT qid, cid, label,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cosine DESC, cid) AS rank
+      FROM scored QUALIFY rank <= 5
+    ),
+    votes AS (
+      SELECT qid, label, count(*) AS n_votes
+      FROM knn GROUP BY qid, label
+    ),
+    pick AS (
+      SELECT qid, CAST(label AS INT) AS pred_label, n_votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY n_votes DESC, label) AS rn
+      FROM votes
+    )
+    SELECT p.qid, p.pred_label, p.n_votes,
+           CAST(q.true_label AS INT) AS true_label,
+           p.pred_label = q.true_label AS correct
+    FROM pick p JOIN q ON p.qid = q.qid
+    WHERE p.rn = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN label transfer — the auto-labeling pipeline op (predict a
+    quality/topic label for unlabeled items from their nearest labeled
+    neighbors): every vec_id % 10 == 0 probe gets the majority label of
+    its 5 exact cosine nearest neighbors among the labeled rest, ties
+    to the smallest label. The probe side broadcasts (it is the small
+    side by construction); the label lookup is a broadcast equi-join;
+    the vote is one groupBy on the probe id. At 100 TB the exact
+    top-k stage swaps for ``ivf_ann_topk`` unchanged — the vote and
+    the accuracy accounting are index-agnostic. The sf fixture's
+    labels are geometrically random (held-out accuracy ~ chance), so
+    this query pins the vote/tiebreak MECHANICS exactly; that the op
+    transfers labels when signal exists is pinned on a separable
+    fixture in tests (test_knn_classify_label_transfer)."""
+    from prohap_spark.operators.similarity import knn_classify
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0)
+    c = e.where(F.col("vec_id") % 10 != 0)
+    pick = knn_classify(q, c, "vec_id", "embedding", "label", k=5)
+    truth = q.select(
+        F.col("vec_id").alias("qid"), F.col("label").cast("int").alias("true_label")
+    )
+    return pick.join(F.broadcast(truth), "qid").select(
+        "qid", "pred_label", "n_votes", "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )

@@ -959,3 +959,55 @@ def test_quality_classifier_learns_heuristic_signal(spark):
         assert out.where((F.col("p_good") < 0) | (F.col("p_good") > 1)).count() == 0
     finally:
         out.unpersist()
+
+
+def test_knn_classify_label_transfer(spark):
+    """KNN label transfer on a SEPARABLE fixture (the sf embeddings
+    carry geometrically random labels, so the registered query only
+    pins vote mechanics): three orthogonal clusters with deterministic
+    jitter must classify every held-out probe correctly, and a
+    constructed 2-2-1 vote tie must break to the SMALLER label."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.similarity import knn_classify
+
+    # clusters around axes e0, e1, e2 of an 8-dim space; jitter on a
+    # disjoint axis so cosine-to-center stays ordered and deterministic
+    rows = []
+    for lab in range(3):
+        for j in range(6):
+            v = [0.0] * 8
+            v[lab] = 1.0
+            v[3 + lab] = 0.01 * (j + 1)  # jitter, same direction per cluster
+            rows.append((lab * 10 + j, v, lab))
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    probes = spark.createDataFrame(
+        [(100 + lab, [1.0 if i == lab else 0.0 for i in range(8)]) for lab in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["qid"]: r["pred_label"]
+        for r in knn_classify(probes, corpus, "vec_id", "embedding", "label").collect()
+    }
+    assert out == {100: 0, 101: 1, 102: 2}
+
+    # vote tie: probe's 5 NN carry labels [2, 2, 1, 1, 0] (cosine
+    # strictly ordered by the e0 component); 2-2 tie -> smaller label 1
+    tie_corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.1, 0.0], 2),
+            (2, [0.98, 0.1, 0.0], 2),
+            (3, [0.97, 0.1, 0.0], 1),
+            (4, [0.96, 0.1, 0.0], 1),
+            (5, [0.95, 0.1, 0.0], 0),
+            (6, [0.10, 1.0, 0.0], 0),  # outside the top-5
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    tie_probe = spark.createDataFrame(
+        [(200, [1.0, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    got = knn_classify(tie_probe, tie_corpus, "vec_id", "embedding", "label").collect()
+    assert [(r["qid"], r["pred_label"], r["n_votes"]) for r in got] == [(200, 1, 2)]
