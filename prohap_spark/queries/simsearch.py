@@ -587,3 +587,127 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", "pred_label", "n_votes", "true_label",
         (F.col("pred_label") == F.col("true_label")).alias("correct"),
     )
+
+
+def _hybrid_oracle_sql() -> str:
+    """DuckDB oracle for hybrid_search_rrf, assembled from the SAME
+    BM25 constants/term builder as text_bm25_topk and the same
+    double-precision dot idiom as the dense queries."""
+    from prohap_spark.queries.textdata import (
+        _BM25_TERMS,
+        _duck_bm25_term,
+    )
+
+    df_cols = ", ".join(
+        f"sum(CASE WHEN len(list_filter(ws, w -> w = '{t}')) > 0 THEN 1 ELSE 0 END)"
+        f" AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    score = " + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))
+    dot = _DUCK_DOT.format(a="q.qv", b="c.cv")
+    nq = _DUCK_NORM.format(a="q.qv")
+    nc = _DUCK_NORM.format(a="c.cv")
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      FROM documents
+    ),
+    d AS (SELECT doc_id, ws, len(ws) AS dl FROM t),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
+             {df_cols}
+      FROM d
+    ),
+    lexs AS (
+      SELECT doc_id, round({score}, 6) AS bm25
+      FROM d, stats
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+      FROM lexs QUALIFY rank_lex <= 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id <> 0),
+    ds AS (
+      SELECT cid, round({dot} / ({nq} * {nc}), 6) AS cosine
+      FROM q, c
+    ),
+    dense AS (
+      SELECT cid AS doc_id,
+             row_number() OVER (ORDER BY cosine DESC, cid) AS rank_dense
+      FROM ds QUALIFY rank_dense <= 20
+    ),
+    fused AS (
+      SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+             CAST(rank_lex AS INT) AS rank_lex,
+             CAST(rank_dense AS INT) AS rank_dense,
+             round(coalesce(1.0 / (60 + rank_lex), 0)
+                   + coalesce(1.0 / (60 + rank_dense), 0), 6) AS rrf
+      FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_dense, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """
+
+
+@register("hybrid_search_rrf", _hybrid_oracle_sql())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — Reciprocal Rank Fusion (k=60) of a lexical
+    BM25 top-20 (the text_bm25_topk scorer, fixed term query) and a
+    dense cosine top-20 (embedding of vec_id 0 as the query vector,
+    doc_id ≡ vec_id): the standard two-tower search composition. Both
+    legs round scores to 6 dp BEFORE ranking and tiebreak on id, so
+    ranks — and therefore the fused floats, computed from integer
+    ranks in a fixed expression order — are bit-identical across
+    engines. Each leg's top-k is a TakeOrdered over a broadcast-stats
+    scoring pass; the fusion joins two ≤20-row frames — nothing
+    corpus-sized shuffles."""
+    from pyspark.sql import Window
+
+    from prohap_spark.queries.textdata import text_bm25_topk
+
+    lex = text_bm25_topk(spark, sf_dir).withColumn(
+        "rank_lex",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", F.col("rank_lex").cast("int").alias("rank_lex"))
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    c = e.where(F.col("vec_id") != 0)
+    dense = cosine_topk(
+        q, c, "vec_id", "vec_id", "embedding", k=20, score_decimals=6
+    ).toDF("qid", "doc_id", "cosine", "rank").select(
+        "doc_id", F.col("rank").cast("int").alias("rank_dense")
+    )
+
+    # fuse by union + groupBy, not a full-outer join: full outer can't
+    # broadcast (always SMJ), while the union aggregates both ≤20-row
+    # legs with one tiny hash exchange — the same shape at any k
+    fused = (
+        lex.select("doc_id", "rank_lex", F.lit(None).cast("int").alias("rank_dense"))
+        .unionAll(
+            dense.select(
+                "doc_id", F.lit(None).cast("int").alias("rank_lex"), "rank_dense"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("rank_lex").alias("rank_lex"),
+            F.max("rank_dense").alias("rank_dense"),
+        )
+        .select(
+            "doc_id",
+            "rank_lex",
+            "rank_dense",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)

@@ -253,3 +253,35 @@ def test_ngram_topk_take_ordered_not_global_sort(spark, qs):
     plan = formatted_plan(qs["text_ngram_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_knn_classify_broadcasts_probes_and_labels(spark, qs):
+    """The KNN vote must stay broadcast-shaped: the probe set and the
+    label lookup are both broadcast sides (no sort-merge, no nested
+    loop beyond the scored cross product against the broadcast probes),
+    and the only exchanges are for the per-probe vote window/groupBy."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["sim_knn_classify"](spark, SF))
+    assert rep["sortmerge_joins"] == 0
+    assert rep["broadcast_joins"] >= 2
+
+
+def test_audio_container_no_shuffle(spark, qs):
+    """Container-metadata extraction is one mapInPandas over the
+    payload column — a scan-shaped plan with ZERO exchanges."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["multimodal_audio_container"](spark, SF))
+    assert rep["exchanges"] == 0
+
+
+def test_hybrid_rrf_takeordered_legs_no_sortmerge(spark, qs):
+    """Both retrieval legs must keep their top-k as TakeOrdered
+    (per-partition heaps) and the ≤20-row fusion must never plan a
+    sort-merge join."""
+    from prohap_spark.plans import formatted_plan, plan_report
+
+    df = qs["hybrid_search_rrf"](spark, SF)
+    assert "TakeOrderedAndProject" in formatted_plan(df)
+    assert plan_report(df)["sortmerge_joins"] == 0
