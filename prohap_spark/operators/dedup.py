@@ -580,3 +580,44 @@ def winnowing_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def incremental_dedup(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental-ingest dedup: flag each DELTA document against the
+    already-curated BASE corpus and against the delta itself, WITHOUT
+    ever re-comparing base x base — the shape that keeps per-ingest
+    cost O(delta) instead of O(corpus) as the corpus grows. Returns
+    (id_col, dup_of_base, dup_within_delta, kept): ``dup_of_base`` if
+    the md5(text) key exists in base, ``dup_within_delta`` if a
+    smaller-id delta row shares the key, ``kept`` if neither — the
+    rows an ingest pass would append.
+
+    Scale shape: only md5 keys shuffle (never document text — the
+    curation-funnel lesson); the delta side is one key-partitioned
+    window; the base side is a key projection + distinct that a real
+    deployment replaces with the PERSISTED key index maintained across
+    ingests (write the kept keys back each round), making the
+    recurring cost independent of corpus size."""
+    key = F.md5(F.col(text_col))
+    base_keys = base.select(key.alias("__key")).distinct()
+    w = Window.partitionBy("__key").orderBy(id_col)
+    d = (
+        delta.select(F.col(id_col), key.alias("__key"))
+        .withColumn("__rn", F.row_number().over(w))
+    )
+    flagged = d.join(
+        base_keys.withColumn("__in_base", F.lit(True)), "__key", "left"
+    )
+    dup_of_base = F.coalesce(F.col("__in_base"), F.lit(False))
+    dup_within = F.col("__rn") > 1
+    return flagged.select(
+        F.col(id_col),
+        dup_of_base.alias("dup_of_base"),
+        dup_within.alias("dup_within_delta"),
+        (~dup_of_base & ~dup_within).alias("kept"),
+    )

@@ -1658,3 +1658,62 @@ def curation_funnel(d: DataFrame) -> DataFrame:
             "final_kept", F.coalesce(F.col("cum_tokens") <= 150, F.lit(False))
         )
     )
+
+
+@register(
+    "dedup_incremental_ingest",
+    # delta = the 50 newest docs + verbatim copies of 30 base docs
+    # (re-keyed +1000) + second copies of 10 of the new docs (+2000):
+    # every flag is decidable from md5(text) membership alone, and any
+    # NATURAL text collisions in the fixture flow through both engines
+    # identically because the oracle derives flags from the same data
+    """
+    WITH delta AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 450
+      UNION ALL
+      SELECT doc_id + 1000, text FROM documents WHERE doc_id < 30
+      UNION ALL
+      SELECT doc_id + 2000, text FROM documents WHERE doc_id BETWEEN 460 AND 469
+    ),
+    base AS (
+      SELECT md5(text) AS key FROM documents WHERE doc_id < 450 GROUP BY 1
+    ),
+    k AS (
+      SELECT doc_id, md5(text) AS key,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM delta
+    )
+    SELECT k.doc_id,
+           base.key IS NOT NULL AS dup_of_base,
+           k.rn > 1 AS dup_within_delta,
+           (base.key IS NULL AND k.rn = 1) AS kept
+    FROM k LEFT JOIN base ON k.key = base.key
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup (operators/dedup.py incremental_dedup):
+    a delta batch — 50 genuinely new documents, 30 verbatim copies of
+    base documents, 10 second copies of the new ones — flagged against
+    the curated base and within itself by md5(text) key membership,
+    with base x base never recompared. The per-ingest cost is
+    O(delta) once the base key index is persisted; only hash keys
+    shuffle."""
+    from prohap_spark.operators.dedup import incremental_dedup
+
+    d = table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") < 450)
+    delta = (
+        d.where(F.col("doc_id") >= 450)
+        .select("doc_id", "text")
+        .unionAll(
+            d.where(F.col("doc_id") < 30).select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "text"
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id").between(460, 469)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return incremental_dedup(base, delta, "doc_id", "text")

@@ -1011,3 +1011,36 @@ def test_knn_classify_label_transfer(spark):
     )
     got = knn_classify(tie_probe, tie_corpus, "vec_id", "embedding", "label").collect()
     assert [(r["qid"], r["pred_label"], r["n_votes"]) for r in got] == [(200, 1, 2)]
+
+
+def test_incremental_dedup_flags(spark):
+    """Incremental-ingest semantics on a literal fixture: base keys
+    suppress delta rows, within-delta copies keep the smallest id, a
+    row that is BOTH a base dup and a delta re-copy stays dup_of_base
+    for every copy, and kept = neither flag."""
+    from prohap_spark.operators.dedup import incremental_dedup
+
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha"),   # dup of base
+            (11, "gamma"),   # new, first
+            (12, "gamma"),   # within-delta dup of 11
+            (13, "alpha"),   # base dup AND second delta copy of 'alpha'
+            (14, "delta"),   # new
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["dup_of_base"], r["dup_within_delta"], r["kept"])
+        for r in incremental_dedup(base, delta, "doc_id", "text").collect()
+    }
+    assert rows == {
+        10: (True, False, False),
+        11: (False, False, True),
+        12: (False, True, False),
+        13: (True, True, False),
+        14: (False, False, True),
+    }
