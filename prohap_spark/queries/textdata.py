@@ -1717,3 +1717,58 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return incremental_dedup(base, delta, "doc_id", "text")
+
+
+@register(
+    "text_chunk_overlap",
+    # stride = chunk - overlap = 150; chunk starts at 1, 151, 301, ...
+    # while start <= n_chars (so every doc emits >= 1 chunk and the
+    # final partial chunk is kept); chunk text is compared by md5 so
+    # the hash gate pins every byte without shipping text twice
+    """
+    WITH c AS (
+      SELECT doc_id, text,
+             CAST(greatest(ceil((length(text) - 200) / 150.0) + 1, 1) AS BIGINT)
+               AS nc
+      FROM documents
+    ),
+    x AS (SELECT doc_id, text, unnest(range(0, nc)) AS i FROM c)
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * 150 + 1 AS BIGINT) AS start_pos,
+           md5(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_md5,
+           CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS INT)
+             AS chunk_chars
+    FROM x
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: every document split into
+    200-char windows with 50-char overlap (stride 150), keeping the
+    trailing partial chunk, one row per (doc_id, chunk_idx) with the
+    chunk's md5 and length. The fan-out is a per-row sequence +
+    posexplode — a map-side transform with NO shuffle: chunking 100 TB
+    is embarrassingly parallel and the chunk id (doc_id, chunk_idx) is
+    deterministic for downstream joins back to source documents.
+    Substring indexing is by CHARACTER in both engines (Spark substring
+    and DuckDB substr are codepoint-based), so multi-byte text chunks
+    identically."""
+    d = table(spark, sf_dir, "documents")
+    n = F.length("text")
+    chunk, stride = 200, 150
+    n_chunks = F.greatest(
+        F.ceil((n - chunk) / F.lit(float(stride))) + 1, F.lit(1)
+    ).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    start = F.col("chunk_idx") * stride + 1
+    piece = F.substring(F.col("text"), start, chunk)
+    return (
+        d.select("doc_id", "text", idx)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            start.cast("long").alias("start_pos"),
+            F.md5(piece).alias("chunk_md5"),
+            F.length(piece).cast("int").alias("chunk_chars"),
+        )
+    )

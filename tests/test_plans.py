@@ -285,3 +285,12 @@ def test_hybrid_rrf_takeordered_legs_no_sortmerge(spark, qs):
     df = qs["hybrid_search_rrf"](spark, SF)
     assert "TakeOrderedAndProject" in formatted_plan(df)
     assert plan_report(df)["sortmerge_joins"] == 0
+
+
+def test_chunk_overlap_no_shuffle(spark, qs):
+    """Chunking is a per-row fan-out (sequence + explode) — the plan
+    must have ZERO exchanges; at corpus scale it is map-side only."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["text_chunk_overlap"](spark, SF))
+    assert rep["exchanges"] == 0
