@@ -4,8 +4,8 @@ The correctness harness checks ~50 registry entries per round
 (dict order = `_FRONT + mid + _BACK` in prohap_spark/queries/
 __init__.py). The rotation rule (restated r6, when the registry
 outgrew a 2x50 budget) promises: every registered query is hash-green
-within any trailing THREE-round window (122 registered <= 3 x 50
-budget). This script verifies that promise against the actual
+within any trailing THREE-round window (registry <= 3 x 50 budget;
+134 registered at r6 close). This script verifies that promise against the actual
 CORRECTNESS_r*.json files:
 
   for every registered query NOT in the current front window, there
