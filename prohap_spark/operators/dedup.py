@@ -621,3 +621,82 @@ def incremental_dedup(
         dup_within.alias("dup_within_delta"),
         (~dup_of_base & ~dup_within).alias("kept"),
     )
+
+
+def incremental_lsh_pairs(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: the MinHash-LSH twin of
+    ``incremental_dedup`` — every delta document probed against the
+    curated base's band index AND against earlier delta documents,
+    with base x base never recompared. Returns verified pairs
+    (id_delta, id_other, side, jaccard) where side says whether the
+    match came from the base index ('base') or a smaller-id delta row
+    ('delta').
+
+    Scale shape: the base side's (id, band_idx, band_hash) table IS
+    the persisted LSH index a deployment maintains across ingests
+    (append the kept delta bands each round) — recomputing it here is
+    the sf-fixture stand-in for reading it back, and the recurring
+    probe cost is O(delta bands). Candidates come from band-bucket
+    equi-joins (never a cross join); ``max_bucket_size`` drops
+    over-cap base buckets before the probe join — the same measured
+    k²-guard as ``lsh_candidate_pairs``."""
+    toks_b = shingle_table(base, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    toks_d = shingle_table(delta, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    toks_b = toks_b.repartition(par, id_col)
+    toks_d = toks_d.repartition(par, id_col)
+
+    bb = band_table(toks_b, id_col, "__tokens", num_hashes, band_size)
+    db = band_table(toks_d, id_col, "__tokens", num_hashes, band_size)
+    if max_bucket_size is not None:
+        ok = (
+            bb.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") <= max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        bb = bb.join(ok, ["band_idx", "band_hash"], "left_semi")
+
+    d_side = db.select(
+        F.col(id_col).alias("id_delta"), "band_idx", "band_hash"
+    )
+    cand_base = (
+        d_side.join(
+            bb.select(F.col(id_col).alias("id_other"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .select("id_delta", "id_other")
+        .distinct()
+        .withColumn("side", F.lit("base"))
+    )
+    cand_delta = (
+        d_side.join(
+            db.select(F.col(id_col).alias("id_other"), "band_idx", "band_hash"),
+            ["band_idx", "band_hash"],
+        )
+        .where(F.col("id_other") < F.col("id_delta"))
+        .select("id_delta", "id_other")
+        .distinct()
+        .withColumn("side", F.lit("delta"))
+    )
+
+    ta = toks_d.select(F.col(id_col).alias("id_delta"), F.col("__tokens").alias("tokens_a"))
+    tb_base = toks_b.select(F.col(id_col).alias("id_other"), F.col("__tokens").alias("tokens_b"))
+    tb_delta = toks_d.select(F.col(id_col).alias("id_other"), F.col("__tokens").alias("tokens_b"))
+    verified = (
+        cand_base.join(ta, "id_delta").join(tb_base, "id_other")
+        .unionAll(cand_delta.join(ta, "id_delta").join(tb_delta, "id_other"))
+        .withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_delta", "id_other", "side", "jaccard")

@@ -1772,3 +1772,116 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(piece).cast("int").alias("chunk_chars"),
         )
     )
+
+
+@register(
+    "dedup_incremental_near",
+    # the MinHash-LSH twin of dedup_incremental_ingest: delta = the 50
+    # newest docs + one-word-suffixed copies of 20 base docs (+1000,
+    # near-dups the EXACT pass cannot see) + suffixed copies of five
+    # new docs (+2000, within-delta near-dups). Signatures/bands are
+    # md5-deterministic, so DuckDB reproduces the candidate sets and
+    # the verified pairs bit-for-bit; base x base never compared
+    f"""
+    WITH bd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 450
+    ),
+    dd AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 450
+      UNION ALL
+      SELECT doc_id + 1000, text || ' xyzzy' FROM documents WHERE doc_id < 20
+      UNION ALL
+      SELECT doc_id + 2000, text || ' quux' FROM documents
+      WHERE doc_id BETWEEN 450 AND 454
+    ),
+    toks_b AS (SELECT doc_id, {_DUCK_BIGRAMS} AS tokens FROM bd),
+    toks_d AS (SELECT doc_id, {_DUCK_BIGRAMS} AS tokens FROM dd),
+    sig_b AS (
+      SELECT doc_id, tokens,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(tokens, t -> md5(s::VARCHAR || '|' || t)))) AS sig
+      FROM toks_b WHERE len(tokens) > 0
+    ),
+    sig_d AS (
+      SELECT doc_id, tokens,
+             list_transform(range(0, 16),
+               s -> list_min(list_transform(tokens, t -> md5(s::VARCHAR || '|' || t)))) AS sig
+      FROM toks_d WHERE len(tokens) > 0
+    ),
+    bands_b AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_hash
+      FROM sig_b, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    bands_d AS (
+      SELECT doc_id, b AS band_idx,
+             md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS band_hash
+      FROM sig_d, (SELECT unnest(range(0, 4)) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS id_delta, b.doc_id AS id_other, 'base' AS side
+      FROM bands_d d JOIN bands_b b
+        ON d.band_idx = b.band_idx AND d.band_hash = b.band_hash
+      UNION ALL
+      SELECT DISTINCT a.doc_id AS id_delta, b.doc_id AS id_other, 'delta' AS side
+      FROM bands_d a JOIN bands_d b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND b.doc_id < a.doc_id
+    ),
+    verified AS (
+      SELECT c.id_delta, c.id_other, c.side,
+             len(list_intersect(ta.tokens, tb.tokens)) * 1.0 /
+             len(list_distinct(list_concat(ta.tokens, tb.tokens))) AS jaccard
+      FROM cand c
+      JOIN toks_d ta ON c.id_delta = ta.doc_id
+      JOIN (
+        SELECT doc_id, tokens FROM toks_b
+      ) tb ON c.id_other = tb.doc_id AND c.side = 'base'
+      UNION ALL
+      SELECT c.id_delta, c.id_other, c.side,
+             len(list_intersect(ta.tokens, tb.tokens)) * 1.0 /
+             len(list_distinct(list_concat(ta.tokens, tb.tokens))) AS jaccard
+      FROM cand c
+      JOIN toks_d ta ON c.id_delta = ta.doc_id
+      JOIN toks_d tb ON c.id_other = tb.doc_id AND c.side = 'delta'
+    )
+    SELECT id_delta, id_other, side, round(jaccard, 6) AS jaccard
+    FROM verified WHERE jaccard >= 0.6
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (operators/dedup.py
+    incremental_lsh_pairs): a delta batch — 50 new documents, 20
+    one-word-suffixed copies of base documents (invisible to exact
+    dedup), 5 suffixed copies of new ones — probed against the base
+    corpus's MinHash-LSH band index (the persisted structure a
+    deployment appends to each round) and against earlier delta rows,
+    never recomparing base x base. Verified pairs carry exact bigram
+    Jaccard and which side matched."""
+    from prohap_spark.operators.dedup import incremental_lsh_pairs
+
+    d = table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") < 450).select("doc_id", "text")
+    delta = (
+        d.where(F.col("doc_id") >= 450)
+        .select("doc_id", "text")
+        .unionAll(
+            d.where(F.col("doc_id") < 20).select(
+                (F.col("doc_id") + 1000).alias("doc_id"),
+                F.concat("text", F.lit(" xyzzy")).alias("text"),
+            )
+        )
+        .unionAll(
+            d.where(F.col("doc_id").between(450, 454)).select(
+                (F.col("doc_id") + 2000).alias("doc_id"),
+                F.concat("text", F.lit(" quux")).alias("text"),
+            )
+        )
+    )
+    out = incremental_lsh_pairs(
+        base, delta, "doc_id", "text",
+        threshold=0.6, num_hashes=16, band_size=4, ngram=2,
+    )
+    return out.select(
+        "id_delta", "id_other", "side", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -1044,3 +1044,40 @@ def test_incremental_dedup_flags(spark):
         13: (True, True, False),
         14: (False, False, True),
     }
+
+
+def test_incremental_lsh_pairs_sides_and_cap(spark):
+    """Incremental near-dup: a delta doc near-copying a base doc
+    reports side='base'; two near-identical delta docs pair once with
+    the smaller id as id_other; base x base pairs never appear; and
+    max_bucket_size=1 drops every multi-member base bucket, leaving
+    only the within-delta pair."""
+    from prohap_spark.operators.dedup import incremental_lsh_pairs
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    base = spark.createDataFrame(
+        # identical texts: dups WITHIN base must never pair, and every
+        # base band bucket has exactly 2 members (the cap=1 target)
+        [(1, text), (2, text)],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(10, text + " xyzzy"), (11, text + " xyzzy quux"), (12, "zz yy xx ww vv uu tt ss")],
+        "doc_id long, text string",
+    )
+    out = incremental_lsh_pairs(
+        base, delta, "doc_id", "text", threshold=0.5, band_size=4
+    ).collect()
+    pairs = {(r["id_delta"], r["id_other"], r["side"]) for r in out}
+    assert (10, 1, "base") in pairs
+    assert (11, 10, "delta") in pairs
+    assert all(p[0] >= 10 for p in pairs)          # id_delta is always a delta row
+    assert all(p[1] < p[0] or p[2] == "base" for p in pairs)
+    assert not any(r["id_delta"] == 12 for r in out)  # unrelated doc pairs nothing
+
+    capped = incremental_lsh_pairs(
+        base, delta, "doc_id", "text", threshold=0.5, band_size=4, max_bucket_size=1
+    ).collect()
+    csides = {r["side"] for r in capped}
+    assert "base" not in csides          # every base bucket has 2 members -> dropped
+    assert (11, 10, "delta") in {(r["id_delta"], r["id_other"], r["side"]) for r in capped}
