@@ -43,7 +43,7 @@ def quality_classifier_scores(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF, Tokenizer
 
-    from prohap_spark.queries.textdata import quality_score_expr
+    from prohap_spark.functions import quality_score_expr
 
     base = df.select(
         F.col(id_col),
@@ -51,7 +51,20 @@ def quality_classifier_scores(
         quality_score_expr(text_col).alias("__q"),
         (md5_bucket(F.col(id_col), 100) < train_pct).alias("is_train"),
     )
-    lo, hi = base.approxQuantile("__q", [label_quantile, 1.0 - label_quantile], 0.001)
+    quantiles = base.approxQuantile("__q", [label_quantile, 1.0 - label_quantile], 0.001)
+    if len(quantiles) < 2:  # approxQuantile returns [] when every __q is NULL
+        raise ValueError(
+            "quality_classifier_scores: no non-null quality scores to label "
+            "(empty corpus or all-null text)"
+        )
+    lo, hi = quantiles
+    if lo == hi:
+        raise ValueError(
+            "quality_classifier_scores: degenerate quality distribution "
+            f"(both label quantiles = {lo!r}); weak top/bottom-quantile labels "
+            "would collapse into one class — widen label_quantile or fix the "
+            "quality signal"
+        )
     labeled = base.withColumn(
         "weak_label",
         F.when(F.col("__q") >= hi, F.lit(1.0))

@@ -100,10 +100,12 @@ def knn_classify(
         .agg(F.count(F.lit(1)).alias("n_votes"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("n_votes").desc(), F.col("label").asc())
+    # pred_label keeps the label column's native type (an int cast here
+    # would silently NULL out string labels)
     return (
         votes.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("qid", F.col("label").cast("int").alias("pred_label"), "n_votes")
+        .select("qid", F.col("label").alias("pred_label"), "n_votes")
     )
 
 

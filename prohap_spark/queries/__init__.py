@@ -40,7 +40,7 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # any trailing THREE-round window. (Through r5 the documented window
 # was TWO rounds; at 122 registered queries that is arithmetically
 # unsatisfiable against a 2x50 budget — restated r6 as the three-round
-# window registry <= 3x50 (134 at r6 close), which
+# window registry <= 3x50 (135 at r6 close), which
 # tools/rotation_audit.py now audits.)
 #
 # Round-6 state: _FRONT = the 24 rule-(a) queries that have never

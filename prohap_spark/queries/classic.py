@@ -831,11 +831,12 @@ def multimodal_audio_container(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _docs_as_media(spark, sf_dir, 64)
 
-    def mp3_frame(kbps_idx: int, pad: int) -> bytes:
+    def mp3_frame(kbps: int, pad: int) -> bytes:
         # MPEG-1 (ver bits 11), Layer III (bits 01), no CRC → 0xFB;
-        # 44.1 kHz (sr_idx 0), mono (mode 3)
-        kbps = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
-                224, 256, 320][kbps_idx]
+        # 44.1 kHz (sr_idx 0), mono (mode 3). Only the two bitrates
+        # this fixture emits — the full table lives with the parser
+        # (multimodal/codecs.py _MP3_BITRATES), no shadow copy here
+        kbps_idx = {128: 9, 160: 10}[kbps]
         frame_len = 1152 // 8 * kbps * 1000 // 44100 + pad
         hdr = bytes([0xFF, 0xFB, (kbps_idx << 4) | (pad << 1), 0xC0])
         return hdr + b"\x00" * (frame_len - 4)
@@ -853,7 +854,7 @@ def multimodal_audio_container(spark: SparkSession, sf_dir: str) -> DataFrame:
                     k = 3 + mid % 7
                     vbr = mid % 4 == 1
                     p = b"".join(
-                        mp3_frame(10 if (vbr and i % 2 == 1) else 9, pad=i % 2)
+                        mp3_frame(160 if (vbr and i % 2 == 1) else 128, pad=i % 2)
                         for i in range(k)
                     )
                     if mid % 6 == 3:  # exercise the ID3v2 skip

@@ -579,7 +579,9 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") % 10 == 0)
     c = e.where(F.col("vec_id") % 10 != 0)
-    pick = knn_classify(q, c, "vec_id", "embedding", "label", k=5)
+    pick = knn_classify(q, c, "vec_id", "embedding", "label", k=5).withColumn(
+        "pred_label", F.col("pred_label").cast("int")
+    )
     truth = q.select(
         F.col("vec_id").alias("qid"), F.col("label").cast("int").alias("true_label")
     )

@@ -1721,10 +1721,13 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_chunk_overlap",
-    # stride = chunk - overlap = 150; chunk starts at 1, 151, 301, ...
-    # while start <= n_chars (so every doc emits >= 1 chunk and the
-    # final partial chunk is kept); chunk text is compared by md5 so
-    # the hash gate pins every byte without shipping text twice
+    # stride = chunk - overlap = 150; n_chunks = max(ceil((n-200)/150)
+    # + 1, 1): chunks start at 1, 151, 301, ... until one REACHES the
+    # end (last start + 200 >= n; a doc shorter than one chunk still
+    # emits its single partial chunk, and no start past n-50 is added
+    # — the tail is already covered, never re-emitted fully-overlapped);
+    # chunk text is compared by md5 so the hash gate pins every byte
+    # without shipping text twice
     """
     WITH c AS (
       SELECT doc_id, text,
