@@ -473,6 +473,79 @@ def segment_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Exact substring deduplication (the "Deduplicating Training Data
+    Makes Language Models Better" recipe at word granularity): every
+    SLIDING ``k``-word gram whose corpus-wide document frequency
+    exceeds ``max_docs`` marks ALL token positions it covers for
+    removal — in every document containing it — and the surviving
+    tokens reassemble in order. Unlike ``segment_dedup``'s aligned
+    fixed windows, sliding grams catch duplicated spans at ANY offset,
+    so a boilerplate sentence pasted mid-paragraph is excised even when
+    no segment boundary lines up with it.
+
+    The 100 TB shape mirrors ``segment_dedup``: only
+    (id, gram_pos, md5) triples shuffle — gram TEXT never leaves its
+    map side. The duplicated-gram aggregate is map-side partial
+    (countDistinct over md5 keys); the coverage pass explodes each
+    duplicated occurrence into its k positions (duplicate-surface-
+    sized, not corpus-sized) and collects a tiny per-doc int set; the
+    final pass re-splits the original text map-side and drops covered
+    positions with JVM array expressions — reassembly is shuffle-free.
+    Returns (id_col, n_tokens, n_removed, scrubbed_text)."""
+    def ws_of(col: str):
+        return F.split(F.trim(F.col(col)), " ")
+
+    def gramlist_of(col: str):
+        ws = ws_of(col)
+        n = F.size(ws) - F.lit(k - 1)
+        # guard the sequence: n <= 0 would generate a DESCENDING range
+        # (the packing zero-token lesson), so short docs get no grams
+        return F.when(
+            n > 0,
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda s: F.md5(F.array_join(F.slice(ws, s + 1, k), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    occ = df.select(
+        F.col(id_col), F.posexplode(gramlist_of(text_col)).alias("__gpos", "__k")
+    )
+    dup = (
+        occ.groupBy("__k")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") > max_docs)
+        .select("__k")
+    )
+    removed = (
+        occ.join(dup, "__k")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__gpos"), F.col("__gpos") + F.lit(k - 1))
+            ).alias("__pos"),
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("__pos")).alias("__rm"))
+    )
+    ws = ws_of(text_col)
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(ws, lambda w, i: ~F.array_contains(rm, i))
+    return df.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.size(ws).cast("long").alias("n_tokens"),
+        F.size(rm).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("scrubbed_text"),
+    )
+
+
 def winnowing_pairs(
     df: DataFrame,
     id_col: str,
@@ -582,11 +655,21 @@ def winnowing_pairs(
     )
 
 
+def exact_key_index(df: DataFrame, text_col: str) -> DataFrame:
+    """The persistable artifact of exact incremental dedup: one ``key``
+    column of distinct md5(text) values. Write it once, append each
+    ingest's kept keys, and pass it back to ``incremental_dedup`` as
+    ``base_keys`` so the recurring per-ingest cost never rescans the
+    corpus."""
+    return df.select(F.md5(F.col(text_col)).alias("key")).distinct()
+
+
 def incremental_dedup(
-    base: DataFrame,
+    base: DataFrame | None,
     delta: DataFrame,
     id_col: str,
     text_col: str,
+    base_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingest dedup: flag each DELTA document against the
     already-curated BASE corpus and against the delta itself, WITHOUT
@@ -599,12 +682,17 @@ def incremental_dedup(
 
     Scale shape: only md5 keys shuffle (never document text — the
     curation-funnel lesson); the delta side is one key-partitioned
-    window; the base side is a key projection + distinct that a real
-    deployment replaces with the PERSISTED key index maintained across
-    ingests (write the kept keys back each round), making the
-    recurring cost independent of corpus size."""
+    window. Pass ``base_keys`` (the persisted ``exact_key_index``,
+    column ``key``) to skip the base scan entirely — the deployment
+    path whose recurring cost is independent of corpus size;
+    ``base=None`` is then allowed. Without it, the index is derived
+    from ``base`` in-query (the fixture stand-in)."""
+    if base_keys is None:
+        if base is None:
+            raise ValueError("incremental_dedup needs base or base_keys")
+        base_keys = exact_key_index(base, text_col)
+    base_keys = base_keys.select(F.col("key").alias("__key")).distinct()
     key = F.md5(F.col(text_col))
-    base_keys = base.select(key.alias("__key")).distinct()
     w = Window.partitionBy("__key").orderBy(id_col)
     d = (
         delta.select(F.col(id_col), key.alias("__key"))
@@ -623,6 +711,25 @@ def incremental_dedup(
     )
 
 
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    ngram: int = 2,
+) -> DataFrame:
+    """The persistable artifact of incremental near-dup: the
+    (id, band_idx, band_hash) MinHash-LSH band table. Write it once,
+    append each ingest's kept rows, and pass it back to
+    ``incremental_lsh_pairs`` as ``base_bands`` — the recurring
+    per-ingest cost then never re-shingles the corpus."""
+    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = toks.repartition(par, id_col)
+    return band_table(toks, id_col, "__tokens", num_hashes, band_size)
+
+
 def incremental_lsh_pairs(
     base: DataFrame,
     delta: DataFrame,
@@ -633,6 +740,7 @@ def incremental_lsh_pairs(
     band_size: int = 4,
     ngram: int = 2,
     max_bucket_size: int | None = None,
+    base_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: the MinHash-LSH twin of
     ``incremental_dedup`` — every delta document probed against the
@@ -642,21 +750,27 @@ def incremental_lsh_pairs(
     match came from the base index ('base') or a smaller-id delta row
     ('delta').
 
-    Scale shape: the base side's (id, band_idx, band_hash) table IS
-    the persisted LSH index a deployment maintains across ingests
-    (append the kept delta bands each round) — recomputing it here is
-    the sf-fixture stand-in for reading it back, and the recurring
-    probe cost is O(delta bands). Candidates come from band-bucket
-    equi-joins (never a cross join); ``max_bucket_size`` drops
-    over-cap base buckets before the probe join — the same measured
-    k²-guard as ``lsh_candidate_pairs``."""
-    toks_b = shingle_table(base, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    Scale shape: pass ``base_bands`` (the persisted ``lsh_band_index``)
+    and the base corpus is never re-shingled — candidates come from
+    band-bucket equi-joins against the index (never a cross join), and
+    the Jaccard verify shingles ONLY the candidate base rows (an
+    id semi-join prunes the base read BEFORE the shingle projection),
+    so recurring per-ingest cost is O(delta + candidates). Without
+    ``base_bands`` the index is derived from ``base`` in-query (the
+    sf-fixture stand-in). ``base`` itself is always required: the
+    verify stage must fetch candidate documents' text, exactly as a
+    deployment fetches them from the corpus store. ``max_bucket_size``
+    drops over-cap base buckets before the probe join — the same
+    measured k²-guard as ``lsh_candidate_pairs``."""
     toks_d = shingle_table(delta, id_col, text_col, ngram).where(F.size("__tokens") > 0)
-    par = base.sparkSession.sparkContext.defaultParallelism
-    toks_b = toks_b.repartition(par, id_col)
+    par = delta.sparkSession.sparkContext.defaultParallelism
     toks_d = toks_d.repartition(par, id_col)
 
-    bb = band_table(toks_b, id_col, "__tokens", num_hashes, band_size)
+    bb = (
+        base_bands
+        if base_bands is not None
+        else lsh_band_index(base, id_col, text_col, num_hashes, band_size, ngram)
+    )
     db = band_table(toks_d, id_col, "__tokens", num_hashes, band_size)
     if max_bucket_size is not None:
         ok = (
@@ -691,7 +805,18 @@ def incremental_lsh_pairs(
     )
 
     ta = toks_d.select(F.col(id_col).alias("id_delta"), F.col("__tokens").alias("tokens_a"))
-    tb_base = toks_b.select(F.col(id_col).alias("id_other"), F.col("__tokens").alias("tokens_b"))
+    # verify shingles ONLY candidate base rows: the id semi-join sits
+    # below the shingle projection, so a persisted-index run reads (and
+    # tokenizes) just the handful of matched documents, not the corpus
+    base_needed = base.join(
+        cand_base.select(F.col("id_other").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    toks_bn = shingle_table(base_needed, id_col, text_col, ngram).where(
+        F.size("__tokens") > 0
+    )
+    tb_base = toks_bn.select(F.col(id_col).alias("id_other"), F.col("__tokens").alias("tokens_b"))
     tb_delta = toks_d.select(F.col(id_col).alias("id_other"), F.col("__tokens").alias("tokens_b"))
     verified = (
         cand_base.join(ta, "id_delta").join(tb_base, "id_other")

@@ -1117,6 +1117,58 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_substring_dedup",
+    # sliding 8-word grams (vs line dedup's ALIGNED 4-word windows): a
+    # gram in >1 distinct document marks every position it covers
+    """
+    WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+    segs AS (
+      SELECT doc_id, ws,
+             list_transform(range(0, greatest(len(ws) - 7, 0)),
+                 s -> md5(array_to_string(ws[(s+1):(s+8)], ' '))) AS gl
+      FROM w
+    ),
+    ex AS (
+      SELECT doc_id, unnest(gl) AS gh,
+             generate_subscripts(gl, 1) - 1 AS gpos
+      FROM segs
+    ),
+    dup AS (SELECT gh FROM ex GROUP BY gh HAVING count(DISTINCT doc_id) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT e.doc_id, unnest(range(e.gpos, e.gpos + 8)) AS pos
+        FROM ex e JOIN dup USING (gh)
+      )
+    ),
+    t AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) - 1 AS idx
+      FROM w
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.word END, ' ' ORDER BY t.idx), '') AS scrubbed_text
+    FROM t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.pos
+    GROUP BY t.doc_id
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (operators/dedup.py substring_dedup): the
+    Lee-et-al sliding-gram recipe — any 8-word gram appearing in more
+    than one document excises every position it covers, at any offset.
+    Complements `text_line_dedup`'s aligned segments: a shared phrase
+    straddling a segment boundary is invisible there but removed here.
+    The scrubbed text is compared verbatim, so a coverage or
+    reassembly-order bug breaks the hash (at sf0.01 the corpus carries
+    ~1000 cross-document duplicated grams touching ~47 documents)."""
+    from prohap_spark.operators.dedup import substring_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return substring_dedup(d, "doc_id", "text", k=8, max_docs=1)
+
+
+@register(
     "pack_context_windows",
     # shard = md5(doc_id) % 8 (sampling_hash_split's bucket idiom);
     # within-shard order = md5(doc_id); seq_len = 128

@@ -1081,3 +1081,87 @@ def test_incremental_lsh_pairs_sides_and_cap(spark):
     csides = {r["side"] for r in capped}
     assert "base" not in csides          # every base bucket has 2 members -> dropped
     assert (11, 10, "delta") in {(r["id_delta"], r["id_other"], r["side"]) for r in capped}
+
+
+def test_incremental_persisted_index_parity(spark, tmp_path):
+    """The deployment path — persisted exact-key / LSH-band indexes
+    written to parquet, read back, and passed to the incremental
+    operators — must return row-for-row the same flags/pairs as the
+    in-query recompute path."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.dedup import (
+        exact_key_index,
+        incremental_dedup,
+        incremental_lsh_pairs,
+        lsh_band_index,
+    )
+    from prohap_spark.queries.registry import table
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    base = d.where(F.col("doc_id") < 450).select("doc_id", "text")
+    delta = d.where(F.col("doc_id") >= 450).select("doc_id", "text").unionAll(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat("text", F.lit(" xyzzy")).alias("text"),
+        )
+    )
+
+    kpath, bpath = str(tmp_path / "keys"), str(tmp_path / "bands")
+    exact_key_index(base, "text").write.parquet(kpath)
+    lsh_band_index(base, "doc_id", "text").write.parquet(bpath)
+
+    live = {
+        tuple(r) for r in incremental_dedup(base, delta, "doc_id", "text").collect()
+    }
+    idx = {
+        tuple(r)
+        for r in incremental_dedup(
+            None, delta, "doc_id", "text", base_keys=spark.read.parquet(kpath)
+        ).collect()
+    }
+    assert live == idx and live
+
+    live_n = {
+        (r["id_delta"], r["id_other"], r["side"], round(r["jaccard"], 6))
+        for r in incremental_lsh_pairs(base, delta, "doc_id", "text").collect()
+    }
+    idx_n = {
+        (r["id_delta"], r["id_other"], r["side"], round(r["jaccard"], 6))
+        for r in incremental_lsh_pairs(
+            base, delta, "doc_id", "text",
+            base_bands=spark.read.parquet(bpath),
+        ).collect()
+    }
+    assert live_n == idx_n and live_n
+
+
+def test_substring_dedup_sliding_coverage(spark):
+    """Pin the exact-substring-dedup semantics on a literal fixture:
+    a shared 8-gram at DIFFERENT offsets in two docs excises exactly
+    the covered positions in both; sub-k docs and within-doc-only
+    repeats are untouched (document frequency, not occurrence count,
+    drives removal)."""
+    from prohap_spark.operators.dedup import substring_dedup
+
+    rows = [
+        # shared suffix "c d e f g h i j" at pos 2 in both
+        (1, "a b c d e f g h i j"),
+        (2, "x y c d e f g h i j"),
+        # shorter than k=8: no grams, untouched
+        (3, "a b c"),
+        # unique 10 words: untouched
+        (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),
+        # 8-gram repeated WITHIN one doc only: df=1, untouched
+        (5, "p q r s t u v w p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed_text"])
+        for r in substring_dedup(df, "doc_id", "text", k=8).collect()
+    }
+    assert got[1] == (10, 8, "a b")
+    assert got[2] == (10, 8, "x y")
+    assert got[3] == (3, 0, "a b c")
+    assert got[4] == (10, 0, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9")
+    assert got[5] == (16, 0, "p q r s t u v w p q r s t u v w")

@@ -128,6 +128,66 @@ def main() -> None:
         row["funnel_rows"] = curation_funnel(docs).count()
         row["funnel_sec"] = round(time.monotonic() - t0, 3)
 
+        # incremental ingest: the base corpus GROWS with r while the
+        # delta stays fixed (500 docs, half near-copies of base). The
+        # claim under test: with the persisted index, per-ingest cost
+        # is O(delta + candidates) — the *_idx_sec series should stay
+        # ~flat while the recompute series grows with the base.
+        import shutil
+        import tempfile
+
+        from prohap_spark.operators.dedup import (
+            exact_key_index,
+            incremental_dedup,
+            incremental_lsh_pairs,
+            lsh_band_index,
+        )
+
+        base = docs
+        delta_src = spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+            F.col("doc_id") < 500
+        )
+        delta = delta_src.where(F.col("doc_id") < 250).select(
+            (F.col("doc_id") + 50_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" rep0 tail")).alias("text"),
+        ).unionAll(
+            delta_src.where(F.col("doc_id") >= 250).select(
+                (F.col("doc_id") + 60_000_000).alias("doc_id"),
+                F.concat(F.lit("fresh prefix "), "text").alias("text"),
+            )
+        )
+
+        t0 = time.monotonic()
+        row["incr_exact_rows"] = incremental_dedup(base, delta, "doc_id", "text").count()
+        row["incr_exact_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        row["incr_near_pairs"] = incremental_lsh_pairs(
+            base, delta, "doc_id", "text", threshold=0.6, max_bucket_size=200
+        ).count()
+        row["incr_near_sec"] = round(time.monotonic() - t0, 3)
+
+        tmp = tempfile.mkdtemp(prefix="incr_index_")
+        try:
+            exact_key_index(base, "text").write.parquet(f"{tmp}/keys")
+            lsh_band_index(base, "doc_id", "text").write.parquet(f"{tmp}/bands")
+
+            t0 = time.monotonic()
+            incremental_dedup(
+                None, delta, "doc_id", "text",
+                base_keys=spark.read.parquet(f"{tmp}/keys"),
+            ).count()
+            row["incr_exact_idx_sec"] = round(time.monotonic() - t0, 3)
+
+            t0 = time.monotonic()
+            incremental_lsh_pairs(
+                base, delta, "doc_id", "text", threshold=0.6, max_bucket_size=200,
+                base_bands=spark.read.parquet(f"{tmp}/bands"),
+            ).count()
+            row["incr_near_idx_sec"] = round(time.monotonic() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
         out[r] = row
         print(
             f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
@@ -135,7 +195,11 @@ def main() -> None:
             f"winnow {row['winnow_sec']:6.2f}s  "
             f"semdedup {row['semdedup_sec']:6.2f}s  "
             f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s  "
-            f"funnel {row['funnel_sec']:6.2f}s",
+            f"funnel {row['funnel_sec']:6.2f}s  "
+            f"incr_exact {row['incr_exact_sec']:6.2f}s"
+            f"/{row['incr_exact_idx_sec']:5.2f}s(idx)  "
+            f"incr_near {row['incr_near_sec']:6.2f}s"
+            f"/{row['incr_near_idx_sec']:5.2f}s(idx)",
             flush=True,
         )
     print(json.dumps(out))
