@@ -626,3 +626,113 @@ def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") <= 3)
     )
+
+
+@register(
+    "scd2_merge_upsert",
+    # base = customers current as of batch 1 (custkey%10==0 also carry
+    # one closed history row from batch 0); updates = batch 2 with
+    # changed balances (%3==0), no-op copies (%7==0, not %3), and new
+    # keys (+10M for %11==0)
+    """
+    WITH cur AS (
+      SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+             c_mktsegment AS mktsegment, 1 AS valid_from,
+             CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+      FROM customer
+    ),
+    hist AS (
+      SELECT c_custkey AS custkey, c_acctbal - 50 AS acctbal,
+             c_mktsegment AS mktsegment, 0 AS valid_from,
+             1 AS valid_to, FALSE AS is_current
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    upd AS (
+      SELECT c_custkey AS custkey, c_acctbal + 100 AS acctbal,
+             c_mktsegment AS mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 3 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, 999.0, 'NEWSEG'
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    changed AS (
+      SELECT u.* FROM upd u LEFT JOIN cur c ON u.custkey = c.custkey
+      WHERE c.custkey IS NULL
+         OR u.acctbal IS DISTINCT FROM c.acctbal
+         OR u.mktsegment IS DISTINCT FROM c.mktsegment
+    ),
+    closed AS (
+      SELECT custkey, acctbal, mktsegment, valid_from,
+             2 AS valid_to, FALSE AS is_current
+      FROM cur WHERE custkey IN (SELECT custkey FROM changed)
+    ),
+    untouched AS (
+      SELECT * FROM cur WHERE custkey NOT IN (SELECT custkey FROM changed)
+    ),
+    ins AS (
+      SELECT custkey, acctbal, mktsegment, 2 AS valid_from,
+             CAST(NULL AS INT) AS valid_to, TRUE AS is_current
+      FROM changed
+    )
+    SELECT * FROM hist
+    UNION ALL SELECT * FROM closed
+    UNION ALL SELECT * FROM untouched
+    UNION ALL SELECT * FROM ins
+    """,
+)
+def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension merge (operators/merge.py scd2_merge): one
+    upsert batch against the customer dimension exercising all four
+    outcomes — changed rows close-and-reinsert, identical updates
+    no-op, brand-new keys insert, pre-existing history rides through
+    untouched. History never joins; only the current slice meets the
+    batch (one key equi-join), and the close/keep split is two
+    semi/anti joins against the update-sized changed-key set."""
+    from prohap_spark.operators.merge import scd2_merge
+
+    c = table(spark, sf_dir, "customer")
+    cur = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit(1).cast("int").alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    hist = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        (F.col("c_acctbal") - 50).alias("acctbal"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit(0).cast("int").alias("valid_from"),
+        F.lit(1).cast("int").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    base = hist.unionAll(cur).select(
+        "custkey", "acctbal", "mktsegment", "valid_from", "valid_to", "is_current"
+    )
+    upd = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            (F.col("c_acctbal") + 100).alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .unionAll(
+            c.where((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 3 != 0)).select(
+                F.col("c_custkey").alias("custkey"),
+                F.col("c_acctbal").alias("acctbal"),
+                F.col("c_mktsegment").alias("mktsegment"),
+            )
+        )
+        .unionAll(
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("custkey"),
+                F.lit(999.0).alias("acctbal"),
+                F.lit("NEWSEG").alias("mktsegment"),
+            )
+        )
+    )
+    return scd2_merge(base, upd, "custkey", ["acctbal", "mktsegment"], batch_id=2)

@@ -1165,3 +1165,41 @@ def test_substring_dedup_sliding_coverage(spark):
     assert got[3] == (3, 0, "a b c")
     assert got[4] == (10, 0, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9")
     assert got[5] == (16, 0, "p q r s t u v w p q r s t u v w")
+
+
+def test_scd2_merge_outcomes_and_chaining(spark):
+    """Pin SCD2 merge semantics on a literal fixture: change closes +
+    reinserts, identical update no-ops, new key inserts, history rides
+    through; a second identical batch is a full no-op (idempotence);
+    null-safe change detection treats null -> value as a change."""
+    from prohap_spark.operators.merge import scd2_merge
+
+    base = spark.createDataFrame(
+        [
+            (1, "a", 0, 1, False),   # history row, must ride through
+            (1, "b", 1, None, True), # will change to "c"
+            (2, "x", 1, None, True), # identical update -> no-op
+            (3, None, 1, None, True),# null -> "z" must count as change
+        ],
+        ["k", "v", "valid_from", "valid_to", "is_current"],
+    )
+    upd = spark.createDataFrame(
+        [(1, "c"), (2, "x"), (3, "z"), (4, "new")], ["k", "v"]
+    )
+    m1 = scd2_merge(base, upd, "k", ["v"], batch_id=2)
+    rows = {(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in m1.collect()}
+    assert rows == {
+        (1, "a", 0, 1, False),
+        (1, "b", 1, 2, False),
+        (1, "c", 2, None, True),
+        (2, "x", 1, None, True),
+        (3, None, 1, 2, False),
+        (3, "z", 2, None, True),
+        (4, "new", 2, None, True),
+    }
+    # idempotence: replaying the same batch changes nothing
+    m2 = scd2_merge(m1, upd, "k", ["v"], batch_id=3)
+    rows2 = {(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+             for r in m2.collect()}
+    assert rows2 == rows
