@@ -904,3 +904,186 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "qty_cents",
     )
+
+@register(
+    "q4_order_priority",
+    # EXISTS adaptation: the schema has no l_commitdate/l_receiptdate,
+    # so "late" means a line shipped >90 days after the order date
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4 shape: correlated EXISTS decorrelated into a LEFT SEMI
+    join with a non-equi residual (shipdate > orderdate + 90 days) on
+    top of the orderkey equi-key. Catalyst plans the semi join on the
+    equi key with the residual as join condition — no subquery
+    re-execution per row; at scale it's one shuffle on orderkey with
+    the date filter pushed to the orders scan."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    # o_comment doesn't exist in this schema; the excluded-order
+    # predicate is priority-based instead
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: outer join preserving zero-order customers,
+    per-customer count (count(col) skips the nulls the outer join
+    injects), then the distribution histogram. Two shuffles — custkey
+    join + tiny c_count regroup; the second aggregate's key space is
+    order-count-sized, so the map-side combine collapses it."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy(c["c_custkey"])
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    # threshold 250 (not the spec's 300): sf0.01's max per-order
+    # quantity sum is 458, 250 keeps ~200 qualifying orders
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us, o.o_totalprice,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 shape: aggregated IN-subquery (orders whose total
+    quantity clears a threshold) as a semi join against the grouped
+    lineitem — the qualifying-key set is threshold-selective, so the
+    probe side broadcasts under AQE. Quantities are integral in this
+    corpus; summing them as bigint keeps the cross-engine hash exact."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__q"))
+        .where(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_us"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+@register(
+    "q22_idle_customers",
+    # no c_phone in this schema: country code := c_nationkey % 10; the
+    # above-average test is exact integer math (cents * n > total) so
+    # no double-rounding divergence can flip a row between engines.
+    # Every customer in this corpus has SOME order, so "idle" means no
+    # order on/after 1998-10-01 (the dataset's final quarter)
+    """
+    WITH pos AS (
+      SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey, c_nationkey
+      FROM customer WHERE c_acctbal > 0
+    ),
+    stats AS (SELECT sum(cents) AS tot, count(*) AS n FROM pos)
+    SELECT CAST(p.c_nationkey % 10 AS INT) AS cntrycode,
+           count(*) AS numcust,
+           CAST(sum(p.cents) AS BIGINT) AS totacctbal_cents
+    FROM pos p, stats s
+    WHERE p.c_nationkey % 10 IN (1, 3, 5, 7, 9)
+      AND p.cents * s.n > s.tot
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '1998-10-01'
+      )
+    GROUP BY p.c_nationkey % 10
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: scalar aggregate subquery (corpus average
+    balance) + NOT EXISTS anti join. The average test is rewritten to
+    exact integer arithmetic (cents * n > total) because double
+    averages are partial-agg-order-dependent and a knife-edge balance
+    could flip between engines. Every customer here has SOME order, so
+    "idle" = no order in the final quarter — the date filter pushes to
+    the orders scan BEFORE the anti join. The 1-row stats frame
+    broadcasts; the anti join is the only shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1998-10-01").cast("timestamp")
+    )
+    pos = c.where(F.col("c_acctbal") > 0).select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+        "c_custkey",
+        "c_nationkey",
+    )
+    stats = pos.agg(F.sum("cents").alias("tot"), F.count(F.lit(1)).alias("n"))
+    return (
+        pos.where((F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+        .crossJoin(F.broadcast(stats))
+        .where(F.col("cents") * F.col("n") > F.col("tot"))
+        .join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("cents").cast("bigint").alias("totacctbal_cents"),
+        )
+    )
