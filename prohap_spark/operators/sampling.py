@@ -1,0 +1,105 @@
+"""Deterministic negative sampling for contrastive / embedding
+training: every query document draws K pseudo-random negatives from
+the corpus, reproducibly (same corpus, same picks — no ``rand()``),
+via a hash pick against a distributed dense enumeration of the corpus.
+
+The dense index is the scalable zipWithIndex: a GLOBAL row_number over
+100 TB would serialize on one task, so documents are sharded by a
+content-hash bucket, numbered WITHIN each shard in parallel (the
+packing cumsum idiom), and lifted to a global dense [0, N) index by
+adding per-shard offsets — an aggregate of ``n_shards`` rows that
+cumsums driver-side-small and broadcasts back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from prohap_spark.functions.hashing import md5_bucket
+
+
+def dense_index(df: DataFrame, id_col: str, n_shards: int = 16) -> DataFrame:
+    """Assign every row a dense index in [0, N) in a deterministic
+    pseudo-random order (md5 of the id), without a global sort: shard
+    by md5 bucket, row_number within shard, plus the shard's cumulative
+    offset. Returns (id_col, idx)."""
+    idc = F.col(id_col)
+    c = df.select(
+        idc,
+        md5_bucket(idc, n_shards).cast("int").alias("__shard"),
+        F.md5(idc.cast("string")).alias("__okey"),
+    )
+    within = (
+        F.row_number().over(
+            Window.partitionBy("__shard").orderBy("__okey", id_col)
+        )
+        - 1
+    )
+    w = c.select(idc, "__shard", within.alias("__within"))
+    counts = c.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    # n_shards rows: the offset cumsum is driver-scale by construction
+    off = counts.select(
+        "__shard",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return w.join(F.broadcast(off), "__shard").select(
+        idc, (F.col("__off") + F.col("__within")).cast("long").alias("idx")
+    )
+
+
+def negative_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    query_col: str = "qid",
+    k: int = 4,
+    n_shards: int = 16,
+) -> DataFrame:
+    """For each row of ``queries`` (one ``query_col`` id per row) draw
+    ``k`` deterministic pseudo-random negatives from ``corpus``:
+    candidate index = md5(qid ":" rank) mod N probed against the dense
+    corpus enumeration. A self-collision (the pick IS the query doc)
+    is dropped rather than re-drawn, so a query may yield k-1 rows —
+    re-drawing would need data-dependent iteration for a ~1/N event.
+    Returns (query_col, neg_rank, neg_id). One equi-join on idx; the
+    corpus total is a broadcast 1-row aggregate."""
+    ix = dense_index(corpus, id_col, n_shards)
+    tot = corpus.agg(F.count(F.lit(1)).alias("__cnt"))
+    ex = queries.select(
+        F.col(query_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(query_col).cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    cand = ex.crossJoin(F.broadcast(tot)).select(
+        query_col, "neg_rank", (h % F.col("__cnt")).alias("__cidx")
+    )
+    return (
+        cand.join(ix, cand["__cidx"] == ix["idx"])
+        .where(F.col(id_col) != F.col(query_col))
+        .select(
+            query_col,
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            F.col(id_col).alias("neg_id"),
+        )
+    )

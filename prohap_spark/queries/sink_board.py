@@ -240,3 +240,56 @@ def j8_gene_header_annotation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simplify_headers(fasta, tr).select(
         "tag", "accession", "description", "sequence"
     )
+
+
+_RT_JSONL = f"/tmp/prohap_rt_jsonl_{os.getpid()}"
+_atexit.register(_shutil.rmtree, _RT_JSONL, True)
+
+
+@register(
+    "s13_jsonl_roundtrip",
+    # the oracle recomputes the expected projection straight from the
+    # source table — any JSONL serialization/parse defect (nested
+    # struct, string array, unicode escaping, gz/glob handling) breaks
+    # the hash
+    """
+    SELECT doc_id,
+           source, lang,
+           CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+           md5(text) AS text_md5,
+           md5(array_to_string(string_split(trim(text), ' ')[1:3], '|')) AS head_md5
+    FROM documents
+    """,
+)
+def s13_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → glob re-read round trip: the LLM-corpus
+    interchange format (one JSON object per line, gzipped shards).
+    Each document is written with a NESTED meta struct and a token
+    head array, re-read with an EXPLICIT schema (schema-on-read
+    discipline — at 100 TB you never let Spark infer a schema by
+    scanning the corpus twice), and projected back to digests the
+    oracle recomputes from the source parquet. Writing is
+    embarrassingly parallel (one shard per task, no shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), " ")
+    staged = d.select(
+        "doc_id",
+        F.struct(F.col("source"), F.col("lang")).alias("meta"),
+        F.slice(ws, 1, 3).alias("head"),
+        "text",
+    )
+    staged.write.mode("overwrite").option("compression", "gzip").json(_RT_JSONL)
+
+    schema = (
+        "doc_id bigint, meta struct<source:string, lang:string>, "
+        "head array<string>, text string"
+    )
+    rt = spark.read.schema(schema).json(_RT_JSONL + "/part-*.json.gz")
+    return rt.select(
+        "doc_id",
+        F.col("meta.source").alias("source"),
+        F.col("meta.lang").alias("lang"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+        F.md5("text").alias("text_md5"),
+        F.md5(F.array_join("head", "|")).alias("head_md5"),
+    )

@@ -1940,3 +1940,65 @@ def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_delta", "id_other", "side", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+@register(
+    "sampling_negative_pairs",
+    # dense index = md5-shard (16) + within-shard row_number + shard
+    # offsets (the scalable zipWithIndex); candidate = first-8-hex of
+    # md5(qid ':' rank) mod N probed against it; self-picks dropped
+    """
+    WITH c AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS okey,
+             CAST(list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % 16 AS INT) AS shard
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) - 1 AS within
+      FROM c
+    ),
+    sc AS (SELECT shard, count(*) AS n FROM c GROUP BY shard),
+    so AS (
+      SELECT shard,
+             coalesce(sum(n) OVER (ORDER BY shard
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM sc
+    ),
+    ix AS (SELECT doc_id, off + within AS idx FROM w JOIN so USING (shard)),
+    tot AS (SELECT count(*) AS cnt FROM documents),
+    ex AS (
+      SELECT doc_id AS qid, unnest(range(0, 4)) AS neg_rank
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    cand AS (
+      SELECT qid, neg_rank,
+             CAST(list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(qid || ':' || neg_rank), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % (SELECT cnt FROM tot) AS BIGINT) AS cidx
+      FROM ex
+    )
+    SELECT c.qid, CAST(c.neg_rank AS INT) AS neg_rank, i.doc_id AS neg_id
+    FROM cand c JOIN ix i ON c.cidx = i.idx
+    WHERE i.doc_id <> c.qid
+    """,
+)
+def sampling_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (operators/sampling.py negative_pairs): every 20th document draws
+    4 pseudo-random corpus negatives via a hash pick against the
+    distributed dense index (the scalable zipWithIndex — md5 shards
+    numbered in parallel plus broadcast shard offsets; no global
+    sort). Reproducible across runs/engines, so the oracle replays
+    the exact picks."""
+    from prohap_spark.operators.sampling import negative_pairs
+
+    d = table(spark, sf_dir, "documents")
+    q = d.where(F.col("doc_id") % 20 == 0).select(F.col("doc_id").alias("qid"))
+    return negative_pairs(d, q, "doc_id", "qid", k=4, n_shards=16)

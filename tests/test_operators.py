@@ -1203,3 +1203,46 @@ def test_scd2_merge_outcomes_and_chaining(spark):
     rows2 = {(r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
              for r in m2.collect()}
     assert rows2 == rows
+
+
+def test_dense_index_bijection_and_determinism(spark):
+    """dense_index must be a bijection onto [0, N) for arbitrary
+    (non-contiguous) ids, stable across invocations."""
+    from prohap_spark.operators.sampling import dense_index
+
+    ids = [(3 * i + 7,) for i in range(1000)]
+    df = spark.createDataFrame(ids, ["k"])
+    a = {r["k"]: r["idx"] for r in dense_index(df, "k", n_shards=16).collect()}
+    assert sorted(a.values()) == list(range(1000))
+    b = {r["k"]: r["idx"] for r in dense_index(df, "k", n_shards=16).collect()}
+    assert a == b
+
+
+def test_negative_pairs_match_hashlib_replay(spark):
+    """negative_pairs' picks must equal an independent pure-Python
+    md5 replay (first 8 hex of md5('qid:rank') mod N probed against
+    the md5-ordered dense enumeration), with self-picks dropped."""
+    import hashlib
+
+    from prohap_spark.operators.sampling import negative_pairs
+
+    ids = list(range(10, 40))  # N=30
+    corpus = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    queries = spark.createDataFrame([(i,) for i in ids], ["qid"])
+    got = {
+        (r["qid"], r["neg_rank"]): r["neg_id"]
+        for r in negative_pairs(corpus, queries, "doc_id", "qid", k=8, n_shards=4).collect()
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    shard = lambda i: int(md5(str(i))[:8], 16) % 4  # noqa: E731
+    order = sorted(ids, key=lambda i: (shard(i), md5(str(i)), i))
+    # shards are laid out consecutively because the sort key leads
+    # with the shard and offsets accumulate in shard order
+    expected = {}
+    for q in ids:
+        for r in range(8):
+            pick = order[int(md5(f"{q}:{r}")[:8], 16) % len(ids)]
+            if pick != q:
+                expected[(q, r)] = pick
+    assert got == expected and len(expected) < 30 * 8  # some self-drops

@@ -294,3 +294,66 @@ def test_chunk_overlap_no_shuffle(spark, qs):
 
     rep = plan_report(qs["text_chunk_overlap"](spark, SF))
     assert rep["exchanges"] == 0
+
+
+def test_q4_semi_join_not_bnl(spark, qs):
+    """The EXISTS decorrelation must plan the semi join on the orderkey
+    equi-key (hash/SMJ) with the date residual as condition — never a
+    nested loop — and push the order-date window to the orders scan."""
+    from prohap_spark.plans import formatted_plan, plan_report, pushed_filters
+
+    df = qs["q4_order_priority"](spark, SF)
+    rep = plan_report(df)
+    assert rep["bnl_joins"] == 0
+    assert "LeftSemi" in formatted_plan(df)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_q18_semi_join_and_bigint_sums(spark, qs):
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(qs["q18_large_volume_customer"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_q22_broadcast_stats_and_anti_join(spark, qs):
+    """The 1-row stats frame must broadcast (never a shuffled cartesian)
+    and the NOT EXISTS must plan as a LeftAnti with the final-quarter
+    date filter pushed to the orders scan."""
+    from prohap_spark.plans import formatted_plan, pushed_filters
+
+    df = qs["q22_idle_customers"](spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+
+
+def test_substring_dedup_hash_keys_only(spark, qs):
+    """Gram TEXT must never shuffle: every exchange in the substring
+    dedup plan carries md5 keys / positions, and reassembly re-splits
+    the original text map-side (no sort-aggregate of gram strings)."""
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(qs["text_substring_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the per-doc removed-set aggregate and the final doc join exchange
+    # on id/__k only; gram text appears in no exchange's partitioning
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "__seg" not in keys and "text" not in keys.split(",")[0]
+
+
+def test_scd2_merge_history_never_joins(spark, qs):
+    """SCD2's scale contract: the history slice unions straight into
+    the output without participating in any join (only the current
+    slice meets the update batch)."""
+    from prohap_spark.plans import formatted_plan
+
+    df = qs["scd2_merge_upsert"](spark, SF)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Union" in plan
