@@ -1,0 +1,118 @@
+"""Streaming SCD2 change capture: the `operators/merge.py` dimension
+merge as a CONTINUOUS operator — change records arrive as a stream,
+per-key GroupState holds the open version, and every version
+transition is emitted as an append-mode event ('open' when a version
+starts, 'close' when it is superseded). A downstream consumer folds
+the event log into the same dimension table the batch merge produces.
+
+The 100 TB / streaming shape: state is one (tracked-values, since)
+entry per live business key, partitioned by the key like every keyed
+state here; each micro-batch shuffles only its own change records.
+Consecutive identical updates are no-ops (no event, no state write
+beyond the counter), so a chatty CDC source that re-sends unchanged
+rows costs nothing downstream.
+
+Batch inputs run the identical semantics as window expressions —
+lag() change detection + lead() close timestamps, one shuffle on the
+business key — and the parity test pins stream == batch row-for-row
+for a single-batch input.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def stream_scd2_changes(
+    updates: DataFrame,
+    key_col: str = "k",
+    ts_col: str = "ts",
+    tracked_cols: tuple[str, ...] = ("v",),
+) -> DataFrame:
+    """Emit SCD2 version-transition events for a stream (or batch) of
+    change records (``key_col`` long, ``ts_col`` long, tracked columns
+    string — cast upstream). Output rows are
+    (key, *tracked, valid_from, valid_to, action): one 'open' per
+    version with ``valid_to`` null, one 'close' when a later record
+    with DIFFERENT tracked values supersedes it (``valid_to`` = the
+    successor's timestamp). Consecutive duplicates are dropped;
+    within a batch, ties order deterministically by (ts, *tracked)."""
+    tracked = list(tracked_cols)
+    cols = [key_col, ts_col, *tracked]
+
+    if not updates.isStreaming:
+        w = Window.partitionBy(key_col).orderBy(ts_col, *tracked)
+        prev_differs = F.lit(False)
+        for c in tracked:
+            prev_differs = prev_differs | ~F.col(c).eqNullSafe(
+                F.lag(F.col(c)).over(w)
+            )
+        first = F.lag(F.col(ts_col)).over(w).isNull()
+        versions = (
+            updates.select(*cols)
+            .withColumn("__new", first | prev_differs)
+            .where(F.col("__new"))
+        )
+        vw = Window.partitionBy(key_col).orderBy(ts_col, *tracked)
+        versions = versions.withColumn("__to", F.lead(F.col(ts_col)).over(vw))
+        opens = versions.select(
+            key_col,
+            *tracked,
+            F.col(ts_col).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit("open").alias("action"),
+        )
+        closes = versions.where(F.col("__to").isNotNull()).select(
+            key_col,
+            *tracked,
+            F.col(ts_col).cast("long").alias("valid_from"),
+            F.col("__to").cast("long").alias("valid_to"),
+            F.lit("close").alias("action"),
+        )
+        return opens.unionAll(closes)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} long, "
+        + ", ".join(f"{c} string" for c in tracked)
+        + ", valid_from long, valid_to long, action string"
+    )
+    state_schema = "vals string, since long"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cur = tuple(json.loads(state.get[0]))
+            since = state.get[1]
+        else:
+            cur, since = None, None
+        chunks = [pdf[[ts_col, *tracked]] for pdf in pdfs]
+        batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        batch = batch.sort_values([ts_col, *tracked])
+        rows = []
+        for rec in batch.itertuples(index=False):
+            ts = int(getattr(rec, ts_col))
+            vals = tuple(
+                None if pd.isna(getattr(rec, c)) else str(getattr(rec, c))
+                for c in tracked
+            )
+            if cur is not None and vals == cur:
+                continue  # consecutive duplicate: no event
+            if cur is not None:
+                rows.append((key[0], *cur, since, ts, "close"))
+            rows.append((key[0], *vals, ts, None, "open"))
+            cur, since = vals, ts
+        if cur is not None:
+            state.update((json.dumps(list(cur)), since))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[key_col, *tracked, "valid_from", "valid_to", "action"],
+            )
+
+    return updates.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -1246,3 +1246,40 @@ def test_negative_pairs_match_hashlib_replay(spark):
             if pick != q:
                 expected[(q, r)] = pick
     assert got == expected and len(expected) < 30 * 8  # some self-drops
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank must match a dense numpy power iteration (same
+    damping, same uniform dangling-mass redistribution) to 1e-9 on a
+    fixed random digraph with dangling nodes, and stay normalized."""
+    from prohap_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    n = 40
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+            if a != b and a % 9 != 0  # every 9th node is dangling
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=12).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    ix = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    M = np.zeros((m, m))
+    deg = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    for a, b in edges:
+        M[ix[b], ix[a]] = 1.0 / deg[a]
+    d = 0.85
+    r = np.full(m, 1.0 / m)
+    dangling = np.array([1.0 if v not in deg else 0.0 for v in nodes])
+    for _ in range(12):
+        r = (1 - d) / m + d * (M @ r + (dangling @ r) / m)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in nodes:
+        assert abs(got[v] - r[ix[v]]) < 1e-9

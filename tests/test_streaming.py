@@ -398,3 +398,80 @@ def test_stream_token_budget_multi_chunk_group_order(spark, tmp_path):
         for r in s.sql("SELECT * FROM chunked_budget_out").collect()
     }
     assert got == want and len(got) == 24
+
+
+def test_stream_scd2_changes_batch_parity_and_cross_batch(spark, tmp_path):
+    """Streaming SCD2 change capture: (1) the batch branch and a
+    single-trigger stream emit identical event sets; (2) under a
+    two-trigger stream a version OPENED by batch 1 is CLOSED by a
+    batch-2 change, and a batch-2 re-send of the current values emits
+    nothing (state carries the open version across triggers)."""
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "b"),  # dup at 30: no event
+        (2, 10, "x"),
+        (3, 10, None), (3, 20, "z"),               # null -> z is a change
+    ]
+    batch = spark.createDataFrame(rows, "k long, ts long, v string")
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in stream_scd2_changes(batch, "k", "ts", ("v",)).collect()
+    }
+    assert want == {
+        (1, "a", 10, None, "open"), (1, "a", 10, 20, "close"),
+        (1, "b", 20, None, "open"),
+        (2, "x", 10, None, "open"),
+        (3, None, 10, None, "open"), (3, None, 10, 20, "close"),
+        (3, "z", 20, None, "open"),
+    }
+
+    d = str(tmp_path / "cdc_stream")
+    batch.coalesce(1).write.mode("append").parquet(d)
+    stream = stream_scd2_changes(
+        spark.readStream.schema("k long, ts long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d),
+        "k", "ts", ("v",),
+    )
+    q = (
+        stream.writeStream.outputMode("append").format("memory")
+        .queryName("cdc_one").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable(); q.stop()
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in spark.sql("SELECT * FROM cdc_one").collect()
+    }
+    assert got == want
+
+    # two triggers: k=1 changes in t2 (close expected), k=2 re-sends
+    # its current value in t2 (no event expected)
+    d2 = str(tmp_path / "cdc_stream2")
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "x")], "k long, ts long, v string"
+    ).coalesce(1).write.mode("append").parquet(d2)
+    spark.createDataFrame(
+        [(1, 40, "c"), (2, 40, "x")], "k long, ts long, v string"
+    ).coalesce(1).write.mode("append").parquet(d2)
+    stream2 = stream_scd2_changes(
+        spark.readStream.schema("k long, ts long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d2),
+        "k", "ts", ("v",),
+    )
+    q2 = (
+        stream2.writeStream.outputMode("append").format("memory")
+        .queryName("cdc_two").trigger(availableNow=True).start()
+    )
+    q2.processAllAvailable(); q2.stop()
+    got2 = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in spark.sql("SELECT * FROM cdc_two").collect()
+    }
+    assert got2 == {
+        (1, "a", 10, None, "open"),
+        (2, "x", 10, None, "open"),
+        (1, "a", 10, 40, "close"),
+        (1, "c", 40, None, "open"),
+    }

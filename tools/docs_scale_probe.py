@@ -68,6 +68,7 @@ def main() -> None:
     from prohap_spark.operators.dedup import (
         minhash_dedup_pairs,
         segment_dedup,
+        substring_dedup,
         winnowing_pairs,
     )
     from prohap_spark.operators.packing import pack_context_windows
@@ -91,6 +92,10 @@ def main() -> None:
         t0 = time.monotonic()
         row["line_dedup_rows"] = segment_dedup(docs, "doc_id", "text").count()
         row["line_dedup_sec"] = round(time.monotonic() - t0, 3)
+
+        t0 = time.monotonic()
+        row["substr_rows"] = substring_dedup(docs, "doc_id", "text", k=8).count()
+        row["substr_sec"] = round(time.monotonic() - t0, 3)
 
         t0 = time.monotonic()
         row["pack_rows"] = pack_context_windows(
@@ -191,6 +196,7 @@ def main() -> None:
         out[r] = row
         print(
             f"x{r:2d}: line_dedup {row['line_dedup_sec']:6.2f}s  "
+            f"substr {row['substr_sec']:6.2f}s  "
             f"pack {row['pack_sec']:6.2f}s  lsh {row['lsh_sec']:6.2f}s  "
             f"winnow {row['winnow_sec']:6.2f}s  "
             f"semdedup {row['semdedup_sec']:6.2f}s  "
