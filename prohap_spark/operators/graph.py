@@ -153,14 +153,17 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # static contribution structure: (src, dst, 1/deg), cached once
+    # static contribution structure: (src, dst, 1/deg), cached once —
+    # populated lazily on first use inside the final materializing
+    # action (an up-front count() here would be a wasted extra job)
     contrib_edges = e.join(deg, "src").select(
         "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
     )
     contrib_edges.persist()
     try:
-        contrib_edges.count()
         ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
         for _ in range(n_iter):
             flow = (
@@ -190,6 +193,11 @@ def pagerank(
                 )
                 .localCheckpoint(eager=False)
             )
-        return ranks
+        # materialize HERE (the one action that executes the whole
+        # lazy-checkpoint chain) so the finally's unpersist cannot run
+        # before the cache is ever used — returning the lazy frame and
+        # unpersisting would silently recompute contrib_edges in every
+        # round when the caller finally acts
+        return ranks.localCheckpoint(eager=True)
     finally:
         contrib_edges.unpersist()

@@ -36,7 +36,10 @@ def dense_index(df: DataFrame, id_col: str, n_shards: int = 16) -> DataFrame:
         - 1
     )
     w = c.select(idc, "__shard", within.alias("__within"))
-    counts = c.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    # derive counts from the numbered branch (max within + 1) instead
+    # of re-aggregating c: both sides then hang off the SAME shard
+    # exchange (ReuseExchange), so the input is scanned and md5'd once
+    counts = w.groupBy("__shard").agg((F.max("__within") + 1).alias("__n"))
     # n_shards rows: the offset cumsum is driver-scale by construction
     off = counts.select(
         "__shard",

@@ -38,7 +38,12 @@ def stream_scd2_changes(
     version with ``valid_to`` null, one 'close' when a later record
     with DIFFERENT tracked values supersedes it (``valid_to`` = the
     successor's timestamp). Consecutive duplicates are dropped;
-    within a batch, ties order deterministically by (ts, *tracked)."""
+    within a batch, ties order deterministically by (ts, *tracked),
+    nulls first in both modes. In streaming mode a record STRICTLY
+    older than the open version's ``valid_from`` is dropped
+    (watermark semantics — accepting it would emit an inverted
+    interval and regress state); the batch branch, which sees all
+    records at once, simply orders it into place."""
     tracked = list(tracked_cols)
     cols = [key_col, ts_col, *tracked]
 
@@ -91,10 +96,21 @@ def stream_scd2_changes(
             cur, since = None, None
         chunks = [pdf[[ts_col, *tracked]] for pdf in pdfs]
         batch = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
-        batch = batch.sort_values([ts_col, *tracked])
+        # na_position='first' matches the batch branch's Spark window
+        # (orderBy defaults to asc_nulls_first) — without it a ts tie
+        # between a null and a non-null tracked value would order
+        # differently in the two modes and break the parity contract
+        batch = batch.sort_values([ts_col, *tracked], na_position="first")
         rows = []
         for rec in batch.itertuples(index=False):
             ts = int(getattr(rec, ts_col))
+            if since is not None and ts < since:
+                # strictly-late arrival: accepting it would emit an
+                # inverted valid_from > valid_to interval and regress
+                # state — watermark semantics, drop it (a ts TIE stays
+                # legal and yields the same zero-length version the
+                # batch branch produces for tied records)
+                continue
             vals = tuple(
                 None if pd.isna(getattr(rec, c)) else str(getattr(rec, c))
                 for c in tracked

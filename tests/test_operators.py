@@ -1283,3 +1283,31 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for v in nodes:
         assert abs(got[v] - r[ix[v]]) < 1e-9
+
+
+def test_scd2_merge_duplicate_update_keys_collapse(spark):
+    """A batch with several distinct updates for one key must collapse
+    to ONE new current version (greatest tracked tuple) — never two
+    is_current rows for the same key."""
+    from prohap_spark.operators.merge import scd2_merge
+
+    base = spark.createDataFrame(
+        [(1, "x", 1, None, True)],
+        "k long, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    upd = spark.createDataFrame([(1, "a"), (1, "b"), (1, "a")], ["k", "v"])
+    out = scd2_merge(base, upd, "k", ["v"], batch_id=2).collect()
+    current = [r for r in out if r["is_current"]]
+    assert len(current) == 1 and current[0]["v"] == "b"
+    assert {(r["k"], r["v"], r["is_current"]) for r in out} == {
+        (1, "x", False), (1, "b", True)
+    }
+    with pytest.raises(ValueError):
+        scd2_merge(base, upd, "k", [], batch_id=2)
+
+
+def test_pagerank_empty_graph(spark):
+    from prohap_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty).collect() == []

@@ -348,12 +348,19 @@ def test_substring_dedup_hash_keys_only(spark, qs):
 
 
 def test_scd2_merge_history_never_joins(spark, qs):
-    """SCD2's scale contract: the history slice unions straight into
-    the output without participating in any join (only the current
-    slice meets the update batch)."""
-    from prohap_spark.plans import formatted_plan
+    """SCD2's scale contract: ONE full-outer join of the current
+    slice against the (deduped) batch, every outcome emitted from the
+    joined row via explode — a second join node means either history
+    entered the join graph or a shared subplan is being re-executed
+    (the original semi/anti formulation replayed the compare join
+    three times; this pin caught it)."""
+    from prohap_spark.plans import formatted_plan, plan_report
 
     df = qs["scd2_merge_upsert"](spark, SF)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Union" in plan
+    rep = plan_report(df)
+    assert (
+        rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["bnl_joins"] <= 1
+    ), rep

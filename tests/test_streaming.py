@@ -475,3 +475,55 @@ def test_stream_scd2_changes_batch_parity_and_cross_batch(spark, tmp_path):
         (1, "a", 10, 40, "close"),
         (1, "c", 40, None, "open"),
     }
+
+
+def test_stream_scd2_null_tie_parity_and_late_drop(spark, tmp_path):
+    """(1) A ts tie between a null and a non-null tracked value must
+    order identically in batch (Spark nulls-first window) and stream
+    (pandas na_position='first'); (2) a strictly-late record in a
+    later trigger is dropped instead of emitting an inverted
+    interval."""
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    tie = spark.createDataFrame([(1, 10, None), (1, 10, "a")],
+                                "k long, ts long, v string")
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in stream_scd2_changes(tie, "k", "ts", ("v",)).collect()
+    }
+    d = str(tmp_path / "cdc_tie")
+    tie.coalesce(1).write.mode("append").parquet(d)
+    s = stream_scd2_changes(
+        spark.readStream.schema("k long, ts long, v string")
+        .option("maxFilesPerTrigger", 1).parquet(d),
+        "k", "ts", ("v",),
+    )
+    q = (s.writeStream.outputMode("append").format("memory")
+         .queryName("cdc_tie").trigger(availableNow=True).start())
+    q.processAllAvailable(); q.stop()
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in spark.sql("SELECT * FROM cdc_tie").collect()
+    }
+    assert got == want
+    # null orders FIRST: it opens and immediately closes at ts=10
+    assert (1, None, 10, 10, "close") in got and (1, "a", 10, None, "open") in got
+
+    d2 = str(tmp_path / "cdc_late")
+    spark.createDataFrame([(1, 40, "a")], "k long, ts long, v string")\
+        .coalesce(1).write.mode("append").parquet(d2)
+    spark.createDataFrame([(1, 10, "b")], "k long, ts long, v string")\
+        .coalesce(1).write.mode("append").parquet(d2)
+    s2 = stream_scd2_changes(
+        spark.readStream.schema("k long, ts long, v string")
+        .option("maxFilesPerTrigger", 1).parquet(d2),
+        "k", "ts", ("v",),
+    )
+    q2 = (s2.writeStream.outputMode("append").format("memory")
+          .queryName("cdc_late").trigger(availableNow=True).start())
+    q2.processAllAvailable(); q2.stop()
+    got2 = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in spark.sql("SELECT * FROM cdc_late").collect()
+    }
+    assert got2 == {(1, "a", 40, None, "open")}  # late record dropped
