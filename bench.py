@@ -49,6 +49,9 @@ HEADLINE = [
     # segment dedup (agg+join+reassemble), packing (per-shard window),
     # SemDeDup (cell-confined pairwise)
     "text_line_dedup",
+    # r6 third wave: the sliding-gram exact substring dedup — same
+    # family as line_dedup but gram fan-out is ~k x larger
+    "text_substring_dedup",
     "pack_context_windows",
     "dedup_semantic",
     # r5 fifth wave: the one-query curation funnel (quality -> lang ->

@@ -328,6 +328,86 @@ def train_centroids_by_label(df: DataFrame, label_col: str, vec_col: str) -> Dat
     )
 
 
+def train_centroids_kmeans(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Distributed Lloyd's k-means: the REAL coarse-quantizer trainer
+    whose output is the same small (cell_id, centroid) table
+    ``train_centroids_by_label`` produces — plug it into
+    ``ivf_ann_topk`` unchanged when no labels exist (the production
+    case).
+
+    Deterministic throughout: seeds are the ``k`` vectors with the
+    smallest md5(id) (a TakeOrdered, never a global sort), and the
+    L2 argmin breaks ties toward the lower cell id. Each iteration is
+    (a) a MAP-SIDE assignment of every vector against the centroid
+    list inlined as literals — k × d doubles, the sanctioned
+    driver-scale artifact, exactly like text_bpe_train's per-round
+    merge table — followed by (b) ONE shuffle: posexplode dims →
+    per-(cell, dim) sum/count → k·d aggregated rows collected to the
+    driver to rebuild the centroid list. Empty cells keep their
+    previous centroid. Total driver state is k·d floats; the corpus
+    is never collected."""
+    spark = df.sparkSession
+    seeds = [
+        [float(x) for x in r["__v"]]
+        for r in df.select(
+            F.col(vec_col).alias("__v"),
+            F.md5(F.col(id_col).cast("string")).alias("__m"),
+        )
+        .orderBy("__m")
+        .limit(k)
+        .collect()
+    ]
+    if not seeds:
+        raise ValueError("train_centroids_kmeans needs a non-empty corpus")
+    cents = seeds
+
+    def assign_expr(cents_: list[list[float]]):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cents_
+            ]
+        )
+        # array_position returns the FIRST match: ties deterministically
+        # go to the lower cell id
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(n_iter):
+        assigned = df.select(
+            assign_expr(cents).alias("__cell"), F.posexplode(vec_col).alias("d", "x")
+        ).withColumn("x", F.col("x").cast("double"))
+        stats = (
+            assigned.groupBy("__cell", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cell.setdefault(r["__cell"], {})[r["d"]] = r["s"] / r["n"]
+        cents = [
+            [by_cell[j][d] for d in sorted(by_cell[j])] if j in by_cell else cents[j]
+            for j in range(len(cents))
+        ]
+    return spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell_id int, centroid array<double>",
+    )
+
+
 def ivf_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1311,3 +1311,69 @@ def test_pagerank_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src long, dst long")
     assert pagerank(empty).collect() == []
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """train_centroids_kmeans must match a pure-numpy Lloyd run with
+    the identical deterministic seeding (k smallest md5(id)) and
+    lower-index tie-breaks, on a well-separated 3-cluster fixture
+    (margins >> double-rounding noise, so assignments are stable)."""
+    import hashlib
+
+    from prohap_spark.operators.similarity import train_centroids_kmeans
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    pts = np.vstack([centers[i % 3] + rng.normal(0, 0.3, 3) for i in range(90)])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(90)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    got = {
+        r["cell_id"]: np.array(r["centroid"])
+        for r in train_centroids_kmeans(df, "vid", "vec", k=3, n_iter=5).collect()
+    }
+
+    order = sorted(range(90), key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cents = pts[order[:3]].copy()
+    for _ in range(5):
+        d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)  # argmin takes the first minimum: same tie-break
+        for j in range(3):
+            m = cell == j
+            if m.any():
+                cents[j] = pts[m].mean(axis=0)
+    for j in range(3):
+        assert np.abs(got[j] - cents[j]).max() < 1e-6
+
+
+def test_ivf_with_kmeans_centroids_recall(spark):
+    """The trained-quantizer path: kmeans centroids plugged into the
+    UNCHANGED ivf_ann_topk must reach the same kind of recall the
+    by-label centroids give (>= 0.6 @ top-5 vs brute force at
+    sf0.001, nprobe 3 of 8 cells)."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.similarity import (
+        ivf_ann_topk,
+        train_centroids_kmeans,
+    )
+    from prohap_spark.queries import queries
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    corpus = e.where(F.col("vec_id") >= 10)
+    probes = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    cents = train_centroids_kmeans(corpus, "vec_id", "embedding", k=8, n_iter=4)
+    ann = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_ann_topk(
+            probes, corpus, cents, "qid", "vec_id", "embedding", k=5, nprobe=3
+        ).collect()
+    }
+    brute = {
+        (r["qid"], r["cid"])
+        for r in queries()["sim_bruteforce_topk"](spark, sf).collect()
+    }
+    assert len(brute) > 0
+    assert len(brute & ann) / len(brute) >= 0.6

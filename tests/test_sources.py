@@ -208,3 +208,36 @@ def test_fasta_roundtrip_empty_description(spark, tmp_path):
         "T1": ("cdna", "", "ACGTACGT"),
         "T2": ("cdna", "desc here", "GGGTTT"),
     }
+
+
+def test_orc_roundtrip_nested(spark, tmp_path):
+    """ORC sink -> glob re-read with an explicit schema (the second
+    columnar interchange format next to parquet): nested struct +
+    array survive byte-identically, schema-on-read discipline as in
+    the JSONL roundtrip."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    staged = d.select(
+        "doc_id",
+        F.struct("source", "lang").alias("meta"),
+        F.slice(F.split(F.trim(F.col("text")), " "), 1, 3).alias("head"),
+        F.md5("text").alias("text_md5"),
+    )
+    want = {
+        (r["doc_id"], r["meta"]["source"], r["meta"]["lang"],
+         tuple(r["head"]), r["text_md5"])
+        for r in staged.collect()
+    }
+    path = str(tmp_path / "orc")
+    staged.write.option("compression", "zlib").orc(path)
+    rt = spark.read.schema(
+        "doc_id bigint, meta struct<source:string, lang:string>, "
+        "head array<string>, text_md5 string"
+    ).orc(path + "/part-*.orc")
+    got = {
+        (r["doc_id"], r["meta"]["source"], r["meta"]["lang"],
+         tuple(r["head"]), r["text_md5"])
+        for r in rt.collect()
+    }
+    assert got == want and len(got) > 0
