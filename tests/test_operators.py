@@ -1377,3 +1377,19 @@ def test_ivf_with_kmeans_centroids_recall(spark):
     }
     assert len(brute) > 0
     assert len(brute & ann) / len(brute) >= 0.6
+
+
+def test_sampling_and_substring_empty_inputs(spark):
+    """Degenerate-input discipline (the pagerank lesson): empty
+    corpora flow through dense_index / negative_pairs /
+    substring_dedup as empty results, never a crash or a bogus row."""
+    from prohap_spark.operators.dedup import substring_dedup
+    from prohap_spark.operators.sampling import dense_index, negative_pairs
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert substring_dedup(empty_docs, "doc_id", "text").collect() == []
+    empty_ids = spark.createDataFrame([], "k long")
+    assert dense_index(empty_ids, "k").collect() == []
+    qs = spark.createDataFrame([(1,)], ["qid"])
+    # empty corpus: modulo-by-zero picks become null and match nothing
+    assert negative_pairs(empty_ids, qs, "k", "qid", k=2).collect() == []

@@ -364,3 +364,39 @@ def test_scd2_merge_history_never_joins(spark, qs):
     assert (
         rep["broadcast_joins"] + rep["sortmerge_joins"] + rep["bnl_joins"] <= 1
     ), rep
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    """The 100 TB runtime-filtering story: when a selective dim-side
+    predicate feeds a SHUFFLE join (broadcast disabled), Spark must
+    inject a bloom_filter_agg on the build side and a might_contain
+    probe above the fact scan — rows for unmatched orderkeys die
+    before the exchange instead of shuffling. (With broadcast joins
+    enabled the same pruning arrives via the broadcast hash table;
+    this pins the large-dim path where broadcasting is impossible.)"""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_orderpriority"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
