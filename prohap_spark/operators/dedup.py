@@ -491,9 +491,13 @@ def substring_dedup(
     no segment boundary lines up with it.
 
     The 100 TB shape mirrors ``segment_dedup``: only
-    (id, gram_pos, md5) triples shuffle — gram TEXT never leaves its
-    map side. The duplicated-gram aggregate is map-side partial
-    (countDistinct over md5 keys); the coverage pass explodes each
+    (id, gram_pos, hash) triples shuffle — gram TEXT never leaves its
+    map side, and the gram key is xxhash64 (an 8-byte long, 4× less
+    shuffle payload than an md5 hex string and measurably cheaper to
+    compute; a 64-bit collision merges two grams' dup decisions, the
+    same accepted risk every hash-based dedup takes). The
+    duplicated-gram aggregate is map-side partial
+    (countDistinct over hash keys); the coverage pass explodes each
     duplicated occurrence into its k positions (duplicate-surface-
     sized, not corpus-sized) and collects a tiny per-doc int set; the
     final pass re-splits the original text map-side and drops covered
@@ -511,9 +515,9 @@ def substring_dedup(
             n > 0,
             F.transform(
                 F.sequence(F.lit(0), n - 1),
-                lambda s: F.md5(F.array_join(F.slice(ws, s + 1, k), " ")),
+                lambda s: F.xxhash64(F.array_join(F.slice(ws, s + 1, k), " ")),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<long>"))
 
     occ = df.select(
         F.col(id_col), F.posexplode(gramlist_of(text_col)).alias("__gpos", "__k")
