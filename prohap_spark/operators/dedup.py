@@ -429,8 +429,11 @@ def segment_dedup(
     than ``max_docs`` documents, and reassemble the surviving segments
     in original order.
 
-    The 100 TB shape: only (id, seg_idx, md5) triples ever shuffle —
-    the segment TEXT never leaves its map side. One narrow posexplode
+    The 100 TB shape: only (id, seg_idx, hash) triples ever shuffle —
+    the segment TEXT never leaves its map side, keyed by xxhash64
+    (8-byte long, 4× less shuffle payload than an md5 hex string; a
+    64-bit collision merges two segments' dup decisions — the
+    accepted hash-dedup risk). One narrow posexplode
     feeds (a) the duplicated-key aggregate (map-side partial agg; the
     over-cap table is duplicate-surface-sized) and (b) the equi-join
     that collects each doc's removed indexes (a tiny per-doc int
@@ -450,7 +453,7 @@ def segment_dedup(
 
     ex = df.select(
         F.col(id_col), F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg")
-    ).select(id_col, "__seg_idx", F.md5(F.col("__seg")).alias("__k"))
+    ).select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
     dup = (
         ex.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
