@@ -49,12 +49,23 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    """NOTE: under AQE the pre-execution formatted plan shows
-    AdaptiveSparkPlan without codegen annotations; this returns >0 only
-    for executed/non-AQE plans. Plan-shape properties (pushdown,
-    pruning, join strategy, exchange count) are the reliable
-    pre-execution signals."""
-    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+    """Distinct whole-stage-codegen span ids in the physical plan.
+    Spark 4 renders codegen as '*(n)' operator prefixes (the literal
+    'WholeStageCodegen (n)' wrapper only appears in explain('codegen')
+    subtree headers), so both spellings are counted. NOTE: under AQE
+    the PRE-execution plan may hide spans inside AdaptiveSparkPlan —
+    plan-shape properties (pushdown, pruning, join strategy, exchange
+    count) are the reliable pre-execution signals; for a definitive
+    count, materialize the frame first and call this on the same
+    DataFrame (its queryExecution then holds the final plan)."""
+    plan = _executed_plan_string(df)
+    spans = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    spans |= set(re.findall(r"\*\((\d+)\)", plan))
+    return len(spans)
+
+
+def _executed_plan_string(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def plan_nodes(df: DataFrame) -> list[str]:

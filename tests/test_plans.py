@@ -400,3 +400,20 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_whole_stage_codegen_covers_jvm_hot_paths(spark, qs):
+    """Whole-stage codegen must actually cover the pure-JVM hot paths
+    (the counter is post-execution: AQE only finalizes spans once the
+    frame materializes on its OWN queryExecution). A q1 or
+    text_quality without codegen spans means an expression fell back
+    to interpreted eval — the 10x regression class this pin guards."""
+    from prohap_spark.plans import codegen_stage_count
+
+    for name in ("q1_pricing_summary", "text_quality", "w5_running_offset"):
+        df = qs[name](spark, SF)
+        # collect(), not a noop write: the write path spawns its OWN
+        # query execution and leaves df's plan unfinalized (the same
+        # trap the AQE skew pin documents for count())
+        df.collect()
+        assert codegen_stage_count(df) >= 1, name
