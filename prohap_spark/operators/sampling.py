@@ -64,6 +64,7 @@ def negative_pairs(
     query_col: str = "qid",
     k: int = 4,
     n_shards: int = 16,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """For each row of ``queries`` (one ``query_col`` id per row) draw
     ``k`` deterministic pseudo-random negatives from ``corpus``:
@@ -72,9 +73,15 @@ def negative_pairs(
     is dropped rather than re-drawn, so a query may yield k-1 rows —
     re-drawing would need data-dependent iteration for a ~1/N event.
     Returns (query_col, neg_rank, neg_id). One equi-join on idx; the
-    corpus total is a broadcast 1-row aggregate."""
-    ix = dense_index(corpus, id_col, n_shards)
-    tot = corpus.agg(F.count(F.lit(1)).alias("__cnt"))
+    corpus total is a broadcast 1-row aggregate.
+
+    Pass ``index`` (a persisted ``dense_index`` output, columns
+    (id_col, idx)) to skip re-enumerating the corpus — the same
+    persisted-artifact discipline as incremental dedup's
+    ``exact_key_index``/``lsh_band_index``; recompute it only when
+    the corpus changes (any insert/delete shifts the enumeration)."""
+    ix = index if index is not None else dense_index(corpus, id_col, n_shards)
+    tot = ix.agg(F.count(F.lit(1)).alias("__cnt"))
     ex = queries.select(
         F.col(query_col),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),

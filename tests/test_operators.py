@@ -1393,3 +1393,22 @@ def test_sampling_and_substring_empty_inputs(spark):
     qs = spark.createDataFrame([(1,)], ["qid"])
     # empty corpus: modulo-by-zero picks become null and match nothing
     assert negative_pairs(empty_ids, qs, "k", "qid", k=2).collect() == []
+
+
+def test_negative_pairs_persisted_index_parity(spark, tmp_path):
+    """The persisted-index path (dense_index written to parquet and
+    passed back) must reproduce the in-query picks row-for-row."""
+    from prohap_spark.operators.sampling import dense_index, negative_pairs
+
+    corpus = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    qs = spark.createDataFrame([(i,) for i in range(0, 200, 10)], ["qid"])
+    p = str(tmp_path / "dense_idx")
+    dense_index(corpus, "doc_id").write.parquet(p)
+    live = {tuple(r) for r in negative_pairs(corpus, qs, "doc_id", "qid").collect()}
+    idx = {
+        tuple(r)
+        for r in negative_pairs(
+            corpus, qs, "doc_id", "qid", index=spark.read.parquet(p)
+        ).collect()
+    }
+    assert live == idx and live
