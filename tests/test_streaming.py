@@ -527,3 +527,45 @@ def test_stream_scd2_null_tie_parity_and_late_drop(spark, tmp_path):
         for r in spark.sql("SELECT * FROM cdc_late").collect()
     }
     assert got2 == {(1, "a", 40, None, "open")}  # late record dropped
+
+
+def test_cdc_event_fold_reproduces_batch_merge(spark):
+    """Coherence of the two SCD2 surfaces: folding the CDC event log
+    (opens + closes) must reproduce the dimension that applying the
+    same change batches through operators/merge.py scd2_merge yields."""
+    from prohap_spark.operators.merge import scd2_merge
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    empty = spark.createDataFrame(
+        [], "k long, v string, valid_from int, valid_to int, is_current boolean"
+    )
+    b2 = spark.createDataFrame([(1, "a"), (2, "x")], ["k", "v"])
+    b3 = spark.createDataFrame([(1, "b"), (2, "x"), (3, "n")], ["k", "v"])
+    dim = scd2_merge(scd2_merge(empty, b2, "k", ["v"], 2), b3, "k", ["v"], 3)
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in dim.collect()
+    }
+
+    changes = spark.createDataFrame(
+        [(1, 2, "a"), (2, 2, "x"), (1, 3, "b"), (2, 3, "x"), (3, 3, "n")],
+        "k long, ts long, v string",
+    )
+    events = stream_scd2_changes(changes, "k", "ts", ("v",)).collect()
+    closes = {
+        (r["k"], r["v"], r["valid_from"]): r["valid_to"]
+        for r in events
+        if r["action"] == "close"
+    }
+    folded = {
+        (
+            r["k"],
+            r["v"],
+            r["valid_from"],
+            closes.get((r["k"], r["v"], r["valid_from"])),
+            (r["k"], r["v"], r["valid_from"]) not in closes,
+        )
+        for r in events
+        if r["action"] == "open"
+    }
+    assert folded == want and want
