@@ -1412,3 +1412,49 @@ def test_negative_pairs_persisted_index_parity(spark, tmp_path):
         ).collect()
     }
     assert live == idx and live
+
+
+def test_scd2_merge_random_chains_match_python_fold(spark):
+    """Differential property: random batch chains applied through
+    scd2_merge equal a pure-Python SCD2 fold — one current row per
+    live key, contiguous validity chains, correct no-op handling."""
+    rng = np.random.default_rng(3)
+    from prohap_spark.operators.merge import scd2_merge
+
+    for _trial in range(3):
+        dim = spark.createDataFrame(
+            [], "k long, v string, valid_from int, valid_to int, is_current boolean"
+        )
+        ref: dict[int, list] = {}  # k -> [[v, vf, vt]]
+        for batch_id in range(2, 6):
+            ks = sorted(set(rng.integers(0, 6, 4).tolist()))
+            vals = [f"v{rng.integers(0, 3)}" for _ in ks]
+            dim = scd2_merge(
+                dim,
+                spark.createDataFrame(list(zip(ks, vals)), ["k", "v"]),
+                "k",
+                ["v"],
+                batch_id,
+            )
+            for k, v in zip(ks, vals):
+                versions = ref.setdefault(k, [])
+                cur = next((x for x in versions if x[2] is None), None)
+                if cur is None or cur[0] != v:
+                    if cur is not None:
+                        cur[2] = batch_id
+                    versions.append([v, batch_id, None])
+        got = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in dim.collect()
+        }
+        want = {
+            (k, v, vf, vt, vt is None)
+            for k, versions in ref.items()
+            for v, vf, vt in versions
+        }
+        assert got == want and want
+        # invariant: exactly one current row per live key
+        per_key = {}
+        for k, _v, _vf, vt, is_cur in got:
+            per_key[k] = per_key.get(k, 0) + (1 if is_cur else 0)
+        assert all(c == 1 for c in per_key.values())
