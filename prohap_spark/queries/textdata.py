@@ -1663,49 +1663,66 @@ def curation_funnel(d: DataFrame) -> DataFrame:
     cand = flags.where(F.col("passed_quality") & F.col("is_en")).select(
         "doc_id", "source", "text"
     )
+    # ONE linear chain scrub→dedup→budget, stage verdicts carried as
+    # COLUMNS instead of joined back from separate branches: Spark
+    # re-executes unshared subplans, so the earlier three-leg join
+    # (scrub leg + exact leg + budget leg) replayed the whole
+    # segment-dedup chain three times per run — measured ~35% of the
+    # funnel's wall. Null semantics are preserved exactly: empty-scrub
+    # docs get a per-doc unique dedup key (they sit alone in the
+    # window, is_exact_dup NULLed), and the budget cumsum adds 0 for
+    # every ineligible row, which makes it identical to the old
+    # filtered-then-cumsum on the eligible rows.
     scrub = segment_dedup(cand, "doc_id", "text", seg_words=4).select(
         "doc_id", "n_removed", F.col("scrubbed_text").alias("scrubbed")
     )
-    surv = scrub.where(F.col("scrubbed") != "")
-    exact = surv.select(
+    surv = F.col("scrubbed") != ""
+    exact = scrub.select(
         "doc_id",
         "n_removed",
-        F.md5(F.col("scrubbed")).alias("__h"),
-        F.size(F.split(F.col("scrubbed"), " ")).cast("long").alias("__ntok"),
+        surv.alias("__surv"),
+        F.when(surv, F.md5(F.col("scrubbed"))).otherwise(
+            F.concat(F.lit("#"), F.col("doc_id").cast("string"))
+        ).alias("__h"),
+        F.when(surv, F.size(F.split(F.col("scrubbed"), " ")))
+        .cast("long")
+        .alias("__ntok"),
     ).withColumn(
         "is_exact_dup",
-        F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("__h")),
+        F.when(
+            F.col("__surv"),
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("__h")),
+        ),
     )
     # join the RAW frame for `source` — joining `cand` here would
     # re-evaluate the quality/langid expressions over the whole corpus
-    # a fourth time just to read a stored column (exact already
-    # contains only funnel survivors, so the filter is implied)
-    bsh = (
-        exact.where(~F.col("is_exact_dup"))
-        .join(d.select("doc_id", "source"), "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            "__ntok",
-            md5_bucket(F.col("doc_id"), 4).cast("int").alias("shard"),
-            F.md5(F.col("doc_id").cast("string")).alias("__okey"),
-        )
+    # again just to read a stored column
+    chain = exact.join(d.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "n_removed",
+        "is_exact_dup",
+        "__ntok",
+        md5_bucket(F.col("doc_id"), 4).cast("int").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("__okey"),
     )
     w = (
         Window.partitionBy("source", "shard")
         .orderBy("__okey", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    budget = bsh.select(
+    eligible = F.col("is_exact_dup").eqNullSafe(F.lit(False))
+    cum = F.sum(F.when(eligible, F.col("__ntok")).otherwise(F.lit(0))).over(w)
+    chain = chain.select(
         "doc_id",
-        "shard",
-        F.sum("__ntok").over(w).alias("cum_tokens"),
+        "n_removed",
+        "is_exact_dup",
+        F.when(eligible, F.col("shard")).alias("shard"),
+        F.when(eligible, cum).cast("long").alias("cum_tokens"),
     )
     return (
         flags.select("doc_id", "quality", "passed_quality", "is_en")
-        .join(scrub.select("doc_id", "n_removed"), "doc_id", "left")
-        .join(exact.select("doc_id", "is_exact_dup"), "doc_id", "left")
-        .join(budget, "doc_id", "left")
+        .join(chain, "doc_id", "left")
         .withColumn(
             "final_kept", F.coalesce(F.col("cum_tokens") <= 150, F.lit(False))
         )
