@@ -78,17 +78,14 @@ def main() -> None:
         run_provar_e2e,
     )
 
-    # prepare every plan once (plan-build + analysis are one-time,
-    # amortized-to-zero costs — see module docstring). Crash-isolated:
-    # one broken query must not kill the whole bench — it's recorded in
-    # `errors` and the rest still report numbers.
+    # register builders; each pass rebuilds its frames untimed (see
+    # run_all). Crash-isolated: one broken query must not kill the
+    # whole bench — it's recorded in `errors` and the rest still
+    # report numbers.
     errors: dict[str, str] = {}
-    plans = []
+    builders = []
     for name in HEADLINE:
-        try:
-            plans.append((name, qs[name](spark, sf_dir)))
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
+        builders.append((name, lambda name=name: qs[name](spark, sf_dir)))
     # domain pipeline end-to-end (synthetic cohort: 100 transcripts,
     # 1000 variants, 50 samples → VCF melt → islands → haplotype
     # grouping → U3 kernel → merge)
@@ -96,21 +93,26 @@ def main() -> None:
         ("domain_prohap_e2e", run_prohap_e2e),
         ("domain_provar_e2e", run_provar_e2e),
     ):
-        try:
-            plans.append((name, builder(spark, scale=1)))
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
+        builders.append((name, lambda b=builder: b(spark, scale=1)))
     # peptide-annotation chain (J6→J11+U4) at corpus scale — the one
     # §2.9 kernel-adjacent path whose full-pipeline shape was not in
     # the headline set before r6
-    try:
-        plans.append(("domain_peptides_e2e", run_peptides_e2e(spark, sf_dir)))
-    except Exception as e:  # noqa: BLE001
-        errors["domain_peptides_e2e"] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
+    builders.append(("domain_peptides_e2e", lambda: run_peptides_e2e(spark, sf_dir)))
 
     def run_all(record: dict[str, list[float]] | None) -> None:
-        for name, df in plans:
+        for name, build in builders:
             if name in errors:
+                continue
+            # rebuild the frame OUTSIDE the timer each pass: plan-build
+            # and analysis stay untimed (the prepared-statement model),
+            # and a FRESH frame means operators using lazy
+            # localCheckpoint re-materialize honestly every pass — a
+            # reused frame would serve later passes from the pass-1
+            # checkpoint blocks, which clearCache() does not drop
+            try:
+                df = build()
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"prepare: {type(e).__name__}: {str(e)[:200]}"
                 continue
             t0 = time.time()
             try:

