@@ -5,10 +5,13 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is fully materialized with the noop sink (no driver
 collect). Value = total wall seconds across the headline set.
 
-Methodology — steady state, prepared plans, MEDIAN-OF-3: every query's
-DataFrame is built ONCE (the prepared-statement model), a full untimed
-pass absorbs JVM/JIT/codegen/Python-worker warmup, then THREE timed
-passes re-execute the same plans and each query reports its MEDIAN
+Methodology — steady state, MEDIAN-OF-3: each pass REBUILDS every
+query's DataFrame outside the timer (plan build + analysis stay
+untimed, and a fresh frame means operators using lazy localCheckpoint
+re-materialize honestly every pass — a reused frame would serve later
+passes from pass-1 checkpoint blocks). A full untimed pass absorbs
+JVM/JIT/codegen/Python-worker warmup, then THREE timed passes run
+the same queries and each reports its MEDIAN
 wall seconds (single-pass numbers on a shared box swing 2-3x — r4's
 "dedup_minhash_lsh regression" was exactly such a phantom; the median
 suppresses it). Driver-side plan construction and Catalyst analysis

@@ -420,6 +420,7 @@ def segment_dedup(
     text_col: str,
     seg_words: int = 4,
     max_docs: int = 1,
+    share_scan: bool = True,
 ) -> DataFrame:
     """CCNet-style duplicated-segment removal: split every document
     into consecutive ``seg_words``-word segments (pseudo-paragraphs —
@@ -452,19 +453,23 @@ def segment_dedup(
         )
 
     # the segment table feeds two consumers (dup aggregate + removed
-    # join); the lazy localCheckpoint shares one computation at the
-    # RDD level instead of re-exploding the corpus per consumer. The
-    # trade: the (id, idx, hash) triples materialize to executor-local
-    # disk — roughly the bytes the exchange moves anyway — in place of
-    # a second full scan+split+hash pass (measured -19% at sf0.1)
-    ex = (
-        df.select(
-            F.col(id_col),
-            F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg"),
-        )
-        .select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
-        .localCheckpoint(eager=False)
-    )
+    # join); with share_scan the lazy localCheckpoint shares one
+    # computation at the RDD level instead of re-exploding the corpus
+    # per consumer (measured -19% at sf0.1). The trade, stated fully:
+    # the (id, idx, hash) triples materialize to executor-LOCAL disk
+    # (roughly the bytes the exchange moves anyway); the returned
+    # frame SNAPSHOTS on its first action (a later action re-serves
+    # the checkpointed blocks even if the source files changed); and
+    # local checkpoints are not fault-tolerant — losing an executor
+    # loses its blocks with no recompute path. Pass share_scan=False
+    # on clusters with preemptible executors or when the frame must
+    # re-read live sources per action; the result is identical.
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg"),
+    ).select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
+    if share_scan:
+        ex = ex.localCheckpoint(eager=False)
     dup = (
         ex.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -493,6 +498,7 @@ def substring_dedup(
     text_col: str,
     k: int = 8,
     max_docs: int = 1,
+    share_scan: bool = True,
 ) -> DataFrame:
     """Exact substring deduplication (the "Deduplicating Training Data
     Makes Language Models Better" recipe at word granularity): every
@@ -533,14 +539,17 @@ def substring_dedup(
             ),
         ).otherwise(F.array().cast("array<long>"))
 
-    # same sharing trade as segment_dedup's segment table: the gram
-    # table feeds the dup aggregate AND the coverage join — checkpoint
-    # once instead of re-exploding k-word grams per consumer
-    # (measured -44% at sf0.1; gram fan-out is ~k× the token count,
-    # so the second pass is the operator's single largest cost)
+    # same sharing trade (and caveats) as segment_dedup's segment
+    # table: the gram table feeds the dup aggregate AND the coverage
+    # join — checkpoint once instead of re-exploding k-word grams per
+    # consumer (measured -44% at sf0.1; gram fan-out is ~k× the token
+    # count, so the second pass is the operator's single largest
+    # cost). share_scan=False restores the pure-plan recompute path.
     occ = df.select(
         F.col(id_col), F.posexplode(gramlist_of(text_col)).alias("__gpos", "__k")
-    ).localCheckpoint(eager=False)
+    )
+    if share_scan:
+        occ = occ.localCheckpoint(eager=False)
     dup = (
         occ.groupBy("__k")
         .agg(F.countDistinct(id_col).alias("__nd"))
@@ -764,6 +773,7 @@ def incremental_lsh_pairs(
     ngram: int = 2,
     max_bucket_size: int | None = None,
     base_bands: DataFrame | None = None,
+    share_scan: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup: the MinHash-LSH twin of
     ``incremental_dedup`` — every delta document probed against the
@@ -791,8 +801,13 @@ def incremental_lsh_pairs(
     # left leg, verify delta-side right leg); as an unshared subplan
     # Spark would re-shingle the delta per consumer — the lazy
     # localCheckpoint turns that into one computation shared at the
-    # RDD level (measured -31% on the sf0.1 ingest)
-    toks_d = toks_d.repartition(par, id_col).localCheckpoint(eager=False)
+    # RDD level (measured -31% on the sf0.1 ingest). Same caveats as
+    # segment_dedup's share_scan: snapshot-on-first-action,
+    # non-fault-tolerant local blocks; gate with share_scan=False on
+    # preemptible clusters.
+    toks_d = toks_d.repartition(par, id_col)
+    if share_scan:
+        toks_d = toks_d.localCheckpoint(eager=False)
 
     bb = (
         base_bands

@@ -81,7 +81,12 @@ def negative_pairs(
     ``exact_key_index``/``lsh_band_index``; recompute it only when
     the corpus changes (any insert/delete shifts the enumeration)."""
     ix = index if index is not None else dense_index(corpus, id_col, n_shards)
-    tot = ix.agg(F.count(F.lit(1)).alias("__cnt"))
+    # count from the CHEAP side: the corpus count is a pruned scan,
+    # re-counting ix would re-execute the whole enumeration subplan;
+    # with a persisted index the index itself is the cheap side
+    tot = (corpus if index is None else index).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     ex = queries.select(
         F.col(query_col),
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_rank"),
@@ -101,8 +106,11 @@ def negative_pairs(
         16,
         10,
     ).cast("long")
+    # try_mod, not %: under ANSI mode (the Spark 4 default) an empty
+    # corpus would raise REMAINDER_BY_ZERO; try_mod yields null picks
+    # that simply match nothing
     cand = ex.crossJoin(F.broadcast(tot)).select(
-        query_col, "neg_rank", (h % F.col("__cnt")).alias("__cidx")
+        query_col, "neg_rank", F.try_mod(h, F.col("__cnt")).alias("__cidx")
     )
     return (
         cand.join(ix, cand["__cidx"] == ix["idx"])

@@ -347,9 +347,9 @@ def train_centroids_kmeans(
     (a) a MAP-SIDE assignment of every vector against the centroid
     list inlined as literals — k × d doubles, the sanctioned
     driver-scale artifact, exactly like text_bpe_train's per-round
-    merge table — followed by (b) ONE shuffle: posexplode dims →
-    per-(cell, dim) sum/count → k·d aggregated rows collected to the
-    driver to rebuild the centroid list. Empty cells keep their
+    merge table — followed by (b) ONE shuffle: the
+    per-cell mean via ``train_centroids_by_label`` (the assignment IS
+    the label), k centroid rows collected to the driver. Empty cells keep their
     previous centroid. Total driver state is k·d floats; the corpus
     is never collected."""
     spark = df.sparkSession
@@ -387,21 +387,15 @@ def train_centroids_kmeans(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     for _ in range(n_iter):
-        assigned = df.select(
-            assign_expr(cents).alias("__cell"), F.posexplode(vec_col).alias("d", "x")
-        ).withColumn("x", F.col("x").cast("double"))
-        stats = (
-            assigned.groupBy("__cell", "d")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cell.setdefault(r["__cell"], {})[r["d"]] = r["s"] / r["n"]
-        cents = [
-            [by_cell[j][d] for d in sorted(by_cell[j])] if j in by_cell else cents[j]
-            for j in range(len(cents))
-        ]
+        # per-cell means ARE train_centroids_by_label with the
+        # assignment as the label — reuse it rather than re-implement
+        # the posexplode → per-(cell, dim) aggregate → re-pack recipe
+        assigned = df.select(assign_expr(cents).alias("__cell"), F.col(vec_col))
+        got = {
+            r["cell_id"]: [float(x) for x in r["centroid"]]
+            for r in train_centroids_by_label(assigned, "__cell", vec_col).collect()
+        }
+        cents = [got.get(j, cents[j]) for j in range(len(cents))]
     return spark.createDataFrame(
         [(j, c) for j, c in enumerate(cents)],
         "cell_id int, centroid array<double>",

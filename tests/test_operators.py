@@ -1391,8 +1391,16 @@ def test_sampling_and_substring_empty_inputs(spark):
     empty_ids = spark.createDataFrame([], "k long")
     assert dense_index(empty_ids, "k").collect() == []
     qs = spark.createDataFrame([(1,)], ["qid"])
-    # empty corpus: modulo-by-zero picks become null and match nothing
-    assert negative_pairs(empty_ids, qs, "k", "qid", k=2).collect() == []
+    # empty corpus: try_mod (not %) makes the picks null so they match
+    # nothing — a plain % would raise REMAINDER_BY_ZERO under ANSI
+    # mode whenever AQE doesn't prune the empty side first, so pin it
+    # with AQE off (the configuration that reproduced the crash)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        assert negative_pairs(empty_ids, qs, "k", "qid", k=2).collect() == []
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
 
 
 def test_negative_pairs_persisted_index_parity(spark, tmp_path):

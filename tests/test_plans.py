@@ -332,7 +332,7 @@ def test_q22_broadcast_stats_and_anti_join(spark, qs):
 
 def test_substring_dedup_hash_keys_only(spark, qs):
     """Gram TEXT must never shuffle: every exchange in the substring
-    dedup plan carries md5 keys / positions, and reassembly re-splits
+    dedup plan carries xxhash64 keys / positions, and reassembly re-splits
     the original text map-side (no sort-aggregate of gram strings)."""
     from prohap_spark.plans import formatted_plan
 
