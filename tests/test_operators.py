@@ -1466,3 +1466,31 @@ def test_scd2_merge_random_chains_match_python_fold(spark):
         for k, _v, _vf, vt, is_cur in got:
             per_key[k] = per_key.get(k, 0) + (1 if is_cur else 0)
         assert all(c == 1 for c in per_key.values())
+
+
+def test_share_scan_off_is_value_identical(spark):
+    """share_scan=False (the preemptible-cluster / live-source path)
+    must return row-identical results to the checkpointed default for
+    all three sharing operators."""
+    from prohap_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        segment_dedup,
+        substring_dedup,
+    )
+    from prohap_spark.queries.registry import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    for op in (segment_dedup, substring_dedup):
+        on = {tuple(r) for r in op(d, "doc_id", "text").collect()}
+        off = {tuple(r) for r in op(d, "doc_id", "text", share_scan=False).collect()}
+        assert on == off and on
+    base = d.where("doc_id < 40")
+    delta = d.where("doc_id >= 40")
+    key = lambda rows: {(r["id_delta"], r["id_other"], r["side"]) for r in rows}  # noqa: E731
+    on = key(incremental_lsh_pairs(base, delta, "doc_id", "text").collect())
+    off = key(
+        incremental_lsh_pairs(
+            base, delta, "doc_id", "text", share_scan=False
+        ).collect()
+    )
+    assert on == off
