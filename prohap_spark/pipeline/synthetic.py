@@ -78,8 +78,19 @@ def generate_cohort(
             # adjacent PAR1 transcripts would overlap genomically
             assert span < 2_000, "PAR1 stride (2 kb) smaller than transcript span"
             base = 20_000 + par1_k * 2_000
-            par1_k += 1
-            assert base + span <= 2_781_479, "PAR1 transcript overruns PAR1"
+            if base + span <= 2_781_479:
+                par1_k += 1
+            else:
+                # PAR1 (2.78 Mb) fills at ~1,380 transcripts (first hit
+                # at cohort scale ~97, surfaced by the 100x probe):
+                # spill the overflow to non-PAR X at a HALF-STRIDE
+                # offset so it can never collide with the t%7==3 lane
+                # (bases ≡ 5,000 vs ≡ 0 mod 10,000, spans < 2 kb).
+                # Placement at every smaller scale is byte-identical —
+                # only the PAR1/diploid mix ratio shifts beyond
+                # capacity, which the sex-aware oracles recompute from
+                # the generated data anyway.
+                base = 6_000_000 + t * 10_000 + 5_000
         else:
             chrom = "1"
             base = 1_000_000 + t * 10_000
