@@ -201,3 +201,36 @@ def pagerank(
         return ranks.localCheckpoint(eager=True)
     finally:
         contrib_edges.unpersist()
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation via the canonical two-hop
+    self-join: edges are deduplicated into id-ordered form (u < v), a
+    wedge u→v→w is closed by probing the (u, w) edge, and each
+    triangle u<v<w is counted exactly once, attributed to its smallest
+    vertex. Returns (u, n_triangles).
+
+    The 100 TB shape: two shuffle equi-joins over the edge list (wedge
+    build keyed on the middle vertex, closure probe keyed on the
+    (u, w) pair) — never a cross join. The classic refinement for
+    power-law graphs is to orient edges from low to high DEGREE
+    instead of low id (bounds the wedge fan-out by sqrt(m)); the
+    id-ordered variant keeps the oracle exactly replayable, and AQE's
+    skew-split handles moderate hubs."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, "b")
+    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        wedges.join(closing, ["a", "c"])
+        .groupBy(F.col("a").alias("u"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

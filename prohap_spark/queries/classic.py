@@ -1087,3 +1087,39 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "graph_triangle_count",
+    # co-purchase graph: parts are linked when any order contains both
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+    )
+    SELECT e1.u, count(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    GROUP BY e1.u
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) over the
+    co-purchase graph — parts linked when they share an order. The
+    classic two-hop self-join graph kernel beside connected
+    components and PageRank; per-vertex participation counts make the
+    hash gate cover the full closure structure, not one scalar."""
+    from prohap_spark.operators.graph import triangle_count
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = (
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    return triangle_count(edges, "u", "v")

@@ -1494,3 +1494,32 @@ def test_share_scan_off_is_value_identical(spark):
         ).collect()
     )
     assert on == off
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """triangle_count vs a python brute force on a literal graph with
+    a clique (C(4,3)=4 triangles), a triangle-free square, duplicate
+    and reversed edges, and a self-loop (all must be canonicalized
+    away)."""
+    from itertools import combinations
+
+    from prohap_spark.operators.graph import triangle_count
+
+    edges = [
+        # K4 on {1,2,3,4}
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        # duplicates / reversed / self-loop noise
+        (2, 1), (3, 1), (5, 5),
+        # square 10-11-12-13 (no diagonals -> no triangles)
+        (10, 11), (11, 12), (12, 13), (13, 10),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["u"]: r["n_triangles"] for r in triangle_count(df).collect()}
+
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    verts = sorted({v for e in es for v in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(verts, 3):
+        if {(a, b), (a, c), (b, c)} <= es:
+            want[a] = want.get(a, 0) + 1
+    assert got == want and sum(want.values()) == 4
