@@ -40,10 +40,11 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # any trailing THREE-round window. (Through r5 the documented window
 # was TWO rounds; at 122 registered queries that is arithmetically
 # unsatisfiable against a 2x50 budget — restated r6 as the three-round
-# window registry <= 3x50 (144 at r6 close), which
-# tools/rotation_audit.py now audits. The r7 front is 22 rule-(a)
-# late-r6 registrations + 22 rule-(c) last-green-r4 entries = 44 of
-# 50 slots; registration is CAPPED until the window regains slack.)
+# window registry <= 3x50 (145 at r6 close), which
+# tools/rotation_audit.py now audits. The r7 front is 23 rule-(a)
+# late-r6 registrations + 22 rule-(c) last-green-r4 entries = 45 of
+# 50 slots — 5 slots of rule-(b) slack; registration is HARD-CAPPED
+# here until the window regains room.)
 #
 # Round-6 state: _FRONT = the 24 rule-(a) queries that have never
 # produced a CORRECTNESS row (the fourth/fifth-wave additions, all

@@ -522,3 +522,56 @@ def w_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "stream_cdc_scd2",
+    # the orders stream read as change records: key = customer,
+    # ts = order date, tracked = priority. Consecutive-duplicate
+    # priorities are no-ops; every change emits open (+ close of the
+    # predecessor). Ties order by (ts, v) — non-null in this data, so
+    # Spark's nulls-first and DuckDB's nulls-last defaults never bite
+    """
+    WITH u AS (
+      SELECT o_custkey AS k, epoch_us(o_orderdate) AS ts,
+             o_orderpriority AS v
+      FROM orders
+    ),
+    m AS (
+      SELECT k, ts, v,
+             lag(v)  OVER w AS pv,
+             lag(ts) OVER w AS pts
+      FROM u WINDOW w AS (PARTITION BY k ORDER BY ts, v)
+    ),
+    ver AS (
+      SELECT k, ts, v FROM m
+      WHERE pts IS NULL OR v IS DISTINCT FROM pv
+    ),
+    ver2 AS (
+      SELECT k, ts, v,
+             lead(ts) OVER (PARTITION BY k ORDER BY ts, v) AS nts
+      FROM ver
+    )
+    SELECT k, v, ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+           'open' AS action
+    FROM ver2
+    UNION ALL
+    SELECT k, v, ts, nts, 'close' FROM ver2 WHERE nts IS NOT NULL
+    """,
+)
+def stream_cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 change capture (streaming/cdc.py stream_scd2_changes,
+    batch branch — the stream branch is pinned batch==stream in
+    pytest): the orders table read as a CDC stream keyed by customer,
+    priority as the tracked attribute, order date as the version
+    timestamp. Every version transition hash-checks against the
+    oracle's lag/lead replay — consecutive-duplicate suppression,
+    open/close pairing, and tie ordering all ride the gate."""
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts"),
+        F.col("o_orderpriority").alias("v"),
+    )
+    return stream_scd2_changes(o, "k", "ts", ("v",))
