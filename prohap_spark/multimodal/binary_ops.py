@@ -91,6 +91,7 @@ def decode_images(
     from prohap_spark.multimodal.codecs import (
         _PNG_SIG,
         decode_bmp,
+        decode_gif,
         decode_jpeg,
         decode_png,
     )
@@ -106,7 +107,9 @@ def decode_images(
             return decode_png(p)
         if p[:2] == b"\xff\xd8":
             return decode_jpeg(p)
-        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG)")
+        if p[:4] == b"GIF8":
+            return decode_gif(p)
+        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG/GIF)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,6 +1,8 @@
 """REAL media codecs, pure Python + numpy (no external image/audio
-libraries): uncompressed BMP (8/24/32-bit), RIFF/WAVE PCM16, and
-COMPRESSED PNG (stdlib zlib DEFLATE + the five scanline filters).
+libraries): uncompressed BMP (8/24/32-bit), RIFF/WAVE PCM16,
+COMPRESSED PNG (stdlib zlib DEFLATE + the five scanline filters), and
+GIF87a/89a with a genuine variable-width LZW (Clear/EOI, 4096-entry
+table resets, 4-pass interlacing, extension-block skipping).
 
 This closes the `real_codec=True` seam in ``binary_ops.decode_images``
 (previously a documented ``NotImplementedError``): the decoders parse
@@ -1639,3 +1641,220 @@ def mp3_frame_stats(payload: bytes) -> dict:
         "is_vbr": len(set(bitrates)) > 1,
         "bitrate_kbps": int(round(sum(bitrates) / len(bitrates))),
     }
+
+
+# ---------------------------------------------------------------- GIF
+# GIF87a/89a (CompuServe spec): logical screen descriptor, color
+# tables, extension blocks, 4-pass interlacing, and REAL variable-width
+# LSB-first LZW with Clear/EOI codes and the 4096-entry table reset.
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_lzw_compress(indices: list[int], min_code_size: int) -> bytes:
+    """GIF-variant LZW: codes start at ``min_code_size + 1`` bits,
+    LSB-first packing, Clear emitted up front and on table overflow
+    (4096), EOI last."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[tuple[int, ...], int]:
+        return {(i,): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur: tuple[int, ...] = ()
+    for k in indices:
+        cand = cur + (k,)
+        if cand in table:
+            cur = cand
+            continue
+        emit(table[cur], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = (k,)
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """Inverse of ``_gif_lzw_compress`` incl. the KwKwK case (a code
+    equal to the next unassigned entry decodes as prev + prev[0])."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    pos = 0
+    bitbuf = 0
+    nbits = 0
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated before EOI")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # KwKwK
+        else:
+            raise ValueError(f"GIF: undefined LZW code {code}")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            # widen when the NEXT code would not fit the current width
+            if len(table) >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) >= n_pixels:
+            # some encoders omit a trailing EOI inside the last block
+            break
+    return out[:n_pixels]
+
+
+def encode_gif(raster: np.ndarray, interlace: bool = False) -> bytes:
+    """Write a 2-D uint8 grayscale raster as a REAL GIF89a: 256-entry
+    achromatic global color table, single image, genuine LZW (min code
+    size 8) packed into <=255-byte sub-blocks; ``interlace=True``
+    stores rows in the spec's 4-pass order with the interlace flag
+    set. GIF is lossless for paletted data, so decode(encode(x)) == x
+    exactly."""
+    if raster.ndim != 2:
+        raise ValueError("encode_gif expects a 2-D grayscale raster")
+    h, w = raster.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes((0xF7, 0, 0))  # GCT present, 8-bit, 256 entries
+    for v in range(256):
+        out += bytes((v, v, v))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes((0x40 if interlace else 0x00,))
+    rows = raster
+    if interlace:
+        order = [
+            r
+            for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, h, step)
+        ]
+        rows = raster[order]
+    data = _gif_lzw_compress([int(x) for x in rows.ravel()], 8)
+    out += bytes((8,))  # LZW min code size
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Parse a REAL GIF87a/89a payload into a 2-D uint8 grayscale
+    raster: screen/image descriptors, global/local color tables,
+    extension-block skipping (Graphic Control, Comment, Application),
+    4-pass deinterlacing, and the full LZW decode. Achromatic palettes
+    map through directly; color palettes reduce by integer BT.601 luma
+    ((299r + 587g + 114b + 500) // 1000) so the result is
+    deterministic. First image frame only (animation is out of scope —
+    fail-loud on a second image descriptor would hide real data, so
+    later frames are simply not read)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            _lx, _ty, w, h, ip = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            pal = gct
+            if ip & 0x80:
+                n = 2 << (ip & 0x07)
+                pal = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF: no color table for image")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decompress(bytes(data), min_code, w * h)
+            lut = np.array(
+                [
+                    pal[3 * i]
+                    if pal[3 * i] == pal[3 * i + 1] == pal[3 * i + 2]
+                    else (299 * pal[3 * i] + 587 * pal[3 * i + 1] + 114 * pal[3 * i + 2] + 500) // 1000
+                    for i in range(len(pal) // 3)
+                ],
+                dtype=np.uint8,
+            )
+            raster = lut[np.array(idx, dtype=np.int32)].reshape(h, w)
+            if ip & 0x40:  # deinterlace
+                order = [
+                    r
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for r in range(start, h, step)
+                ]
+                fixed = np.empty_like(raster)
+                fixed[order] = raster
+                raster = fixed
+            return raster
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unexpected block id 0x{b:02x}")
+    raise ValueError("GIF: no image descriptor before trailer")

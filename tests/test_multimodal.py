@@ -831,3 +831,74 @@ def test_jpeg_progressive_ac_scan_codec_randomized():
                         dec, [0], (ss, se, ah, al), [(nb, 1)], (nb, 1), 0,
                     )
             assert (dec[0] == grid).all(), (trial, bands)
+
+
+def test_gif_roundtrip_interlace_and_lzw_reset():
+    """From-scratch GIF89a: decode(encode(x)) == x exactly (paletted
+    GIF is lossless), in both row orders — incl. a raster large enough
+    to force multiple 4096-entry LZW table resets — and sub-block
+    splitting of the compressed stream."""
+    import numpy as np
+
+    from prohap_spark.multimodal.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1), (3, 17), (96, 80)):
+        r = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_gif(encode_gif(r)) == r).all()
+        assert (decode_gif(encode_gif(r, interlace=True)) == r).all()
+
+
+def test_gif_extension_skip_color_palette_and_failures():
+    """Foreign-feature surface: Graphic Control + Comment extension
+    blocks are skipped; a CHROMATIC palette reduces by integer BT.601
+    luma; truncated streams and non-GIF payloads fail loud."""
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import decode_gif, encode_gif
+
+    r = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    gif = encode_gif(r)
+    # inject a Graphic Control Extension and a Comment after the GCT
+    # (header 13 bytes + 768-byte global color table)
+    cut = 13 + 768
+    gce = bytes((0x21, 0xF9, 4, 0, 0, 0, 0, 0))
+    comment = bytes((0x21, 0xFE, 5)) + b"hello" + bytes((0,))
+    patched = gif[:cut] + gce + comment + gif[cut:]
+    assert (decode_gif(patched) == r).all()
+
+    # chromatic palette: overwrite GCT entries 0..3 with known colors
+    pal = {0: (255, 0, 0), 1: (0, 255, 0), 2: (0, 0, 255), 3: (10, 20, 30)}
+    buf = bytearray(gif)
+    for i, (pr, pg, pb) in pal.items():
+        buf[13 + 3 * i : 13 + 3 * i + 3] = bytes((pr, pg, pb))
+    luma = lambda c: (299 * c[0] + 587 * c[1] + 114 * c[2] + 500) // 1000  # noqa: E731
+    want = np.array([[luma(pal[0]), luma(pal[1])], [luma(pal[2]), luma(pal[3])]])
+    assert (decode_gif(bytes(buf)) == want).all()
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + gif)
+    with pytest.raises(ValueError):
+        decode_gif(gif[: len(gif) // 2])
+
+
+def test_gif_through_real_decode_dispatch(spark):
+    """decode_images(real_codec=True) must sniff the GIF magic and
+    produce the exact pixel array through the Arrow-batched stage."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from prohap_spark.multimodal import attach_media_metadata, decode_images
+    from prohap_spark.multimodal.codecs import encode_gif
+
+    rng = np.random.default_rng(9)
+    r = rng.integers(0, 256, (6, 4)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(1, "image", "image/gif", bytearray(encode_gif(r)), {})],
+        "media_id long, kind string, mime string, payload binary, meta map<string,string>",
+    )
+    out = decode_images(attach_media_metadata(df), real_codec=True).select(
+        "media_id", F.col("pixels")
+    ).collect()
+    assert out[0]["pixels"] == [int(x) for x in r.ravel()]
