@@ -294,7 +294,9 @@ def test_decode_images_dispatches_on_magic(spark):
     rows = decode_images(df, real_codec=True).collect()
     assert all(r["pixels"] == list(range(64)) for r in rows)
 
-    bad = spark.createDataFrame([(9, bytearray(b"GIF89a not supported"))], ["media_id", "payload"])
+    # GIF gained a real decoder in r6, so the unrecognized-format probe
+    # uses a genuinely unknown magic now
+    bad = spark.createDataFrame([(9, bytearray(b"TIFF not supported"))], ["media_id", "payload"])
     with pytest.raises(Exception, match="unrecognized image payload"):
         decode_images(bad, real_codec=True).collect()
 
