@@ -94,6 +94,7 @@ def decode_images(
         decode_gif,
         decode_jpeg,
         decode_png,
+        decode_tiff,
     )
 
     out_schema = ", ".join(
@@ -109,7 +110,9 @@ def decode_images(
             return decode_jpeg(p)
         if p[:4] == b"GIF8":
             return decode_gif(p)
-        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG/GIF)")
+        if p[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            return decode_tiff(p)
+        raise ValueError("unrecognized image payload (not BMP/PNG/JPEG/GIF/TIFF)")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

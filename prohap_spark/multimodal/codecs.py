@@ -2,7 +2,9 @@
 libraries): uncompressed BMP (8/24/32-bit), RIFF/WAVE PCM16,
 COMPRESSED PNG (stdlib zlib DEFLATE + the five scanline filters), and
 GIF87a/89a with a genuine variable-width LZW (Clear/EOI, 4096-entry
-table resets, 4-pass interlacing, extension-block skipping).
+table resets, 4-pass interlacing, extension-block skipping), and
+baseline TIFF 6.0 (IFD tag-directory walk, either byte order,
+multi-strip, WhiteIsZero/RGB photometrics).
 
 This closes the `real_codec=True` seam in ``binary_ops.decode_images``
 (previously a documented ``NotImplementedError``): the decoders parse
@@ -1858,3 +1860,127 @@ def decode_gif(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"GIF: unexpected block id 0x{b:02x}")
     raise ValueError("GIF: no image descriptor before trailer")
+
+
+# --------------------------------------------------------------- TIFF
+# Baseline TIFF 6.0, uncompressed: the TAG-DIRECTORY container pattern
+# (IFD walking, typed tag values, offset indirection, either byte
+# order) — structurally unlike the chunk/marker walks of PNG/GIF/JPEG.
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def encode_tiff(raster: np.ndarray) -> bytes:
+    """Write a 2-D uint8 grayscale raster as a REAL little-endian
+    baseline TIFF: II header, one IFD (width / length / bits /
+    compression=none / photometric=BlackIsZero / strip offset+count /
+    rows-per-strip), one uncompressed strip. Lossless, so
+    decode(encode(x)) == x exactly."""
+    if raster.ndim != 2:
+        raise ValueError("encode_tiff expects a 2-D grayscale raster")
+    h, w = raster.shape
+    data = raster.astype(np.uint8).tobytes()
+    # layout: 8-byte header | pixel data | IFD
+    data_off = 8
+    ifd_off = data_off + len(data)
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += data
+    tags = [
+        (256, 3, 1, w),            # ImageWidth
+        (257, 3, 1, h),            # ImageLength
+        (258, 3, 1, 8),            # BitsPerSample
+        (259, 3, 1, 1),            # Compression: none
+        (262, 3, 1, 1),            # Photometric: BlackIsZero
+        (273, 4, 1, data_off),     # StripOffsets
+        (278, 3, 1, h),            # RowsPerStrip
+        (279, 4, 1, len(data)),    # StripByteCounts
+    ]
+    out += struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        out += struct.pack("<HHI", tag, typ, cnt)
+        out += struct.pack("<I", val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Parse a REAL baseline TIFF payload (either byte order) into a
+    2-D uint8 grayscale raster: IFD walk with typed tag decoding and
+    offset indirection, multi-strip reassembly, 8-bit grayscale
+    (photometric 0 inverts WhiteIsZero) or 8-bit RGB reduced by
+    integer BT.601 luma. Compression, tiling, and other bit depths
+    fail loud — silently mis-decoding foreign data would poison a
+    training corpus."""
+    if payload[:4] == b"II\x2a\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00\x2a":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+
+    def read_tag(pos: int):
+        tag, typ, cnt = struct.unpack(e + "HHI", payload[pos : pos + 8])
+        size = _TIFF_TYPE_SIZES.get(typ)
+        if size is None:
+            return tag, None
+        total = size * cnt
+        raw = (
+            payload[pos + 8 : pos + 8 + total]
+            if total <= 4
+            else payload[
+                struct.unpack(e + "I", payload[pos + 8 : pos + 12])[0] :
+            ][:total]
+        )
+        fmt = {1: "B", 2: "c", 3: "H", 4: "I", 5: "II"}[typ]
+        if typ == 5:
+            vals = [
+                struct.unpack(e + "II", raw[i : i + 8]) for i in range(0, total, 8)
+            ]
+        else:
+            vals = list(struct.unpack(e + fmt * cnt, raw[:total]))
+        return tag, vals
+
+    (n_tags,) = struct.unpack(e + "H", payload[ifd_off : ifd_off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n_tags):
+        tag, vals = read_tag(ifd_off + 2 + 12 * i)
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag: int, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF: required tag {tag} missing")
+        return default
+
+    w, h = one(256), one(257)
+    comp = one(259, 1)
+    if comp != 1:
+        raise ValueError(f"TIFF: compression {comp} not supported (baseline uncompressed only)")
+    if 322 in tags or 323 in tags:
+        raise ValueError("TIFF: tiled layout not supported")
+    photo = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise ValueError(f"TIFF: bits-per-sample {bits} not supported (8 only)")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    data = b"".join(
+        payload[o : o + c] for o, c in zip(offsets, counts)
+    )
+    if len(data) < w * h * spp:
+        raise ValueError("TIFF: strip data shorter than raster")
+    arr = np.frombuffer(data[: w * h * spp], dtype=np.uint8)
+    if spp == 1 and photo in (0, 1):
+        raster = arr.reshape(h, w)
+        return (255 - raster) if photo == 0 else raster.copy()
+    if spp == 3 and photo == 2:
+        rgb = arr.reshape(h, w, 3).astype(np.int64)
+        return (
+            (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2] + 500)
+            // 1000
+        ).astype(np.uint8)
+    raise ValueError(f"TIFF: photometric {photo} / {spp} samples not supported")

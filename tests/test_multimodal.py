@@ -294,9 +294,9 @@ def test_decode_images_dispatches_on_magic(spark):
     rows = decode_images(df, real_codec=True).collect()
     assert all(r["pixels"] == list(range(64)) for r in rows)
 
-    # GIF gained a real decoder in r6, so the unrecognized-format probe
-    # uses a genuinely unknown magic now
-    bad = spark.createDataFrame([(9, bytearray(b"TIFF not supported"))], ["media_id", "payload"])
+    # GIF and TIFF gained real decoders in r6, so the
+    # unrecognized-format probe uses a genuinely unknown magic
+    bad = spark.createDataFrame([(9, bytearray(b"FARB not a format"))], ["media_id", "payload"])
     with pytest.raises(Exception, match="unrecognized image payload"):
         decode_images(bad, real_codec=True).collect()
 
@@ -904,3 +904,84 @@ def test_gif_through_real_decode_dispatch(spark):
         "media_id", F.col("pixels")
     ).collect()
     assert out[0]["pixels"] == [int(x) for x in r.ravel()]
+
+
+def test_tiff_roundtrip_and_foreign_features():
+    """From-scratch baseline TIFF: exact little-endian roundtrips; a
+    hand-built BIG-endian multi-strip WhiteIsZero payload decodes with
+    inversion; RGB reduces by integer luma; compressed payloads fail
+    loud (silent mis-decode would poison a corpus)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(3)
+    for shape in ((1, 1), (7, 11), (40, 32)):
+        r = rng.integers(0, 256, shape).astype(np.uint8)
+        assert (decode_tiff(encode_tiff(r)) == r).all()
+
+    def mm_tiff(photo, spp, strips, w, h, extra=()):
+        data_off = 8
+        data = b"".join(strips)
+        ifd_off = data_off + len(data)
+        out = bytearray(struct.pack(">2sHI", b"MM", 42, ifd_off))
+        out += data
+        offs, cnts, o = [], [], data_off
+        for s_ in strips:
+            offs.append(o); cnts.append(len(s_)); o += len(s_)
+        tags = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, photo), (277, 3, 1, spp),
+            (278, 3, 1, (h + len(strips) - 1) // len(strips)),
+            *extra,
+        ]
+        # offsets/counts: inline when single strip, else via pointer
+        assert len(strips) <= 2
+        if len(strips) == 1:
+            tags += [(273, 4, 1, offs[0]), (279, 4, 1, cnts[0])]
+            tail = b""
+        else:
+            ptr = ifd_off + 2 + 12 * (len(tags) + 2) + 4
+            tags += [(273, 4, 2, ptr), (279, 4, 2, ptr + 8)]
+            tail = struct.pack(">II", *offs) + struct.pack(">II", *cnts)
+        tags.sort()
+        out += struct.pack(">H", len(tags))
+        for tag, typ, cnt, val in tags:
+            out += struct.pack(">HHI", tag, typ, cnt)
+            # TIFF value fields are LEFT-justified: a big-endian SHORT
+            # occupies bytes 8-9, not 10-11
+            if typ == 3 and cnt == 1:
+                out += struct.pack(">HH", val, 0)
+            else:
+                out += struct.pack(">I", val)
+        out += struct.pack(">I", 0) + tail
+        return bytes(out)
+
+    # big-endian, two strips, WhiteIsZero -> values invert
+    r = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    pay = mm_tiff(0, 1, [r[:2].tobytes(), r[2:].tobytes()], 6, 4)
+    assert (decode_tiff(pay) == 255 - r).all()
+
+    # RGB -> integer BT.601 luma
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 0] = (255, 0, 0); rgb[0, 1] = (0, 255, 0)
+    rgb[1, 0] = (0, 0, 255); rgb[1, 1] = (10, 20, 30)
+    pay = mm_tiff(2, 3, [rgb.tobytes()], 2, 2)
+    luma = lambda c: (299 * c[0] + 587 * c[1] + 114 * c[2] + 500) // 1000  # noqa: E731
+    want = np.array([[luma((255, 0, 0)), luma((0, 255, 0))],
+                     [luma((0, 0, 255)), luma((10, 20, 30))]])
+    assert (decode_tiff(pay) == want).all()
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"XXXX" + pay)
+    # LZW-compressed flag -> loud failure
+    comp = bytearray(encode_tiff(r))
+    # find the compression tag (259) in the little-endian IFD and set 5
+    import re
+    i = comp.find(struct.pack("<HHI", 259, 3, 1))
+    comp[i + 8 : i + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(comp))
