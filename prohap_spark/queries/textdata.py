@@ -14,6 +14,7 @@ from prohap_spark.operators.dedup import (
     token_fingerprint,
 )
 from prohap_spark.functions.hashing import md5_bucket
+from prohap_spark.functions.portable_math import nll_micro_col, nll_micro_sql
 from prohap_spark.functions.text import (
     lang_id_expr,
     quality_score_expr,
@@ -1244,9 +1245,7 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     tot = toks.agg(F.count(F.lit(1)).alias("total"))
     lp = uni.crossJoin(F.broadcast(tot)).select(
         "w",
-        F.round(-F.log(F.col("c") / F.col("total")) * 1e6, 0)
-        .cast("long")
-        .alias("nll_micro"),
+        nll_micro_col(F.col("c"), F.col("total")).alias("nll_micro"),
         "c",
     )
     head = F.broadcast(
@@ -1266,16 +1265,26 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum("nll_micro").alias("sum_nll_micro"),
-            F.round(F.sum("nll_micro") / F.count(F.lit(1)) / 1e6, 6).alias("avg_nll"),
+            # plain IEEE division chain (no engine round()): exact bigint
+            # inputs -> bit-identical double in Spark and DuckDB
+            (
+                F.sum("nll_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_nll"),
         )
     )
 
 
 @register(
     "text_unigram_logprob",
-    # per-token NLL in integer micro-nats (round(-ln(p)*1e6)) so the
-    # per-doc sum is an exact bigint — no float summation-order drift
-    """
+    # per-token NLL in integer micro-nats so the per-doc sum is an
+    # exact bigint (no float summation-order drift) — and the micro-nat
+    # itself comes from functions/portable_math.py's IEEE-only ln, the
+    # SAME expression tree Spark evaluates, so the value hash cannot
+    # flip on a cross-libm last-ulp difference (the r6 hash-red root
+    # cause)
+    f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
       FROM documents
@@ -1283,13 +1292,14 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
     tot AS (SELECT count(*) AS total FROM toks),
     lp AS (
-      SELECT w, CAST(round(-ln(c * 1.0 / total) * 1000000) AS BIGINT) AS nll_micro
+      SELECT w, {nll_micro_sql('c', 'total')} AS nll_micro
       FROM uni, tot
     )
     SELECT t.doc_id,
            count(*) AS n_tokens,
            sum(l.nll_micro) AS sum_nll_micro,
-           round(sum(l.nll_micro) * 1.0 / count(*) / 1000000, 6) AS avg_nll
+           ((CAST(sum(l.nll_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             / CAST(1000000 AS DOUBLE)) AS avg_nll
     FROM toks t JOIN lp l USING (w)
     GROUP BY t.doc_id
     """,
@@ -1469,8 +1479,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_entropy",
     # per-character Shannon entropy in integer micro-nats (exact
     # bigint sums — the unigram-logprob determinism device at the
-    # character level)
-    """
+    # character level), micro-nats from the portable IEEE-only ln
+    # shared bit-for-bit with the Spark expression
+    f"""
     WITH ch AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
       FROM documents
@@ -1481,14 +1492,14 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
     e AS (
       SELECT cc.doc_id,
-             sum(CAST(round(-ln(cc.n * 1.0 / tot.t) * 1000000) AS BIGINT) * cc.n)
-               AS ent_micro_sum,
+             sum({nll_micro_sql('cc.n', 'tot.t')} * cc.n) AS ent_micro_sum,
              CAST(max(tot.t) AS BIGINT) AS n_chars_counted
       FROM cc JOIN tot USING (doc_id)
       GROUP BY cc.doc_id
     )
     SELECT doc_id, n_chars_counted, ent_micro_sum,
-           round(ent_micro_sum * 1.0 / n_chars_counted / 1000000, 6) AS char_entropy_nats
+           ((CAST(ent_micro_sum AS DOUBLE) / CAST(n_chars_counted AS DOUBLE))
+             / CAST(1000000 AS DOUBLE)) AS char_entropy_nats
     FROM e
     """,
 )
@@ -1512,8 +1523,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum(
-                F.round(-F.log(F.col("n") / F.col("t")) * 1e6, 0).cast("long")
-                * F.col("n")
+                nll_micro_col(F.col("n"), F.col("t")) * F.col("n")
             ).alias("ent_micro_sum"),
             F.max("t").cast("long").alias("n_chars_counted"),
         )
@@ -1522,9 +1532,11 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars_counted",
         "ent_micro_sum",
-        F.round(F.col("ent_micro_sum") / F.col("n_chars_counted") / 1e6, 6).alias(
-            "char_entropy_nats"
-        ),
+        (
+            F.col("ent_micro_sum").cast("double")
+            / F.col("n_chars_counted").cast("double")
+            / F.lit(1000000.0)
+        ).alias("char_entropy_nats"),
     )
 
 

@@ -1,0 +1,91 @@
+"""Bit-portability pins for functions/portable_math.py — the r6 fix
+for the only two driver hash-red queries: the portable IEEE-only ln
+must produce BIT-IDENTICAL doubles in Spark and DuckDB (not merely
+close ones), and track the true ln to well under micro-nat precision.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from prohap_spark.functions.portable_math import (
+    nll_micro_col,
+    nll_micro_sql,
+    pln_col,
+    pln_sql,
+)
+
+# adversarial integers: power-of-two boundaries (t=0 exactly), the
+# 2^53 exact-double cliff, bigint-range values, primes
+_NS = [
+    1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 31, 32, 33,
+    1023, 1024, 1025, 65535, 65536, 65537,
+    10**6, 10**6 + 7, 2**31 - 1, 2**31, 2**31 + 1,
+    10**12, 2**52 - 1, 2**52, 2**53 - 1, 2**53, 2**53 + 1,
+    2**61, 2**62 - 1, 999983, 123456789,
+] + list(range(1, 512))
+
+
+def _bits(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def test_pln_bit_identical_spark_vs_duckdb(spark):
+    df = spark.createDataFrame([(n,) for n in _NS], "n long")
+    total = 2**61
+    srows = {
+        r["n"]: (r["p"], r["m"])
+        for r in df.select(
+            "n",
+            pln_col(F.col("n")).alias("p"),
+            nll_micro_col(F.col("n"), F.lit(total).cast("long")).alias("m"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in _NS])
+    drows = {
+        n: (p, m)
+        for n, p, m in con.execute(
+            f"SELECT n, {pln_sql('n')}, {nll_micro_sql('n', str(total))} FROM t"
+        ).fetchall()
+    }
+    for n in set(_NS):
+        sp, sm = srows[n]
+        dp, dm = drows[n]
+        assert _bits(sp) == _bits(dp), f"pln({n}): {sp!r} != {dp!r}"
+        assert sm == dm, f"nll_micro({n}): {sm} != {dm}"
+
+
+def test_pln_accuracy_vs_math_log():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in _NS])
+    for n, p in con.execute(f"SELECT n, {pln_sql('n')} FROM t").fetchall():
+        truth = math.log(n)
+        assert abs(p - truth) <= max(5e-16, 5e-16 * abs(truth)), (n, p, truth)
+
+
+def test_nll_micro_matches_rounded_true_ln():
+    """The integer micro-nats agree with round(-ln(c/t)*1e6) except at
+    genuine .5 boundaries (which the portable form then resolves the
+    SAME way in both engines — that is the whole point)."""
+    con = duckdb.connect()
+    cases = [(c, t) for t in (7, 97, 10**6 + 3) for c in (1, 2, 3, t // 2, t - 1, t)]
+    off = 0
+    for c, t in cases:
+        got = con.execute(f"SELECT {nll_micro_sql(str(c), str(t))}").fetchone()[0]
+        want = math.floor(-math.log(c / t) * 1e6 + 0.5)
+        assert abs(got - want) <= 1, (c, t, got, want)
+        off += got != want
+    assert off <= 1  # at most a boundary case or two in a tiny sample
+
+
+def test_nll_micro_zero_when_certain():
+    con = duckdb.connect()
+    assert con.execute(f"SELECT {nll_micro_sql('42', '42')}").fetchone()[0] == 0

@@ -34,7 +34,10 @@ def norm_cell(v):
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return repr(round(v, 9))
+        # FULL precision (r6 verdict): rounding here masked sub-1e-9
+        # cross-engine drift, so local green failed to predict driver
+        # red. repr() round-trips the exact double.
+        return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, (list, tuple)):
