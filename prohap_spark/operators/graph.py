@@ -203,21 +203,25 @@ def pagerank(
         contrib_edges.unpersist()
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Per-vertex triangle participation via the canonical two-hop
-    self-join: edges are deduplicated into id-ordered form (u < v), a
-    wedge u→v→w is closed by probing the (u, w) edge, and each
-    triangle u<v<w is counted exactly once, attributed to its smallest
-    vertex. Returns (u, n_triangles).
+def oriented_arcs(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Degree-ordered orientation of an undirected edge list: each
+    deduplicated edge becomes ONE arc from its (degree, id)-smaller
+    endpoint to its (degree, id)-larger endpoint. Returns
+    (a, b, db) — tail, head, head's degree (the head degree rides
+    along so the wedge builder can order out-neighbors without
+    another join).
 
-    The 100 TB shape: two shuffle equi-joins over the edge list (wedge
-    build keyed on the middle vertex, closure probe keyed on the
-    (u, w) pair) — never a cross join. The classic refinement for
-    power-law graphs is to orient edges from low to high DEGREE
-    instead of low id (bounds the wedge fan-out by sqrt(m)); the
-    id-ordered variant keeps the oracle exactly replayable, and AQE's
-    skew-split handles moderate hubs."""
-    e = (
+    This is the power-law defense the r6 verdict flagged: orienting
+    by id lets a 10⁷-degree hub keep 10⁷ out-arcs and fan out O(d²)
+    wedges before any skew handling can help (the rows exist before
+    AQE can split them). Orienting low-degree → high-degree bounds
+    every out-degree by O(sqrt(m)) — a hub's arcs all point INTO it —
+    so total wedge volume is O(m^1.5) on any graph (Schank &
+    Wagner's forward algorithm; the id tiebreak keeps the
+    orientation deterministic and engine-replayable)."""
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
             F.greatest(F.col(src), F.col(dst)).alias("v"),
@@ -225,12 +229,54 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b")
-    closing = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    deg = (
+        und.select(F.col("u").alias("x"))
+        .unionAll(und.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e = (
+        und.join(deg.select(F.col("x").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-vertex triangle participation via degree-ordered wedge
+    closure: orient edges low-degree → high-degree (see
+    :func:`oriented_arcs`), build each wedge once from a common tail
+    (out-neighbors ordered by (degree, id)), close it by probing the
+    oriented (y, z) arc, then emit ALL THREE vertices of every closed
+    triangle. Returns (u, n_triangles) — for every vertex in at least
+    one triangle, the number of triangles containing it.
+
+    Emitting all three vertices makes the result independent of the
+    orientation, so the DuckDB oracle can enumerate triangles with the
+    simple id-ordered join and still match hash-for-hash, while the
+    Spark plan keeps the O(m^1.5) wedge bound a power-law graph
+    needs. The 100 TB shape: two degree joins + two shuffle equi-joins
+    over the arc list (wedge build keyed on the tail, closure probe
+    keyed on the (y, z) pair) — never a cross join, and no vertex —
+    however hot — fans out more than O(sqrt(m)) wedges."""
+    arcs = oriented_arcs(edges, src, dst)
+    a1 = arcs.select(F.col("a").alias("x"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    a2 = arcs.select(F.col("a").alias("x"), F.col("b").alias("z"), F.col("db").alias("dz"))
+    wedges = a1.join(a2, "x").where(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = arcs.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
     return (
-        wedges.join(closing, ["a", "c"])
-        .groupBy(F.col("a").alias("u"))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("u"))
+        .groupBy("u")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

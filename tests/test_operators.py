@@ -1521,5 +1521,49 @@ def test_triangle_count_matches_brute_force(spark):
     want: dict[int, int] = {}
     for a, b, c in combinations(verts, 3):
         if {(a, b), (a, c), (b, c)} <= es:
-            want[a] = want.get(a, 0) + 1
-    assert got == want and sum(want.values()) == 4
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    # per-vertex participation: 4 triangles in K4, 3 per vertex
+    assert got == want and sum(want.values()) == 12
+
+
+def test_triangle_count_degree_orientation_bounds_hub_fanout(spark):
+    """The r6 verdict's power-law guard: a star hub with 1000 leaves
+    (plus a handful of leaf-leaf chords forming real triangles) must
+    orient every hub edge INTO the hub, so the hub contributes ZERO
+    wedges — id-ordered orientation would fan out C(999,2) ≈ 5·10^5
+    wedges from it (the hub id is below every leaf id). Also pins
+    correctness on the same graph against a python brute force."""
+    from itertools import combinations
+
+    from prohap_spark.operators.graph import oriented_arcs, triangle_count
+
+    hub = 0
+    leaves = list(range(1, 1001))
+    edges = [(hub, leaf) for leaf in leaves]
+    # chords among low-id leaves: triangles (hub, 2k+1, 2k+2)
+    chords = [(2 * k + 1, 2 * k + 2) for k in range(20)]
+    df = spark.createDataFrame(edges + chords, ["src", "dst"])
+
+    arcs = oriented_arcs(df).groupBy("a").count().collect()
+    out_deg = {r["a"]: r["count"] for r in arcs}
+    # hub has max degree -> never a tail
+    assert hub not in out_deg
+    wedge_count = sum(d * (d - 1) // 2 for d in out_deg.values())
+    m = len(edges) + len(chords)
+    # O(m^1.5) bound with a generous constant; the d^2 shape would be
+    # ~5e5 — orders of magnitude over this ceiling
+    assert wedge_count <= m, wedge_count
+
+    got = {r["u"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    es = {tuple(sorted(e)) for e in edges + chords}
+    adj: dict[int, set] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for a, b in chords:
+        for c in adj[a] & adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want and want[hub] == 20
