@@ -1813,10 +1813,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += 1
         if b == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated payload")
             pos += 1
         elif b == 0x2C:  # image descriptor
+            if pos + 9 > len(payload):
+                raise ValueError("GIF: truncated payload")
             _lx, _ty, w, h, ip = struct.unpack("<HHHHB", payload[pos : pos + 9])
             pos += 9
             pal = gct
@@ -1826,13 +1830,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 pos += 3 * n
             if pal is None:
                 raise ValueError("GIF: no color table for image")
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated payload")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 ln = payload[pos]
                 data += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF: truncated payload")
             pos += 1
             idx = _gif_lzw_decompress(bytes(data), min_code, w * h)
             lut = np.array(
@@ -1879,6 +1887,11 @@ def encode_tiff(raster: np.ndarray) -> bytes:
     if raster.ndim != 2:
         raise ValueError("encode_tiff expects a 2-D grayscale raster")
     h, w = raster.shape
+    if h > 0xFFFF or w > 0xFFFF:
+        # width/length are written as SHORT-typed tags; silently
+        # truncating a >65535 dimension would roundtrip to a wrong
+        # raster with no error (the codec contract is fail-loud)
+        raise ValueError(f"encode_tiff: dimension {h}x{w} exceeds 65535")
     data = raster.astype(np.uint8).tobytes()
     # layout: 8-byte header | pixel data | IFD
     data_off = 8

@@ -203,6 +203,131 @@ def pagerank(
         contrib_edges.unpersist()
 
 
+def pagerank_micro(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_pct: int = 85,
+    n_iter: int = 6,
+    precision: int = 10**12,
+) -> DataFrame:
+    """Deterministic fixed-point PageRank: ranks as exact BIGINT
+    micro-units (``precision`` total probability mass) with every
+    update in pure integer arithmetic — contributions are
+    ``rank div out_deg``, the damped update is
+    ``teleport + (damping_pct * (inflow + dangling_share)) div 100``.
+    Returns (id, rank_micro).
+
+    Why a fixed-point variant exists next to :func:`pagerank`: float
+    power iteration is not reproducible — partial-aggregation order
+    changes the low bits run to run and engine to engine, so a float
+    PageRank can never be value-checked against an independent
+    reference, and at 1000 executors two runs of the same job disagree.
+    Integer micro-units make every iteration an exact, commutative
+    bigint sum: same answer on any partitioning, any engine — the
+    registered query replays all iterations in DuckDB and matches
+    hash-for-hash. Truncation loses <1 micro-unit per edge per round
+    (bounded mass leak, deterministic), which tests pin to ~1e-6 of
+    the float reference.
+
+    Scale shape matches :func:`pagerank`: static (src, dst, out_deg)
+    edge table cached once; per round ONE src-keyed shuffle join + one
+    dst-keyed exact bigint aggregation + a 1-row dangling-mass
+    broadcast; lineage truncated with a lazy localCheckpoint per
+    round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("id", F.lit(0).cast("long").alias("rank_micro"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src")
+    ed.persist()
+    init = precision // n
+    teleport = ((100 - damping_pct) * init) // 100
+    try:
+        ranks = nodes.select("id", F.lit(init).cast("long").alias("r"))
+        for _ in range(n_iter):
+            inflow = (
+                ed.join(ranks.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.expr("r div deg")).alias("inflow"))
+            )
+            dangling = (
+                ranks.join(deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            )
+            ranks = (
+                nodes.join(inflow, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(inflow, 0)"
+                            f" + (dm div {n}))) div 100"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        return ranks.select("id", F.col("r").alias("rank_micro")).localCheckpoint(
+            eager=True
+        )
+    finally:
+        ed.unpersist()
+
+
+def pagerank_micro_oracle_sql(
+    edges_cte: str,
+    damping_pct: int = 85,
+    n_iter: int = 6,
+    precision: int = 10**12,
+) -> str:
+    """Unrolled-iteration DuckDB replay of :func:`pagerank_micro`:
+    ``edges_cte`` must define a relation ``edges(src, dst)`` (already
+    distinct). Every operation is BIGINT arithmetic identical to the
+    Spark side, so the result is exact — no recursion needed because
+    ``n_iter`` is a fixed plan parameter, not data."""
+    parts = [
+        edges_cte,
+        "nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM edges"
+        " UNION ALL SELECT dst AS id FROM edges))",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "ed AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src))",
+        f"r0 AS (SELECT id, {precision} // n AS r FROM nodes, nn)",
+    ]
+    dp = damping_pct
+    tele = f"(({100 - dp} * ({precision} // nn.n)) // 100)"
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS id, sum(r.r // e.deg) AS inflow"
+            f" FROM ed e JOIN r{p} r ON e.src = r.id GROUP BY e.dst)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT coalesce(sum(r.r), 0) AS dm FROM r{p} r"
+            f" LEFT JOIN deg g ON r.id = g.src WHERE g.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT nd.id, {tele} + ({dp} * (coalesce(c.inflow, 0)"
+            f" + (d.dm // nn.n))) // 100 AS r"
+            f" FROM nodes nd CROSS JOIN nn CROSS JOIN d{i} d"
+            f" LEFT JOIN c{i} c ON nd.id = c.id)"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r{n_iter}"
+    )
+
+
 def oriented_arcs(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -955,3 +955,263 @@ def semantic_cell_stats(
         else F.col("cell_size") > max_cell_size
     )
     return out.withColumn("capped", capped)
+
+
+# ------------------------------------------------- quantized k-means IVF
+# The cross-engine-exact variant of the k-means -> IVF pipeline above:
+# scalar-quantize vectors to integer micro-units once, then every
+# trainer iteration and every search comparison is exact BIGINT
+# arithmetic — deterministic on any partitioning and replayable by a
+# DuckDB oracle (the portable-math discipline of queries/textdata.py's
+# micro-nat scores applied to vector search). Metric is L2 on the
+# quantized grid (FAISS's default); ties break to the lower cell/id.
+
+_QUANT_SCALE = 1_000_000.0
+
+
+def quantize_vec(col: "F.Column"):
+    """array<float> -> array<bigint> micro-units via floor(x*1e6 + 0.5)
+    — IEEE ops only, bit-identical in Spark and DuckDB."""
+    return F.transform(
+        col,
+        lambda x: F.floor(
+            x.cast("double") * F.lit(_QUANT_SCALE) + F.lit(0.5)
+        ).cast("long"),
+    )
+
+
+def quantize_vec_sql(expr: str) -> str:
+    """DuckDB twin of :func:`quantize_vec` (same IEEE expression)."""
+    return (
+        f"list_transform({expr}, x -> CAST(floor((CAST(x AS DOUBLE)"
+        f" * CAST(1000000 AS DOUBLE)) + (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE)))"
+        f" AS BIGINT))"
+    )
+
+
+def _l2q_dists(vec_col: str, cents: list[list[int]]):
+    """Exact integer squared-L2 of a quantized array column against
+    each inlined centroid (k x d bigint literals — bounded driver
+    state, map-side evaluation, no join)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for c in cents
+        ]
+    )
+
+
+def train_centroids_kmeans_q(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    n_iter: int = 3,
+) -> list[list[int]]:
+    """Integer-exact Lloyd's k-means over micro-unit quantized vectors.
+    Returns the k centroids as python int lists (cell_id = list index).
+
+    Deterministic AND engine-portable: seeds are the k vectors with the
+    smallest md5(id) (TakeOrdered), the argmin breaks ties to the lower
+    cell id, and the centroid update is ``sum(x) div count`` — Spark's
+    ``div`` and DuckDB's ``//`` both truncate toward zero, so a DuckDB
+    replay of the same iterations lands on the same integers (pinned in
+    tools/check.py via sim_kmeans_ivf). Per iteration: one map-side
+    assignment against k x d inlined literals + ONE shuffle (per-
+    (cell, dim) sum/count); driver state is k*d ints. Empty cells keep
+    their previous centroid."""
+    q = df.select(
+        F.col(id_col).alias("__id"), quantize_vec(F.col(vec_col)).alias("__qv")
+    )
+    seeds = [
+        [int(x) for x in r["__qv"]]
+        for r in q.select("__qv", F.md5(F.col("__id").cast("string")).alias("__m"))
+        .orderBy("__m")
+        .limit(k)
+        .collect()
+    ]
+    if not seeds:
+        raise ValueError("train_centroids_kmeans_q needs a non-empty corpus")
+    cents = seeds
+    for _ in range(n_iter):
+        assigned = q.select(
+            (
+                F.array_position(
+                    _l2q_dists("__qv", cents),
+                    F.array_min(_l2q_dists("__qv", cents)),
+                )
+                - 1
+            )
+            .cast("int")
+            .alias("__cell"),
+            F.posexplode("__qv").alias("__d", "__x"),
+        )
+        # the div happens IN Spark SQL (truncation semantics), never in
+        # python (// floors, which differs on negative sums)
+        got: dict[int, dict[int, int]] = {}
+        for r in (
+            assigned.groupBy("__cell", "__d")
+            .agg(F.expr("sum(__x) div count(1)").alias("__c"))
+            .collect()
+        ):
+            got.setdefault(r["__cell"], {})[r["__d"]] = int(r["__c"])
+        cents = [
+            [got[j][d] for d in range(len(cents[j]))] if j in got else cents[j]
+            for j in range(len(cents))
+        ]
+    return cents
+
+
+def ivf_l2_topk_q(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cents: list[list[int]],
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k in the quantized integer space: corpus rows are
+    assigned once to their nearest centroid (map-side, k x d literal
+    table, exact bigint L2), queries probe their ``nprobe`` nearest
+    cells, and ranking inside the probed cells is by exact integer
+    distance with (dist, id) tiebreak — every comparison engine-exact,
+    so the approximate index is fully value-checkable. Returns
+    (qid, cid, dist_sq, rank). The shuffle is one cell-keyed equi-join;
+    hot cells are bounded by the k-means balance, and the final top-k
+    is a per-query window over only the probed candidates."""
+    from pyspark.sql import Window
+
+    corp = corpus.select(
+        F.col(corpus_id).alias("cid"), quantize_vec(F.col(vec_col)).alias("__qv")
+    )
+    assign = corp.select(
+        "cid",
+        "__qv",
+        (
+            F.array_position(
+                _l2q_dists("__qv", cents), F.array_min(_l2q_dists("__qv", cents))
+            )
+            - 1
+        )
+        .cast("int")
+        .alias("cell_id"),
+    )
+    qs = queries.select(
+        F.col(query_id).alias("qid"), quantize_vec(F.col(vec_col)).alias("__pv")
+    )
+    probes = (
+        qs.select(
+            "qid", "__pv", F.posexplode(_l2q_dists("__pv", cents)).alias("__p", "__dist")
+        )
+        .withColumn(
+            "__rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.col("__dist"), F.col("__p"))
+            ),
+        )
+        .where(F.col("__rnk") <= nprobe)
+        # posexplode's pos is already 0-based (unlike array_position)
+        .select("qid", "__pv", F.col("__p").cast("int").alias("cell_id"))
+    )
+    scored = probes.join(assign, "cell_id").select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.zip_with("__pv", "__qv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist_sq"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_sq"), F.col("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "cid", "dist_sq", "rank")
+    )
+
+
+def kmeans_ivf_oracle_sql(
+    k: int = 4,
+    n_iter: int = 3,
+    nprobe: int = 2,
+    topk: int = 5,
+    query_pred: str = "vec_id < 10",
+    corpus_pred: str = "vec_id >= 10",
+) -> str:
+    """Unrolled DuckDB replay of train_centroids_kmeans_q +
+    ivf_l2_topk_q over the ``embeddings`` table: seeds by md5 order,
+    ``n_iter`` Lloyd rounds (argmin with (dist, cell) tiebreak,
+    ``sum // count`` centroid update — truncation division matching
+    Spark's ``div``), then the nprobe/topk search — all exact BIGINT,
+    so the hash gate covers the entire iterative trainer AND the
+    index search."""
+    dist = (
+        "CAST(list_sum(list_transform(range(1, len({v}) + 1),"
+        " j -> ({v}[j] - {c}[j]) * ({v}[j] - {c}[j]))) AS BIGINT)"
+    )
+    parts = [
+        f"corpus AS (SELECT vec_id AS cid, {quantize_vec_sql('embedding')} AS qv"
+        f" FROM embeddings WHERE {corpus_pred})",
+        f"qs AS (SELECT vec_id AS qid, {quantize_vec_sql('embedding')} AS pv"
+        f" FROM embeddings WHERE {query_pred})",
+        "cent0 AS (SELECT cell_id, cvec FROM ("
+        "SELECT row_number() OVER (ORDER BY md5(CAST(cid AS VARCHAR))) - 1"
+        " AS cell_id, qv AS cvec FROM corpus"
+        f") WHERE cell_id < {k})",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        d = dist.format(v="c.qv", c="n.cvec")
+        parts.append(
+            f"a{i} AS (SELECT cid, qv, cell_id FROM ("
+            f"SELECT c.cid, c.qv, n.cell_id,"
+            f" row_number() OVER (PARTITION BY c.cid ORDER BY {d}, n.cell_id)"
+            f" AS rnk FROM corpus c CROSS JOIN cent{p} n) WHERE rnk = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cell_id, list(cc ORDER BY d) AS cvec FROM ("
+            f"SELECT cell_id, d, CAST(sum(x) // count(*) AS BIGINT) AS cc FROM ("
+            f"SELECT cell_id, unnest(qv) AS x, generate_subscripts(qv, 1) AS d"
+            f" FROM a{i}) GROUP BY cell_id, d) GROUP BY cell_id)"
+        )
+        parts.append(
+            f"cent{i} AS (SELECT p.cell_id, coalesce(m.cvec, p.cvec) AS cvec"
+            f" FROM cent{p} p LEFT JOIN m{i} m USING (cell_id))"
+        )
+    d_assign = dist.format(v="c.qv", c="n.cvec")
+    d_probe = dist.format(v="q.pv", c="n.cvec")
+    d_score = dist.format(v="p.pv", c="a.qv")
+    parts.append(
+        f"assign AS (SELECT cid, qv, cell_id FROM ("
+        f"SELECT c.cid, c.qv, n.cell_id,"
+        f" row_number() OVER (PARTITION BY c.cid ORDER BY {d_assign}, n.cell_id)"
+        f" AS rnk FROM corpus c CROSS JOIN cent{n_iter} n) WHERE rnk = 1)"
+    )
+    parts.append(
+        f"probes AS (SELECT qid, pv, cell_id FROM ("
+        f"SELECT q.qid, q.pv, n.cell_id,"
+        f" row_number() OVER (PARTITION BY q.qid ORDER BY {d_probe}, n.cell_id)"
+        f" AS rnk FROM qs q CROSS JOIN cent{n_iter} n) WHERE rnk <= {nprobe})"
+    )
+    parts.append(
+        f"scored AS (SELECT p.qid, a.cid, {d_score} AS dist_sq"
+        f" FROM probes p JOIN assign a USING (cell_id))"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT qid, cid, dist_sq, rank FROM ("
+        + "SELECT qid, cid, dist_sq,"
+        + " row_number() OVER (PARTITION BY qid ORDER BY dist_sq, cid) AS rank"
+        + f" FROM scored) WHERE rank <= {topk}"
+    )

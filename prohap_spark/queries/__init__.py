@@ -41,55 +41,38 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # was TWO rounds; at 122 registered queries that is arithmetically
 # unsatisfiable against a 2x50 budget — restated r6 as the three-round
 # window registry <= 3x50 (145 at r6 close), which
-# tools/rotation_audit.py now audits. The r7 front is 23 rule-(a)
-# late-r6 registrations + 22 rule-(c) last-green-r4 entries = 45 of
-# 50 slots — 5 slots of rule-(b) slack; registration is HARD-CAPPED
-# here until the window regains room.)
+# tools/rotation_audit.py now audits. Registration is HARD-CAPPED at
+# 150 = 3x50 while the window is three rounds.)
 #
-# Round-6 state: _FRONT = the 24 rule-(a) queries that have never
-# produced a CORRECTNESS row (the fourth/fifth-wave additions, all
-# locally hash-green via tools/check.py and independently re-run by
-# the r5 judge) + 26 rule-(c) entries whose last green is r4
-# (prioritized: domain oracles, the LSH/dedup family, interval/asof
-# joins). Exactly 50 = the driver budget. _BACK documents the 22
-# remaining last-green-r4 entries — they are the r7 rule-(c)
-# obligations (window {r5,r6,r7} forces them front next round). The
-# 50 r5-green queries sit in the middle: dark r6 is fine, due again
-# by r8. `python tools/rotation_audit.py` verifies all of this
+# Round-7 state (registry 148): _FRONT = the full 45-obligation r7
+# audit print-out — 23 rule-(a) r6 registrations that have never
+# produced a CORRECTNESS row + 22 rule-(c) last-green-r4 entries —
+# plus the 2 rule-(b) r6 hash-reds (text_unigram_logprob /
+# text_char_entropy, re-fronted with the portable-ln fix) and the 3
+# r7 registrations (multimodal_gif_tiff_codec, graph_pagerank,
+# sim_kmeans_ivf — the r6 verdict's four dark operators in three
+# slots, GIF+TIFF sharing one query). Exactly 50 = the driver
+# budget. _BACK documents the 50 r5-green entries — the r8 rule-(c)
+# obligations (they fill r8's front EXACTLY, so r7 may register at
+# most the 3 slots it used; the 48 r6-greens are due r9 with 2
+# slack). `python tools/rotation_audit.py` verifies all of this
 # mechanically against the CORRECTNESS_r*.json files.
 _FRONT = [
-    # (a) never driver-checked (registered r5 after the front filled):
-    "er_fuzzy_blocked_join", "stream_dedup_watermark", "events_funnel",
-    "w_ntile_percent_rank", "text_decontaminate", "text_repetition_stats",
-    "sampling_stratified_rates", "text_bpe_tokens", "text_pii_scrub",
-    "text_line_dedup", "pack_context_windows", "text_unigram_logprob",
-    "sampling_token_budget", "dedup_winnowing", "text_char_entropy",
-    "corpus_curation_e2e", "sim_pq_ann", "dedup_semantic",
-    "multimodal_jpeg_codec", "agg_grouping_sets",
-    "j8_gene_header_annotation", "u4_full_class_grid",
-    "domain_provar_threeexon_oracle", "domain_prohap_threeexon_oracle",
-    # (c) last green r4, dark r5 — due now under the 3-round window;
-    # the 26 highest-value of the 48 (domain oracles + LSH family +
-    # interval/asof joins first, per the r5 verdict):
-    "domain_provar_minus_strand", "domain_provar_indel_oracle",
-    "domain_postprocess_chain", "domain_provar_fasta_oracle",
-    "u4_peptide_classes",
-    "dedup_simhash_near", "dedup_minhash_lsh_capped",
-    "dedup_cluster_reps", "dedup_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "j1_interval_join_binned", "j1b_interval_overlap_join",
-    "j10_asof_join", "j9_containment_join",
-    "w1_islands_sessionize", "w1b_interval_islands",
-    "sim_sq_ann", "text_bm25_topk", "sampling_hash_split",
-    "agg_salted_skew", "stream_tumbling_window",
-    "stream_stateful_user_stats", "q1_pricing_summary",
-    "topk_per_group", "w2_deterministic_row_number",
-    "multimodal_audio_windows",
-]
-_BACK = [
-    # last green r4, dark r5 AND r6 — the r7 rule-(c) front
-    # obligations (the trailing window {r5,r6,r7} forces every one of
-    # these into the r7 front; rotation_audit.py will list them):
+    # (b) hash-red in r6 (micro-nat float-portability defect, fixed
+    # via functions/portable_math.py — must re-front):
+    "text_unigram_logprob", "text_char_entropy",
+    # (a) never driver-checked (registered r6 after the front filled):
+    "scd2_merge_upsert", "stream_cdc_scd2", "text_quality_classifier",
+    "sampling_temperature_mix", "text_intradoc_dedup", "text_bpe_train",
+    "text_substring_dedup", "pack_best_fit", "text_ngram_topk",
+    "dedup_incremental_ingest", "text_chunk_overlap",
+    "dedup_incremental_near", "sampling_negative_pairs",
+    "sim_knn_classify", "hybrid_search_rrf",
+    "multimodal_jpeg_color_codec", "multimodal_audio_container",
+    "q4_order_priority", "q13_customer_distribution",
+    "q18_large_volume_customer", "q22_idle_customers",
+    "graph_triangle_count", "s13_jsonl_roundtrip",
+    # (c) last green r4, dark r5 and r6 — the window forces them now:
     "f12_liftover_artifact_filter", "c7_reverse_translate",
     "agg_rollup", "agg_pivot", "agg_quantiles", "so_set_ops",
     "text_quality", "text_langid", "stream_sliding_window",
@@ -97,10 +80,36 @@ _BACK = [
     "multimodal_decode_features", "stream_click_attribution",
     "multimodal_resize_stats", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
     "s5_fasta_roundtrip",
-    # rows-only by design (recall/tolerance pinned in pytest instead);
-    # same r7 obligation as above:
     "sim_lsh_ann", "agg_approx_sketches",
     "domain_prohap_synthetic", "domain_provar_synthetic",
+    # r7 registrations (rule a: front the round they register):
+    "multimodal_gif_tiff_codec", "graph_pagerank", "sim_kmeans_ivf",
+]
+_BACK = [
+    # last green r5, dark r6 AND r7 — the r8 rule-(c) front
+    # obligations (they fill the r8 budget EXACTLY; rotation_audit.py
+    # prints them):
+    "s1_scan_pushdown_projection", "f1_regex_threshold",
+    "f4_isin_filter", "f5_group_conditional_filter",
+    "f9_array_mask_filter", "j2_normalized_key_join", "j3_star_dim_join",
+    "j4_semi_join", "j11_anti_join", "a2_signature_grouping",
+    "a3_conditional_denominator", "a4_group_frequency_maps",
+    "a7_priority_dedup", "a11_synthesize_missing_groups",
+    "c15_map_merge_explode", "w5_running_offset", "j6_explode_equijoin",
+    "text_fingerprint_dedup", "dedup_exact_docs", "dedup_minhash_lsh",
+    "dedup_simhash", "sim_bruteforce_topk", "sim_ivf_ann",
+    "emb_centroid_cosine", "c_math_hash", "c2_regex_split_explode",
+    "w3_array_sort_analytics", "c_json_extract", "sql_api_q6",
+    "stream_live_session_windows", "q3_shipping_priority",
+    "q5_local_supplier_volume", "agg_exact_distinct", "w_lead_lag",
+    "agg_cube_grouping", "multimodal_bmp_codec", "multimodal_png_codec",
+    "multimodal_wav_codec", "domain_provar_snp_oracle",
+    "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
+    "f8_count_threshold_prohap", "domain_prohap_indel_oracle",
+    "domain_provar_start_oracle", "s7_tsv_gz_roundtrip",
+    "s10_partitioned_prune", "f2_allele_validity",
+    "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
+    "domain_prohap_junction_oracle",
 ]
 
 

@@ -64,8 +64,12 @@ def stream_token_budget(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # derive the id field's output type from the input schema (ADVICE
+    # r6): hardcoding `long` + int(doc_id) broke the documented
+    # batch/stream parity for string or other non-integral id columns
+    id_type = docs.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"{id_col} long, source string, shard int, n_tokens long, "
+        f"{id_col} {id_type}, source string, shard int, n_tokens long, "
         "cum_tokens long, kept boolean"
     )
     state_schema = "cum long"
@@ -82,7 +86,7 @@ def stream_token_budget(
         ids, toks, cums = [], [], []
         for doc_id, n in zip(batch[id_col], batch["n_tokens"]):
             cum += int(n)
-            ids.append(int(doc_id))
+            ids.append(doc_id)
             toks.append(int(n))
             cums.append(cum)
         state.update((cum,))

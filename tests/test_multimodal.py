@@ -985,3 +985,45 @@ def test_tiff_roundtrip_and_foreign_features():
     comp[i + 8 : i + 10] = struct.pack("<H", 5)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff(bytes(comp))
+
+
+def test_gif_truncation_fails_loud_everywhere():
+    """ADVICE r6: every truncation point — inside extension sub-blocks,
+    mid image descriptor, mid LZW data sub-blocks, missing terminator —
+    must raise the descriptive ValueError, never a bare IndexError or
+    struct.error (the BMP/PNG/JPEG error contract)."""
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import decode_gif, encode_gif
+
+    r = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    gif = encode_gif(r)
+    cut = 13 + 768
+    comment = bytes((0x21, 0xFE, 5)) + b"hello" + bytes((0,))
+    patched = gif[:cut] + comment + gif[cut:]
+    # chop at every byte boundary of the extension + descriptor region
+    for end in range(cut + 1, cut + len(comment) + 12):
+        with pytest.raises(ValueError):
+            decode_gif(patched[:end])
+    # chop the data terminator (and deeper, inside the LZW sub-blocks);
+    # dropping ONLY the 0x3B trailer leaves a complete decodable image,
+    # so start at len-2
+    for end in (len(gif) - 2, len(gif) - 5):
+        with pytest.raises(ValueError):
+            decode_gif(gif[:end])
+
+
+def test_tiff_encode_rejects_short_overflow_dims():
+    """ADVICE r6: ImageWidth/ImageLength are SHORT-typed tags; a
+    dimension over 65535 must be rejected, not silently truncated to
+    a wrong raster (65537x2 used to roundtrip to 1x2)."""
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import encode_tiff
+
+    with pytest.raises(ValueError, match="65535"):
+        encode_tiff(np.zeros((65537, 2), dtype=np.uint8))
+    with pytest.raises(ValueError, match="65535"):
+        encode_tiff(np.zeros((2, 70000), dtype=np.uint8))

@@ -1567,3 +1567,108 @@ def test_triangle_count_degree_orientation_bounds_hub_fanout(spark):
             for v in (a, b, c):
                 want[v] = want.get(v, 0) + 1
     assert got == want and want[hub] == 20
+
+
+def test_pagerank_micro_tracks_float_pagerank_and_conserves_mass(spark):
+    """pagerank_micro (the driver-checkable fixed-point variant) must
+    track a float reference of the SAME update rule to ~1e-6 of the
+    probability mass, never gain mass (truncation only leaks), and be
+    exactly reproducible across two runs with different partitioning
+    (the whole point of integer arithmetic)."""
+    from prohap_spark.operators.graph import pagerank_micro
+
+    rng = np.random.default_rng(11)
+    n = 40
+    edges = sorted(
+        {
+            (int(a), int(b))
+            for a, b in zip(rng.integers(0, n, 150), rng.integers(0, n, 150))
+            if a != b and a % 9 != 0
+        }
+    )
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    P = 10**12
+    got = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_micro(df, n_iter=8, precision=P).collect()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    m = len(nodes)
+    deg: dict[int, int] = {}
+    for a, _ in edges:
+        deg[a] = deg.get(a, 0) + 1
+    ref = {v: 1.0 / m for v in nodes}
+    for _ in range(8):
+        inflow = {v: 0.0 for v in nodes}
+        dm = 0.0
+        for v in nodes:
+            if v in deg:
+                pass
+            else:
+                dm += ref[v]
+        for a, b in edges:
+            inflow[b] += ref[a] / deg[a]
+        ref = {v: 0.15 / m + 0.85 * (inflow[v] + dm / m) for v in nodes}
+
+    assert set(got) == set(nodes)
+    assert sum(got.values()) <= P  # truncation never creates mass
+    assert sum(got.values()) >= P - P // 10**6
+    for v in nodes:
+        assert abs(got[v] / P - ref[v]) < 2e-6, (v, got[v] / P, ref[v])
+
+    again = {
+        r["id"]: r["rank_micro"]
+        for r in pagerank_micro(
+            df.repartition(7), n_iter=8, precision=P
+        ).collect()
+    }
+    assert again == got  # bit-exact under re-partitioning
+
+
+def test_kmeans_ivf_quantized_recall_floor(spark):
+    """The quantized integer k-means IVF must reach >= 0.6 recall@5
+    vs exact brute-force L2 on the quantized grid (nprobe=2 of k=4
+    cells), and the exact-arithmetic pipeline must be bit-reproducible
+    across partitionings."""
+    from prohap_spark.operators.similarity import (
+        ivf_l2_topk_q,
+        quantize_vec,
+        train_centroids_kmeans_q,
+    )
+
+    rng = np.random.default_rng(5)
+    # 4 separated clusters in 8-d plus noise
+    centers = rng.normal(0, 1, (4, 8))
+    vecs = []
+    for i in range(200):
+        c = centers[i % 4]
+        vecs.append((i, [float(x) for x in c + rng.normal(0, 0.15, 8)]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") < 20)
+    c = df.where(F.col("vec_id") >= 20)
+
+    cents = train_centroids_kmeans_q(c, "vec_id", "embedding", k=4, n_iter=3)
+    got = ivf_l2_topk_q(q, c, cents, "vec_id", "vec_id", "embedding", k=5, nprobe=2)
+    ann = {}
+    for r in got.collect():
+        ann.setdefault(r["qid"], set()).add(r["cid"])
+
+    # exact integer brute force
+    qq = {r["vec_id"]: r["qv"] for r in q.select("vec_id", quantize_vec(F.col("embedding")).alias("qv")).collect()}
+    cc = {r["vec_id"]: r["qv"] for r in c.select("vec_id", quantize_vec(F.col("embedding")).alias("qv")).collect()}
+    hits = tot = 0
+    for qid, qv in qq.items():
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in cc.items()
+        )
+        truth = {cid for _, cid in dists[:5]}
+        hits += len(truth & ann[qid])
+        tot += 5
+    assert hits / tot >= 0.6, hits / tot
+
+    cents2 = train_centroids_kmeans_q(
+        c.repartition(13), "vec_id", "embedding", k=4, n_iter=3
+    )
+    assert cents2 == cents  # integer trainer is partitioning-invariant

@@ -355,6 +355,44 @@ def test_stream_token_budget_batch_parity_and_cross_batch_state(spark, tmp_path)
     assert crossed, {s: [r["doc_id"] for r in rs] for s, rs in by_shard.items()}
 
 
+def test_stream_token_budget_string_ids_batch_stream_parity(spark, tmp_path):
+    """ADVICE r6: a STRING id column must work identically in batch and
+    streaming mode — the stream branch used to hardcode `{id} long` and
+    int(doc_id), crashing (or mis-schema-ing) non-integral ids."""
+    from prohap_spark.streaming.budget import stream_token_budget
+
+    rows = [(f"doc-{i:03d}", "s0", " ".join(["w"] * 10)) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    want = {
+        r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"])
+        for r in stream_token_budget(docs, budget_per_source=40, n_shards=2).collect()
+    }
+    assert len(want) == 8 and any(not v[2] for v in want.values())
+
+    d = str(tmp_path / "budget_stream_str")
+    docs.coalesce(1).write.parquet(d)
+    stream = stream_token_budget(
+        spark.readStream.schema("doc_id string, source string, text string").parquet(d),
+        budget_per_source=40,
+        n_shards=2,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("budget_out_str")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM budget_out_str")
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {
+        r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"]) for r in out.collect()
+    }
+    assert got == want
+
+
 def test_stream_token_budget_multi_chunk_group_order(spark, tmp_path):
     """Regression: a (source, shard) group larger than one Arrow chunk
     must still admit in GLOBAL (md5, id) order — sorting per chunk

@@ -5,7 +5,8 @@ The correctness harness checks ~50 registry entries per round
 __init__.py). The rotation rule (restated r6, when the registry
 outgrew a 2x50 budget) promises: every registered query is hash-green
 within any trailing THREE-round window (registry <= 3 x 50 budget;
-135 registered at r6 close). This script verifies that promise against the actual
+the live count is printed by every run — no hardcoded number to go
+stale). This script verifies that promise against the actual
 CORRECTNESS_r*.json files:
 
   for every registered query NOT in the current front window, there
