@@ -169,11 +169,18 @@ def lsh_ann_topk(
     k: int,
     n_planes: int = 8,
     n_tables: int = 8,
+    score_decimals: int | None = 6,
 ) -> DataFrame:
     """Approximate NN: bucket both sides with random hyperplanes and
     brute force only within shared buckets — an equi-join on the bucket
     key (the 100 TB path: no cross join, shuffle keyed on well-spread
     buckets).
+
+    ``score_decimals`` rounds the cosine BEFORE the per-query ranking
+    (ties then break on corpus id), which makes the whole candidate
+    set + ranking deterministic and engine-replayable — the same
+    device ``ivf_ann_topk`` uses; pass ``None`` for raw full-precision
+    scores.
 
     Multi-table LSH: ``n_tables`` independent hyperplane sets (distinct
     seeds); a pair is a candidate if it collides in ANY table. Collision
@@ -214,8 +221,11 @@ def lsh_ann_topk(
     cv = corpus.select(
         F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
+    cos = _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+    if score_decimals is not None:
+        cos = F.round(cos, score_decimals)
     scored = cand.join(cv, "__cid").join(F.broadcast(qv), "__qid").withColumn(
-        "cosine", _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+        "cosine", cos
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
     return (

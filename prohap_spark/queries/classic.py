@@ -238,33 +238,15 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("domain_prohap_synthetic")  # rows-only: grouped-map kernel, not SQL-expressible
-def domain_prohap_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ProHap domain pipeline (VCF melt → conflict windows →
-    haplotype grouping → U1-U3 kernel → duplicate merge) on the
-    deterministic synthetic cohort — the §2.9 kernels are per-group
-    Python and have no SQL oracle (driver records a rows-only check;
-    value-level verification lives in tests/test_pipeline.py goldens)."""
-    from prohap_spark.pipeline.synthetic import run_prohap_e2e
-
-    out = run_prohap_e2e(spark, scale=1)
-    return out.select(
-        "transcript_id", "haplotype_id", "cdna_changes", "protein",
-        "occurrence_count", "frequency",
-    )
-
-
-@register("domain_provar_synthetic")  # rows-only: grouped-map kernel, not SQL-expressible
-def domain_provar_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ProVar variant pipeline (interval join → U1-U3 single-variant
-    kernel with ±1 bp liftover retry) on the synthetic cohort."""
-    from prohap_spark.pipeline.synthetic import run_provar_e2e
-
-    out = run_provar_e2e(spark, scale=1)
-    return out.select(
-        "transcript_id", "variant_id", "item_id", "cdna_changes",
-        "variant_types", "protein",
-    )
+# domain_prohap_synthetic / domain_provar_synthetic were DEREGISTERED
+# in r7 (r6 verdict, What's-missing #4): both were rows-only wrappers
+# around the exact run_prohap_e2e / run_provar_e2e calls that
+# domain_prohap_snp_oracle / domain_provar_snp_oracle already run WITH
+# full value-hash oracles (queries/domain_oracle.py) — the only delta
+# was exposing the engine-internal xxhash64 id columns, which no SQL
+# engine can replay. Keeping strictly-weaker duplicates produced two
+# perennial `err: no_oracle` CORRECTNESS rows and burned two rotation
+# slots per window for zero added coverage.
 
 
 @register(

@@ -57,23 +57,80 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.toDF("qid", "cid", "cosine", "rank")
 
 
-@register("sim_lsh_ann")  # rows-only: bucketed ANN recall is approximate by design
+# the SAME md5-derived hyperplanes as the Spark bucket expression (12
+# tables x 4 planes, seeds hp0..hp11 — identical parameters to
+# dedup_embedding_cosine's table below), embedded as literals so DuckDB
+# buckets bit-identically. Deterministic-signature oracle per the r6
+# verdict: the approximate index's WHOLE candidate structure (which
+# pairs collide in which table) plus the rounded-cosine ranking is
+# engine-replayable, so the ANN is value-checked, not rows-counted.
+def _lsh_ann_oracle_sql() -> str:
+    planes = ",\n      ".join(
+        f"({t}, {p}, '{hyperplane_sign_string(f'hp{t}', p, 64)}')"
+        for t in range(12)
+        for p in range(4)
+    )
+    signed = (
+        "round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        "i -> CASE WHEN substr(p.signs, i, 1) = '1' "
+        "THEN CAST(e.embedding[i] AS DOUBLE) "
+        "ELSE -CAST(e.embedding[i] AS DOUBLE) END)), 6)"
+    )
+    return f"""
+    WITH planes(t, plane, signs) AS (VALUES
+      {planes}
+    ),
+    bits AS (
+      SELECT e.vec_id, p.t, p.plane,
+             CASE WHEN {signed} >= 0 THEN '1' ELSE '0' END AS bit
+      FROM embeddings e, planes p
+    ),
+    buckets AS (
+      SELECT vec_id, t, string_agg(bit, '' ORDER BY plane) AS bucket
+      FROM bits GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT DISTINCT qb.vec_id AS qid, cb.vec_id AS cid
+      FROM buckets qb JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+      WHERE qb.vec_id < 10 AND cb.vec_id >= 10
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} /
+                   ({_DUCK_NORM.format(a='q.embedding')} *
+                    {_DUCK_NORM.format(a='c.embedding')}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.qid
+      JOIN embeddings c ON c.vec_id = cand.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@register("sim_lsh_ann", _lsh_ann_oracle_sql())
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH ANN: 12 independent 4-plane tables
     bucket both sides; brute force only within shared buckets (ONE
     bucket equi-join over posexploded (table, bucket) keys — no cross
     join). The 100 TB path for similarity search; recall vs the
     brute-force baseline is pinned in tests/test_operators.py
-    (test_lsh_ann_recall)."""
+    (test_lsh_ann_recall). Value-checked (r6 verdict: the perennial
+    rows-only row gets a real oracle): the md5-derived hyperplanes are
+    shared literals, the signed sums round to 6 before the sign test,
+    and the ranking orders by ROUNDED cosine with a cid tiebreak, so
+    the candidate structure AND the top-5 replay exactly in DuckDB."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
     out = lsh_ann_topk(
         q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12
     )
-    return out.toDF("qid", "cid", "cosine", "rank").withColumn(
-        "cosine", F.round("cosine", 6)
-    )
+    return out.toDF("qid", "cid", "cosine", "rank")
 
 
 # the SAME md5-derived hyperplanes as the Spark bucket expression,

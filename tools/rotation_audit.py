@@ -45,7 +45,7 @@ def _is_green(row: dict) -> bool:
 
 
 def main() -> int:
-    from prohap_spark.queries import _ordered, oracle_sql
+    from prohap_spark.queries import _ordered, oracle_sql, ROWS_ONLY_BY_DESIGN
 
     rounds = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
@@ -134,9 +134,23 @@ def main() -> int:
                               "front now (would go dark three rounds "
                               "running)")
 
+    # every no-oracle entry must carry a documented reason, and every
+    # documented reason must point at a live no-oracle entry — a
+    # rows-only CORRECTNESS row without a reason is a missing oracle,
+    # not a design decision (r6 verdict, What's-missing #4)
+    no_oracle = set(order) - has_oracle
+    for name in sorted(no_oracle - set(ROWS_ONLY_BY_DESIGN)):
+        violations.append(f"{name}: registered without an oracle but not "
+                          "documented in ROWS_ONLY_BY_DESIGN")
+    for name in sorted(set(ROWS_ONLY_BY_DESIGN) - no_oracle):
+        violations.append(f"{name}: documented as rows-only-by-design but "
+                          "has an oracle (stale doc entry)")
+
     print(f"registry: {len(order)}  front window: {len(front)} "
           f"(budget {BUDGET})  latest round: r{latest}  "
           f"window audited: r{min(window)}..r{latest}+front")
+    print(f"{len(no_oracle)} documented rows-only-by-design entries: "
+          f"{', '.join(sorted(no_oracle))}")
     if new_waiting:
         print(f"{len(new_waiting)} new mid-registry entries awaiting their "
               f"rule-(a) front slot next round: {', '.join(new_waiting)}")
