@@ -6,6 +6,7 @@ from prohap_spark.multimodal.binary_ops import (
     decode_images,
     extract_image_features,
     resize_raster,
+    sample_avi_frames,
     sample_video_frames,
 )
 
@@ -17,5 +18,6 @@ __all__ = [
     "decode_images",
     "extract_image_features",
     "resize_raster",
+    "sample_avi_frames",
     "sample_video_frames",
 ]

@@ -320,3 +320,49 @@ def audio_container_stats(df: DataFrame, payload_col: str = "payload") -> DataFr
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_avi_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 2
+) -> DataFrame:
+    """REAL video frame sampling (replaces the ``sample_video_frames``
+    stub for AVI/MJPEG payloads): demux the RIFF container
+    (codecs.parse_avi), take every ``every_n``-th '00dc' frame, and
+    decode ONLY those through the baseline-JPEG parser — the container
+    walk touches chunk headers, never the skipped frames' entropy data,
+    which is the property that makes sparse frame sampling cheap at
+    100 TB (seek + slice per kept frame, no full-video decode).
+    Arrow-batched mapInPandas; emits one row per sampled frame:
+    (media_id, frame_idx, n_frames, height, width, p00, px_mean)."""
+    import pandas as pd
+
+    from prohap_spark.multimodal.codecs import decode_jpeg, parse_avi
+
+    out_schema = (
+        "media_id long, frame_idx int, n_frames int, height int, "
+        "width int, p00 int, px_mean double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "n_frames", "height",
+                    "width", "p00", "px_mean",
+                )
+            }
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                meta, frames = parse_avi(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    r = decode_jpeg(frames[i])
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(i)
+                    rows["n_frames"].append(int(meta["total_frames"]))
+                    rows["height"].append(int(r.shape[0]))
+                    rows["width"].append(int(r.shape[1]))
+                    rows["p00"].append(int(r[0, 0]))
+                    rows["px_mean"].append(float(r.mean()))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)

