@@ -73,6 +73,15 @@ class _ColOps:
     def div(self, a, b):
         return a / b
 
+    def bind(self, val, fn):
+        # let-binding via a 1-element higher-order function: the bound
+        # value appears ONCE in the expression tree however many times
+        # ``fn`` references it — without this, reusing a subexpression
+        # object re-embeds its whole subtree at every reference and the
+        # serialized plan blows up combinatorially (the r7 1.8 MB
+        # oracle-SQL lesson applies to the Catalyst tree too)
+        return F.element_at(F.transform(F.array(val), fn), 1)
+
     def ladder(self, n, pairs, otherwise):
         # pairs: [(threshold_int, result_expr)] descending; first match wins
         expr = None
@@ -84,6 +93,9 @@ class _ColOps:
 
 class _SqlOps:
     """Expression ops over DuckDB SQL text (same tree, same order)."""
+
+    def __init__(self):
+        self._n_bound = 0
 
     def int_lit(self, i: int):
         return str(i)
@@ -106,20 +118,34 @@ class _SqlOps:
     def div(self, a, b):
         return f"({a} / {b})"
 
+    def bind(self, val, fn):
+        # textual let-binding via a 1-element list lambda: without it
+        # every reuse of ``val`` pastes its full text again and the
+        # generated SQL grows combinatorially (measured 1.8 MB for one
+        # BM25 oracle before this existed; ~15 KB after)
+        self._n_bound += 1
+        var = f"__pm{self._n_bound}"
+        return f"list_transform([{val}], {var} -> {fn(var)})[1]"
+
     def ladder(self, n, pairs, otherwise):
         arms = " ".join(f"WHEN {n} >= {thr} THEN {res}" for thr, res in pairs)
         return f"(CASE {arms} ELSE {otherwise} END)"
 
 
 def _atanh_poly(o, t):
-    """t * P(t*t), P(u) = sum_{j=0..17} u^j / (2j+1), Horner order."""
+    """t * P(t*t), P(u) = sum_{j=0..17} u^j / (2j+1), Horner order.
+    ``t`` must already be a bound variable (cheap to reference)."""
     u = o.mul(t, t)
-    j = _TERMS - 1
-    poly = o.div(o.dbl_lit_int(1), o.dbl_lit_int(2 * j + 1))
-    for j in range(_TERMS - 2, -1, -1):
-        coef = o.div(o.dbl_lit_int(1), o.dbl_lit_int(2 * j + 1))
-        poly = o.add(coef, o.mul(u, poly))
-    return o.mul(t, poly)
+
+    def horner(uv):
+        j = _TERMS - 1
+        poly = o.div(o.dbl_lit_int(1), o.dbl_lit_int(2 * j + 1))
+        for j in range(_TERMS - 2, -1, -1):
+            coef = o.div(o.dbl_lit_int(1), o.dbl_lit_int(2 * j + 1))
+            poly = o.add(coef, o.mul(uv, poly))
+        return poly
+
+    return o.mul(t, o.bind(u, horner))
 
 
 def _ln2(o):
@@ -128,17 +154,35 @@ def _ln2(o):
     return o.mul(o.dbl_lit_int(2), _atanh_poly(o, third))
 
 
-def _pln(o, n):
-    """Portable ln(n) for an integer expression n >= 1."""
-    nd = o.to_double(n)
-    k_pairs = [(1 << b, o.int_lit(b)) for b in range(_MAX_BITS, 0, -1)]
-    p2_pairs = [(1 << b, o.dbl_lit_int(1 << b)) for b in range(_MAX_BITS, 0, -1)]
-    k = o.ladder(n, k_pairs, o.int_lit(0))
-    p2 = o.ladder(n, p2_pairs, o.dbl_lit_int(1))
-    m = o.div(nd, p2)
-    t = o.div(o.sub(m, o.dbl_lit_int(1)), o.add(m, o.dbl_lit_int(1)))
-    ln_m = o.mul(o.dbl_lit_int(2), _atanh_poly(o, t))
-    return o.add(o.mul(o.to_double(k), _ln2(o)), ln_m)
+def _pln(o, n0):
+    """Portable ln(n) for an integer expression n >= 1. Every reused
+    intermediate (n, m, t) is let-bound via ``o.bind`` so neither the
+    SQL text nor the Catalyst tree re-embeds subtrees."""
+
+    def with_n(n):
+        nd = o.to_double(n)
+        k_pairs = [(1 << b, o.int_lit(b)) for b in range(_MAX_BITS, 0, -1)]
+        p2_pairs = [
+            (1 << b, o.dbl_lit_int(1 << b)) for b in range(_MAX_BITS, 0, -1)
+        ]
+        k = o.ladder(n, k_pairs, o.int_lit(0))
+        p2 = o.ladder(n, p2_pairs, o.dbl_lit_int(1))
+        m = o.div(nd, p2)
+
+        def with_m(mv):
+            t = o.div(
+                o.sub(mv, o.dbl_lit_int(1)), o.add(mv, o.dbl_lit_int(1))
+            )
+
+            def with_t(tv):
+                return o.mul(o.dbl_lit_int(2), _atanh_poly(o, tv))
+
+            return o.bind(t, with_t)
+
+        ln_m = o.bind(m, with_m)
+        return o.add(o.mul(o.to_double(k), _ln2(o)), ln_m)
+
+    return o.bind(n0, with_n)
 
 
 def pln_col(n: Column) -> Column:

@@ -569,7 +569,26 @@ def substring_dedup(
     )
     ws = ws_of(text_col)
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(ws, lambda w, i: ~F.array_contains(rm, i))
+    # sorted-positions walk (r6 verdict What's-wrong #3): the old
+    # per-token array_contains probe cost O(tokens x removed) per doc
+    # — the funnel's only super-unit term in the 32x probe. __rm is
+    # already sorted, so bracket it with -1 and n and take the slice
+    # of tokens BETWEEN each consecutive pair of removed positions:
+    # O(tokens + removed) total, each surviving token copied once,
+    # order preserved (empty slices where removals are adjacent).
+    bounds = F.concat(
+        F.array(F.lit(-1)), rm, F.array(F.size(ws).cast("int"))
+    )
+    kept = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.slice(
+                ws,
+                F.element_at(bounds, j) + 2,
+                F.element_at(bounds, j + 1) - F.element_at(bounds, j) - 1,
+            ),
+        )
+    )
     return df.join(removed, id_col, "left").select(
         F.col(id_col),
         F.size(ws).cast("long").alias("n_tokens"),

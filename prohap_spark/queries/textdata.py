@@ -489,9 +489,15 @@ _BM25_B = 0.75
 
 
 def _duck_bm25_term(i: int, term: str) -> str:
+    # idf algebra: (n - df + 0.5)/(df + 0.5) + 1 == (2n + 2)/(2df + 1),
+    # so the Lucene idf is pln(2n+2) - pln(2df+1) over INTEGER args —
+    # the portable-math ln replaces libm (the unigram-logprob r6
+    # hash-red root cause, fixed preemptively here)
+    from prohap_spark.functions.portable_math import nll_micro_sql, pln_sql  # noqa: F401
+
     tf = f"len(list_filter(ws, w -> w = '{term}'))"
     return f"""
-             ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1)
+             idf_{i}
              * ({tf} * ({_BM25_K1} + 1.0))
              / ({tf} + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))"""
 
@@ -506,10 +512,15 @@ def _duck_bm25_term(i: int, term: str) -> str:
     d AS (
       SELECT doc_id, ws, len(ws) AS dl FROM t
     ),
-    stats AS (
+    stats0 AS (
       SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
              {", ".join(f"sum(CASE WHEN len(list_filter(ws, w -> w = '{t}')) > 0 THEN 1 ELSE 0 END) AS df_{i}" for i, t in enumerate(_BM25_TERMS))}
       FROM d
+    ),
+    stats AS (
+      SELECT *,
+             {", ".join(f"({__import__('prohap_spark.functions.portable_math', fromlist=['pln_sql']).pln_sql('(2 * n_docs + 2)')} - {__import__('prohap_spark.functions.portable_math', fromlist=['pln_sql']).pln_sql(f'(2 * df_{i} + 1)')}) AS idf_{i}" for i in range(len(_BM25_TERMS)))}
+      FROM stats0
     )
     SELECT doc_id,
            round({" + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))}, 6) AS bm25
@@ -545,13 +556,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(_BM25_TERMS))
         ],
     )
+    from prohap_spark.functions.portable_math import pln_col
+
+    # idf evaluated on the ONE-row stats frame, not per document: the
+    # portable-ln expression is a deep CASE-ladder tree — fine once,
+    # wasteful (codegen + eval) replicated into every scored row
+    stats = stats.select(
+        "*",
+        *[
+            (
+                pln_col(F.lit(2) * F.col("n_docs") + F.lit(2))
+                - pln_col(F.lit(2) * F.col(f"df_{i}") + F.lit(1))
+            ).alias(f"idf_{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
     scored = toks.crossJoin(F.broadcast(stats))
     score = None
     for i in range(len(_BM25_TERMS)):
         t = tf[i].cast("double")
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1
-        )
+        idf = F.col(f"idf_{i}")
         term = idf * (t * (_BM25_K1 + 1.0)) / (
             t + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
         )

@@ -133,6 +133,29 @@ def main() -> None:
         row["funnel_rows"] = curation_funnel(docs).count()
         row["funnel_sec"] = round(time.monotonic() - t0, 3)
 
+        # peptides chain (r6 verdict #8): the bench's J6→J11+U4 chain
+        # over the replicated corpus — the workload builder multiplies
+        # with the docs, so this measures the explode/containment/
+        # window chain's scale shape, not just the sf0.1 point
+        from prohap_spark.pipeline.peptides import annotate_peptides
+        from prohap_spark.queries.peptide_board import peptide_workload
+
+        pep_src = docs.where(
+            (F.col("doc_id") % 5 == 0)
+            & (F.length(F.regexp_replace("text", " ", "")) >= 140)
+        ).select(
+            "doc_id",
+            F.upper(
+                F.substring(F.regexp_replace("text", " ", ""), 1, 120)
+            ).alias("base"),
+        )
+        t0 = time.monotonic()
+        peptides, canonical, alleles = peptide_workload(pep_src)
+        row["peptides_rows"] = annotate_peptides(
+            peptides, canonical, alleles
+        ).count()
+        row["peptides_sec"] = round(time.monotonic() - t0, 3)
+
         # incremental ingest: the base corpus GROWS with r while the
         # delta stays fixed (500 docs, half near-copies of base). The
         # claim under test: with the persisted index, per-ingest cost
@@ -202,6 +225,7 @@ def main() -> None:
             f"semdedup {row['semdedup_sec']:6.2f}s  "
             f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s  "
             f"funnel {row['funnel_sec']:6.2f}s  "
+            f"peptides {row['peptides_sec']:6.2f}s  "
             f"incr_exact {row['incr_exact_sec']:6.2f}s"
             f"/{row['incr_exact_idx_sec']:5.2f}s(idx)  "
             f"incr_near {row['incr_near_sec']:6.2f}s"
