@@ -61,6 +61,13 @@ HEADLINE = [
     # segment scrub -> exact dedup -> token budget)
     "corpus_curation_e2e",
 ]
+# graph_pagerank joins the board via a custom builder below (the
+# registered query materializes inside its eager checkpoint, which
+# would move all the work outside the timed region);
+# graph_triangle_count stays off the board: the sf0.1 co-purchase
+# graph is dense enough that its O(m^1.5) wedge volume alone is
+# ~90 s, dwarfing the rest of the board — its scaling evidence lives
+# in tools/graph_scale_probe.py instead.
 
 
 def main() -> None:
@@ -101,6 +108,30 @@ def main() -> None:
     # §2.9 kernel-adjacent path whose full-pipeline shape was not in
     # the headline set before r6
     builders.append(("domain_peptides_e2e", lambda: run_peptides_e2e(spark, sf_dir)))
+
+    # fixed-point PageRank over the supply graph (r7): lazy build so
+    # the six iteration rounds execute inside the timer; the edge
+    # cache it registers is dropped by the between-pass clearCache
+    def build_pagerank():
+        from pyspark.sql import functions as F
+
+        from prohap_spark.operators.graph import pagerank_micro
+        from prohap_spark.queries.registry import table as _table
+
+        li = _table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+        fwd = li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(10000) + F.col("l_partkey")).alias("dst"),
+        )
+        back = li.where(F.col("l_partkey") % 2 == 0).select(
+            (F.lit(10000) + F.col("l_partkey")).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        )
+        return pagerank_micro(
+            fwd.unionAll(back), "src", "dst", n_iter=6, materialize=False
+        )
+
+    builders.append(("graph_pagerank", build_pagerank))
 
     def run_all(record: dict[str, list[float]] | None) -> None:
         for name, build in builders:

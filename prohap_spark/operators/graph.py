@@ -210,6 +210,8 @@ def pagerank_micro(
     damping_pct: int = 85,
     n_iter: int = 6,
     precision: int = 10**12,
+    materialize: bool = True,
+    truncate_lineage: bool = True,
 ) -> DataFrame:
     """Deterministic fixed-point PageRank: ranks as exact BIGINT
     micro-units (``precision`` total probability mass) with every
@@ -234,7 +236,14 @@ def pagerank_micro(
     edge table cached once; per round ONE src-keyed shuffle join + one
     dst-keyed exact bigint aggregation + a 1-row dangling-mass
     broadcast; lineage truncated with a lazy localCheckpoint per
-    round."""
+    round.
+
+    ``materialize=False`` returns the LAZY frame with the edge cache
+    still registered (the caller's next action executes the chain;
+    clear with spark.catalog.clearCache()) — for harnesses that time
+    execution separately from plan construction, e.g. bench.py, where
+    the default in-function eager checkpoint would move all the work
+    outside the timed region."""
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -274,13 +283,19 @@ def pagerank_micro(
                         )
                     ).cast("long").alias("r"),
                 )
-                .localCheckpoint(eager=False)
             )
-        return ranks.select("id", F.col("r").alias("rank_micro")).localCheckpoint(
-            eager=True
-        )
+            if truncate_lineage:
+                # lazy lineage cut per round (the pagerank/CC
+                # discipline); disable only to INSPECT the full
+                # multi-round plan (tests/test_plans.py)
+                ranks = ranks.localCheckpoint(eager=False)
+        out = ranks.select("id", F.col("r").alias("rank_micro"))
+        if not materialize:
+            return out  # caller acts; edge cache stays (clearCache())
+        return out.localCheckpoint(eager=True)
     finally:
-        ed.unpersist()
+        if materialize:
+            ed.unpersist()
 
 
 def pagerank_micro_oracle_sql(

@@ -663,6 +663,14 @@ def _hybrid_oracle_sql() -> str:
         for i, t in enumerate(_BM25_TERMS)
     )
     score = " + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))
+    # the 1-row portable-ln idf columns _duck_bm25_term now references
+    # (same chain as text_bm25_topk's stats0 -> stats)
+    from prohap_spark.functions.portable_math import pln_sql
+
+    idf_cols = ", ".join(
+        f"({pln_sql('(2 * n_docs + 2)')} - {pln_sql(f'(2 * df_{i} + 1)')}) AS idf_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
     dot = _DUCK_DOT.format(a="q.qv", b="c.cv")
     nq = _DUCK_NORM.format(a="q.qv")
     nc = _DUCK_NORM.format(a="c.cv")
@@ -672,11 +680,15 @@ def _hybrid_oracle_sql() -> str:
       FROM documents
     ),
     d AS (SELECT doc_id, ws, len(ws) AS dl FROM t),
-    stats AS (
+    stats0 AS (
       SELECT count(*) AS n_docs,
              CAST(sum(dl) AS BIGINT) * 1.0 / count(*) AS avgdl,
              {df_cols}
       FROM d
+    ),
+    stats AS (
+      SELECT *, {idf_cols}
+      FROM stats0
     ),
     lexs AS (
       SELECT doc_id, round({score}, 6) AS bm25

@@ -417,3 +417,71 @@ def test_whole_stage_codegen_covers_jvm_hot_paths(spark, qs):
         # trap the AQE skew pin documents for count())
         df.collect()
         assert codegen_stage_count(df) >= 1, name
+
+
+def test_triangle_count_no_cartesian_and_degree_joins(spark, qs):
+    """Degree-ordered triangles: the wedge build and closure probe are
+    equi-joins (never BNL/cartesian), and the whole plan stays inside
+    hash/sort-merge strategies Catalyst can size with AQE."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["graph_triangle_count"](spark, SF))
+    assert rep["bnl_joins"] == 0
+    assert rep["cartesian_joins"] == 0 if "cartesian_joins" in rep else True
+    assert rep["broadcast_joins"] + rep["sortmerge_joins"] >= 2
+
+
+def test_pagerank_micro_round_shape(spark):
+    """One pagerank_micro round must contain NO nested-loop join other
+    than the sanctioned 1-row dangling-mass broadcast, and the edge
+    contribution join must be an equi-join on the tail key."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.graph import pagerank_micro
+    from prohap_spark.plans import plan_report
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 41 + 100).alias("dst")
+    )
+    out = pagerank_micro(
+        edges, n_iter=2, materialize=False, truncate_lineage=False
+    )
+    rep = plan_report(out)
+    # dangling-mass broadcast: a 1-row Cross per round is the ONLY
+    # sanctioned nested loop; with lineage truncation off, round 1's
+    # subplan is re-embedded by round 2 (inflow + dangling branches),
+    # so its BNL is COUNTED up to twice — bound is 1 (round 2) + 2
+    # (round 1 re-embeds), and every BNL must be a 1-row Cross
+    assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 4
+    assert rep["bnl_joins"] <= 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
+def test_kmeans_ivf_assignment_is_map_side(spark, qs):
+    """The quantized k-means IVF search: centroid assignment happens
+    against inlined literals (no join for the centroid table), so the
+    only joins in the plan are the probe-cell equi-join and the final
+    ranking window — never a nested loop over the corpus."""
+    from prohap_spark.plans import plan_report
+
+    rep = plan_report(qs["sim_kmeans_ivf"](spark, SF))
+    assert rep["bnl_joins"] == 0
+    assert rep["sortmerge_joins"] + rep["broadcast_joins"] >= 1
+
+
+def test_host_cap_single_exchange_no_body_shuffle(spark, qs):
+    """dedup_host_cap: ONE exchange (the host-keyed window), and the
+    shuffled row is (id, source, n_tokens) — the document body must
+    not appear in any exchange or sort key."""
+    from prohap_spark.plans import plan_report
+
+    df = qs["dedup_host_cap"](spark, SF)
+    rep = plan_report(df)
+    assert rep["exchanges"] == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line or "Sort " in line:
+            assert "text#" not in line, line
