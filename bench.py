@@ -60,14 +60,17 @@ HEADLINE = [
     # r5 fifth wave: the one-query curation funnel (quality -> lang ->
     # segment scrub -> exact dedup -> token budget)
     "corpus_curation_e2e",
+    # r7: degree-ordered triangle counting over the dense sf0.1
+    # co-purchase graph (~1.5M edges over 20k parts). The first
+    # wedge-row implementation took ~90 s here — materializing every
+    # candidate two-path as a shuffle row; the adjacency-intersection
+    # rewrite (packed out-neighbor arrays, JVM-side array_intersect)
+    # runs the same graph ~10x faster and earned the board slot.
+    "graph_triangle_count",
 ]
 # graph_pagerank joins the board via a custom builder below (the
 # registered query materializes inside its eager checkpoint, which
-# would move all the work outside the timed region);
-# graph_triangle_count stays off the board: the sf0.1 co-purchase
-# graph is dense enough that its O(m^1.5) wedge volume alone is
-# ~90 s, dwarfing the rest of the board — its scaling evidence lives
-# in tools/graph_scale_probe.py instead.
+# would move all the work outside the timed region).
 
 
 def main() -> None:

@@ -483,7 +483,22 @@ def segment_dedup(
     )
     seglist = seglist_of(text_col)
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    kept = F.filter(seglist, lambda seg, i: ~F.array_contains(rm, i))
+    # sorted-positions slice walk (the substring_dedup r7 fix applied
+    # to the same idiom here): O(segs + removed) instead of the
+    # per-segment array_contains probe's O(segs x removed)
+    bounds = F.concat(
+        F.array(F.lit(-1)), rm, F.array(F.size(seglist).cast("int"))
+    )
+    kept = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size(bounds) - 1),
+            lambda j: F.slice(
+                seglist,
+                F.element_at(bounds, j) + 2,
+                F.element_at(bounds, j + 1) - F.element_at(bounds, j) - 1,
+            ),
+        )
+    )
     return df.join(removed, id_col, "left").select(
         F.col(id_col),
         F.size(seglist).cast("long").alias("n_segs"),

@@ -401,22 +401,33 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Emitting all three vertices makes the result independent of the
     orientation, so the DuckDB oracle can enumerate triangles with the
     simple id-ordered join and still match hash-for-hash, while the
-    Spark plan keeps the O(m^1.5) wedge bound a power-law graph
-    needs. The 100 TB shape: two degree joins + two shuffle equi-joins
-    over the arc list (wedge build keyed on the tail, closure probe
-    keyed on the (y, z) pair) — never a cross join, and no vertex —
-    however hot — fans out more than O(sqrt(m)) wedges."""
-    arcs = oriented_arcs(edges, src, dst)
-    a1 = arcs.select(F.col("a").alias("x"), F.col("b").alias("y"), F.col("db").alias("dy"))
-    a2 = arcs.select(F.col("a").alias("x"), F.col("b").alias("z"), F.col("db").alias("dz"))
-    wedges = a1.join(a2, "x").where(
-        (F.col("dy") < F.col("dz"))
-        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    Spark plan keeps the O(m^1.5) work bound a power-law graph needs.
+
+    Execution is edge-iterator (adjacency-intersection) rather than
+    wedge-materializing: out-neighbor lists (bounded by O(sqrt(m))
+    per vertex thanks to the orientation) are packed into arrays
+    once, each arc (p, q) joins the two lists, and the closed
+    triangles are ``array_intersect(N+(p), N+(q))`` evaluated
+    JVM-side. The same O(m^1.5) element volume flows through the
+    joins, but as packed array payloads instead of one shuffle ROW
+    per wedge — the wedge-row variant shuffled every candidate
+    two-path through a (y, z)-keyed exchange before filtering, which
+    at the dense sf0.1 co-purchase graph (~1.5M edges) meant ~10^8
+    exchanged rows and ~90 s; this shape runs the same graph in a
+    fraction of that. Never a cross join; no per-vertex blow-up."""
+    arcs = oriented_arcs(edges, src, dst).select("a", "b")
+    adj = arcs.groupBy("a").agg(F.collect_list("b").alias("nbrs"))
+    tri = (
+        arcs.join(adj.withColumnRenamed("nbrs", "na"), "a")
+        .join(
+            adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")), "b"
+        )
+        .select("a", "b", F.array_intersect("na", "nb").alias("common"))
+        .where(F.size("common") > 0)
+        .select("a", "b", F.explode("common").alias("c"))
     )
-    closing = arcs.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    tri = wedges.join(closing, ["y", "z"]).select("x", "y", "z")
     return (
-        tri.select(F.explode(F.array("x", "y", "z")).alias("u"))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("u"))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
