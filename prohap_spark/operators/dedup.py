@@ -45,6 +45,27 @@ def dedup_exact(
     )
 
 
+def _drop_positions(items: Column, rm: Column) -> Column:
+    """Order-preserving removal of the 0-based positions ``rm`` from
+    the array ``items`` — the scrub-reassembly core shared by
+    segment_dedup and substring_dedup.
+
+    Shape matters here (r6 verdict What's-wrong #3, then re-litigated
+    by bench): the obvious ``filter(items, (x, i) -> !array_contains
+    (rm, i))`` is O(n·r) per row — measured 30+ s on a 5k-doc frame
+    once docs hit ~1k tokens with half removed; a sorted-``rm``
+    between-slices walk is O(n+r) on paper but Spark re-evaluates
+    higher-order-function operands per lambda element, so the nested
+    concat/slice form measured even worse. This form is linear AND
+    codegen-friendly: ``array_except`` builds a hash set over ``rm``
+    once per row (Spark's primitive-type OpenHashSet path) to produce
+    the kept index list order-preserved, and ``element_at`` is O(1)
+    per index. Same 5k-doc heavy frame: ~1.4 s; realistic light
+    frames match the array_contains fast case."""
+    kept_idx = F.array_except(F.sequence(F.lit(0), F.size(items) - 1), rm)
+    return F.transform(kept_idx, lambda i: F.element_at(items, i + 1))
+
+
 def tokens_expr(text_col: str | Column, lowercase: bool = True) -> Column:
     """Distinct whitespace tokens of a text column (the shingle set)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -481,27 +502,22 @@ def segment_dedup(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("__seg_idx")).alias("__rm"))
     )
-    seglist = seglist_of(text_col)
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    # sorted-positions slice walk (the substring_dedup r7 fix applied
-    # to the same idiom here): O(segs + removed) instead of the
-    # per-segment array_contains probe's O(segs x removed)
-    bounds = F.concat(
-        F.array(F.lit(-1)), rm, F.array(F.size(seglist).cast("int"))
+    # bind the split chain to a REAL column before the element-wise
+    # reassembly: Spark re-evaluates higher-order-function operands
+    # per lambda element, so passing the raw split expression into
+    # _drop_positions re-splits the document once per segment
+    # (measured 3.5x on the sf0.1 bench); a materialized projection
+    # is evaluated once (CollapseProject keeps non-cheap multi-use
+    # aliases in their own project)
+    joined = df.join(removed, id_col, "left").withColumn(
+        "__segs", seglist_of(text_col)
     )
-    kept = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(bounds) - 1),
-            lambda j: F.slice(
-                seglist,
-                F.element_at(bounds, j) + 2,
-                F.element_at(bounds, j + 1) - F.element_at(bounds, j) - 1,
-            ),
-        )
-    )
-    return df.join(removed, id_col, "left").select(
+    segs = F.col("__segs")
+    kept = _drop_positions(segs, rm)
+    return joined.select(
         F.col(id_col),
-        F.size(seglist).cast("long").alias("n_segs"),
+        F.size(segs).cast("long").alias("n_segs"),
         F.size(rm).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("scrubbed_text"),
     )
@@ -582,29 +598,16 @@ def substring_dedup(
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_set("__pos")).alias("__rm"))
     )
-    ws = ws_of(text_col)
     rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
-    # sorted-positions walk (r6 verdict What's-wrong #3): the old
-    # per-token array_contains probe cost O(tokens x removed) per doc
-    # — the funnel's only super-unit term in the 32x probe. __rm is
-    # already sorted, so bracket it with -1 and n and take the slice
-    # of tokens BETWEEN each consecutive pair of removed positions:
-    # O(tokens + removed) total, each surviving token copied once,
-    # order preserved (empty slices where removals are adjacent).
-    bounds = F.concat(
-        F.array(F.lit(-1)), rm, F.array(F.size(ws).cast("int"))
+    # same binding discipline as segment_dedup: materialize the token
+    # array once; the HOF lambda must reference an attribute, not the
+    # split expression
+    joined = df.join(removed, id_col, "left").withColumn(
+        "__ws", ws_of(text_col)
     )
-    kept = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), F.size(bounds) - 1),
-            lambda j: F.slice(
-                ws,
-                F.element_at(bounds, j) + 2,
-                F.element_at(bounds, j + 1) - F.element_at(bounds, j) - 1,
-            ),
-        )
-    )
-    return df.join(removed, id_col, "left").select(
+    ws = F.col("__ws")
+    kept = _drop_positions(ws, rm)
+    return joined.select(
         F.col(id_col),
         F.size(ws).cast("long").alias("n_tokens"),
         F.size(rm).cast("long").alias("n_removed"),
