@@ -62,7 +62,14 @@ def _drop_positions(items: Column, rm: Column) -> Column:
     the kept index list order-preserved, and ``element_at`` is O(1)
     per index. Same 5k-doc heavy frame: ~1.4 s; realistic light
     frames match the array_contains fast case."""
-    kept_idx = F.array_except(F.sequence(F.lit(0), F.size(items) - 1), rm)
+    # guard the empty array: sequence(0, -1) DESCENDS (the packing
+    # zero-token lesson again), which would index [0, -1] into an
+    # empty items array — caught by the property pin in
+    # tests/test_operators.py
+    kept_idx = F.when(
+        F.size(items) > 0,
+        F.array_except(F.sequence(F.lit(0), F.size(items) - 1), rm),
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(kept_idx, lambda i: F.element_at(items, i + 1))
 
 

@@ -1054,10 +1054,24 @@ def test_avi_container_roundtrip_and_failures():
     assert meta["total_frames"] == 5 and meta["width"] == 8
     assert meta["handler"] == "MJPG" and meta["us_per_frame"] == 200000
     assert got == frames
-    # odd-length JPEG payloads exercise the word-alignment pad byte
-    assert any(len(f) % 2 for f in frames) or True
     for f, v in zip(got, vals):
         assert (decode_jpeg(f) == v).all()
+
+    # ODD-length frame payloads force the 00dc word-alignment pad
+    # byte: append a COM segment sized to flip parity when needed
+    # (inserted before EOI so the JPEG stays valid)
+    def make_odd(f: bytes) -> bytes:
+        if len(f) % 2 == 1:
+            return f
+        com = b"\xff\xfe" + (3).to_bytes(2, "big") + b"x"
+        return f[:2] + com + f[2:]
+
+    odd_frames = [make_odd(f) for f in frames]
+    assert all(len(f) % 2 == 1 for f in odd_frames)
+    meta2, got2 = parse_avi(encode_avi(odd_frames, 8, 8))
+    assert got2 == odd_frames  # pad bytes must not leak into payloads
+    for f, v in zip(got2, vals):
+        assert (decode_jpeg(f) == v).all()  # COM segment is skipped
 
     with pytest.raises(ValueError, match="not an AVI"):
         parse_avi(b"RIFX" + avi[4:])

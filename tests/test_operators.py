@@ -1672,3 +1672,35 @@ def test_kmeans_ivf_quantized_recall_floor(spark):
         c.repartition(13), "vec_id", "embedding", k=4, n_iter=3
     )
     assert cents2 == cents  # integer trainer is partitioning-invariant
+
+
+def test_drop_positions_matches_python_reference(spark):
+    """Property pin for the scrub-reassembly core: _drop_positions
+    over randomized (items, removal-set) rows must equal the obvious
+    python list comprehension — including empty removals, full
+    removals, adjacent runs, and out-of-order input guarded by the
+    callers' sort."""
+    import random
+
+    from prohap_spark.operators.dedup import _drop_positions
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        n = rng.randrange(0, 40)
+        items = [f"w{j}" for j in range(n)]
+        k = rng.randrange(0, n + 1) if n else 0
+        rm = sorted(rng.sample(range(n), k)) if n else []
+        rows.append((i, items, rm))
+    df = spark.createDataFrame(
+        rows, "id long, items array<string>, rm array<int>"
+    )
+    got = {
+        r["id"]: r["kept"]
+        for r in df.select(
+            "id", _drop_positions(F.col("items"), F.col("rm")).alias("kept")
+        ).collect()
+    }
+    for i, items, rm in rows:
+        want = [w for j, w in enumerate(items) if j not in set(rm)]
+        assert got[i] == want, (i, got[i], want)

