@@ -57,6 +57,17 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # most the 3 slots it used; the 48 r6-greens are due r9 with 2
 # slack). `python tools/rotation_audit.py` verifies all of this
 # mechanically against the CORRECTNESS_r*.json files.
+#
+# Overflow precedence (stated now because r8 has ZERO slack): if a
+# round's obligations exceed the 50 budget — e.g. an r7-front query
+# goes driver-red, making it an r8 rule-(b) obligation on top of the
+# full rule-(c) set — priority is (b) red/err > (a) never-checked >
+# (c) going-dark, and the displaced lowest-priority entries either
+# get bumped ONE round with an explicit note here (the audit will
+# flag them; the note is the documented waiver) or a redundant entry
+# is deregistered to make room, whichever keeps total coverage
+# higher. Silent omission is never an option — the audit's exit code
+# enforces that the resolution is visible.
 _FRONT = [
     # (b) hash-red in r6 (micro-nat float-portability defect, fixed
     # via functions/portable_math.py — must re-front):
