@@ -1195,7 +1195,9 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .distinct()
     )
-    return triangle_count(edges, "u", "v")
+    # the construction above IS canonical (u < v, distinct) — skip
+    # oriented_arcs' re-canonicalization shuffle
+    return triangle_count(edges, "u", "v", assume_canonical=True)
 
 
 _PAGERANK_EDGES_CTE = """edges AS (
