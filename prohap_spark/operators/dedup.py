@@ -564,8 +564,12 @@ def substring_dedup(
     def ws_of(col: str):
         return F.split(F.trim(F.col(col)), " ")
 
-    def gramlist_of(col: str):
-        ws = ws_of(col)
+    def gramlist_from(ws):
+        # `ws` must be a MATERIALIZED column reference, never the raw
+        # split expression: the slice inside the per-element lambda
+        # re-evaluates its operand per gram (the HOF lesson from
+        # _drop_positions/ngrams_from_words), which would re-split the
+        # document once per token — O(n²) chars on long documents
         n = F.size(ws) - F.lit(k - 1)
         # guard the sequence: n <= 0 would generate a DESCENDING range
         # (the packing zero-token lesson), so short docs get no grams
@@ -583,8 +587,9 @@ def substring_dedup(
     # consumer (measured -44% at sf0.1; gram fan-out is ~k× the token
     # count, so the second pass is the operator's single largest
     # cost). share_scan=False restores the pure-plan recompute path.
-    occ = df.select(
-        F.col(id_col), F.posexplode(gramlist_of(text_col)).alias("__gpos", "__k")
+    occ = df.select(F.col(id_col), ws_of(text_col).alias("__gws")).select(
+        F.col(id_col),
+        F.posexplode(gramlist_from(F.col("__gws"))).alias("__gpos", "__k"),
     )
     if share_scan:
         occ = occ.localCheckpoint(eager=False)
