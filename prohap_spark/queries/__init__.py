@@ -152,12 +152,10 @@ ROWS_ONLY_BY_DESIGN = {
     "text_bpe_train": (
         "the learned merge SEQUENCE is pinned against a pure-python "
         "trainer in tests/test_operators.py; the query emits it "
-        "rows-only because each merge depends on the full prior state"
-    ),
-    "pack_best_fit": (
-        "best-fit-decreasing bin assignment is an inherently "
-        "sequential heuristic; bin invariants (capacity, no overlap, "
-        "determinism) are pinned in tests/test_operators.py"
+        "rows-only because each merge depends on the full prior state "
+        "INCLUDING re-tokenization of the corpus (unlike "
+        "pack_best_fit, whose per-shard fold carries bounded list "
+        "state and gained a recursive-CTE oracle in r7)"
     ),
 }
 

@@ -1390,10 +1390,73 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_token_budget(d, budget_per_source=800, n_shards=4)
 
 
-@register("pack_best_fit")  # rows-only BY DESIGN: best-fit-decreasing
-# bin packing is a stateful sequential scan per shard that a single SQL
-# statement can't express; bin invariants, padding-beats-naive, and
-# run-to-run determinism are pinned in tests/test_operators.py.
+_BEST_FIT_SEQ, _BEST_FIT_SHARDS = 128, 8
+
+_BEST_FIT_ORACLE = f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) % {_BEST_FIT_SHARDS} AS INT) AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    items AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(row_number() OVER (PARTITION BY shard
+                   ORDER BY n_tokens DESC, okey, doc_id) AS BIGINT) AS pos
+      FROM base
+    ),
+    counts AS (SELECT shard, max(pos) AS n_items FROM items GROUP BY shard),
+    -- the per-shard best-fit-decreasing fold, replayed item by item:
+    -- state = (current bin fills, assignments so far); the LATERAL
+    -- picks the tightest bin (first index at the minimum non-negative
+    -- remainder, i.e. python's strict-< scan) or opens a new one
+    st AS (
+      SELECT shard, CAST(0 AS BIGINT) AS step,
+             CAST([] AS BIGINT[]) AS fills, CAST([] AS BIGINT[]) AS assigns
+      FROM counts
+      UNION ALL
+      SELECT s.shard, s.step + 1,
+             CASE WHEN pl.bin < len(s.fills)
+                  THEN list_transform(range(1, len(s.fills) + 1),
+                         j -> CASE WHEN j = pl.bin + 1 THEN s.fills[j] + i.n_tokens
+                                   ELSE s.fills[j] END)
+                  ELSE list_append(s.fills, i.n_tokens) END,
+             list_append(s.assigns, pl.bin)
+      FROM st s
+      JOIN items i ON i.shard = s.shard AND i.pos = s.step + 1
+      CROSS JOIN LATERAL (
+        SELECT CASE WHEN i.n_tokens <= {_BEST_FIT_SEQ} AND mr.m IS NOT NULL
+                    THEN CAST(list_position(
+                           list_transform(range(1, len(s.fills) + 1),
+                             j -> {_BEST_FIT_SEQ} - s.fills[j] - i.n_tokens), mr.m) - 1 AS BIGINT)
+                    ELSE CAST(len(s.fills) AS BIGINT) END AS bin
+        FROM (SELECT list_min(list_filter(
+                list_transform(range(1, len(s.fills) + 1),
+                  j -> {_BEST_FIT_SEQ} - s.fills[j] - i.n_tokens), r -> r >= 0)) AS m) mr
+      ) pl
+    ),
+    fin AS (
+      SELECT s.shard, s.fills, s.assigns
+      FROM st s JOIN counts c ON s.shard = c.shard AND s.step = c.n_items
+    )
+    SELECT i.doc_id, i.shard, i.n_tokens,
+           f.assigns[i.pos] AS bin_id,
+           f.fills[f.assigns[i.pos] + 1] AS bin_fill
+    FROM items i JOIN fin f USING (shard)
+"""
+
+
+@register("pack_best_fit", _BEST_FIT_ORACLE)
+# VALUE-CHECKED as of r7: the per-shard sequential fold replays as a
+# DuckDB recursive CTE (state = bin-fill list + assignment list, one
+# step per item, LATERAL tightest-bin pick) — the bpe-merge-replay
+# idea applied to bin packing. Bin invariants, padding-beats-naive,
+# and determinism remain pinned in tests/test_operators.py.
 def pack_best_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit whole-document packing (operators/packing.py
     pack_best_fit): best-fit-decreasing within each md5 shard — each
