@@ -32,8 +32,9 @@ def stream_scd2_changes(
     tracked_cols: tuple[str, ...] = ("v",),
 ) -> DataFrame:
     """Emit SCD2 version-transition events for a stream (or batch) of
-    change records (``key_col`` long, ``ts_col`` long, tracked columns
-    string — cast upstream). Output rows are
+    change records (``key_col`` any type — the output schema derives
+    it from the input, the stream_token_budget r7 fix; ``ts_col``
+    long, tracked columns string — cast upstream). Output rows are
     (key, *tracked, valid_from, valid_to, action): one 'open' per
     version with ``valid_to`` null, one 'close' when a later record
     with DIFFERENT tracked values supersedes it (``valid_to`` = the
@@ -81,8 +82,9 @@ def stream_scd2_changes(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = updates.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} long, "
+        f"{key_col} {key_type}, "
         + ", ".join(f"{c} string" for c in tracked)
         + ", valid_from long, valid_to long, action string"
     )

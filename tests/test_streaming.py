@@ -607,3 +607,44 @@ def test_cdc_event_fold_reproduces_batch_merge(spark):
         if r["action"] == "open"
     }
     assert folded == want and want
+
+
+def test_stream_cdc_string_keys_batch_stream_parity(spark, tmp_path):
+    """The cdc twin of the budget string-id fix: a STRING key column
+    must produce identical SCD2 events in batch and streaming mode."""
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    rows = [
+        ("alpha", 1, "a"), ("alpha", 2, "a"), ("alpha", 3, "b"),
+        ("beta", 1, "x"), ("beta", 5, "y"),
+    ]
+    ups = spark.createDataFrame(rows, "k string, ts long, v string")
+    def norm(rs):
+        # valid_to is NULL on open rows — sort with a None-safe key
+        return sorted(
+            (tuple(r) for r in rs),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    want = norm(stream_scd2_changes(ups, "k", "ts", ("v",)).collect())
+    assert want and any(r[0] == "alpha" for r in want)
+
+    d = str(tmp_path / "cdc_stream_str")
+    ups.coalesce(1).write.parquet(d)
+    stream = stream_scd2_changes(
+        spark.readStream.schema("k string, ts long, v string").parquet(d),
+        "k", "ts", ("v",),
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cdc_out_str")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM cdc_out_str")
+    assert dict(out.dtypes)["k"] == "string"
+    got = norm(out.collect())
+    assert got == want
