@@ -90,8 +90,13 @@ def stream_near_dup_candidates(
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = "new_id long, prior_id long, band_idx int"
-    state_schema = "members array<bigint>"
+    # derive the id type from the input (the stream_token_budget r7
+    # discipline): string ids order identically in both modes — python
+    # str < is code-point order, Spark string < is UTF-8 byte order,
+    # and UTF-8 byte order IS code-point order
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"new_id {id_type}, prior_id {id_type}, band_idx int"
+    state_schema = f"members array<{id_type}>"
 
     def fn(key, pdfs, state: GroupState):
         band_idx = int(key[0])
@@ -102,9 +107,9 @@ def stream_near_dup_candidates(
         # Arrow chunk would otherwise process ids in chunk-then-sorted
         # order, storing different priors than the batch branch's
         # global id ranking (the single-batch parity contract)
-        batch_ids: set[int] = set()
+        batch_ids = set()
         for pdf in pdfs:
-            batch_ids.update(int(x) for x in pdf[id_col])
+            batch_ids.update(pdf[id_col])
         for i in sorted(batch_ids):
             if i in stored:
                 continue

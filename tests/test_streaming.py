@@ -648,3 +648,51 @@ def test_stream_cdc_string_keys_batch_stream_parity(spark, tmp_path):
     assert dict(out.dtypes)["k"] == "string"
     got = norm(out.collect())
     assert got == want
+
+
+def test_stream_near_dup_string_ids_parity(spark, tmp_path):
+    """String document ids through the stateful LSH: the id type is
+    derived from the input (state array<string>), and the two-trigger
+    candidate set equals the batch branch's — including a cross-batch
+    pair."""
+    from prohap_spark.streaming.dedup import stream_near_dup_candidates
+
+    rows = [
+        ("doc-a", "the quick brown fox jumps over the lazy dog"),
+        ("doc-b", "the quick brown fox jumps over the lazy dog"),
+        ("doc-c", "completely different text with no overlap tokens"),
+        ("doc-d", "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    batch = {
+        (min(r["new_id"], r["prior_id"]), max(r["new_id"], r["prior_id"]))
+        for r in stream_near_dup_candidates(docs).select("new_id", "prior_id").collect()
+    }
+    assert ("doc-a", "doc-b") in batch
+
+    d = str(tmp_path / "near_dup_str")
+    for keys in (("doc-a", "doc-c"), ("doc-b", "doc-d")):
+        docs.where(F.col("doc_id").isin(*keys)).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+    stream = stream_near_dup_candidates(
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dup_str_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT new_id, prior_id FROM near_dup_str_out")
+    assert dict(out.dtypes)["new_id"] == "string"
+    got = {
+        (min(r["new_id"], r["prior_id"]), max(r["new_id"], r["prior_id"]))
+        for r in out.collect()
+    }
+    assert got == batch
