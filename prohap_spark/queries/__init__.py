@@ -116,7 +116,11 @@ _BACK = [
     "w3_array_sort_analytics", "c_json_extract", "sql_api_q6",
     "stream_live_session_windows", "q3_shipping_priority",
     "q5_local_supplier_volume", "agg_exact_distinct", "w_lead_lag",
-    "agg_cube_grouping", "multimodal_bmp_codec", "multimodal_png_codec",
+    "agg_cube_grouping",
+    # (multimodal_bmp_codec / multimodal_png_codec merged r7 into
+    # multimodal_bmp_png_codec — registered this round, so it is an
+    # r8 rule-(a) obligation beside these; the merge turned r8's
+    # zero-slack front into one with a free slot)
     "multimodal_wav_codec", "domain_provar_snp_oracle",
     "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
     "f8_count_threshold_prohap", "domain_prohap_indel_oracle",

@@ -394,14 +394,23 @@ def _docs_as_media(spark: SparkSession, sf_dir: str, min_bytes: int):
     )
 
 
+# multimodal_bmp_codec and multimodal_png_codec were MERGED into the
+# one registered query below in r7 (the gif_tiff pattern): both are
+# lossless byte-exact paths with the identical text-byte oracle, so
+# one query drives both decoders and frees a rotation slot — r8's
+# front was at ZERO slack before this. Every feature branch of the
+# two originals is preserved: BMP bottom-up rows + padding on even
+# ids; PNG five-filter reconstruction on odd ids with RGB color type
+# on ids ≡ 1 (mod 4) and an injected tEXt ancillary chunk on odd
+# multiples of 3.
+
+
 @register(
-    "multimodal_bmp_codec",
-    # the BMP pixel grid is the first 64 text bytes row-major, so after
-    # the REAL encode (bottom-up rows, padding) → REAL decode (header
-    # parse, row un-flip) roundtrip, pixel k must equal text byte k —
-    # the oracle reads the bytes straight off the text. p10 (row 1,
-    # col 0 = byte 8) would catch a decoder that forgot the bottom-up
-    # flip; the mean is a dyadic-exact /64
+    "multimodal_bmp_png_codec",
+    # pixel k == text byte k for BOTH formats (lossless), so the
+    # oracle reads truth straight off the text, format-independent.
+    # p10 (row 1, col 0 = byte 9) catches a BMP bottom-up flip bug;
+    # p33 (byte 28) sits in a PNG Average-filtered row (filter 3)
     """
     WITH m AS (
       SELECT doc_id AS media_id, text
@@ -409,74 +418,9 @@ def _docs_as_media(spark: SparkSession, sf_dir: str, min_bytes: int):
       WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
     )
     SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS fmt,
            ord(substr(text, 1, 1)) AS p00,
            ord(substr(text, 9, 1)) AS p10,
-           ord(substr(text, 64, 1)) AS p77,
-           round(list_sum(list_transform(range(1, 65),
-                 i -> CAST(ord(substr(text, CAST(i AS INT), 1)) AS DOUBLE))) / 64,
-                 4) AS px_mean
-    FROM m
-    """,
-)
-def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image-codec path (no stub): each document's first 64 bytes
-    become an 8×8 grayscale raster, written as a genuine 24-bit
-    uncompressed BMP container (file header, info header, BGR triples,
-    bottom-up rows, 4-byte row padding) and decoded back through
-    ``decode_images(real_codec=True)`` — the byte-level parser in
-    ``multimodal/codecs.py``. Any header/stride/row-order bug in the
-    decoder breaks the hash match."""
-    import numpy as np
-    import pandas as pd
-
-    from prohap_spark.multimodal import decode_images
-    from prohap_spark.multimodal.codecs import encode_bmp
-
-    media = _docs_as_media(spark, sf_dir, 64)
-
-    def to_bmp(batches):
-        for pdf in batches:
-            payloads = [
-                encode_bmp(np.frombuffer(bytes(tb), dtype=np.uint8)[:64].reshape(8, 8))
-                for tb in pdf["text_bytes"]
-            ]
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    bmps = media.mapInPandas(to_bmp, schema="media_id long, payload binary")
-    decoded = decode_images(bmps, real_codec=True)
-    px = F.col("pixels")
-    n = F.size(px)
-    mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
-    return decoded.select(
-        "media_id",
-        F.element_at(px, 1).alias("p00"),
-        F.element_at(px, 9).alias("p10"),
-        F.element_at(px, 64).alias("p77"),
-        F.round(mean, 4).alias("px_mean"),
-    )
-
-
-@register(
-    "multimodal_png_codec",
-    # the PNG pixel grid is the first 64 text bytes row-major; after
-    # the REAL encode (cycling filters 0-4, two IDAT chunks, CRCs) →
-    # REAL decode (inflate + per-filter scanline reconstruction)
-    # roundtrip, pixel k must equal text byte k, so the oracle reads
-    # the bytes straight off the text. Odd media_ids encode as RGB
-    # (r=g=b → integer luma is exact); every third id carries a tEXt
-    # ancillary chunk the walker must skip. p33 (row 3, col 3 = byte
-    # 28) sits in an Average-filtered row (filter 3 % 5 = 3) — a
-    # broken Average predictor or a mis-stitched IDAT boundary breaks
-    # the hash; the Paeth predictor (filter 4, row 4) is exercised by
-    # the pytest roundtrips over all 8 rows
-    """
-    WITH m AS (
-      SELECT doc_id AS media_id, text
-      FROM documents
-      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
-    )
-    SELECT media_id,
-           ord(substr(text, 1, 1)) AS p00,
            ord(substr(text, 28, 1)) AS p33,
            ord(substr(text, 64, 1)) AS p77,
            round(list_sum(list_transform(range(1, 65),
@@ -485,16 +429,19 @@ def multimodal_bmp_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     """,
 )
-def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL compressed-image path (no stub, no external library): each
-    document's first 64 bytes become an 8×8 raster written as a genuine
-    PNG — stdlib-zlib DEFLATE, scanline filters cycling through all
-    five types, the IDAT stream split across two chunks, per-chunk
-    CRCs — and decoded back through ``decode_images(real_codec=True)``,
-    which sniffs the magic and runs the full parse (CRC verify,
-    multi-IDAT reassembly, inflate, filter reconstruction). Even
-    media_ids encode grayscale (color type 0), odd RGB (type 2); every
-    third id carries a tEXt ancillary chunk the walker must skip."""
+def multimodal_bmp_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL uncompressed + compressed image paths in one query (no
+    stub, no external library): each document's first 64 bytes become
+    an 8×8 grayscale raster written as a genuine 24-bit BMP (even
+    media_ids: file/info headers, BGR triples, bottom-up rows, 4-byte
+    row padding) or a genuine PNG (odd ids: stdlib-zlib DEFLATE,
+    scanline filters cycling through all five types, two IDAT chunks,
+    per-chunk CRCs; ids ≡ 1 mod 4 encode RGB color type 2 with r=g=b
+    so integer luma is exact; odd multiples of 3 carry a tEXt
+    ancillary chunk the walker must skip) — decoded back through
+    ``decode_images(real_codec=True)``. Any header/stride/row-order/
+    filter/IDAT-boundary bug breaks the hash; the Paeth row and
+    general-raster roundtrips stay pinned in tests/test_multimodal.py."""
     import struct
     import zlib
 
@@ -502,11 +449,11 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from prohap_spark.multimodal import decode_images
-    from prohap_spark.multimodal.codecs import encode_png
+    from prohap_spark.multimodal.codecs import encode_bmp, encode_png
 
     media = _docs_as_media(spark, sf_dir, 64)
 
-    def to_png(batches):
+    def to_media(batches):
         t, d = b"tEXt", b"src\x00doc"
         text_chunk = (
             struct.pack(">I", len(d)) + t + d
@@ -516,21 +463,28 @@ def multimodal_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
                 raster = np.frombuffer(bytes(tb), dtype=np.uint8)[:64].reshape(8, 8)
-                png = encode_png(raster, color_type=2 if mid % 2 else 0)
+                if mid % 2 == 0:
+                    payloads.append(encode_bmp(raster))
+                    continue
+                png = encode_png(raster, color_type=2 if mid % 4 == 1 else 0)
                 if mid % 3 == 0:  # exercise the ancillary-chunk skip
                     ihdr_end = 8 + 12 + 13
                     png = png[:ihdr_end] + text_chunk + png[ihdr_end:]
                 payloads.append(png)
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
-    pngs = media.mapInPandas(to_png, schema="media_id long, payload binary")
-    decoded = decode_images(pngs, real_codec=True)
+    payloads = media.mapInPandas(to_media, schema="media_id long, payload binary")
+    decoded = decode_images(payloads, real_codec=True)
     px = F.col("pixels")
     n = F.size(px)
     mean = F.aggregate(px, F.lit(0.0), lambda a, x: a + x.cast("double")) / n
     return decoded.select(
         "media_id",
+        F.when(F.col("media_id") % 2 == 0, F.lit("bmp"))
+        .otherwise(F.lit("png"))
+        .alias("fmt"),
         F.element_at(px, 1).alias("p00"),
+        F.element_at(px, 9).alias("p10"),
         F.element_at(px, 28).alias("p33"),
         F.element_at(px, 64).alias("p77"),
         F.round(mean, 4).alias("px_mean"),
