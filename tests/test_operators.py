@@ -1496,6 +1496,78 @@ def test_share_scan_off_is_value_identical(spark):
     assert on == off
 
 
+def _persistent_rdd_ids(spark):
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _drop_persistent_rdds(spark, ids):
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    victims = []
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            victims.append(t._2())
+    for jrdd in victims:
+        jrdd.unpersist(True)
+    return len(victims)
+
+
+def test_share_scan_block_loss_fails_loud_and_off_path_survives(spark):
+    """Cluster-shaped failure injection for the share_scan
+    localCheckpoint paths (segment_dedup / substring_dedup): local
+    checkpoints are documented as NON-fault-tolerant — losing the
+    executor that held a block leaves no recompute path — and the
+    failure contract is FAIL LOUD, never silently partial results.
+    Simulate the loss locally by unpersisting the materialized
+    checkpoint RDD (block-manager-wise exactly what executor death
+    does to its blocks) and assert (a) a fresh value-bearing consumer
+    of the share_scan frame raises Spark's
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND error rather than returning
+    data, and (b) share_scan=False under the same injection still
+    computes, value-identical — its plan keeps the full lineage,
+    which is precisely the trade the docstrings sell.
+
+    The probe must be a NEW plan that genuinely needs the
+    checkpointed subtree's VALUES: re-collecting the already-executed
+    frame is served from its cached AQE stage state (materialized
+    broadcasts / reusable shuffle outputs), and a bare count() lets
+    Catalyst eliminate the aggregate-keyed left join entirely — both
+    mask the loss. On a real cluster the masking is narrower still
+    (executor death also takes its shuffle files), so the loud-error
+    path below is the one that matters."""
+    from prohap_spark.operators.dedup import segment_dedup, substring_dedup
+    from prohap_spark.queries.registry import table
+
+    d = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .where("doc_id < 30")
+        .select("doc_id", "text")
+    )
+    for op in (segment_dedup, substring_dedup):
+        before = _persistent_rdd_ids(spark)
+        on = op(d, "doc_id", "text")
+        expected = {tuple(r) for r in on.collect()}  # materializes the checkpoint
+        assert expected
+        injected = _drop_persistent_rdds(spark, _persistent_rdd_ids(spark) - before)
+        assert injected >= 1  # the share_scan checkpoint WAS resident
+        try:
+            on.agg(F.sum("n_removed")).collect()
+        except Exception as e:  # noqa: BLE001
+            assert "heckpoint block" in str(e) or "CHECKPOINT" in str(e)
+        else:
+            raise AssertionError(
+                f"{op.__name__} share_scan frame served results after its "
+                "checkpoint blocks were dropped — silent recompute or stale "
+                "data instead of the documented loud failure"
+            )
+        off = {tuple(r) for r in op(d, "doc_id", "text", share_scan=False).collect()}
+        assert off == expected
+
+
 def test_triangle_count_matches_brute_force(spark):
     """triangle_count vs a python brute force on a literal graph with
     a clique (C(4,3)=4 triangles), a triangle-free square, duplicate
