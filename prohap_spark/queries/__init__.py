@@ -120,7 +120,9 @@ _BACK = [
     # (multimodal_bmp_codec / multimodal_png_codec merged r7 into
     # multimodal_bmp_png_codec — registered this round, so it is an
     # r8 rule-(a) obligation beside these; the merge turned r8's
-    # zero-slack front into one with a free slot)
+    # zero-slack front into one with a free slot, which the late-r7
+    # j12_bucketed_colocated_join registration then took: r8's front
+    # is 48 rule-(c) + those 2 rule-(a) = exactly the 50 budget)
     "multimodal_wav_codec", "domain_provar_snp_oracle",
     "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
     "f8_count_threshold_prohap", "domain_prohap_indel_oracle",

@@ -736,3 +736,66 @@ def scd2_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_merge(base, upd, "custkey", ["acctbal", "mktsegment"], batch_id=2)
+
+
+@register(
+    "j12_bucketed_colocated_join",
+    # layout-independent truth: bucketing only changes WHERE rows live,
+    # never which rows join — the oracle is the plain join+agg over the
+    # raw tables.
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lines,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (SURVEY §7.1.7 'bucketed writes on
+    transcript_id', sources/bucketed.py): both fact tables are written
+    ONCE bucketed on the join key, so the join needs NO exchange — the
+    scan's bucket layout already satisfies the join's required
+    distribution. At 100 TB this is the knob that turns the hottest
+    recurring join in a pipeline from a per-query shuffle of the big
+    table into a one-time layout cost paid at ingest.
+
+    The query is self-auditing: after building the join it inspects its
+    own physical plan and FAILS LOUD if Catalyst planned an Exchange
+    under the join (e.g. because bucket metadata was lost or the bucket
+    counts diverged) — a silently re-shuffling "bucketed" join would
+    report correct values while losing exactly the property this
+    registration exists to prove. (The same pin runs in
+    tests/test_skew_bucketing.py; here it guards every driver run.)
+
+    The bigint-cents measure is computed BEFORE the bucketed write so
+    the written table carries join key + measure only."""
+    import hashlib
+
+    from prohap_spark.plans import plan_nodes
+    from prohap_spark.sources.bucketed import read_table, write_bucketed
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, f"bj12_lineitem_{suffix}", "l_orderkey", 16)
+    write_bucketed(o, f"bj12_orders_{suffix}", "o_orderkey", 16)
+    bl = read_table(spark, f"bj12_lineitem_{suffix}")
+    bo = read_table(spark, f"bj12_orders_{suffix}")
+    joined = bl.join(bo.hint("merge"), bl["l_orderkey"] == bo["o_orderkey"])
+    nodes = plan_nodes(joined)
+    if "SortMergeJoin" not in nodes or "Exchange" in nodes:
+        raise RuntimeError(
+            "bucketed join lost its co-location: expected an exchange-free "
+            f"SortMergeJoin, got plan nodes {nodes}"
+        )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
