@@ -431,8 +431,12 @@ def triangle_count(
     The arc list is recovered by EXPLODING the tail's own adjacency
     array (arcs ≡ adj unnested), so the tail side needs no join at
     all — one a-keyed aggregation plus ONE b-keyed shuffle join,
-    measured ~25% faster than the arcs⋈adj⋈adj two-join form at
-    sf0.1 with an identical result. Never a cross join; no
+    versus the arcs⋈adj⋈adj two-join form's two. Identical result;
+    a round-robin A/B at sf0.1 measures the two shapes within noise
+    of each other locally (local-mode shuffles are page-cache
+    friendly), so the strictly smaller exchange count — one fewer
+    full pass of the arc table over the wire at cluster scale — is
+    what earns this shape the slot. Never a cross join; no
     per-vertex blow-up."""
     arcs = oriented_arcs(
         edges, src, dst, assume_canonical=assume_canonical

@@ -1141,32 +1141,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prohap_spark.operators.graph import triangle_count
 
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # per-order pair generation: one orderkey-keyed aggregation packs
-    # each order's distinct parts into a sorted array, and the u<v
-    # pairs unnest map-side — ~40% faster at sf0.1 than the
-    # self-join form (li⋈li on l_orderkey), which shuffled the scan
-    # twice before producing the same pairs. `ps` is a materialized
-    # column, so the slice inside the pair lambda re-reads a column
-    # reference, not a re-evaluated expression (the HOF
-    # operand-binding discipline).
-    grp = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    # edge build: lineitem self-join on the order key. A per-order
+    # collect_set + array pair-unnest variant was A/B'd (round-robin
+    # median-of-5 at sf0.1) and LOST by ~15% — and it is also the
+    # worse shape at scale: a pathological mega-order would pack its
+    # d² pairs into ONE aggregation row (driver-of-OOM), where the
+    # self-join fans the same pairs out as rows AQE can skew-split.
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
     edges = (
-        grp.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ps"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ps"), i + 2, F.size(F.col("ps"))),
-                            lambda y: F.struct(x.alias("u"), y.alias("v")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.u", "p.v")
+        a.join(b, "ok")
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
         .distinct()
     )
     # the construction above IS canonical (u < v, distinct) — skip
