@@ -36,6 +36,65 @@ def test_interval_join_equals_broadcast(spark, rng):
     assert got == want and len(got) > 0
 
 
+def test_interval_join_bin_boundaries_and_closed_modes(spark):
+    """Deterministic adversarial battery for the binned interval join:
+    points sitting EXACTLY on bin multiples, interval endpoints on bin
+    multiples, zero-length intervals (start == end), single-point bins,
+    and all four ``closed`` modes — each checked against a python
+    brute force. Random draws (the test above) almost never land on
+    these boundaries, and the bin-assignment arithmetic
+    (floor-division on both sides) is exactly where an off-by-one
+    would live."""
+    from prohap_spark.operators.interval_join import interval_join
+
+    bin_size = 100
+    # points: bin edges (0, 100, 200), one-off-each-side, interior
+    pos = [0, 1, 99, 100, 101, 199, 200, 250, 300, 399, 400]
+    pts = pd.DataFrame({"pid": range(len(pos)), "pos": pos})
+    # intervals: zero-length on an edge, zero-length interior,
+    # edge-to-edge, sub-bin, straddling, containing-everything
+    spans = [
+        (100, 100),  # zero-length ON a bin edge
+        (250, 250),  # zero-length interior
+        (0, 100),    # exactly one bin + shared edge
+        (100, 200),
+        (101, 199),  # strictly inside one bin
+        (99, 101),   # straddles an edge by one each side
+        (200, 400),
+        (0, 400),    # spans all bins
+    ]
+    ivs = pd.DataFrame(
+        {
+            "iid": range(len(spans)),
+            "start": [s for s, _ in spans],
+            "end": [e for _, e in spans],
+        }
+    )
+    p, i = spark.createDataFrame(pts), spark.createDataFrame(ivs)
+    preds = {
+        "both": lambda s, e, x: s <= x <= e,
+        "left": lambda s, e, x: s <= x < e,
+        "right": lambda s, e, x: s < x <= e,
+        "neither": lambda s, e, x: s < x < e,
+    }
+    for closed, pred in preds.items():
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                p, i, point_col="pos", start_col="start", end_col="end",
+                bin_size=bin_size, strategy="binned", closed=closed,
+            ).select("pid", "iid").collect()
+        )
+        want = sorted(
+            (pid, iid)
+            for pid, x in zip(pts["pid"], pts["pos"])
+            for iid, (s, e) in zip(ivs["iid"], spans)
+            if pred(s, e, x)
+        )
+        assert got == want, f"closed={closed}"
+        assert want  # every mode must have matches (battery not vacuous)
+
+
 def test_interval_overlap_join_no_dups(spark, rng):
     from prohap_spark.operators.interval_join import interval_overlap_join
 
