@@ -153,6 +153,56 @@ def test_asof_join_equals_merge_asof(spark, rng):
         assert got[(row.k, row.ts.to_pydatetime(), row.lval)] == w
 
 
+def test_asof_join_exact_ties_both_directions(spark):
+    """Deterministic tie battery for the as-of join: left timestamps
+    exactly EQUAL to right timestamps (the docstring's 'same-ts right
+    row IS visible' promise), probes strictly between/before/after all
+    right rows, and a key with no right rows at all — in BOTH
+    directions, against pandas merge_asof (allow_exact_matches=True,
+    the matching semantics)."""
+    from prohap_spark.operators.asof import asof_join
+
+    right = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2],
+            "ts": pd.to_datetime([10, 20, 30, 10], unit="s"),
+            "rval": [100, 200, 300, 400],
+        }
+    )
+    # per key: before-all, exact-first, interior, exact-mid,
+    # exact-last, after-all; key 3 has NO right rows
+    left = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 1, 1, 1, 2, 2, 3],
+            "ts": pd.to_datetime([5, 10, 15, 20, 30, 35, 10, 11, 10], unit="s"),
+            "lval": range(9),
+        }
+    )
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on=["k"],
+            ts_col="ts",
+            payload_cols=["rval"],
+            direction=direction,
+        )
+        got = {(r["k"], r["ts"], r["lval"]): r["asof_rval"] for r in out.collect()}
+        want_df = pd.merge_asof(
+            left.sort_values(["ts", "k", "lval"]),
+            right.sort_values(["ts", "k"]),
+            on="ts",
+            by="k",
+            direction=direction,
+        )
+        assert len(got) == len(left)
+        for row in want_df.itertuples():
+            w = None if pd.isna(row.rval) else int(row.rval)
+            assert got[(row.k, row.ts.to_pydatetime(), row.lval)] == w, (
+                f"direction={direction} k={row.k} ts={row.ts}"
+            )
+
+
 def test_cosine_topk_equals_numpy(spark, rng):
     from prohap_spark.operators.similarity import cosine_topk
 
