@@ -38,6 +38,7 @@ def interval_join(
     strategy: str = "binned",
     closed: str = "both",
     extra_pred: Column | None = None,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Join each row of ``points`` to every row of ``intervals`` whose
     [start, end] range contains the point (1-D containment join).
@@ -48,6 +49,16 @@ def interval_join(
     (e.g. chromosome); they become part of the join key.
     ``strategy``: 'binned' (scale path), 'broadcast' (small interval
     side → BroadcastNestedLoopJoin on the raw predicate).
+    ``join_hint``: optional hint ('shuffle_hash' / 'merge') applied to
+    the bin-exploded interval side. Needed when the interval side is
+    generator-fanned in-flight: Catalyst sizes a generator's output at
+    ~1x its input, so a side that *scans* small but *explodes* big gets
+    statically planned as a broadcast — and AQE cannot demote a
+    statically chosen broadcast join (no shuffle boundary to measure).
+    The r7 interval scale probe measured the failure: 32x replicated
+    inputs ran 143.6 s under the misestimated broadcast vs 16.0 s on
+    the shuffle path. Inputs read directly from files carry honest scan
+    stats and need no hint.
     """
     partition_keys = list(partition_keys or [])
     p = F.col(point_col)
@@ -80,6 +91,8 @@ def interval_join(
     # avoid key-name collisions: rename interval-side partition keys
     for k in partition_keys:
         binned_ivs = binned_ivs.withColumnRenamed(k, f"__iv_{k}")
+    if join_hint is not None:
+        binned_ivs = binned_ivs.hint(join_hint)
     binned_pts = points.withColumn(_BIN, F.floor(p / F.lit(bin_size)).cast("long"))
     cond = binned_pts[_BIN] == binned_ivs[_BIN]
     for k in partition_keys:
