@@ -727,8 +727,16 @@ def winnowing_pairs(
         ex = ex.join(keep, "__fp").select(id_col, "__fp")
     a = ex.toDF("id_a", "__fp")
     b = ex.toDF("id_b", "__fp")
+    # shuffle_hash, unconditionally: ex is scan → fingerprint explode
+    # → join with NO shuffle boundary, so Catalyst sizes it at ~1x the
+    # scan while the generator fans it ~len/window per doc — a scan
+    # just under the broadcast threshold would be statically planned
+    # as a multi-GB broadcast AQE cannot demote (the hazard the r7
+    # interval scale probe measured at 143.6 s vs 16.0 s). For a
+    # SELF-join of two identically-sized fanned sides a broadcast is
+    # never the winning plan at scale, so the hint costs nothing.
     return (
-        a.join(b, "__fp")
+        a.join(b.hint("shuffle_hash"), "__fp")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fps"))

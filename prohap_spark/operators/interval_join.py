@@ -112,6 +112,7 @@ def interval_overlap_join(
     right_end: str,
     partition_keys: list[str] | None = None,
     bin_size: int = 100_000,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Interval-overlap join: pairs where [ls,le] and [rs,re] intersect.
 
@@ -119,6 +120,10 @@ def interval_overlap_join(
     exon.end >= POS`` (vcf_reader.py:50-51) generalized to two interval
     sides. Deduped bin assignment: a pair is emitted only from the bin
     containing max(ls, rs), so each overlapping pair appears once.
+    ``join_hint``: same escape hatch as ``interval_join`` — both sides
+    here are generator-fanned, so a side that scans small but explodes
+    big can be statically misplanned as a broadcast (see the
+    ``interval_join`` docstring for the measured failure).
     """
     partition_keys = list(partition_keys or [])
     ls, le = F.col(left_start), F.col(left_end)
@@ -134,6 +139,8 @@ def interval_overlap_join(
     )
     for k in partition_keys:
         rbin = rbin.withColumnRenamed(k, f"__iv_{k}")
+    if join_hint is not None:
+        rbin = rbin.hint(join_hint)
     cond = lbin[_BIN] == rbin[_BIN]
     for k in partition_keys:
         cond = cond & (lbin[k] == rbin[f"__iv_{k}"])

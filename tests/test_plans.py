@@ -485,3 +485,54 @@ def test_host_cap_single_exchange_no_body_shuffle(spark, qs):
     for line in plan.splitlines():
         if "Exchange" in line or "Sort " in line:
             assert "text#" not in line, line
+
+
+def test_winnowing_fp_self_join_shuffles_not_broadcasts(spark):
+    """The fingerprint self-join's sides are scan -> generator-fanned
+    with NO shuffle boundary before the join, so Catalyst sizes them at
+    ~1x the scan while the explode fans them ~len/window per doc — a
+    statically planned broadcast there is the misplan the r7 interval
+    scale probe measured (143.6 s vs 16.0 s at 32x), and AQE cannot
+    demote it. The operator pins shuffle_hash on that join."""
+    import pandas as pd
+
+    from prohap_spark.operators.dedup import winnowing_pairs
+    from prohap_spark.plans import plan_nodes
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": ["the quick brown fox jumps over the lazy dog again"] * 3
+                + ["an entirely different sentence with many other words here"] * 3,
+            }
+        )
+    )
+    df = winnowing_pairs(docs, "doc_id", "text")
+    nodes = plan_nodes(df)
+    assert "ShuffledHashJoin" in nodes
+    assert "BroadcastHashJoin" not in nodes
+    assert df.count() > 0  # pin is not vacuous
+
+
+def test_interval_join_hint_flips_broadcast_to_shuffle(spark):
+    """join_hint='shuffle_hash' must override the (possibly
+    misestimated) static broadcast choice on the bin-exploded interval
+    side, and must not change the result."""
+    import pandas as pd
+
+    from prohap_spark.operators.interval_join import interval_join
+    from prohap_spark.plans import plan_nodes
+
+    pts = spark.createDataFrame(pd.DataFrame({"pos": [5, 15, 25, 250]}))
+    ivs = spark.createDataFrame(
+        pd.DataFrame({"start": [0, 10, 200], "end": [20, 30, 300]})
+    )
+    kw = dict(point_col="pos", start_col="start", end_col="end", bin_size=16)
+    plain = interval_join(pts, ivs, **kw)
+    hinted = interval_join(pts, ivs, join_hint="shuffle_hash", **kw)
+    assert "BroadcastHashJoin" in plan_nodes(plain)  # small side: static broadcast
+    assert "ShuffledHashJoin" in plan_nodes(hinted)
+    assert "BroadcastHashJoin" not in plan_nodes(hinted)
+    key = lambda r: (r["pos"], r["start"], r["end"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, hinted.collect()))
