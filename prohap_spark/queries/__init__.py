@@ -44,65 +44,43 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # tools/rotation_audit.py now audits. Registration is HARD-CAPPED at
 # 150 = 3x50 while the window is three rounds.)
 #
-# Round-7 state (registry 148): _FRONT = the full 45-obligation r7
-# audit print-out — 23 rule-(a) r6 registrations that have never
-# produced a CORRECTNESS row + 22 rule-(c) last-green-r4 entries —
-# plus the 2 rule-(b) r6 hash-reds (text_unigram_logprob /
-# text_char_entropy, re-fronted with the portable-ln fix) and the 3
-# r7 registrations (multimodal_gif_tiff_codec, graph_pagerank,
-# sim_kmeans_ivf — the r6 verdict's four dark operators in three
-# slots, GIF+TIFF sharing one query). Exactly 50 = the driver
-# budget. _BACK documents the 50 r5-green entries — the r8 rule-(c)
-# obligations (they fill r8's front EXACTLY, so r7 may register at
-# most the 3 slots it used; the 48 r6-greens are due r9 with 2
-# slack). `python tools/rotation_audit.py` verifies all of this
-# mechanically against the CORRECTNESS_r*.json files.
+# Round-8 state (registry 145): the r8 obligation set OVERFLOWED the
+# 50 budget — text_unigram_logprob / text_char_entropy went hash-red
+# AGAIN in r7 (rule b), on top of the 2 rule-(a) never-checked r7
+# registrations (j12_bucketed_colocated_join, multimodal_bmp_png_codec)
+# and the full 48-entry rule-(c) last-green-r5 window: 52 > 50. Per
+# the overflow precedence below, two rule-(c) entries were resolved by
+# REDUNDANCY-REMOVING MERGES rather than bumped: dedup_minhash_lsh +
+# dedup_minhash_lsh_capped → dedup_minhash_lsh_board (queries/
+# textdata.py) and multimodal_audio_windows + multimodal_wav_codec →
+# multimodal_audio_window_codec (queries/classic.py) — each merged
+# query drives both original code paths under a leg/fmt tag, so no
+# coverage is lost, and the two deregistrations bring the r8 front to
+# 2 (b) + 2 (a) + 46 (c) = exactly the 50 budget. The merged queries
+# registered in r8 and did not fit this front; they are reported by
+# the audit as rule-(a) obligations for the r9 front. _BACK documents
+# the 46 surviving r6-green entries — the r9 rule-(c) obligations
+# (46 + 2 merged rule-(a) = 48, leaving 2 slack for r8 reds).
+# `python tools/rotation_audit.py` verifies all of this mechanically
+# against the CORRECTNESS_r*.json files.
 #
-# Overflow precedence (stated now because r8 has ZERO slack): if a
-# round's obligations exceed the 50 budget — e.g. an r7-front query
-# goes driver-red, making it an r8 rule-(b) obligation on top of the
-# full rule-(c) set — priority is (b) red/err > (a) never-checked >
-# (c) going-dark, and the displaced lowest-priority entries either
-# get bumped ONE round with an explicit note here (the audit will
-# flag them; the note is the documented waiver) or a redundant entry
-# is deregistered to make room, whichever keeps total coverage
-# higher. Silent omission is never an option — the audit's exit code
-# enforces that the resolution is visible.
+# Overflow precedence (exercised for the first time this round): if a
+# round's obligations exceed the 50 budget, priority is (b) red/err >
+# (a) never-checked > (c) going-dark, and the displaced
+# lowest-priority entries either get bumped ONE round with an
+# explicit note here (the audit will flag them; the note is the
+# documented waiver) or a redundant entry is deregistered to make
+# room, whichever keeps total coverage higher. Silent omission is
+# never an option — the audit's exit code enforces that the
+# resolution is visible.
 _FRONT = [
-    # (b) hash-red in r6 (micro-nat float-portability defect, fixed
-    # via functions/portable_math.py — must re-front):
+    # (b) hash-red in r7 — second consecutive red; re-fronted with the
+    # integer-only hash gate (doubles removed from the projection):
     "text_unigram_logprob", "text_char_entropy",
-    # (a) never driver-checked (registered r6 after the front filled):
-    "scd2_merge_upsert", "stream_cdc_scd2", "text_quality_classifier",
-    "sampling_temperature_mix", "text_intradoc_dedup", "text_bpe_train",
-    "text_substring_dedup", "pack_best_fit", "text_ngram_topk",
-    "dedup_incremental_ingest", "text_chunk_overlap",
-    "dedup_incremental_near", "sampling_negative_pairs",
-    "sim_knn_classify", "hybrid_search_rrf",
-    "multimodal_jpeg_color_codec", "multimodal_audio_container",
-    "q4_order_priority", "q13_customer_distribution",
-    "q18_large_volume_customer", "q22_idle_customers",
-    "graph_triangle_count", "s13_jsonl_roundtrip",
-    # (c) last green r4, dark r5 and r6 — the window forces them now:
-    "f12_liftover_artifact_filter", "c7_reverse_translate",
-    "agg_rollup", "agg_pivot", "agg_quantiles", "so_set_ops",
-    "text_quality", "text_langid", "stream_sliding_window",
-    "stream_session_window", "c_string_surgery", "text_token_counts",
-    "multimodal_decode_features", "stream_click_attribution",
-    "multimodal_resize_stats", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
-    "s5_fasta_roundtrip",
-    "sim_lsh_ann", "agg_approx_sketches",
-    # (domain_prohap_synthetic / domain_provar_synthetic deregistered
-    # r7: strictly-weaker duplicates of the snp_oracle pair — see
-    # queries/classic.py — freeing two front slots)
-    # r7 registrations (rule a: front the round they register):
-    "multimodal_gif_tiff_codec", "graph_pagerank", "sim_kmeans_ivf",
-    "multimodal_video_frames", "dedup_host_cap",
-]
-_BACK = [
-    # last green r5, dark r6 AND r7 — the r8 rule-(c) front
-    # obligations (they fill the r8 budget EXACTLY; rotation_audit.py
-    # prints them):
+    # (a) registered r7 after the front filled, never driver-checked:
+    "j12_bucketed_colocated_join", "multimodal_bmp_png_codec",
+    # (c) last green r5, dark r6 and r7 — the window forces them now
+    # (48 obligations minus the two merged-away deregistrations):
     "s1_scan_pushdown_projection", "f1_regex_threshold",
     "f4_isin_filter", "f5_group_conditional_filter",
     "f9_array_mask_filter", "j2_normalized_key_join", "j3_star_dim_join",
@@ -110,26 +88,46 @@ _BACK = [
     "a3_conditional_denominator", "a4_group_frequency_maps",
     "a7_priority_dedup", "a11_synthesize_missing_groups",
     "c15_map_merge_explode", "w5_running_offset", "j6_explode_equijoin",
-    "text_fingerprint_dedup", "dedup_exact_docs", "dedup_minhash_lsh",
+    "text_fingerprint_dedup", "dedup_exact_docs",
     "dedup_simhash", "sim_bruteforce_topk", "sim_ivf_ann",
     "emb_centroid_cosine", "c_math_hash", "c2_regex_split_explode",
     "w3_array_sort_analytics", "c_json_extract", "sql_api_q6",
     "stream_live_session_windows", "q3_shipping_priority",
     "q5_local_supplier_volume", "agg_exact_distinct", "w_lead_lag",
-    "agg_cube_grouping",
-    # (multimodal_bmp_codec / multimodal_png_codec merged r7 into
-    # multimodal_bmp_png_codec — registered this round, so it is an
-    # r8 rule-(a) obligation beside these; the merge turned r8's
-    # zero-slack front into one with a free slot, which the late-r7
-    # j12_bucketed_colocated_join registration then took: r8's front
-    # is 48 rule-(c) + those 2 rule-(a) = exactly the 50 budget)
-    "multimodal_wav_codec", "domain_provar_snp_oracle",
+    "agg_cube_grouping", "domain_provar_snp_oracle",
     "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
     "f8_count_threshold_prohap", "domain_prohap_indel_oracle",
     "domain_provar_start_oracle", "s7_tsv_gz_roundtrip",
     "s10_partitioned_prune", "f2_allele_validity",
     "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
     "domain_prohap_junction_oracle",
+]
+_BACK = [
+    # last green r6, dark r7 AND r8 — the r9 rule-(c) front
+    # obligations (rotation_audit.py prints them); beside these, the
+    # two r8 merge registrations (dedup_minhash_lsh_board,
+    # multimodal_audio_window_codec) are r9 rule-(a) obligations:
+    # 46 + 2 = 48 of the 50 budget, 2 slack for any r8 reds
+    "q1_pricing_summary", "er_fuzzy_blocked_join",
+    "w1_islands_sessionize", "w1b_interval_islands",
+    "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
+    "j1_interval_join_binned", "stream_tumbling_window",
+    "j1b_interval_overlap_join", "stream_dedup_watermark",
+    "events_funnel", "w_ntile_percent_rank", "dedup_jaccard_pairs",
+    "dedup_simhash_near", "dedup_cluster_reps", "text_bm25_topk",
+    "sampling_hash_split", "text_decontaminate",
+    "text_repetition_stats", "sampling_stratified_rates",
+    "text_bpe_tokens", "text_pii_scrub", "text_line_dedup",
+    "pack_context_windows", "sampling_token_budget", "dedup_winnowing",
+    "corpus_curation_e2e", "dedup_embedding_cosine", "sim_sq_ann",
+    "sim_pq_ann", "dedup_semantic", "j9_containment_join",
+    "stream_stateful_user_stats", "agg_salted_skew",
+    "multimodal_jpeg_codec", "agg_grouping_sets",
+    "domain_provar_fasta_oracle", "domain_postprocess_chain",
+    "u4_peptide_classes", "domain_provar_minus_strand",
+    "domain_provar_indel_oracle", "j8_gene_header_annotation",
+    "u4_full_class_grid", "domain_provar_threeexon_oracle",
+    "domain_prohap_threeexon_oracle",
 ]
 
 

@@ -342,48 +342,110 @@ def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# multimodal_audio_windows and multimodal_wav_codec were MERGED into
+# the one registered query below in r8 (the gif_tiff/bmp_png pattern):
+# both emit the identical (media_id, win_idx, win_mean, win_rms) shape
+# — one over raw payload bytes, one over PCM16 samples re-extracted
+# from a genuine RIFF/WAVE container — so one query drives both legs
+# and frees a rotation slot (the r8 front had to absorb the two
+# rule-(b) hash-reds on top of a full rule-(c) window). Every feature
+# branch of the two originals is preserved: raw byte windows on even
+# ids; WAV container parse on odd ids, with the junk LIST chunk the
+# walker must skip injected on ids ≡ 1 (mod 4).
+
+
 @register(
-    "multimodal_audio_windows",
-    # overlapping byte windows (64 wide, hop 32) over the utf-8 payload;
-    # the documents text is ASCII so ord(char) == byte value and DuckDB
-    # reproduces mean/rms exactly (integer sums, dyadic divisions)
+    "multimodal_audio_window_codec",
+    # even ids: overlapping byte windows (64 wide, hop 32) over the
+    # utf-8 payload (ASCII docs, so ord(char) == byte value); odd ids:
+    # the same windows over PCM16 samples (byte - 128) * 256 extracted
+    # through a genuine RIFF/WAVE container parse. Integer sums and
+    # dyadic divisions, so DuckDB reproduces mean/rms exactly
     """
     WITH w AS (
-      SELECT doc_id AS media_id, text, octet_length(encode(text)) AS n
-      FROM documents WHERE doc_id < 100
+      SELECT doc_id AS media_id, text,
+             least(octet_length(encode(text)), 288) AS n
+      FROM documents
+      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
     ),
     wins AS (
       SELECT media_id, CAST(t.w AS INT) AS win_idx,
              list_transform(range(1, 65),
-               i -> CAST(ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) AS DOUBLE)) AS seg
+               i -> CASE WHEN media_id % 2 = 0
+                    THEN CAST(ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) AS DOUBLE)
+                    ELSE CAST((ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) - 128) * 256
+                         AS DOUBLE) END) AS seg
       FROM w, range(0, 8) t(w)
       WHERE t.w * 32 + 64 <= n
     )
-    SELECT media_id, win_idx,
+    SELECT media_id,
+           CASE WHEN media_id % 2 = 0 THEN 'raw' ELSE 'wav' END AS fmt,
+           win_idx,
            round(list_sum(seg) / 64, 4) AS win_mean,
            round(sqrt(list_sum(list_transform(seg, x -> x * x)) / 64), 4) AS win_rms
     FROM wins
     """,
 )
-def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio framing plumbing: each payload fans out to ≤8 overlapping
-    64-byte windows reduced to (mean, rms) in an Arrow-batched
-    mapInPandas stage — the drop-in shape for a real spectral
-    featurizer. Byte-window math value-checked end to end."""
-    from prohap_spark.multimodal import audio_window_features
+def multimodal_audio_window_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing over BOTH payload kinds in one query: even
+    media_ids window raw payload bytes (the Arrow-batched framing
+    plumbing — drop-in shape for a real spectral featurizer); odd ids
+    take the REAL audio-codec path (no stub): text bytes → int16 PCM
+    → genuine RIFF/WAVE container (fmt + data chunks; ids ≡ 1 mod 4
+    also carry a junk LIST chunk the walker must skip) → parsed back by
+    ``decode_wav`` inside ``audio_window_features(codec='pcm16_wav')``.
+    Both legs reduce to (mean, rms) over ≤8 overlapping 64-sample
+    windows (hop 32), value-checked end to end. Raw windows cap at
+    288 bytes to match the WAV leg's sample truncation, so the two
+    legs stay symmetric."""
+    import struct
 
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
-    out = audio_window_features(media, window=64, hop=32, max_windows=8)
-    return out.select(
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.multimodal import audio_window_features
+    from prohap_spark.multimodal.codecs import encode_wav
+
+    media = _docs_as_media(spark, sf_dir, 64)
+
+    raw = media.where(F.col("media_id") % 2 == 0).select(
         "media_id",
-        "win_idx",
-        F.round("win_mean", 4).alias("win_mean"),
-        F.round("win_rms", 4).alias("win_rms"),
+        F.substring(F.col("text_bytes"), 1, 288).alias("payload"),
     )
+    raw_wins = audio_window_features(raw, window=64, hop=32, max_windows=8)
+
+    def to_wav(batches):
+        junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        for pdf in batches:
+            payloads = []
+            for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
+                buf = np.frombuffer(bytes(tb), dtype=np.uint8)[:288]
+                samples = ((buf.astype(np.int64) - 128) * 256).astype(np.int16)
+                wav = encode_wav(samples, sample_rate=8000)
+                if mid % 4 == 1:  # exercise the unknown-chunk skip
+                    fmt_end = 12 + 8 + 16
+                    wav = wav[:fmt_end] + junk + wav[fmt_end:]
+                    wav = wav[:4] + struct.pack("<I", len(wav) - 8) + wav[8:]
+                payloads.append(wav)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    wavs = media.where(F.col("media_id") % 2 == 1).mapInPandas(
+        to_wav, schema="media_id long, payload binary"
+    )
+    wav_wins = audio_window_features(
+        wavs, window=64, hop=32, max_windows=8, codec="pcm16_wav"
+    )
+
+    def finish(df: DataFrame, fmt: str) -> DataFrame:
+        return df.select(
+            "media_id",
+            F.lit(fmt).alias("fmt"),
+            "win_idx",
+            F.round("win_mean", 4).alias("win_mean"),
+            F.round("win_rms", 4).alias("win_rms"),
+        )
+
+    return finish(raw_wins, "raw").unionByName(finish(wav_wins, "wav"))
 
 
 def _docs_as_media(spark: SparkSession, sf_dir: str, min_bytes: int):
@@ -488,76 +550,6 @@ def multimodal_bmp_png_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(px, 28).alias("p33"),
         F.element_at(px, 64).alias("p77"),
         F.round(mean, 4).alias("px_mean"),
-    )
-
-
-@register(
-    "multimodal_wav_codec",
-    # PCM16 samples are (byte - 128) * 256 over the first ≤288 text
-    # bytes; the Spark side wraps them in a genuine RIFF/WAVE container
-    # (odd media_ids get a junk LIST chunk between fmt and data, so the
-    # production chunk walk is exercised, not just the happy path) and
-    # re-extracts them with decode_wav before windowing. Window sums
-    # are integer-exact in float64 (|x| ≤ 2^15, 64 terms)
-    """
-    WITH w AS (
-      SELECT doc_id AS media_id, text,
-             least(octet_length(encode(text)), 288) AS n
-      FROM documents
-      WHERE doc_id < 100 AND octet_length(encode(text)) >= 64
-    ),
-    wins AS (
-      SELECT media_id, CAST(t.w AS INT) AS win_idx,
-             list_transform(range(1, 65),
-               i -> CAST((ord(substr(text, CAST(t.w * 32 + i AS INT), 1)) - 128) * 256
-                    AS DOUBLE)) AS seg
-      FROM w, range(0, 8) t(w)
-      WHERE t.w * 32 + 64 <= n
-    )
-    SELECT media_id, win_idx,
-           round(list_sum(seg) / 64, 4) AS win_mean,
-           round(sqrt(list_sum(list_transform(seg, x -> x * x)) / 64), 4) AS win_rms
-    FROM wins
-    """,
-)
-def multimodal_wav_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL audio-codec path (no stub): text bytes → int16 PCM samples
-    → genuine RIFF/WAVE container (fmt + data chunks; odd media_ids
-    also carry a junk LIST chunk the walker must skip) → parsed back by
-    ``decode_wav`` inside ``audio_window_features(codec='pcm16_wav')``
-    → overlapping (mean, rms) windows over the decoded samples."""
-    import struct
-
-    import numpy as np
-    import pandas as pd
-
-    from prohap_spark.multimodal import audio_window_features
-    from prohap_spark.multimodal.codecs import encode_wav
-
-    media = _docs_as_media(spark, sf_dir, 64)
-
-    def to_wav(batches):
-        junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
-        for pdf in batches:
-            payloads = []
-            for mid, tb in zip(pdf["media_id"], pdf["text_bytes"]):
-                buf = np.frombuffer(bytes(tb), dtype=np.uint8)[:288]
-                samples = ((buf.astype(np.int64) - 128) * 256).astype(np.int16)
-                wav = encode_wav(samples, sample_rate=8000)
-                if mid % 2 == 1:  # exercise the unknown-chunk skip
-                    fmt_end = 12 + 8 + 16
-                    wav = wav[:fmt_end] + junk + wav[fmt_end:]
-                    wav = wav[:4] + struct.pack("<I", len(wav) - 8) + wav[8:]
-                payloads.append(wav)
-            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
-
-    wavs = media.mapInPandas(to_wav, schema="media_id long, payload binary")
-    out = audio_window_features(wavs, window=64, hop=32, max_windows=8, codec="pcm16_wav")
-    return out.select(
-        "media_id",
-        "win_idx",
-        F.round("win_mean", 4).alias("win_mean"),
-        F.round("win_rms", 4).alias("win_rms"),
     )
 
 
