@@ -118,15 +118,16 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from prohap_spark.operators.graph import pagerank_micro
+        from prohap_spark.queries.classic import _PAGERANK_PART_OFFSET
         from prohap_spark.queries.registry import table as _table
 
         li = _table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
         fwd = li.select(
             F.col("l_suppkey").alias("src"),
-            (F.lit(10000) + F.col("l_partkey")).alias("dst"),
+            (F.lit(_PAGERANK_PART_OFFSET) + F.col("l_partkey")).alias("dst"),
         )
         back = li.where(F.col("l_partkey") % 2 == 0).select(
-            (F.lit(10000) + F.col("l_partkey")).alias("src"),
+            (F.lit(_PAGERANK_PART_OFFSET) + F.col("l_partkey")).alias("src"),
             F.col("l_suppkey").alias("dst"),
         )
         return pagerank_micro(

@@ -334,6 +334,8 @@ def sample_avi_frames(
     100 TB (seek + slice per kept frame, no full-video decode).
     Arrow-batched mapInPandas; emits one row per sampled frame:
     (media_id, frame_idx, n_frames, height, width, p00, px_mean)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     import pandas as pd
 
     from prohap_spark.multimodal.codecs import decode_jpeg, parse_avi

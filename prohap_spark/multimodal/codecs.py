@@ -2089,10 +2089,13 @@ def parse_avi(payload: bytes) -> tuple[dict, list[bytes]]:
     missing header, or a frame-count mismatch all fail loud —
     silently mis-walking a container would poison every frame
     downstream."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
-        raise ValueError("not an AVI payload")
+    # length check FIRST: python slicing never raises on short input,
+    # so a <12-byte payload would otherwise fall through to the magic
+    # comparison and report "not an AVI payload" instead of truncation
     if len(payload) < 12:
         raise ValueError("AVI: truncated payload")
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
     (riff_size,) = struct.unpack("<I", payload[4:8])
     if riff_size + 8 > len(payload):
         raise ValueError("AVI: truncated payload")

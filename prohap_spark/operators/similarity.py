@@ -124,8 +124,24 @@ def hyperplane_sign_string(seed: str, plane: int, dim: int) -> str:
     )
 
 
+def _micro_component(x: Column) -> Column:
+    """A float32 component as exact integer micro-units:
+    round(x * 1e6) as BIGINT. The float→double cast is exact, the
+    double product of a ≤24-bit mantissa by 1e6 (20 bits) is exact
+    (≤44 < 53 bits), and Spark's HALF_UP matches DuckDB's
+    half-away-from-zero on the resulting EXACT doubles — so the
+    quantization is engine-identical by construction, with no series
+    approximation anywhere (unlike the portable-ln device, this needs
+    only IEEE mul + round)."""
+    return F.round(x.cast("double") * F.lit(1000000.0), 0).cast("long")
+
+
 def hyperplane_bucket_expr(
-    vec_col: str | Column, n_planes: int = 8, seed: str = "hp", max_dim: int = 4096
+    vec_col: str | Column,
+    n_planes: int = 8,
+    seed: str = "hp",
+    max_dim: int = 4096,
+    quantize_micro: bool = False,
 ) -> Column:
     """Deterministic random-hyperplane LSH bucket: bit i = sign of the
     dot product with a ±1 hyperplane from ``hyperplane_sign_string``.
@@ -134,16 +150,34 @@ def hyperplane_bucket_expr(
     are PRECOMPUTED at plan-build time into one '0'/'1' string literal
     per plane (round 2 recomputed the md5 per row × dim × plane). The
     per-row work is a single transform+aggregate over the vector with a
-    constant-string lookup. The signed sum is rounded to 6 decimals
-    before the sign test so an oracle engine whose float summation
-    differs in the last ulp lands in the same bucket. Vectors longer
-    than ``max_dim`` raise at plan time rather than bucketing silently
-    wrong.
+    constant-string lookup. Vectors longer than ``max_dim`` raise at
+    plan time rather than bucketing silently wrong.
+
+    Sign-test portability: by default the signed sum is a double
+    rounded to 6 decimals before the sign test, so an oracle engine
+    whose float summation differs in the last ulp lands in the same
+    bucket — a residual (≈ulp-sized) risk remains when a sum sits
+    exactly on a rounding boundary. ``quantize_micro=True`` removes
+    the class entirely: components are quantized to exact integer
+    micro-units (:func:`_micro_component`) and the signed sum is an
+    exact BIGINT, identical in any engine under any summation order.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def plane_bit(p: int) -> Column:
         signs = hyperplane_sign_string(seed, p, max_dim)
+        if quantize_micro:
+            signed = F.transform(
+                v,
+                lambda x, i: F.when(
+                    F.lit(signs).substr(i + 1, F.lit(1)) == "1",
+                    _micro_component(x),
+                ).otherwise(-_micro_component(x)),
+            )
+            s = F.aggregate(
+                signed, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+            return F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))
         signed = F.transform(
             v,
             lambda x, i: F.when(
@@ -169,7 +203,8 @@ def lsh_ann_topk(
     k: int,
     n_planes: int = 8,
     n_tables: int = 8,
-    score_decimals: int | None = 6,
+    score_decimals: int | None = None,
+    quantize_micro: bool = False,
 ) -> DataFrame:
     """Approximate NN: bucket both sides with random hyperplanes and
     brute force only within shared buckets — an equi-join on the bucket
@@ -179,8 +214,21 @@ def lsh_ann_topk(
     ``score_decimals`` rounds the cosine BEFORE the per-query ranking
     (ties then break on corpus id), which makes the whole candidate
     set + ranking deterministic and engine-replayable — the same
-    device ``ivf_ann_topk`` uses; pass ``None`` for raw full-precision
-    scores.
+    device ``ivf_ann_topk`` uses. The default is ``None`` (raw
+    full-precision scores, true-cosine tie-breaks): the registered
+    sim_lsh_ann query opts into rounding explicitly, so other callers
+    of this public operator are never silently coarsened (an r7
+    default of 6 briefly did exactly that).
+
+    ``quantize_micro=True`` additionally quantizes components to exact
+    integer micro-units for BOTH the bucket sign test and the cosine:
+    dot and squared norms become exact BIGINTs and the cosine is
+    ``dot / (sqrt(nq2) * sqrt(nc2))`` — mul, div and sqrt are all
+    correctly rounded IEEE ops, so the double is bit-identical across
+    engines BY IEEE SEMANTICS, with no series approximation and no
+    summation-order sensitivity. This is the engine-exact gate for
+    oracle-replayed registrations; the ~1e-6 quantization error is
+    irrelevant for ANN ranking.
 
     Multi-table LSH: ``n_tables`` independent hyperplane sets (distinct
     seeds); a pair is a candidate if it collides in ANY table. Collision
@@ -195,7 +243,9 @@ def lsh_ann_topk(
         *[
             F.concat(
                 F.lit(f"{t}:"),
-                hyperplane_bucket_expr(vec_col, n_planes, seed=f"hp{t}"),
+                hyperplane_bucket_expr(
+                    vec_col, n_planes, seed=f"hp{t}", quantize_micro=quantize_micro
+                ),
             )
             for t in range(n_tables)
         ]
@@ -215,13 +265,38 @@ def lsh_ann_topk(
     cand = c.select("__cid", "__bucket").join(
         F.broadcast(q.select("__qid", "__bucket")), "__bucket"
     ).select("__qid", "__cid").distinct()
-    qv = queries.select(
-        F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
-    ).withColumn("__qnorm", _norm(F.col("__qvec")))
-    cv = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__cnorm", _norm(F.col("__cvec")))
-    cos = _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
+    if quantize_micro:
+        # exact-integer scoring: micro-quantized components make dot
+        # and squared norms exact BIGINTs; the cosine double then uses
+        # only correctly-rounded IEEE ops (cast, sqrt, mul, div) on
+        # engine-identical integers — bit-identical by IEEE semantics
+        def mvec(col: Column) -> Column:
+            return F.transform(col, _micro_component)
+
+        def isum(arr: Column) -> Column:
+            return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+        qv = queries.select(
+            F.col(query_id).alias("__qid"), mvec(F.col(vec_col)).alias("__qvec")
+        ).withColumn("__qn2", isum(F.transform(F.col("__qvec"), lambda x: x * x)))
+        cv = corpus.select(
+            F.col(corpus_id).alias("__cid"), mvec(F.col(vec_col)).alias("__cvec")
+        ).withColumn("__cn2", isum(F.transform(F.col("__cvec"), lambda x: x * x)))
+        dot = isum(F.zip_with(F.col("__qvec"), F.col("__cvec"), lambda x, y: x * y))
+        cos = dot.cast("double") / (
+            F.sqrt(F.col("__qn2").cast("double"))
+            * F.sqrt(F.col("__cn2").cast("double"))
+        )
+    else:
+        qv = queries.select(
+            F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+        ).withColumn("__qnorm", _norm(F.col("__qvec")))
+        cv = corpus.select(
+            F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+        ).withColumn("__cnorm", _norm(F.col("__cvec")))
+        cos = _dot(F.col("__qvec"), F.col("__cvec")) / (
+            F.col("__qnorm") * F.col("__cnorm")
+        )
     if score_decimals is not None:
         cos = F.round(cos, score_decimals)
     scored = cand.join(cv, "__cid").join(F.broadcast(qv), "__qid").withColumn(

@@ -1152,11 +1152,17 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, "u", "v", assume_canonical=True)
 
 
-_PAGERANK_EDGES_CTE = """edges AS (
+# part nodes live at a 10**9 offset so supplier and part id spaces can
+# NEVER collide (10000 + l_partkey collided with l_suppkey at sf >= 1,
+# silently merging vertices while both engines still agreed)
+_PAGERANK_PART_OFFSET = 1_000_000_000
+
+_PAGERANK_EDGES_CTE = f"""edges AS (
       SELECT DISTINCT src, dst FROM (
-        SELECT l_suppkey AS src, 10000 + l_partkey AS dst FROM lineitem
+        SELECT l_suppkey AS src, {_PAGERANK_PART_OFFSET} + l_partkey AS dst
+        FROM lineitem
         UNION ALL
-        SELECT 10000 + l_partkey AS src, l_suppkey AS dst
+        SELECT {_PAGERANK_PART_OFFSET} + l_partkey AS src, l_suppkey AS dst
         FROM lineitem WHERE l_partkey % 2 = 0
       )
     )"""
@@ -1188,10 +1194,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
     fwd = li.select(
         F.col("l_suppkey").alias("src"),
-        (F.lit(10000) + F.col("l_partkey")).alias("dst"),
+        (F.lit(_PAGERANK_PART_OFFSET) + F.col("l_partkey")).alias("dst"),
     )
     back = li.where(F.col("l_partkey") % 2 == 0).select(
-        (F.lit(10000) + F.col("l_partkey")).alias("src"),
+        (F.lit(_PAGERANK_PART_OFFSET) + F.col("l_partkey")).alias("src"),
         F.col("l_suppkey").alias("dst"),
     )
     return pagerank_micro(fwd.unionAll(back), "src", "dst", n_iter=6)

@@ -62,20 +62,38 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_embedding_cosine's table below), embedded as literals so DuckDB
 # buckets bit-identically. Deterministic-signature oracle per the r6
 # verdict: the approximate index's WHOLE candidate structure (which
-# pairs collide in which table) plus the rounded-cosine ranking is
+# pairs collide in which table) plus the cosine ranking is
 # engine-replayable, so the ANN is value-checked, not rows-counted.
+# r8 (ADVICE): the gate is ENGINE-EXACT, not merely rounded — both
+# sides quantize components to integer micro-units, so bucket sign
+# sums / dot / squared norms are exact BIGINTs (order-independent) and
+# the cosine double uses only correctly-rounded IEEE ops (cast, sqrt,
+# mul, div) on identical integers. The previous gate compared
+# fold-summed doubles under round(.,6), leaving an ulp-at-boundary
+# risk — the exact class that made text_unigram_logprob red in r6.
 def _lsh_ann_oracle_sql() -> str:
     planes = ",\n      ".join(
         f"({t}, {p}, '{hyperplane_sign_string(f'hp{t}', p, 64)}')"
         for t in range(12)
         for p in range(4)
     )
+    micro = "CAST(round(CAST({v}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+    qm, cm, em = (micro.format(v=v) for v in ("q.embedding", "c.embedding", "e.embedding"))
     signed = (
-        "round(list_sum(list_transform(range(1, len(e.embedding) + 1), "
-        "i -> CASE WHEN substr(p.signs, i, 1) = '1' "
-        "THEN CAST(e.embedding[i] AS DOUBLE) "
-        "ELSE -CAST(e.embedding[i] AS DOUBLE) END)), 6)"
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        f"i -> CASE WHEN substr(p.signs, i, 1) = '1' "
+        f"THEN {em} ELSE -{em} END))"
     )
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        f"i -> {qm} * {cm})) AS DOUBLE)"
+    )
+    n2 = (
+        "sqrt(CAST(list_sum(list_transform(range(1, len({v}.embedding) + 1), "
+        "i -> {m} * {m})) AS DOUBLE))"
+    )
+    qn = n2.format(v="q", m=qm)
+    cn = n2.format(v="c", m=cm)
     return f"""
     WITH planes(t, plane, signs) AS (VALUES
       {planes}
@@ -96,9 +114,7 @@ def _lsh_ann_oracle_sql() -> str:
     ),
     scored AS (
       SELECT cand.qid, cand.cid,
-             round({_DUCK_DOT.format(a='q.embedding', b='c.embedding')} /
-                   ({_DUCK_NORM.format(a='q.embedding')} *
-                    {_DUCK_NORM.format(a='c.embedding')}), 6) AS cosine
+             round({dot} / ({qn} * {cn}), 6) AS cosine
       FROM cand
       JOIN embeddings q ON q.vec_id = cand.qid
       JOIN embeddings c ON c.vec_id = cand.cid
@@ -119,16 +135,19 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket equi-join over posexploded (table, bucket) keys — no cross
     join). The 100 TB path for similarity search; recall vs the
     brute-force baseline is pinned in tests/test_operators.py
-    (test_lsh_ann_recall). Value-checked (r6 verdict: the perennial
-    rows-only row gets a real oracle): the md5-derived hyperplanes are
-    shared literals, the signed sums round to 6 before the sign test,
-    and the ranking orders by ROUNDED cosine with a cid tiebreak, so
-    the candidate structure AND the top-5 replay exactly in DuckDB."""
+    (test_lsh_ann_recall). Value-checked with an ENGINE-EXACT gate:
+    ``quantize_micro=True`` makes bucket sign sums and dot/norm²
+    exact BIGINTs on both sides (see _lsh_ann_oracle_sql's comment),
+    and the ranking orders by the (bit-identical) cosine rounded to 6
+    with a cid tiebreak — the candidate structure AND the top-5
+    replay exactly in DuckDB. score_decimals is passed explicitly:
+    the public operator defaults to raw full-precision scores."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
     out = lsh_ann_topk(
-        q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12
+        q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12,
+        score_decimals=6, quantize_micro=True,
     )
     return out.toDF("qid", "cid", "cosine", "rank")
 

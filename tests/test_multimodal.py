@@ -1077,6 +1077,12 @@ def test_avi_container_roundtrip_and_failures():
         parse_avi(b"RIFX" + avi[4:])
     with pytest.raises(ValueError, match="truncated"):
         parse_avi(avi[: len(avi) // 2])
+    # <12-byte input must report truncation, not "not an AVI": python
+    # slicing never raises on short input, so the length check must
+    # run BEFORE the magic comparison (r7 ADVICE — the branch was
+    # unreachable when the magic check came first)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_avi(avi[:8])
     with pytest.raises(ValueError, match="frames"):
         # patch avih total_frames (offset: RIFF(12) + LIST hdr(12) + avih hdr(8) + 16)
         bad = bytearray(avi)
@@ -1114,6 +1120,9 @@ def test_sample_avi_frames_spark_path(spark):
     for i in (0, 3, 6):
         assert rows[i]["p00"] == vals[i] and rows[i]["px_mean"] == float(vals[i])
         assert rows[i]["n_frames"] == 7 and rows[i]["height"] == 8
+    # a nonsensical stride must fail at plan time, not slice garbage
+    with pytest.raises(ValueError, match="every_n"):
+        sample_avi_frames(df, every_n=0)
 
 
 def test_lossless_codecs_hypothesis_roundtrip():
