@@ -194,12 +194,28 @@ def main() -> None:
 
     timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
+    # Dispersion protocol (r7 verdict #6): a single hot sample on a
+    # shared box can sit 20-30% above the same code's settled number,
+    # which round-over-round comparison then misreads as a regression.
+    # Alongside the headline median total we record (a) each pass's
+    # total, so a reader sees the spread the medians were drawn from,
+    # and (b) the min-of-N total — the best noise-floor estimate of
+    # what the code CAN do on this box. Compare min-to-min (or check
+    # pass_totals overlap) before calling a delta a regression.
+    n_passes = max((len(v) for v in samples.values()), default=0)
+    pass_totals = [
+        round(sum(v[i] for v in samples.values() if len(v) > i), 3)
+        for i in range(n_passes)
+    ]
+    min_total = round(sum(min(v) for v in samples.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "pass_totals": pass_totals,
+        "min_total": min_total,
     }
     if errors:
         out["errors"] = errors

@@ -101,14 +101,18 @@ def w3_array_sort_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def j9_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9 substring-containment theta join (peptide-in-protein,
     peptides_annotate_variation.py:171-190): broadcast the small probe
-    side, nested-loop only against it."""
+    side, nested-loop only against it — through the bounded
+    ``containment_join`` operator, whose enforced max_probe_rows is
+    the SURVEY "keep right side small" contract made loud (scaling
+    measured in tools/containment_scale_probe.py)."""
+    from prohap_spark.operators.containment import containment_join
+
     d = table(spark, sf_dir, "documents")
     probes = d.where((F.col("doc_id") % 10 == 0) & (F.length("text") >= 40)).select(
         F.col("doc_id").alias("probe_id"), F.substring("text", 8, 25).alias("probe")
     )
-    joined = d.join(
-        F.broadcast(probes),
-        (F.instr(F.col("text"), F.col("probe")) > 0) & (F.col("doc_id") != F.col("probe_id")),
+    joined = containment_join(
+        d, probes, "text", "probe", extra_cond=F.col("doc_id") != F.col("probe_id")
     )
     return joined.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_hosts"))
 

@@ -1885,3 +1885,44 @@ def test_drop_positions_matches_python_reference(spark):
     for i, items, rm in rows:
         want = [w for j, w in enumerate(items) if j not in set(rm)]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_containment_join_bound_fails_loud_and_matches_unbounded(spark):
+    """The J9 broadcast-nested-loop keeps its 'right side small'
+    contract by construction: a probe side over max_probe_rows raises
+    a ValueError naming the overflow (a silently-grown probe set is a
+    complexity-class change, not a slower plan), and under the bound
+    the join matches the plain instr-predicate formulation exactly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.containment import containment_join
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i} needle{i % 3} tail") for i in range(30)],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100 + j, f"needle{j}") for j in range(3)],
+        "probe_id long, probe string",
+    )
+    got = sorted(
+        containment_join(docs, probes, "text", "probe", max_probe_rows=10)
+        .select("doc_id", "probe_id")
+        .collect()
+    )
+    want = sorted(
+        docs.join(probes, F.instr("text", F.col("probe")) > 0)
+        .select("doc_id", "probe_id")
+        .collect()
+    )
+    assert got == want and len(got) == 30
+
+    with _pytest.raises(ValueError, match="max_probe_rows=2"):
+        containment_join(docs, probes, "text", "probe", max_probe_rows=2)
+    # enforce_bound=False skips the count action entirely (callers with
+    # a by-construction bound, e.g. limit(k), opt out of the extra scan)
+    n = containment_join(
+        docs, probes, "text", "probe", max_probe_rows=2, enforce_bound=False
+    ).count()
+    assert n == 30
