@@ -103,6 +103,95 @@ def bpe_doc_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def bpe_train_oracle_sql(
+    num_merges: int = 8,
+    min_count: int = 2,
+    docs_table: str = "documents",
+    text_col: str = "text",
+) -> str:
+    """Unrolled-iteration DuckDB replay of :func:`bpe_train` — the
+    device that turned pagerank and pack_best_fit value-checkable,
+    applied to the last 'irreducible' rows-only entry (r7 verdict #7).
+
+    Why this works where the r6 recursion probe hung: the Spark
+    trainer folds over the WORD-TYPE table (one row per distinct word,
+    weighted by corpus frequency), not the corpus — so the oracle's
+    per-iteration state is vocab-sized, and because ``num_merges`` is
+    a fixed plan parameter the loop unrolls into ``num_merges`` CTE
+    triples (pair-count -> bounded argmax -> list rewrite) with no
+    recursive CTE at all. Every CTE is AS MATERIALIZED: v_k is
+    referenced by both p_{k+1} and v_{k+1}, and letting DuckDB inline
+    it twice per level would blow up 2^K — plausibly the real reason
+    the earlier recursive formulation appeared to hang.
+
+    Iteration parity with the Spark trainer, piece by piece:
+    - words: split trim(lower(text)) on \\s+, drop '', weight by count.
+    - pairs: adjacent (l, r) with l != r, weighted sum of word freq.
+    - argmax: ORDER BY cnt DESC, l, r LIMIT 1 with cnt >= min_count —
+      an empty b_k replays the trainer's early ``break`` (vocab then
+      passes through unchanged, so every later b is empty too).
+    - rewrite: element i becomes l||r when (s[i], s[i+1]) == (l, r)
+      and is dropped when (s[i-1], s[i]) == (l, r); with l != r the
+      conditions are disjoint (module invariant), so the one-pass
+      transform+filter below is exact. The filter indexes the
+      ORIGINAL array (i > 1 guard: index 0 is NULL in DuckDB, and a
+      NULL predicate would silently DROP the first element)."""
+    esc_text = text_col
+    parts = [
+        f"words AS MATERIALIZED (\n"
+        f"      SELECT w, count(*) AS freq FROM (\n"
+        f"        SELECT unnest(string_split_regex(trim(lower({esc_text})), '\\s+')) AS w\n"
+        f"        FROM {docs_table}\n"
+        f"      ) WHERE w != '' GROUP BY w\n"
+        f"    )",
+        "v0 AS MATERIALIZED (\n"
+        "      SELECT list_transform(range(1, length(w) + 1),\n"
+        "               i -> substr(w, CAST(i AS INT), 1)) AS syms, freq\n"
+        "      FROM words\n"
+        "    )",
+    ]
+    for k in range(1, num_merges + 1):
+        p = k - 1
+        parts.append(
+            f"p{k} AS MATERIALIZED (\n"
+            f"      SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (\n"
+            f"        SELECT syms[CAST(t.i AS INT)] AS l,\n"
+            f"               syms[CAST(t.i AS INT) + 1] AS r, freq\n"
+            f"        FROM v{p}, unnest(range(1, len(syms))) t(i)\n"
+            f"      ) WHERE l != r GROUP BY l, r\n"
+            f"    )"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (\n"
+            f"      SELECT l, r, cnt FROM p{k} WHERE cnt >= {min_count}\n"
+            f"      ORDER BY cnt DESC, l, r LIMIT 1\n"
+            f"    )"
+        )
+        parts.append(
+            f"v{k} AS MATERIALIZED (\n"
+            f"      SELECT CASE WHEN b.l IS NULL THEN syms ELSE\n"
+            f"        list_filter(\n"
+            f"          list_transform(syms, (x, i) ->\n"
+            f"            CASE WHEN x = b.l AND syms[i + 1] = b.r\n"
+            f"                 THEN b.l || b.r ELSE x END),\n"
+            f"          (x, i) -> NOT (i > 1 AND syms[i] = b.r\n"
+            f"                         AND syms[i - 1] = b.l))\n"
+            f"        END AS syms, freq\n"
+            f"      FROM v{p} LEFT JOIN b{k} b ON TRUE\n"
+            f"    )"
+        )
+    selects = "\n      UNION ALL ".join(
+        f'SELECT {k - 1} AS rank, l AS "left", r AS "right", cnt AS pair_count FROM b{k}'
+        for k in range(1, num_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT CAST(rank AS INT) AS rank, \"left\", \"right\","
+        + f" pair_count FROM (\n      {selects}\n    )"
+    )
+
+
 def bpe_train(
     df,
     text_col: str = "text",

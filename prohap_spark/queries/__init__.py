@@ -153,14 +153,12 @@ ROWS_ONLY_BY_DESIGN = {
         "artifacts no SQL engine replays; >=0.8 holdout accuracy is "
         "pinned in tests/test_operators.py"
     ),
-    "text_bpe_train": (
-        "the learned merge SEQUENCE is pinned against a pure-python "
-        "trainer in tests/test_operators.py; the query emits it "
-        "rows-only because each merge depends on the full prior state "
-        "INCLUDING re-tokenization of the corpus (unlike "
-        "pack_best_fit, whose per-shard fold carries bounded list "
-        "state and gained a recursive-CTE oracle in r7)"
-    ),
+    # text_bpe_train left this set in r8: the trainer folds over the
+    # word-TYPE table (vocab-sized state), so the full 8-iteration
+    # loop unrolls into materialized DuckDB CTEs — see
+    # functions/bpe.py bpe_train_oracle_sql. The r6 'DuckDB recursion
+    # hangs' verdict was a 2^K CTE-inlining blow-up, not algorithmic
+    # infeasibility.
 }
 
 

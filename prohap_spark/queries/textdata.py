@@ -981,12 +981,20 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_train")  # rows-only BY DESIGN: K-iteration argmax
-# training is an iterative driver-loop algorithm a single SQL statement
-# can't express (each iteration's vocabulary depends on the previous
-# argmax); the value signal is pinned in tests/test_operators.py as
-# merge-sequence equality against an independent pure-Python reference
-# trainer on a literal corpus.
+from prohap_spark.functions.bpe import bpe_train_oracle_sql
+
+
+@register(
+    "text_bpe_train",
+    # VALUE-CHECKED as of r8 (was rows-only for two rounds): the
+    # trainer folds over the word-TYPE table, so the oracle unrolls
+    # all 8 iterations as materialized CTE triples (pair-count ->
+    # bounded argmax -> list rewrite) — no recursion, vocab-sized
+    # state. See bpe_train_oracle_sql's docstring for why the earlier
+    # recursive probe hung (2^K CTE inlining, not algorithmic
+    # infeasibility).
+    bpe_train_oracle_sql(num_merges=8, min_count=2),
+)
 def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED BPE training (functions/bpe.py bpe_train): learn 8
     merge rules from the documents corpus. One corpus pass builds the
@@ -994,7 +1002,11 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate + driver argmax + pure-JVM array rewrite (cached per
     iteration, unpersisted on return). Deterministic: ties break on
     (count DESC, pair ASC); same-sided pairs excluded (makes the
-    simultaneous merge order-free)."""
+    simultaneous merge order-free). The oracle replays the FULL
+    8-iteration training loop over the word-type table as unrolled
+    DuckDB CTEs — the learned sequence is value-hashed end to end,
+    and independently pinned against a pure-Python trainer in
+    tests/test_operators.py."""
     from prohap_spark.functions.bpe import bpe_train
 
     d = table(spark, sf_dir, "documents")
