@@ -48,21 +48,29 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # 50 budget — text_unigram_logprob / text_char_entropy went hash-red
 # AGAIN in r7 (rule b), on top of the 2 rule-(a) never-checked r7
 # registrations (j12_bucketed_colocated_join, multimodal_bmp_png_codec)
-# and the full 48-entry rule-(c) last-green-r5 window: 52 > 50. Per
-# the overflow precedence below, two rule-(c) entries were resolved by
-# REDUNDANCY-REMOVING MERGES rather than bumped: dedup_minhash_lsh +
-# dedup_minhash_lsh_capped → dedup_minhash_lsh_board (queries/
-# textdata.py) and multimodal_audio_windows + multimodal_wav_codec →
-# multimodal_audio_window_codec (queries/classic.py) — each merged
-# query drives both original code paths under a leg/fmt tag, so no
-# coverage is lost, and the two deregistrations bring the r8 front to
-# 2 (b) + 2 (a) + 46 (c) = exactly the 50 budget. The merged queries
-# registered in r8 and did not fit this front; they are reported by
-# the audit as rule-(a) obligations for the r9 front. _BACK documents
-# the 46 surviving r6-green entries — the r9 rule-(c) obligations
-# (46 + 2 merged rule-(a) = 48, leaving 2 slack for r8 reds).
-# `python tools/rotation_audit.py` verifies all of this mechanically
-# against the CORRECTNESS_r*.json files.
+# and the full 48-entry rule-(c) last-green-r5 window: 52 > 50. A
+# third overflow landed mid-round: text_bpe_train gained a real
+# value-hash oracle (functions/bpe.py bpe_train_oracle_sql), which
+# obsoletes its r7 rows-only row — the audit requires an
+# oracle-gaining query to re-front immediately. Per the overflow
+# precedence below, three rule-(c) slots were resolved by
+# REDUNDANCY-REMOVING MERGES rather than bumped:
+#   dedup_minhash_lsh + dedup_minhash_lsh_capped →
+#     dedup_minhash_lsh_board (queries/textdata.py)
+#   multimodal_audio_windows + multimodal_wav_codec →
+#     multimodal_audio_window_codec (queries/classic.py)
+#   dedup_simhash + dedup_simhash_near →
+#     dedup_simhash_board (queries/textdata.py)
+# — each merged query drives both original code paths under a
+# leg/fmt tag, so no coverage is lost, and the three deregistrations
+# bring the r8 front to 2 (b) + 2 (a) + 45 (c) + text_bpe_train =
+# exactly the 50 budget. The merged queries registered in r8 and did
+# not fit this front; the audit reports them as rule-(a) obligations
+# for the r9 front. _BACK documents the 45 surviving r6-green
+# entries — the r9 rule-(c) obligations (45 + 3 merged rule-(a) =
+# 48, leaving 2 slack for r8 reds). `python tools/rotation_audit.py`
+# verifies all of this mechanically against the CORRECTNESS_r*.json
+# files.
 #
 # Overflow precedence (exercised for the first time this round): if a
 # round's obligations exceed the 50 budget, priority is (b) red/err >
@@ -79,8 +87,11 @@ _FRONT = [
     "text_unigram_logprob", "text_char_entropy",
     # (a) registered r7 after the front filled, never driver-checked:
     "j12_bucketed_colocated_join", "multimodal_bmp_png_codec",
+    # oracle gained mid-r8 (was rows-only through r7) — must re-front
+    # so its first value-hash row lands this round:
+    "text_bpe_train",
     # (c) last green r5, dark r6 and r7 — the window forces them now
-    # (48 obligations minus the two merged-away deregistrations):
+    # (48 obligations minus the three merged-away deregistrations):
     "s1_scan_pushdown_projection", "f1_regex_threshold",
     "f4_isin_filter", "f5_group_conditional_filter",
     "f9_array_mask_filter", "j2_normalized_key_join", "j3_star_dim_join",
@@ -89,7 +100,7 @@ _FRONT = [
     "a7_priority_dedup", "a11_synthesize_missing_groups",
     "c15_map_merge_explode", "w5_running_offset", "j6_explode_equijoin",
     "text_fingerprint_dedup", "dedup_exact_docs",
-    "dedup_simhash", "sim_bruteforce_topk", "sim_ivf_ann",
+    "sim_bruteforce_topk", "sim_ivf_ann",
     "emb_centroid_cosine", "c_math_hash", "c2_regex_split_explode",
     "w3_array_sort_analytics", "c_json_extract", "sql_api_q6",
     "stream_live_session_windows", "q3_shipping_priority",
@@ -105,16 +116,17 @@ _FRONT = [
 _BACK = [
     # last green r6, dark r7 AND r8 — the r9 rule-(c) front
     # obligations (rotation_audit.py prints them); beside these, the
-    # two r8 merge registrations (dedup_minhash_lsh_board,
-    # multimodal_audio_window_codec) are r9 rule-(a) obligations:
-    # 46 + 2 = 48 of the 50 budget, 2 slack for any r8 reds
+    # three r8 merge registrations (dedup_minhash_lsh_board,
+    # multimodal_audio_window_codec, dedup_simhash_board) are r9
+    # rule-(a) obligations: 45 + 3 = 48 of the 50 budget, 2 slack for
+    # any r8 reds
     "q1_pricing_summary", "er_fuzzy_blocked_join",
     "w1_islands_sessionize", "w1b_interval_islands",
     "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
     "j1_interval_join_binned", "stream_tumbling_window",
     "j1b_interval_overlap_join", "stream_dedup_watermark",
     "events_funnel", "w_ntile_percent_rank", "dedup_jaccard_pairs",
-    "dedup_simhash_near", "dedup_cluster_reps", "text_bm25_topk",
+    "dedup_cluster_reps", "text_bm25_topk",
     "sampling_hash_split", "text_decontaminate",
     "text_repetition_stats", "sampling_stratified_rates",
     "text_bpe_tokens", "text_pii_scrub", "text_line_dedup",

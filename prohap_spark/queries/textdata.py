@@ -282,52 +282,14 @@ def dedup_minhash_lsh_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leg("uncapped", None).unionByName(leg("capped", 8))
 
 
-@register(
-    "dedup_simhash",
-    # full value-level oracle: DuckDB reproduces the 60-bit md5-derived
-    # signatures exactly (hex→int via list_reduce, bit votes via >>/&)
-    r"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id, t.tok AS tok
-      FROM documents,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(tok)
-    ),
-    th AS (
-      SELECT doc_id,
-             list_reduce(
-               list_transform(range(1, 16),
-                 i -> CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT)),
-               (a, b) -> a * 16 + b) AS h
-      FROM toks
-    ),
-    bits AS (
-      SELECT doc_id, t.i AS i,
-             CAST(SUM(((h >> CAST(t.i AS INTEGER)) & 1) * 2 - 1) AS BIGINT) AS vote
-      FROM th, range(60) AS t(i)
-      GROUP BY doc_id, t.i
-    ),
-    sigs AS (
-      SELECT doc_id,
-             CAST(SUM(CASE WHEN vote > 0
-                           THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
-                           ELSE 0 END) AS BIGINT) AS simhash
-      FROM bits GROUP BY doc_id
-    )
-    SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
-           min(doc_id) AS representative
-    FROM sigs GROUP BY simhash
-    """,
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (60-bit, md5-derived, deterministic): docs
-    sharing a signature are near-dup candidates; Hamming-ball probing
-    (dedup_simhash_near) extends recall. Relational bit-vote
-    aggregation, no UDF."""
-    d = table(spark, sf_dir, "documents")
-    sig = simhash(d, "doc_id", "text")
-    return sig.groupBy("simhash").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative")
-    )
+# dedup_simhash and dedup_simhash_near were MERGED into the one
+# registered board query below in r8 (the same slot-freeing device as
+# dedup_minhash_lsh_board, forced when text_bpe_train gained its
+# oracle and had to re-front): the near leg derives from the exact
+# same signature table the sig leg groups, so one query drives both
+# code paths — exact-signature grouping AND Hamming-ball banding —
+# with per-leg columns NULL'd on the other leg (self-describing, and
+# the value hash covers both structures).
 
 
 _DUCK_SIMHASH_SIGS = r"""
@@ -360,11 +322,19 @@ _DUCK_SIMHASH_SIGS = r"""
 
 
 @register(
-    "dedup_simhash_near",
-    # same signature derivation as dedup_simhash, then 4×15-bit
-    # pigeonhole banding + exact Hamming verify
+    "dedup_simhash_board",
+    # sig leg: 60-bit md5-derived signatures grouped exactly (DuckDB
+    # reproduces them bit-for-bit: hex→int via list_reduce, bit votes
+    # via >>/&). near leg: the same sigs through 4×15-bit pigeonhole
+    # banding + exact Hamming verify. Per-leg columns are NULL on the
+    # other leg
     f"""
     WITH {_DUCK_SIMHASH_SIGS},
+    grouped AS (
+      SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs,
+             min(doc_id) AS representative
+      FROM sigs GROUP BY simhash
+    ),
     bands AS (
       SELECT doc_id, simhash, CAST(b.b AS INT) AS band_idx,
              (simhash >> CAST(b.b * 15 AS INT)) & 32767 AS band_bits
@@ -377,20 +347,46 @@ _DUCK_SIMHASH_SIGS = r"""
         ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits
        AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    SELECT 'sig' AS leg, simhash, n_docs, representative,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS INT) AS hamming
+    FROM grouped
+    UNION ALL
+    SELECT 'near' AS leg, CAST(NULL AS BIGINT) AS simhash,
+           CAST(NULL AS BIGINT) AS n_docs,
+           CAST(NULL AS BIGINT) AS representative,
+           id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 3
     """,
 )
-def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-ball SimHash near-dup pairs (distance <= 3): pigeonhole
-    banding (4×15 bits — <= 3 flipped bits leave >= 1 band untouched,
-    so the band equi-join has 100% recall inside the ball) + exact
-    bit_count(xor) verify. Finds the distance-1..3 near-dups that
-    exact-signature grouping (dedup_simhash) misses."""
+def dedup_simhash_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection, BOTH modes in one query. sig leg:
+    60-bit md5-derived deterministic signatures grouped exactly (docs
+    sharing a signature are near-dup candidates; relational bit-vote
+    aggregation, no UDF). near leg: Hamming-ball pairs (distance <= 3)
+    via pigeonhole banding — 4×15 bits, so <= 3 flipped bits leave
+    >= 1 band untouched and the band equi-join has 100% recall inside
+    the ball — plus exact bit_count(xor) verify; finds the
+    distance-1..3 near-dups exact grouping misses. Merged r8 on the
+    board pattern (identical signature derivation feeds both legs)."""
     from prohap_spark.operators.dedup import simhash_near_pairs
 
     d = table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=3)
+    sig = simhash(d, "doc_id", "text")
+    nil = F.lit(None)
+    grouped = sig.groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative")
+    ).select(
+        F.lit("sig").alias("leg"), "simhash", "n_docs", "representative",
+        nil.cast("long").alias("id_a"), nil.cast("long").alias("id_b"),
+        nil.cast("int").alias("hamming"),
+    )
+    near = simhash_near_pairs(d, "doc_id", "text", max_hamming=3).select(
+        F.lit("near").alias("leg"), nil.cast("long").alias("simhash"),
+        nil.cast("long").alias("n_docs"), nil.cast("long").alias("representative"),
+        "id_a", "id_b", "hamming",
+    )
+    return grouped.unionByName(near)
 
 
 _DUCK_MINHASH_PAIRS = f"""
