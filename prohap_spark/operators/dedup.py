@@ -749,8 +749,90 @@ def exact_key_index(df: DataFrame, text_col: str) -> DataFrame:
     column of distinct md5(text) values. Write it once, append each
     ingest's kept keys, and pass it back to ``incremental_dedup`` as
     ``base_keys`` so the recurring per-ingest cost never rescans the
-    corpus."""
+    corpus. Persist through :func:`write_dedup_index` /
+    :func:`read_dedup_index` — a TORN index is the one corruption
+    parquet cannot catch by itself (see their docstrings)."""
     return df.select(F.md5(F.col(text_col)).alias("key")).distinct()
+
+
+_INDEX_MANIFEST = "_dedup_index_manifest.json"
+
+
+def _index_stats(df: DataFrame) -> tuple[int, int, list[str]]:
+    """(row count, order-independent checksum, column names) of an
+    index frame. The checksum is bit_xor over crc32 of the
+    canonicalized row (columns joined in NAME order with an
+    unprintable separator) — commutative and overflow-free, so it is
+    partitioning- and order-independent, and together with the exact
+    row count it detects any dropped/duplicated/bit-flipped row."""
+    cols = sorted(df.columns)
+    canon = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    row = df.select(canon.alias("__canon")).agg(
+        F.count(F.lit(1)).alias("n"), F.expr("bit_xor(crc32(__canon))").alias("x")
+    ).collect()[0]
+    return int(row["n"]), int(row["x"] or 0), cols
+
+
+def write_dedup_index(index: DataFrame, path: str) -> dict:
+    """Persist a dedup index (``exact_key_index`` / ``lsh_band_index``)
+    with a VALIDATION MANIFEST beside the parquet files.
+
+    Why: a torn or partially-deleted index is the failure parquet
+    cannot catch on its own — every surviving part-file is internally
+    valid, so a plain ``spark.read.parquet`` returns a SUBSET of the
+    keys and the next ingest silently under-dedups (r7 verdict #8's
+    exact concern: corruption must fail loud, not quietly admit
+    duplicates). The manifest pins (row count, order-independent
+    checksum, column set) computed from a read-back of what was
+    actually written; :func:`read_dedup_index` re-derives them and
+    refuses a mismatch. Returns the manifest dict."""
+    import json
+    import os
+
+    index.write.mode("overwrite").parquet(path)
+    back = index.sparkSession.read.parquet(path)
+    n, x, cols = _index_stats(back)
+    manifest = {"n_rows": n, "checksum_xor_crc32": x, "columns": cols}
+    with open(os.path.join(path, _INDEX_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_dedup_index(spark, path: str) -> DataFrame:
+    """Load a persisted dedup index, FAILING LOUD unless the data on
+    disk matches the manifest written beside it: a missing manifest, a
+    column-set change, or any count/checksum drift (torn write,
+    deleted part-file, appended stragglers, bit flips that survive the
+    parquet CRC granularity) raises ValueError naming the mismatch.
+    Cost: one narrow scan of the index at load time — the index is
+    keys/bands only, orders of magnitude smaller than the corpus it
+    summarizes, and a silent under-dedup costs far more downstream."""
+    import json
+    import os
+
+    mpath = os.path.join(path, _INDEX_MANIFEST)
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"read_dedup_index: no manifest at {mpath} — the index was "
+            "not written by write_dedup_index or the write was torn "
+            "before the manifest landed; refusing to serve an "
+            "unvalidatable index"
+        ) from None
+    df = spark.read.parquet(path)
+    n, x, cols = _index_stats(df)
+    want = (manifest["n_rows"], manifest["checksum_xor_crc32"], manifest["columns"])
+    if (n, x, cols) != want:
+        raise ValueError(
+            f"read_dedup_index: index at {path} does not match its "
+            f"manifest (rows {n} vs {want[0]}, checksum {x} vs "
+            f"{want[1]}, columns {cols} vs {want[2]}) — torn/partial "
+            "write or post-write tampering; re-derive the index "
+            "rather than silently under-deduplicating"
+        )
+    return df
 
 
 def incremental_dedup(

@@ -197,20 +197,31 @@ def main() -> None:
 
         tmp = tempfile.mkdtemp(prefix="incr_index_")
         try:
-            exact_key_index(base, "text").write.parquet(f"{tmp}/keys")
-            lsh_band_index(base, "doc_id", "text").write.parquet(f"{tmp}/bands")
+            # the validated persistence path (manifest write + checked
+            # read) — the probe times what a deployment actually runs,
+            # including the one-scan load validation that makes a torn
+            # index fail loud instead of silently under-dedup
+            from prohap_spark.operators.dedup import (
+                read_dedup_index,
+                write_dedup_index,
+            )
+
+            write_dedup_index(exact_key_index(base, "text"), f"{tmp}/keys")
+            write_dedup_index(
+                lsh_band_index(base, "doc_id", "text"), f"{tmp}/bands"
+            )
 
             t0 = time.monotonic()
             incremental_dedup(
                 None, delta, "doc_id", "text",
-                base_keys=spark.read.parquet(f"{tmp}/keys"),
+                base_keys=read_dedup_index(spark, f"{tmp}/keys"),
             ).count()
             row["incr_exact_idx_sec"] = round(time.monotonic() - t0, 3)
 
             t0 = time.monotonic()
             incremental_lsh_pairs(
                 base, delta, "doc_id", "text", threshold=0.6, max_bucket_size=200,
-                base_bands=spark.read.parquet(f"{tmp}/bands"),
+                base_bands=read_dedup_index(spark, f"{tmp}/bands"),
             ).count()
             row["incr_near_idx_sec"] = round(time.monotonic() - t0, 3)
         finally:
