@@ -1315,8 +1315,8 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     )
     SELECT t.doc_id,
            count(*) AS n_tokens,
-           sum(l.nll_micro) AS sum_nll_micro,
-           sum(l.nll_micro) // count(*) AS avg_nll_micro
+           CAST(sum(l.nll_micro) AS BIGINT) AS sum_nll_micro,
+           CAST(sum(l.nll_micro) // count(*) AS BIGINT) AS avg_nll_micro
     FROM toks t JOIN lp l USING (w)
     GROUP BY t.doc_id
     """,
@@ -1590,8 +1590,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cc JOIN tot USING (doc_id)
       GROUP BY cc.doc_id
     )
-    SELECT doc_id, n_chars_counted, ent_micro_sum,
-           ent_micro_sum // n_chars_counted AS entropy_micro
+    SELECT doc_id, n_chars_counted,
+           CAST(ent_micro_sum AS BIGINT) AS ent_micro_sum,
+           CAST(ent_micro_sum // n_chars_counted AS BIGINT) AS entropy_micro
     FROM e
     """,
 )
