@@ -766,7 +766,14 @@ def _index_stats(df: DataFrame) -> tuple[int, int, list[str]]:
     partitioning- and order-independent, and together with the exact
     row count it detects any dropped/duplicated/bit-flipped row."""
     cols = sorted(df.columns)
-    canon = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols])
+    # concat_ws SKIPS nulls, which would let rows differing only in
+    # WHICH column is null canonicalize identically — coalesce every
+    # column to an unprintable sentinel first (the current indexes are
+    # all-non-null, but the validator must not assume that)
+    canon = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols],
+    )
     row = df.select(canon.alias("__canon")).agg(
         F.count(F.lit(1)).alias("n"), F.expr("bit_xor(crc32(__canon))").alias("x")
     ).collect()[0]
