@@ -2004,3 +2004,57 @@ def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="does not match its"):
         read_dedup_index(spark, path3)
+
+
+def test_bpe_train_oracle_randomized_cross_engine(spark):
+    """The unrolled DuckDB replay (bpe_train_oracle_sql) must match the
+    Spark trainer on corpora it was NOT tuned on — randomized word
+    soups stress exactly the edges the sf0.01 comparison cannot:
+    argmax ties breaking on (count DESC, left ASC, right ASC),
+    early stop when the best pair drops under min_count, single-char
+    words, and repeated words changing pair weights."""
+    import random
+
+    import duckdb
+
+    from prohap_spark.functions.bpe import bpe_train, bpe_train_oracle_sql
+
+    rng = random.Random(80)
+    alphabet = "abcde"
+    for trial in range(6):
+        n_docs = rng.randint(2, 5)
+        docs = []
+        for i in range(n_docs):
+            words = [
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(1, 12))
+            ]
+            docs.append((i, " ".join(words)))
+        num_merges = rng.choice([3, 5, 8])
+        min_count = rng.choice([1, 2, 3])
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = [
+            (left, right, cnt)
+            for left, right, cnt in bpe_train(
+                df, num_merges=num_merges, min_count=min_count
+            )
+        ]
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in docs)
+            + ") AS v(doc_id, text)"
+        )
+        sql = bpe_train_oracle_sql(num_merges=num_merges, min_count=min_count)
+        want = [
+            (l, r, int(c))
+            for _rank, l, r, c in con.execute(
+                sql + " ORDER BY rank"
+            ).fetchall()
+        ]
+        assert got == want, (
+            f"trial {trial}: spark={got} duckdb={want} "
+            f"(num_merges={num_merges}, min_count={min_count}, docs={docs})"
+        )
