@@ -934,6 +934,7 @@ def semantic_dedup_flags(
     threshold: float,
     score_decimals: int = 6,
     max_cell_size: int | None = None,
+    share_scan: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus by a
     coarse quantizer (nearest-centroid assignment — in production the
@@ -961,19 +962,26 @@ def semantic_dedup_flags(
     joins the cell-count table broadcast (at most one row per
     centroid), so no extra shuffle of the corpus.
 
-    Plan note: the assignment subplan is referenced three times (both
-    sides of the pair join + the final left join), and Spark re-executes
-    unshared subplans — each re-execution is one broadcast-argmax pass
-    whose aggregation collapses map-side to a single narrow shuffled
-    row per vector (see ``assign_nearest_cell``), so the repeated work
-    is linear scans, not wide shuffles; a long pipeline should still
-    persist/checkpoint the assignment table to pay it once."""
+    Plan note: the assignment subplan is referenced up to four times
+    (both sides of the pair join, the final left join, and the
+    cell-count guard), and Spark re-executes unshared subplans — each
+    re-execution is one full corpus scan + broadcast-argmax pass.
+    ``share_scan`` (default True) shares it via the lazy
+    localCheckpoint device (the triangle-count fix generalized): the
+    assignment runs ONCE and every consumer reads the materialized
+    narrow (id, cell, vec, norm) table. Same caveats as every
+    share_scan in this codebase — snapshot on first action,
+    non-fault-tolerant local blocks; pass False on preemptible
+    clusters (re-execution is then linear scans, never wide
+    shuffles)."""
     a = assign_nearest_cell(df, centroids, id_col, vec_col).select(
         F.col(id_col).alias("__id"),
         "cell_id",
         F.col(vec_col).alias("__vec"),
         "__vnorm",
     )
+    if share_scan:
+        a = a.localCheckpoint(eager=False)
     pair_src = a
     if max_cell_size is not None:
         ok = (
