@@ -647,6 +647,7 @@ def winnowing_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_docs: int | None = None,
+    share_scan: bool = True,
 ) -> DataFrame:
     """Winnowing fingerprints (the MOSS local-fingerprinting scheme):
     hash every word ``ngram``, slide a ``window`` over the hash
@@ -728,6 +729,14 @@ def winnowing_pairs(
     ex = f.select(id_col, F.explode_outer("__fps").alias("__fp")).where(
         F.col("__fp").isNotNull()
     )
+    # the fingerprint table feeds up to four consumers (the cap's
+    # groupBy + its join, and both self-join legs) and the winnow
+    # derivation above it — shingle, md5, window-min, explode — is the
+    # operator's expensive part; Spark re-executes unshared subplans,
+    # so share it once via the lazy localCheckpoint device (usual
+    # caveats: snapshot on first action, local blocks)
+    if share_scan:
+        ex = ex.localCheckpoint(eager=False)
     if max_fp_docs is not None:
         keep = (
             ex.groupBy("__fp")

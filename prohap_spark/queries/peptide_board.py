@@ -123,6 +123,14 @@ def peptide_workload(d: DataFrame):
             F.substring("base", 1, 19), alt_ch, F.expr("substring(base, 21)")
         ).alias("mut"),
     )
+    # mm feeds SEVEN consumers (canonical, alleles, the four peptide
+    # legs, and pep_d's self-join side) — Spark re-executes unshared
+    # subplans, so without sharing the document scan + mutation
+    # derivation ran seven times per action (the triangle-count
+    # finding; this one showed up as 7 copies of the documents scan
+    # in the executed plan). Lazy localCheckpoint shares it; usual
+    # share_scan caveats (snapshot, local blocks).
+    mm = mm.localCheckpoint(eager=False)
     p = F.concat(F.lit("P"), F.col("doc_id"))
     v = F.concat(F.lit("V"), F.col("doc_id"))
     canonical = mm.select(p.alias("accession"), F.col("base").alias("sequence"))
