@@ -342,6 +342,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     bits: int = 60,
     n_bands: int = 4,
+    sig_table: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within a Hamming ball: docs whose
     60-bit signatures differ in <= ``max_hamming`` bits.
@@ -357,11 +358,16 @@ def simhash_near_pairs(
     shuffled equi-join on (band_idx, band_bits) — never all-pairs —
     then exact ``bit_count(xor)`` verifies the distance. 100% recall
     inside the ball, same bucket-join scale shape as MinHash-LSH.
+
+    ``sig_table``: a precomputed ``simhash()`` frame (id_col, simhash)
+    to band instead of re-deriving signatures from text — callers that
+    also consume the signatures directly (dedup_simhash_board) share
+    ONE signature pass this way.
     """
     assert max_hamming < n_bands, "pigeonhole needs max_hamming < n_bands"
     width = bits // n_bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, bits)
+    sig = sig_table if sig_table is not None else simhash(df, id_col, text_col, bits)
     band_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))

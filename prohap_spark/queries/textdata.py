@@ -372,7 +372,11 @@ def dedup_simhash_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prohap_spark.operators.dedup import simhash_near_pairs
 
     d = table(spark, sf_dir, "documents")
-    sig = simhash(d, "doc_id", "text")
+    # ONE signature pass shared by both legs (the grouped leg and the
+    # near leg's banding) — the lazy-localCheckpoint multi-consumer
+    # device; without it each leg re-ran the explode + 60-bit-vote
+    # aggregation from the raw text
+    sig = simhash(d, "doc_id", "text").localCheckpoint(eager=False)
     nil = F.lit(None)
     grouped = sig.groupBy("simhash").agg(
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("representative")
@@ -381,7 +385,9 @@ def dedup_simhash_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         nil.cast("long").alias("id_a"), nil.cast("long").alias("id_b"),
         nil.cast("int").alias("hamming"),
     )
-    near = simhash_near_pairs(d, "doc_id", "text", max_hamming=3).select(
+    near = simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=3, sig_table=sig
+    ).select(
         F.lit("near").alias("leg"), nil.cast("long").alias("simhash"),
         nil.cast("long").alias("n_docs"), nil.cast("long").alias("representative"),
         "id_a", "id_b", "hamming",
