@@ -188,6 +188,15 @@ def main() -> None:
     samples: dict[str, list[float]] = {}
     for _ in range(3):
         spark.catalog.clearCache()
+        # several operators share multi-consumer subplans via lazy
+        # localCheckpoint; those RDD blocks are NOT dropped by
+        # clearCache — they release when the Python frame objects are
+        # garbage-collected and Spark's ContextCleaner runs. Collect
+        # explicitly so earlier passes' blocks cannot accumulate into
+        # later passes' storage pressure
+        import gc
+
+        gc.collect()
         run_all(samples)
 
     import statistics
