@@ -1770,6 +1770,12 @@ def curation_funnel(d: DataFrame) -> DataFrame:
         (F.round(quality_score_expr("text"), 6) >= 0.82).alias("passed_quality"),
         (lang_id_expr("text") == "en").alias("is_en"),
     )
+    # flags feeds TWO consumers (the scrub/dedup/budget chain and the
+    # final verdict join) — without sharing, the quality + langid
+    # expression battery re-evaluates over the whole corpus once per
+    # consumer (the multiplied-subplan hazard; same device as
+    # segment_dedup's share_scan, which also materializes text)
+    flags = flags.localCheckpoint(eager=False)
     cand = flags.where(F.col("passed_quality") & F.col("is_en")).select(
         "doc_id", "source", "text"
     )
