@@ -422,13 +422,34 @@ def test_whole_stage_codegen_covers_jvm_hot_paths(spark, qs):
 def test_triangle_count_no_cartesian_and_degree_joins(spark, qs):
     """Degree-ordered triangles: the wedge build and closure probe are
     equi-joins (never BNL/cartesian), and the whole plan stays inside
-    hash/sort-merge strategies Catalyst can size with AQE."""
-    from prohap_spark.plans import plan_report
+    hash/sort-merge strategies Catalyst can size with AQE.
 
-    rep = plan_report(qs["graph_triangle_count"](spark, SF))
+    Pinned on the share_scan=False build: the default's lazy
+    localCheckpoints truncate the inspectable lineage at the shared
+    boundaries (the registered query's plan shows only the closure
+    join), so the full join structure is only visible unshared —
+    sharing changes execution reuse, never the plan shape this pin
+    guards. The registered (shared) plan is additionally pinned
+    BNL-free below."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.graph import triangle_count
+    from prohap_spark.plans import plan_report
+    from prohap_spark.queries.registry import table
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    rep = plan_report(
+        triangle_count(edges, "u", "v", assume_canonical=True, share_scan=False)
+    )
     assert rep["bnl_joins"] == 0
     assert rep["cartesian_joins"] == 0 if "cartesian_joins" in rep else True
     assert rep["broadcast_joins"] + rep["sortmerge_joins"] >= 2
+
+    shared = plan_report(qs["graph_triangle_count"](spark, SF))
+    assert shared["bnl_joins"] == 0
 
 
 def test_pagerank_micro_round_shape(spark):
