@@ -1753,10 +1753,12 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(table(spark, sf_dir, "documents"))
 
 
-def curation_funnel(d: DataFrame) -> DataFrame:
+def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
     """The funnel body over any (doc_id, source, text) frame — shared
     by the registered oracle query and tools/docs_scale_probe.py's
-    replicated-corpus scaling leg."""
+    replicated-corpus scaling leg. ``share_scan=False`` disables the
+    flags checkpoint below (preemptible-cluster escape hatch, like
+    every share_scan in this codebase)."""
     from pyspark.sql import Window
 
     from prohap_spark.functions.hashing import md5_bucket
@@ -1775,7 +1777,8 @@ def curation_funnel(d: DataFrame) -> DataFrame:
     # expression battery re-evaluates over the whole corpus once per
     # consumer (the multiplied-subplan hazard; same device as
     # segment_dedup's share_scan, which also materializes text)
-    flags = flags.localCheckpoint(eager=False)
+    if share_scan:
+        flags = flags.localCheckpoint(eager=False)
     cand = flags.where(F.col("passed_quality") & F.col("is_en")).select(
         "doc_id", "source", "text"
     )
