@@ -75,6 +75,21 @@ def plan_nodes(df: DataFrame) -> list[str]:
     return [m.strip() for m in re.findall(r"^\(\d+\) ([A-Za-z]+)", plan, re.M)]
 
 
+def scans_per_file(df: DataFrame) -> dict[str, int]:
+    """How many times each input file/directory is scanned in the
+    EXECUTED plan — the multiplied-subplan detector (r8: the triangle
+    count's edge build appeared six times; Spark re-executes unshared
+    subplans, so any count >= 3 of one file deserves a look). Counts
+    are invisible past a localCheckpoint boundary — audit with
+    share_scan=False to see a shared operator's full lineage."""
+    plan = _executed_plan_string(df)
+    out: dict[str, int] = {}
+    for m in re.findall(r"InMemoryFileIndex[^\[]*\[([^\]]+)\]", plan):
+        key = m.split("/")[-1]
+        out[key] = out.get(key, 0) + 1
+    return out
+
+
 def plan_report(df: DataFrame, name: str = "") -> dict:
     nodes = plan_nodes(df)
     count = lambda s: sum(1 for n in nodes if n == s)  # noqa: E731
@@ -82,6 +97,7 @@ def plan_report(df: DataFrame, name: str = "") -> dict:
         "name": name,
         "pushed_filters": pushed_filters(df),
         "scan_columns": read_schema_columns(df),
+        "scans_per_file": scans_per_file(df),
         "broadcast_joins": count("BroadcastHashJoin"),
         "sortmerge_joins": count("SortMergeJoin"),
         "bnl_joins": count("BroadcastNestedLoopJoin"),
