@@ -155,10 +155,14 @@ _BACK = [
 # as redundant (domain_*_synthetic).
 ROWS_ONLY_BY_DESIGN = {
     "agg_approx_sketches": (
-        "HLL/KLL sketch outputs are engine-specific by construction "
-        "(Spark approx_count_distinct/approx_percentile vs DuckDB's "
-        "different sketch implementations can legitimately disagree); "
-        "error bounds are pinned in tests/test_plans.py"
+        "the ENGINE-NATIVE sketches (Spark approx_count_distinct / "
+        "approx_percentile) are engine-specific by construction — "
+        "DuckDB's implementations can legitimately disagree; error "
+        "bounds are pinned in tests/test_plans.py. The CAPABILITY is "
+        "value-checked elsewhere: agg_exact_distinct carries the "
+        "from-scratch deterministic HLL (functions/sketches.py, "
+        "integer-exact registers, r8) whose estimate hash-matches a "
+        "full DuckDB replay"
     ),
     "text_quality_classifier": (
         "L-BFGS-trained logistic coefficients are float-iteration "

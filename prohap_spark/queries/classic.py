@@ -87,21 +87,48 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_exact_distinct",
+def _agg_exact_distinct_sql() -> str:
+    from prohap_spark.functions.sketches import hll_oracle_sql
+
+    # exact aggregates joined beside the HLL replay (one scan each —
+    # the hash derivation cannot share a scan with count(DISTINCT))
+    return f"""
+    WITH exact AS (
+      SELECT o_orderpriority,
+             count(DISTINCT o_custkey) AS n_customers,
+             count(*) AS n_orders
+      FROM orders GROUP BY o_orderpriority
+    ),
+    hll AS ({hll_oracle_sql("orders", "o_orderpriority", "o_custkey")})
+    SELECT e.o_orderpriority, e.n_customers, e.n_orders,
+           h.hll_est AS hll_customers, h.hll_zero_registers
+    FROM exact e JOIN hll h USING (o_orderpriority)
     """
-    SELECT o_orderpriority,
-           count(DISTINCT o_custkey) AS n_customers,
-           count(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
+
+
+@register("agg_exact_distinct", _agg_exact_distinct_sql())
 def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group BESIDE the deterministic HLL
+    estimate (functions/sketches.py — the engine-replayable twin of
+    approx_count_distinct, r8): the sketch's every intermediate is an
+    exact integer, so the approximate-distinct capability is
+    VALUE-HASHED cross-engine here, while agg_approx_sketches keeps
+    demonstrating the engine-native sketches rows-only. The exact and
+    sketch columns side by side also make the estimator's ~13% (m=64)
+    error band visible in the data itself."""
+    from prohap_spark.functions.sketches import hll_distinct
+
     o = table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    exact = o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+    hll = hll_distinct(o, ["o_orderpriority"], "o_custkey").select(
+        "o_orderpriority",
+        F.col("hll_est").alias("hll_customers"),
+        "hll_zero_registers",
+    )
+    return exact.join(hll, "o_orderpriority")
 
 
 @register("agg_approx_sketches")  # rows-only: approximate by design
