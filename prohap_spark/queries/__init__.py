@@ -167,7 +167,12 @@ ROWS_ONLY_BY_DESIGN = {
     "text_quality_classifier": (
         "L-BFGS-trained logistic coefficients are float-iteration "
         "artifacts no SQL engine replays; >=0.8 holdout accuracy is "
-        "pinned in tests/test_operators.py"
+        "pinned in tests/test_operators.py. A value-checkable "
+        "replacement EXISTS as of r8 — operators/classifier.py's "
+        "linear_probe_train_micro (integer fixed-point GD, bit-exact "
+        "DuckDB replay pinned in tests) — and can take over this "
+        "query's gate in r9 when the front has the slack an "
+        "oracle-gaining re-front requires (the r8 front was full)"
     ),
     # text_bpe_train left this set in r8: the trainer folds over the
     # word-TYPE table (vocab-sized state), so the full 8-iteration

@@ -2105,3 +2105,64 @@ def test_hll_distinct_accuracy_and_partition_invariance(spark):
     assert re16 == re1 == {
         (g, r["hll_est"], r["hll_zero_registers"]) for g, r in got.items()
     }
+
+
+def test_linear_probe_integer_trainer_cross_engine_and_invariant(spark):
+    """The integer fixed-point linear-probe trainer (the device that
+    can replace text_quality_classifier's rows-only gate): learned
+    weights must (a) replay BIT-EXACTLY as unrolled DuckDB CTEs,
+    (b) be partitioning-invariant, and (c) track an equivalent float
+    gradient-descent reference in direction and magnitude."""
+    import duckdb
+
+    from prohap_spark.operators.classifier import (
+        linear_probe_oracle_sql,
+        linear_probe_train_micro,
+    )
+
+    # deterministic synthetic regression: y ≈ 0.8*x1 - 0.3*x2 (+ a
+    # bounded md5-derived wobble), features in [0, 1]
+    import hashlib
+
+    rows = []
+    for i in range(400):
+        x1 = (i % 97) / 97.0
+        x2 = (i % 53) / 53.0
+        wob = (int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16) / 65535.0 - 0.5) * 0.1
+        y = max(0.0, min(1.0, 0.8 * x1 - 0.3 * x2 + 0.25 + wob))
+        rows.append((i, x1, x2, y))
+    df = spark.createDataFrame(rows, "i long, x1 double, x2 double, y double")
+
+    w = linear_probe_train_micro(df, ["x1", "x2"], "y", n_iter=8, lr_shift=6)
+    w_re = linear_probe_train_micro(
+        df.repartition(16, "i"), ["x1", "x2"], "y", n_iter=8, lr_shift=6
+    )
+    assert w == w_re, (w, w_re)  # exact integers: any partitioning
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE probe AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {x1!r}, {x2!r}, {y!r})" for i, x1, x2, y in rows)
+        + ") AS v(i, x1, x2, y)"
+    )
+    sql = linear_probe_oracle_sql("probe", ["x1", "x2"], "y", n_iter=8, lr_shift=6)
+    want = [int(r[1]) for r in con.execute(sql + " ORDER BY j").fetchall()]
+    assert w == want, (w, want)  # bit-exact cross-engine replay
+
+    # float-GD reference with the same schedule: signs must agree and
+    # the fixed-point weights (units 2^-20 per micro-feature) must land
+    # within 25% of the float weights once both are in natural units
+    import numpy as np
+
+    X = np.array([[r[1], r[2]] for r in rows])
+    Y = np.array([r[3] for r in rows])
+    wf = np.zeros(2)
+    for _ in range(8):
+        pred = X @ wf
+        g = (pred - Y) @ X / len(rows)
+        wf -= g / 64.0
+    nat = [wi * 1.0 / (1 << 20) for wi in w]  # micro/micro units cancel
+    for a, b in zip(nat, wf):
+        assert a * b > 0 or abs(b) < 1e-3, (nat, wf.tolist())
+        if abs(b) > 1e-3:
+            assert abs(a - b) / abs(b) < 0.25, (nat, wf.tolist())
