@@ -14,7 +14,15 @@ from prohap_spark.operators.dedup import (
     token_fingerprint,
 )
 from prohap_spark.functions.hashing import md5_bucket
-from prohap_spark.functions.portable_math import nll_micro_col, nll_micro_sql
+# the two micro-nat queries use the ALL-INTEGER fixed-point ln (r8):
+# portable_math's IEEE-only doubles passed the local checker but the
+# driver hashed them red two rounds running, so their trust base is
+# now integer semantics alone — no float op anywhere in derivation OR
+# projection (portable_math still powers the BM25 idf, driver-green)
+from prohap_spark.functions.integer_math import (
+    inll_micro_col as nll_micro_col,
+    inll_micro_sql as nll_micro_sql,
+)
 from prohap_spark.functions.text import (
     lang_id_expr,
     quality_score_expr,
