@@ -35,6 +35,16 @@ Truncation error of the J=17 series at ``t = 1/3`` is ~2e-18 relative —
 far below micro-nat granularity; what matters is that the *same* value
 comes out of both engines, which tests/test_portable_math.py pins
 bit-for-bit against DuckDB.
+
+STATUS (r8): the two queries named above stayed driver-red in r7
+despite this construction passing the full-precision local checker,
+so their gates moved OFF doubles entirely — derivation included — to
+``functions/integer_math.py`` (fixed-point ln over integer ops only,
+whose cross-engine equality rests on integer semantics rather than
+IEEE conformance). This module remains the device for surfaces where
+a double is genuinely wanted (``text_bm25_topk``'s idf — driver-green
+since r6) and the reference construction for "same tree, both
+engines" float work.
 """
 
 from __future__ import annotations
