@@ -792,3 +792,83 @@ def test_stateful_restart_recovers_checkpointed_state(spark, tmp_path):
         assert g["n_events"] == w["n_events"] == 5
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
         assert g["last_ts_us"] == w["last_ts_us"]
+
+
+def test_stream_near_dup_restart_recovers_bucket_state(spark, tmp_path):
+    """Fault-recovery pin for the cross-batch LSH (the stateful-
+    restart discipline extended to the state-heaviest operator, whose
+    GroupState holds per-bucket membership lists): stop the query,
+    land a second wave of documents that are near-dups OF FIRST-WAVE
+    documents, restart from the SAME checkpointLocation. The restart
+    must (a) surface cross-wave candidate pairs — impossible unless
+    the bucket membership survived the stop — and (b) not re-emit
+    wave-1 pairs (exactly-once over committed batches), with (c) the
+    union of both waves' emissions equal to the one-shot batch LSH
+    over everything."""
+    from prohap_spark.operators.dedup import lsh_candidate_pairs, tokens_expr
+    from prohap_spark.streaming.dedup import stream_near_dup_candidates
+
+    words = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "lambda mu nu xi omicron pi rho sigma tau upsilon",
+        "one two three four five six seven eight nine ten",
+        "red orange yellow green blue indigo violet umber ochre teal",
+    ]
+    wave1 = [(i, f"{words[i % 4]} marker{i}") for i in range(20)]
+    # wave 2: near-identical copies of wave-1 docs (same token sets up
+    # to the marker), plus two genuinely novel docs
+    wave2 = [(100 + i, f"{words[i % 4]} marker{i} extra") for i in range(0, 10)]
+    wave2 += [(200, "completely different content here entirely"),
+              (201, "another unrelated document body text")]
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            stream_near_dup_candidates(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src),
+                num_hashes=16,
+                band_size=4,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return {
+            (min(r["new_id"], r["prior_id"]), max(r["new_id"], r["prior_id"]))
+            for r in collected
+        }
+
+    land(wave1)
+    p1 = run()
+    land(wave2)
+    p2 = run()
+
+    # (a) cross-wave pairs require the bucket state to have survived
+    cross = {(a, b) for a, b in p2 if a < 100 <= b}
+    assert cross, "no cross-wave candidates: bucket state lost on restart"
+    # (b) exactly-once: nothing from wave 1 re-emitted after restart
+    assert not (p1 & p2), sorted(p1 & p2)[:5]
+    # (c) union == one-shot batch LSH over everything
+    alldocs = spark.createDataFrame(wave1 + wave2, "doc_id long, text string")
+    toks = alldocs.select("doc_id", tokens_expr("text").alias("t"))
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(toks, "doc_id", "t", num_hashes=16, band_size=4)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert (p1 | p2) == want and len(want) > 0
