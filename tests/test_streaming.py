@@ -872,3 +872,76 @@ def test_stream_near_dup_restart_recovers_bucket_state(spark, tmp_path):
         .collect()
     }
     assert (p1 | p2) == want and len(want) > 0
+
+
+def test_stream_scd2_restart_resumes_open_versions(spark, tmp_path):
+    """Fault-recovery pin for the SCD2 change stream: versions opened
+    BEFORE a stop must close correctly when their superseding records
+    arrive AFTER a restart from the same checkpointLocation — i.e.
+    the per-key open-version state survives the restart — and
+    committed batches must not replay. Cross-checked against the
+    batch branch over the full record set."""
+    from prohap_spark.streaming.cdc import stream_scd2_changes
+
+    src = str(tmp_path / "updates")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows):
+        spark.createDataFrame(rows, "k long, ts long, v string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            stream_scd2_changes(
+                spark.readStream.schema("k long, ts long, v string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return [
+            (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+            for r in collected
+        ]
+
+    wave1 = [(1, 10, "a"), (2, 10, "x"), (1, 20, "b")]
+    wave2 = [(1, 30, "c"), (2, 40, "y"), (3, 40, "new")]
+    land(wave1)
+    p1 = run()
+    land(wave2)
+    p2 = run()
+
+    # versions opened pre-restart close with post-restart successors:
+    # key 1's 'b' (opened at 20 in wave 1) closes at 30; key 2's 'x'
+    # closes at 40 — both impossible without resumed open-version state
+    closes = {(k, v, vf, vt) for k, v, vf, vt, a in p2 if a == "close"}
+    assert (1, "b", 20, 30) in closes and (2, "x", 10, 40) in closes
+    # exactly-once: wave-1 emissions never replay
+    assert not (set(p1) & set(p2))
+    # full parity with the batch branch over all records
+    alldf = spark.createDataFrame(wave1 + wave2, "k long, ts long, v string")
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["action"])
+        for r in stream_scd2_changes(alldf).collect()
+    }
+    # the stream emits an 'open' and possibly a later 'close' for the
+    # same version as separate rows across waves; the batch branch
+    # emits the final state. Compare the RESOLVED view: last action
+    # per (k, v, valid_from)
+    def resolve(rows):
+        out = {}
+        for k, v, vf, vt, a in rows:
+            cur = out.get((k, v, vf))
+            if cur is None or (cur[1] is None and vt is not None):
+                out[(k, v, vf)] = (a, vt)
+        return {(k, v, vf, vt) for (k, v, vf), (a, vt) in out.items()}
+
+    assert resolve(set(p1) | set(p2)) == resolve(want)
