@@ -379,11 +379,12 @@ def oriented_arcs(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-    # the canonical edge table feeds THREE consumers (the u-degree leg,
-    # the v-degree leg, and the orientation join); Spark re-executes
-    # unshared subplans, so without sharing the WHOLE edge build — scan,
-    # self-join, distinct — runs three times (read off the sf0.1
-    # executed plan: three copies of the edge-build subtree). The lazy
+    # the canonical edge table feeds FIVE consumers (the orientation
+    # join + two degree-table references per side — deg itself is a
+    # union of two und projections and joins back twice); Spark
+    # re-executes unshared subplans, so without sharing the WHOLE edge
+    # build — scan, self-join, distinct — runs five times per arcs
+    # consumer (pinned: 10x end to end under triangle_count). The lazy
     # localCheckpoint shares it at the RDD level — the incremental-LSH
     # / segment-dedup share_scan device; same caveats (snapshot on
     # first action, non-fault-tolerant local blocks — gate with
@@ -455,10 +456,13 @@ def triangle_count(
     ``share_scan`` (default True): the adjacency table is consumed by
     BOTH sides of the closure join (the exploded-arc probe leg and the
     packed-list build leg), and the canonical edge table inside
-    ``oriented_arcs`` by three legs — Spark re-executes unshared
-    subplans, so without sharing the EDGE BUILD (scan + self-join +
-    distinct) executed SIX times end to end, visible as six copies of
-    the subtree in the sf0.1 executed plan. Measured on the dense
+    ``oriented_arcs`` by FIVE legs (the orientation join plus TWO
+    degree-table references per side) — Spark re-executes unshared
+    subplans, and the multipliers COMPOUND: 5 legs x 2 adjacency
+    consumers = 10 executions of the edge build (scan + self-join +
+    distinct) = 20 lineitem scans in the unshared executed plan
+    (pinned exactly in tests/test_plans.py's subplan-ceiling guard).
+    Measured on the dense
     sf0.1 co-purchase graph (1.5 M edges): 3.3-4.4 s settled without
     sharing → 0.9-1.0 s with both levels checkpoint-shared (the lazy
     checkpoint materializes inside the first action, so timed runs

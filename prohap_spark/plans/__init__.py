@@ -7,6 +7,7 @@ from prohap_spark.plans.inspect import (
     codegen_stage_count,
     plan_nodes,
     plan_report,
+    scans_per_file,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "codegen_stage_count",
     "plan_nodes",
     "plan_report",
+    "scans_per_file",
 ]

@@ -557,3 +557,53 @@ def test_interval_join_hint_flips_broadcast_to_shuffle(spark):
     assert "BroadcastHashJoin" not in plan_nodes(hinted)
     key = lambda r: (r["pos"], r["start"], r["end"])  # noqa: E731
     assert sorted(map(key, plain.collect())) == sorted(map(key, hinted.collect()))
+
+
+def test_multiplied_subplan_ceilings(spark, qs):
+    """Regression guard for the r8 multiplied-subplan campaign: Spark
+    re-executes unshared subplans, so an operator whose intermediate
+    gains a consumer silently multiplies its scan count. The shared
+    (registered) builds hide lineage behind localCheckpoints, so this
+    pin audits the UNSHARED builds and asserts today's scans-per-file
+    as ceilings — a future extra consumer trips it and gets reviewed
+    instead of shipped. (The ceilings are documented fact, not
+    aspiration — and they compound: the triangle's edge table feeds 5
+    legs inside oriented_arcs (the orientation join + TWO degree-table
+    references per side), times 2 adjacency consumers = 10 edge-build
+    executions = 20 lineitem scans unshared. The 'six subtree copies'
+    first reported came from a truncated plan printout; this pin
+    records the exact count.)"""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.dedup import minhash_dedup_pairs, winnowing_pairs
+    from prohap_spark.operators.graph import triangle_count
+    from prohap_spark.plans import scans_per_file
+    from prohap_spark.queries.registry import table
+
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.toDF("ok", "u")
+    b = li.toDF("ok", "v")
+    edges = a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    tri = triangle_count(edges, "u", "v", assume_canonical=True, share_scan=False)
+    assert scans_per_file(tri).get("lineitem.parquet", 0) <= 20
+
+    d = table(spark, SF, "documents")
+    mh = minhash_dedup_pairs(
+        d, "doc_id", "text", threshold=0.6, num_hashes=16, band_size=4,
+        ngram=2, share_scan=False,
+    )
+    assert scans_per_file(mh).get("documents.parquet", 0) <= 3
+
+    wn = winnowing_pairs(d, "doc_id", "text", max_fp_docs=50, share_scan=False)
+    assert scans_per_file(wn).get("documents.parquet", 0) <= 4
+
+    # and the SHARED registered paths must stay share-scanned: their
+    # visible plans end at checkpoint boundaries, so the same file
+    # never shows more than twice
+    for name, fname in (
+        ("graph_triangle_count", "lineitem.parquet"),
+        ("dedup_minhash_lsh_board", "documents.parquet"),
+        ("dedup_semantic", "embeddings.parquet"),
+    ):
+        spf = scans_per_file(qs[name](spark, SF))
+        assert spf.get(fname, 0) <= 2, (name, spf)
