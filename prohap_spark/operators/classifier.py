@@ -205,19 +205,29 @@ def linear_probe_oracle_sql(
     label_expr: str,
     n_iter: int = 8,
     lr_shift: int = 6,
+    id_cols: list[str] | None = None,
+    final_select: str | None = None,
 ) -> str:
     """Unrolled DuckDB replay of :func:`linear_probe_train_micro`
     (the pagerank/bpe-train device): weight state is ONE row of k
     columns per iteration CTE; every op mirrors the Spark trainer's
     integer arithmetic exactly, including truncating division via //
     (both engines truncate toward zero — verified on negatives).
-    Returns SQL selecting (j, w) — one row per learned weight."""
+    By default returns SQL selecting (j, w) — one row per learned
+    weight. ``id_cols`` appends passthrough columns to the ``base``
+    CTE (unused by training) and ``final_select`` replaces the
+    weight-union tail with a caller SELECT that may reference ``base``
+    (features f0..f{{k-1}}, target t, id cols) and the final weight
+    row ``w{{n_iter}}`` (columns w0..w{{k-1}}) — the scoring hook the
+    registered quality-probe query uses."""
     k = len(feature_exprs)
     ps = 1 << PRED_SHIFT
     fcols = ", ".join(
         f"CAST(round(CAST(({e}) AS DOUBLE) * {FEAT_SCALE}) AS BIGINT) AS f{j}"
         for j, e in enumerate(feature_exprs)
     )
+    if id_cols:
+        fcols = ", ".join(id_cols) + ", " + fcols
     parts = [
         f"base AS MATERIALIZED (\n      SELECT {fcols},\n"
         f"        CAST(round(CAST(({label_expr}) AS DOUBLE) * {FEAT_SCALE}) AS BIGINT) AS t\n"
@@ -247,7 +257,133 @@ def linear_probe_oracle_sql(
             f"w{i} AS MATERIALIZED (\n"
             f"      SELECT {wsel} FROM w{p} w CROSS JOIN g{i} g CROSS JOIN nn\n    )"
         )
+    if final_select is not None:
+        return "WITH " + ",\n    ".join(parts) + f"\n    {final_select}"
     unions = "\n      UNION ALL ".join(
         f"SELECT {j} AS j, w{j} AS w FROM w{n_iter}" for j in range(k)
     )
     return "WITH " + ",\n    ".join(parts) + f"\n    {unions}"
+
+
+# ---------------------------------------------------------------------------
+# The quality-probe feature surface shared by the registered
+# text_quality_classifier query and its DuckDB oracle. Every feature is
+# an exact integer count or a SINGLE correctly-rounded IEEE operation
+# chain over exact integers (casts, one division, least) — the op trees
+# below are written structurally identical on both sides, so the
+# doubles are bit-identical BY IEEE SEMANTICS and the micro-unit
+# quantization (round(x * 1e6), non-negative → HALF_UP == half-away)
+# lands on the same BIGINT in both engines. The probe's target is the
+# repo's heuristic quality score (functions/text.py
+# quality_score_expr), whose cross-engine replay has been driver-green
+# since r6 inside text_quality — training the probe to distill it is
+# literally what "linear probe" means.
+# ---------------------------------------------------------------------------
+
+QUALITY_PROBE_N_ITER = 12
+QUALITY_PROBE_LR_SHIFT = 2
+
+# DuckDB: features over a pre-split subquery exposing ws / n_chars /
+# n_punct (mirrors the text_quality oracle's CTE, green since r6)
+QUALITY_PROBE_DUCK_TABLE = """(
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    )"""
+
+_DUCK_STOP_HITS = (
+    "len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))"
+)
+_DUCK_MWL = "CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)"
+
+QUALITY_PROBE_DUCK_FEATURES = [
+    "1.0",  # f0: bias
+    "least(CAST(len(ws) AS DOUBLE), 5000.0) / 5000.0",  # f1: clipped length
+    # f2: clipped mean word length
+    f"CASE WHEN len(ws) > 0 THEN least({_DUCK_MWL}, 20.0) / 20.0 ELSE 0.0 END",
+    # f3: stopword ratio
+    f"CASE WHEN len(ws) > 0 THEN CAST({_DUCK_STOP_HITS} AS DOUBLE) / len(ws) ELSE 0.0 END",
+    # f4: punctuation density
+    "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END",
+]
+
+# the training target: quality_score_expr replayed term-for-term (the
+# text_quality oracle's expression, addition order preserved —
+# left-associative in both engines)
+QUALITY_PROBE_DUCK_LABEL = f"""(
+      (CASE WHEN len(ws) >= 10 AND len(ws) <= 5000 THEN 1.0 ELSE 0.0 END)
+      + (CASE WHEN len(ws) > 0 AND ({_DUCK_MWL}) >= 2.0 AND ({_DUCK_MWL}) <= 12.0
+              THEN 1.0 ELSE 0.0 END)
+      + least((CASE WHEN len(ws) > 0 THEN CAST({_DUCK_STOP_HITS} AS DOUBLE) / len(ws)
+                    ELSE 0.0 END) * 5.0, 1.0)
+      + (1.0 - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars
+                           ELSE 0.0 END) * 5.0, 1.0))
+    ) / 4.0"""
+
+
+def quality_probe_feature_frame(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, f0..f4 doubles, __t double) over a documents frame — the
+    Spark twin of QUALITY_PROBE_DUCK_TABLE + features + label, op tree
+    matched term for term."""
+    from prohap_spark.functions.text import DEFAULT_STOPWORDS
+
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pre = df.select(
+        F.col(id_col),
+        ws.alias("__ws"),
+        F.length("text").alias("__nc"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", "")).alias("__np"),
+    )
+    n = F.size(F.col("__ws"))
+    hits = F.size(F.filter(F.col("__ws"), lambda w: w.isin(*DEFAULT_STOPWORDS)))
+    total = F.aggregate(
+        F.col("__ws"), F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl = total.cast("double") / n
+    sw = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    pr = (
+        F.when(F.col("__nc") > 0, F.col("__np").cast("double") / F.col("__nc"))
+        .otherwise(F.lit(0.0))
+    )
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl_ok = (
+        F.when((n > 0) & (mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    t = (
+        len_ok
+        + mwl_ok
+        + F.least(sw * 5.0, F.lit(1.0))
+        + (F.lit(1.0) - F.least(pr * 5.0, F.lit(1.0)))
+    ) / 4.0
+    return pre.select(
+        id_col,
+        F.lit(1.0).alias("f0"),
+        (F.least(n.cast("double"), F.lit(5000.0)) / 5000.0).alias("f1"),
+        F.when(n > 0, F.least(mwl, F.lit(20.0)) / 20.0).otherwise(F.lit(0.0)).alias("f2"),
+        sw.alias("f3"),
+        pr.alias("f4"),
+        t.alias("__t"),
+    )
+
+
+def quality_probe_score_cols(w: list[int]) -> tuple["Column", "Column"]:
+    """(t_micro, score_micro) columns over a quality_probe_feature_frame
+    given learned integer weights — quantization identical to the
+    trainer's (round(f * FEAT_SCALE) per feature), score = dot div
+    2^PRED_SHIFT, every op an exact integer."""
+    from pyspark.sql import Column  # noqa: F401  (annotation only)
+
+    def micro(c: str) -> "Column":
+        return F.round(F.col(c).cast("double") * F.lit(float(FEAT_SCALE)), 0).cast(
+            "long"
+        )
+
+    t_micro = micro("__t")
+    dot = sum(
+        [micro(f"f{j}") * F.lit(int(wj)) for j, wj in enumerate(w)],
+        F.lit(0).cast("long"),
+    )
+    return t_micro, dot

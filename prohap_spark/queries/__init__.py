@@ -44,82 +44,44 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # tools/rotation_audit.py now audits. Registration is HARD-CAPPED at
 # 150 = 3x50 while the window is three rounds.)
 #
-# Round-8 state (registry 145): the r8 obligation set OVERFLOWED the
-# 50 budget — text_unigram_logprob / text_char_entropy went hash-red
-# AGAIN in r7 (rule b), on top of the 2 rule-(a) never-checked r7
-# registrations (j12_bucketed_colocated_join, multimodal_bmp_png_codec)
-# and the full 48-entry rule-(c) last-green-r5 window: 52 > 50. A
-# third overflow landed mid-round: text_bpe_train gained a real
-# value-hash oracle (functions/bpe.py bpe_train_oracle_sql), which
-# obsoletes its r7 rows-only row — the audit requires an
-# oracle-gaining query to re-front immediately. Per the overflow
-# precedence below, three rule-(c) slots were resolved by
-# REDUNDANCY-REMOVING MERGES rather than bumped:
-#   dedup_minhash_lsh + dedup_minhash_lsh_capped →
-#     dedup_minhash_lsh_board (queries/textdata.py)
-#   multimodal_audio_windows + multimodal_wav_codec →
-#     multimodal_audio_window_codec (queries/classic.py)
-#   dedup_simhash + dedup_simhash_near →
-#     dedup_simhash_board (queries/textdata.py)
-# — each merged query drives both original code paths under a
-# leg/fmt tag, so no coverage is lost, and the three deregistrations
-# bring the r8 front to 2 (b) + 2 (a) + 45 (c) + text_bpe_train =
-# exactly the 50 budget. The merged queries registered in r8 and did
-# not fit this front; the audit reports them as rule-(a) obligations
-# for the r9 front. _BACK documents the 45 surviving r6-green
-# entries — the r9 rule-(c) obligations (45 + 3 merged rule-(a) =
-# 48, leaving 2 slack for r8 reds). `python tools/rotation_audit.py`
-# verifies all of this mechanically against the CORRECTNESS_r*.json
-# files.
+# Round-9 state (registry 145): r8 was the first fully green driver
+# round (50/50, zero reds), so the r9 front is exactly the
+# pre-computed obligation set: 3 rule-(a) never-driver-checked r8
+# merge registrations (dedup_minhash_lsh_board, dedup_simhash_board,
+# multimodal_audio_window_codec — their first CORRECTNESS rows land
+# this round), 45 rule-(c) last-green-r6 entries (dark r7 and r8 —
+# the window forces them now), and the 2 slack slots spent on
+# ORACLE-GAINING RE-FRONTS: text_quality_classifier's gate swapped
+# from the rows-only L-BFGS demo to the integer fixed-point linear
+# probe (operators/classifier.py, bit-exact DuckDB training+scoring
+# replay, built r8 / wired r9), and agg_approx_sketches' projection
+# restructured to carry ONLY value-gated columns (exact aggregates +
+# the deterministic-HLL replay + property booleans bounding the
+# engine-native sketches). Both had r7 no_oracle rows that their new
+# oracles obsolete, so both must re-front (the audit enforces it).
+# Net: ROWS_ONLY_BY_DESIGN is EMPTY as of r9 — every registered
+# query carries a value-hash oracle. _BACK documents the 45
+# surviving r7-green entries — the r10 rule-(c) obligations.
+# `python tools/rotation_audit.py` verifies all of this mechanically
+# against the CORRECTNESS_r*.json files.
 #
-# Overflow precedence (exercised for the first time this round): if a
-# round's obligations exceed the 50 budget, priority is (b) red/err >
-# (a) never-checked > (c) going-dark, and the displaced
-# lowest-priority entries either get bumped ONE round with an
-# explicit note here (the audit will flag them; the note is the
-# documented waiver) or a redundant entry is deregistered to make
-# room, whichever keeps total coverage higher. Silent omission is
-# never an option — the audit's exit code enforces that the
-# resolution is visible.
+# Overflow precedence (first exercised r8): if a round's obligations
+# exceed the 50 budget, priority is (b) red/err > (a) never-checked >
+# (c) going-dark, and the displaced lowest-priority entries either
+# get bumped ONE round with an explicit note here (the audit will
+# flag them; the note is the documented waiver) or a redundant entry
+# is deregistered to make room, whichever keeps total coverage
+# higher. Silent omission is never an option — the audit's exit code
+# enforces that the resolution is visible.
 _FRONT = [
-    # (b) hash-red in r7 — second consecutive red; re-fronted with the
-    # integer-only hash gate (doubles removed from the projection):
-    "text_unigram_logprob", "text_char_entropy",
-    # (a) registered r7 after the front filled, never driver-checked:
-    "j12_bucketed_colocated_join", "multimodal_bmp_png_codec",
-    # oracle gained mid-r8 (was rows-only through r7) — must re-front
-    # so its first value-hash row lands this round:
-    "text_bpe_train",
-    # (c) last green r5, dark r6 and r7 — the window forces them now
-    # (48 obligations minus the three merged-away deregistrations):
-    "s1_scan_pushdown_projection", "f1_regex_threshold",
-    "f4_isin_filter", "f5_group_conditional_filter",
-    "f9_array_mask_filter", "j2_normalized_key_join", "j3_star_dim_join",
-    "j4_semi_join", "j11_anti_join", "a2_signature_grouping",
-    "a3_conditional_denominator", "a4_group_frequency_maps",
-    "a7_priority_dedup", "a11_synthesize_missing_groups",
-    "c15_map_merge_explode", "w5_running_offset", "j6_explode_equijoin",
-    "text_fingerprint_dedup", "dedup_exact_docs",
-    "sim_bruteforce_topk", "sim_ivf_ann",
-    "emb_centroid_cosine", "c_math_hash", "c2_regex_split_explode",
-    "w3_array_sort_analytics", "c_json_extract", "sql_api_q6",
-    "stream_live_session_windows", "q3_shipping_priority",
-    "q5_local_supplier_volume", "agg_exact_distinct", "w_lead_lag",
-    "agg_cube_grouping", "domain_provar_snp_oracle",
-    "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
-    "f8_count_threshold_prohap", "domain_prohap_indel_oracle",
-    "domain_provar_start_oracle", "s7_tsv_gz_roundtrip",
-    "s10_partitioned_prune", "f2_allele_validity",
-    "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
-    "domain_prohap_junction_oracle",
-]
-_BACK = [
-    # last green r6, dark r7 AND r8 — the r9 rule-(c) front
-    # obligations (rotation_audit.py prints them); beside these, the
-    # three r8 merge registrations (dedup_minhash_lsh_board,
-    # multimodal_audio_window_codec, dedup_simhash_board) are r9
-    # rule-(a) obligations: 45 + 3 = 48 of the 50 budget, 2 slack for
-    # any r8 reds
+    # (a) registered r8 after that front filled (the slot-freeing
+    # merges), never driver-checked — first rows land now:
+    "dedup_minhash_lsh_board", "dedup_simhash_board",
+    "multimodal_audio_window_codec",
+    # oracle gained r9 (both were documented rows-only through r8) —
+    # an oracle-gaining query must re-front immediately:
+    "text_quality_classifier", "agg_approx_sketches",
+    # (c) last green r6, dark r7 and r8 — the window forces them now:
     "q1_pricing_summary", "er_fuzzy_blocked_join",
     "w1_islands_sessionize", "w1b_interval_islands",
     "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
@@ -141,6 +103,28 @@ _BACK = [
     "u4_full_class_grid", "domain_provar_threeexon_oracle",
     "domain_prohap_threeexon_oracle",
 ]
+_BACK = [
+    # last green r7, dark r8 AND r9 — the r10 rule-(c) front
+    # obligations (rotation_audit.py prints them)
+    "so_set_ops", "agg_rollup", "agg_pivot", "agg_quantiles",
+    "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
+    "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
+    "text_quality", "text_langid", "sampling_temperature_mix",
+    "text_intradoc_dedup", "text_substring_dedup", "pack_best_fit",
+    "text_ngram_topk", "dedup_incremental_ingest", "text_chunk_overlap",
+    "dedup_incremental_near", "sampling_negative_pairs",
+    "dedup_host_cap", "sim_lsh_ann", "sim_knn_classify",
+    "hybrid_search_rrf", "sim_kmeans_ivf",
+    "f12_liftover_artifact_filter", "stream_session_window",
+    "stream_sliding_window", "multimodal_decode_features",
+    "multimodal_resize_stats", "multimodal_jpeg_color_codec",
+    "multimodal_gif_tiff_codec", "multimodal_audio_container",
+    "q4_order_priority", "q13_customer_distribution",
+    "q18_large_volume_customer", "q22_idle_customers",
+    "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
+    "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
+    "s13_jsonl_roundtrip",
+]
 
 
 # Queries that intentionally have NO DuckDB oracle (the driver records
@@ -154,32 +138,26 @@ _BACK = [
 # replay; sim_kmeans_ivf: quantized-integer replay) or was deregistered
 # as redundant (domain_*_synthetic).
 ROWS_ONLY_BY_DESIGN = {
-    "agg_approx_sketches": (
-        "the ENGINE-NATIVE sketches (Spark approx_count_distinct / "
-        "approx_percentile) are engine-specific by construction — "
-        "DuckDB's implementations can legitimately disagree; error "
-        "bounds are pinned in tests/test_plans.py. The CAPABILITY is "
-        "value-checked elsewhere: agg_exact_distinct carries the "
-        "from-scratch deterministic HLL (functions/sketches.py, "
-        "integer-exact registers, r8) whose estimate hash-matches a "
-        "full DuckDB replay"
-    ),
-    "text_quality_classifier": (
-        "L-BFGS-trained logistic coefficients are float-iteration "
-        "artifacts no SQL engine replays; >=0.8 holdout accuracy is "
-        "pinned in tests/test_operators.py. A value-checkable "
-        "replacement EXISTS as of r8 — operators/classifier.py's "
-        "linear_probe_train_micro (integer fixed-point GD, bit-exact "
-        "DuckDB replay pinned in tests) — and can take over this "
-        "query's gate in r9 when the front has the slack an "
-        "oracle-gaining re-front requires (the r8 front was full)"
-    ),
-    # text_bpe_train left this set in r8: the trainer folds over the
-    # word-TYPE table (vocab-sized state), so the full 8-iteration
-    # loop unrolls into materialized DuckDB CTEs — see
-    # functions/bpe.py bpe_train_oracle_sql. The r6 'DuckDB recursion
-    # hangs' verdict was a 2^K CTE-inlining blow-up, not algorithmic
-    # infeasibility.
+    # EMPTY as of r9 — every registered query now carries a value-hash
+    # oracle. The last two holdouts were de-weakened:
+    # - text_quality_classifier (r9): gate swapped from the L-BFGS demo
+    #   (float-iteration coefficients no SQL engine replays; the
+    #   production filter quality_classifier_scores stays the library
+    #   API with its held-out-accuracy pytest) to the integer
+    #   fixed-point linear probe — training AND per-document scoring
+    #   replay bit-exactly as unrolled DuckDB CTEs
+    #   (operators/classifier.py).
+    # - agg_approx_sketches (r9): projection restructured to exact
+    #   aggregates + the deterministic-HLL replay
+    #   (functions/sketches.py) + PROPERTY booleans asserting the
+    #   engine-native sketches landed inside their error envelopes
+    #   (the raw register-dependent values stay unprojected — they are
+    #   the one thing no other engine can replay; the booleans are
+    #   what IS portable).
+    # - text_bpe_train left this set in r8: the full 8-iteration
+    #   trainer unrolls into materialized DuckDB CTEs (functions/
+    #   bpe.py bpe_train_oracle_sql). The r6 'DuckDB recursion hangs'
+    #   verdict was a 2^K CTE-inlining blow-up, not infeasibility.
 }
 
 

@@ -137,29 +137,93 @@ def agg_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(hll, "o_orderpriority")
 
 
-@register("agg_approx_sketches")  # rows-only: approximate by design
+def _agg_approx_sketches_sql() -> str:
+    from prohap_spark.functions.sketches import hll_oracle_sql
+
+    # The three *_sketch_ok booleans are literal TRUE on the oracle
+    # side BY CONSTRUCTION: DuckDB cannot run Spark's engine-native
+    # HLL++/quantile sketches, so the cross-engine gate on those
+    # columns is the PROPERTY "Spark's sketch landed inside its
+    # documented error envelope on this data" (computed Spark-side
+    # from the sketch and the exact aggregates, deterministic for a
+    # fixed dataset) rather than the raw register values. Everything
+    # else — exact counts, exact distincts, the deterministic-HLL
+    # estimate — is a full value replay.
+    return f"""
+    WITH exact AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             count(DISTINCT l_orderkey) AS exact_orders
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    hll AS ({hll_oracle_sql("lineitem", "l_returnflag", "l_orderkey")})
+    SELECT e.l_returnflag, e.n, e.exact_orders,
+           h.hll_est AS hll_orders, h.hll_zero_registers,
+           TRUE AS distinct_sketch_ok,
+           TRUE AS p50_sketch_ok,
+           TRUE AS p95_sketch_ok
+    FROM exact e JOIN hll h USING (l_returnflag)
+    """
+
+
+@register("agg_approx_sketches", _agg_approx_sketches_sql())
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB path for distincts/quantiles: HLL + KLL sketches
-    (approx_count_distinct / approx_percentile). Quantiles are projected
-    to scalar p50/p95 columns — rows-only results must stay
-    hashable/sortable for the driver's canonicalizer (an array column
-    would crash its pandas sort)."""
+    """The 100 TB path for distincts/quantiles: engine-native sketches
+    (approx_count_distinct = HLL++, approx_percentile = the
+    Greenwald-Khanna quantile summary) run beside their ground truth,
+    with the deterministic from-scratch HLL (functions/sketches.py) as
+    the fully-replayable twin. Rows-only no more (r9): the projection
+    carries ONLY value-gated columns — exact counts and the
+    deterministic-HLL estimate replay bit-for-bit in DuckDB, and the
+    native sketches are gated as PROPERTY booleans (estimate within
+    15% of the exact distinct; each percentile inside the exact
+    [q-0.01, q+0.01] quantile band — ~100x the sketch's documented
+    rank-error bound of 1/accuracy = 1e-4, so the check is robust yet
+    still two orders tighter than a wrong-by-construction sketch).
+    The raw native values stay out of the projection because no other
+    engine can replay registers — the booleans are what IS portable.
+
+    100 TB design: one pass for the native sketches + exact
+    percentile bands (single groupBy, map-side combinable sketch
+    merges), one two-level hash aggregate for the deterministic HLL
+    (64 register rows per group), one exact-distinct aggregate; all
+    shuffles keyed on the 3-value l_returnflag — at real scale the
+    sketch pass is the point: registers merge without holding
+    values."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-            # one sketch, two scalar projections (not two sketch passes)
-            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("pq"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select(
-            "l_returnflag",
-            "approx_orders",
-            F.col("pq")[0].alias("p50"),
-            F.col("pq")[1].alias("p95"),
-            "n",
-        )
+    from prohap_spark.functions.sketches import hll_distinct
+
+    native = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("__approx_orders"),
+        # one sketch, two scalar projections (not two sketch passes)
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("__pq"),
+        # exact quantile bands for the property gate: one exact
+        # percentile evaluation, six scalar projections
+        F.expr(
+            "percentile(l_extendedprice, array(0.49, 0.51, 0.94, 0.96))"
+        ).alias("__pb"),
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    hll = hll_distinct(li, ["l_returnflag"], "l_orderkey").select(
+        "l_returnflag",
+        F.col("hll_est").alias("hll_orders"),
+        "hll_zero_registers",
+    )
+    err100 = F.abs(F.col("__approx_orders") - F.col("exact_orders")) * 100
+    return native.join(hll, "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "exact_orders",
+        "hll_orders",
+        "hll_zero_registers",
+        (err100 <= F.col("exact_orders") * 15).alias("distinct_sketch_ok"),
+        ((F.col("__pq")[0] >= F.col("__pb")[0]) & (F.col("__pq")[0] <= F.col("__pb")[1])).alias(
+            "p50_sketch_ok"
+        ),
+        ((F.col("__pq")[1] >= F.col("__pb")[2]) & (F.col("__pq")[1] <= F.col("__pb")[3])).alias(
+            "p95_sketch_ok"
+        ),
     )
 
 

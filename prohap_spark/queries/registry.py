@@ -44,6 +44,24 @@ def engine_session(spark: SparkSession) -> SparkSession:
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # AQE + skew-join splitting pinned HERE, not just in the
+        # session factory: the r8 skew probe (tools/skew_join_probe.py)
+        # measured unmitigated skewed SMJ at ~6x the AQE-split wall AND
+        # found that confs set on a PARENT session at runtime never
+        # reach frames planned on this child — so the mitigation the
+        # engine relies on must be pinned on the session its frames
+        # actually execute under, independent of the caller's conf
+        # (tests/test_plans.py pins the inheritance).
+        for k_, v_ in (
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.adaptive.skewJoin.enabled", "true"),
+            ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+            # byte-blind coalescing serializes small-byte/expensive-row
+            # Arrow kernel stages behind one task — see session.py for
+            # the measured r9 case (ProHap kernel 3.6 s -> 1.8 s)
+            ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64kb"),
+        ):
+            child.conf.set(k_, v_)
         _ENGINE_SESSIONS[key] = child
     return child
 

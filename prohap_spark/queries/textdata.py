@@ -772,20 +772,93 @@ def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_quality_classifier")  # rows-only BY DESIGN: L-BFGS
-# training is iterative and its float coefficients are not
-# SQL-replayable; the held-out accuracy floor and label discipline are
-# pinned in tests/test_operators.py.
-def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based quality filtering (operators/classifier.py): a
-    logistic-regression classifier over hashed token features, trained
-    on weak top/bottom-quantile labels from the heuristic quality
-    score (the GPT-3-style curation filter), scoring every document.
-    Training aggregates gradients tree-wise; scoring broadcasts the
-    single coefficient vector — nothing corpus-sized materializes."""
-    from prohap_spark.operators.classifier import quality_classifier_scores
+def _quality_probe_oracle() -> str:
+    from prohap_spark.operators.classifier import (
+        FEAT_SCALE,
+        PRED_SHIFT,
+        QUALITY_PROBE_DUCK_FEATURES,
+        QUALITY_PROBE_DUCK_LABEL,
+        QUALITY_PROBE_DUCK_TABLE,
+        QUALITY_PROBE_LR_SHIFT,
+        QUALITY_PROBE_N_ITER,
+        linear_probe_oracle_sql,
+    )
 
-    return quality_classifier_scores(table(spark, sf_dir, "documents"))
+    k = len(QUALITY_PROBE_DUCK_FEATURES)
+    dot = " + ".join(f"b.f{j} * w.w{j}" for j in range(k))
+    final = f"""SELECT doc_id, t_micro, score_micro,
+           score_micro >= {FEAT_SCALE // 2} AS pred_good,
+           abs(score_micro - t_micro) AS abs_err_micro
+    FROM (
+      SELECT b.doc_id, b.t AS t_micro,
+             (({dot}) // {1 << PRED_SHIFT}) AS score_micro
+      FROM base b CROSS JOIN w{QUALITY_PROBE_N_ITER} w
+    ) s"""
+    return linear_probe_oracle_sql(
+        QUALITY_PROBE_DUCK_TABLE,
+        QUALITY_PROBE_DUCK_FEATURES,
+        QUALITY_PROBE_DUCK_LABEL,
+        n_iter=QUALITY_PROBE_N_ITER,
+        lr_shift=QUALITY_PROBE_LR_SHIFT,
+        id_cols=["doc_id"],
+        final_select=final,
+    )
+
+
+@register("text_quality_classifier", _quality_probe_oracle())
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, value-gated end to end (r9): an
+    integer fixed-point linear probe (operators/classifier.py
+    linear_probe_train_micro — squared-loss full-batch GD where every
+    op is exact integer arithmetic) distills the repo's heuristic
+    quality score from five cheap sub-signals, then scores every
+    document with the learned weights. Training is k driver-held
+    integers per iteration (the kmeans/pagerank device: one exact
+    commutative integer aggregate per pass, partitioning-invariant);
+    scoring is one map-side expression. The oracle replays the FULL
+    training loop as unrolled DuckDB CTEs and the per-document scores
+    bit-exactly — this replaced the rows-only L-BFGS gate in r9 (the
+    L-BFGS production filter, quality_classifier_scores, stays the
+    library API with its held-out-accuracy pytest pin).
+
+    100 TB design: per iteration one scan + one 5-long-column partial
+    aggregate (map-side combine, exact integer sum); the feature build
+    is shared across iterations and scoring via lazy localCheckpoint
+    (the multiplied-subplan rule — 13 consumers of one regex-heavy
+    subplan would otherwise re-execute it 13x)."""
+    from prohap_spark.operators.classifier import (
+        FEAT_SCALE,
+        PRED_SHIFT,
+        QUALITY_PROBE_DUCK_FEATURES,
+        QUALITY_PROBE_LR_SHIFT,
+        QUALITY_PROBE_N_ITER,
+        linear_probe_train_micro,
+        quality_probe_feature_frame,
+        quality_probe_score_cols,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    k = len(QUALITY_PROBE_DUCK_FEATURES)
+    base = quality_probe_feature_frame(d).localCheckpoint(eager=False)
+    w = linear_probe_train_micro(
+        base,
+        [f"f{j}" for j in range(k)],
+        "__t",
+        n_iter=QUALITY_PROBE_N_ITER,
+        lr_shift=QUALITY_PROBE_LR_SHIFT,
+    )
+    t_micro, dot = quality_probe_score_cols(w)
+    return (
+        base.select("doc_id", t_micro.alias("t_micro"), dot.alias("__dot"))
+        .withColumn("score_micro", F.expr(f"__dot div {1 << PRED_SHIFT}"))
+        .select(
+            "doc_id",
+            "t_micro",
+            "score_micro",
+            (F.col("score_micro") >= FEAT_SCALE // 2).alias("pred_good"),
+            F.abs(F.col("score_micro") - F.col("t_micro")).alias("abs_err_micro"),
+        )
+    )
 
 
 @register(

@@ -564,26 +564,30 @@ def test_connected_components_random_vs_union_find(spark, rng):
 
 
 def test_approx_sketches_within_error_bounds(spark):
-    """agg_approx_sketches stays rows-only on the driver board
-    (approximate by design) — its value signal is pinned HERE: HLL
-    distinct counts within 3x the default 5% rsd of exact, and each
-    approx percentile between the exact quantiles one documented
-    rank-error either side of the target (approx_percentile guarantee:
-    rank error <= n/accuracy, default accuracy 10000)."""
+    """The engine-native sketches' value signal, pinned TIGHTER than
+    the registered query's property gate: HLL++ distinct counts within
+    3x the default 5% rsd of exact, and each approx percentile between
+    the exact quantiles 2x the documented rank-error either side of
+    the target (approx_percentile guarantee: rank error <= n/accuracy,
+    default accuracy 10000 — vs the query's robust 0.01 band). Also
+    pins the r9 gated projection itself: every *_sketch_ok boolean
+    TRUE, exact_orders exact, hll_orders within the m=64 sketch's
+    documented band."""
     from prohap_spark.queries import queries
     from prohap_spark.queries.registry import table
 
     q = queries()
     sf = "/root/testdata/sf0.01"
-    approx = {
-        r["l_returnflag"]: r for r in q["agg_approx_sketches"](spark, sf).collect()
-    }
     eps = 2.0 / 10_000  # 2x the 1e-4 quantile-rank guarantee as margin
     li = table(spark, sf, "lineitem")
-    exact = {
+    native = {
         r["l_returnflag"]: r
         for r in li.groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+            F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias(
+                "apq"
+            ),
             F.countDistinct("l_orderkey").alias("exact_orders"),
             F.expr(
                 "percentile(l_extendedprice, array("
@@ -592,13 +596,20 @@ def test_approx_sketches_within_error_bounds(spark):
         )
         .collect()
     }
-    assert approx and approx.keys() == exact.keys()
-    for flag, a in approx.items():
-        e = exact[flag]
-        assert abs(a["approx_orders"] - e["exact_orders"]) <= 0.15 * e["exact_orders"]
+    assert native
+    for flag, e in native.items():
+        assert abs(e["approx_orders"] - e["exact_orders"]) <= 0.15 * e["exact_orders"]
         lo50, hi50, lo95, hi95 = e["pq"]
-        assert lo50 <= a["p50"] <= hi50, flag
-        assert lo95 <= a["p95"] <= hi95, flag
+        assert lo50 <= e["apq"][0] <= hi50, flag
+        assert lo95 <= e["apq"][1] <= hi95, flag
+
+    rows = {r["l_returnflag"]: r for r in q["agg_approx_sketches"](spark, sf).collect()}
+    assert rows.keys() == native.keys()
+    for flag, a in rows.items():
+        assert a["distinct_sketch_ok"] and a["p50_sketch_ok"] and a["p95_sketch_ok"], flag
+        assert a["exact_orders"] == native[flag]["exact_orders"], flag
+        # m=64 deterministic HLL: ~13% rsd; allow 3x
+        assert abs(a["hll_orders"] - a["exact_orders"]) <= 0.4 * a["exact_orders"], flag
 
 
 def test_ngram_decontaminate_counts_and_flags(spark):
@@ -2166,3 +2177,26 @@ def test_linear_probe_integer_trainer_cross_engine_and_invariant(spark):
         assert a * b > 0 or abs(b) < 1e-3, (nat, wf.tolist())
         if abs(b) > 1e-3:
             assert abs(a - b) / abs(b) < 0.25, (nat, wf.tolist())
+
+
+def test_quality_probe_query_fits_and_scores(spark):
+    """The r9 text_quality_classifier gate (integer linear probe
+    distilling the heuristic quality score): the probe must actually
+    FIT, not just replay — mean |score - target| under 0.1 natural
+    units and >= 90% agreement with the target's own 0.5-threshold
+    decision (measured r9 at sf0.01: MAE 0.042, agreement 100%).
+    The bit-exact cross-engine training replay is the oracle's job;
+    this pins the model quality the oracle can't see."""
+    from prohap_spark.queries import queries
+
+    df = queries()["text_quality_classifier"](spark, "/root/testdata/sf0.01")
+    agg = df.agg(
+        F.avg("abs_err_micro").alias("mae"),
+        F.avg(
+            (F.col("pred_good") == (F.col("t_micro") >= 500_000)).cast("int")
+        ).alias("agree"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg["n"] > 0
+    assert agg["mae"] < 100_000, agg["mae"]  # < 0.1 natural units
+    assert agg["agree"] >= 0.9, agg["agree"]

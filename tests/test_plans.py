@@ -607,3 +607,42 @@ def test_multiplied_subplan_ceilings(spark, qs):
     ):
         spf = scans_per_file(qs[name](spark, SF))
         assert spf.get(fname, 0) <= 2, (name, spf)
+
+
+def test_engine_child_session_pins_aqe_skew_confs(spark):
+    """The r8 skew probe's sharpest trap: runtime confs set on the
+    CALLER's session never reach frames planned on the engine child
+    session — every leg of the probe's first run silently planned as
+    if skew handling were irrelevant. The engine therefore pins the
+    AQE skew-split confs on the child itself (queries/registry.py);
+    this test simulates a hostile caller (skew handling disabled on
+    the parent at runtime) and asserts (a) the child still carries the
+    pinned confs and (b) a frame built through table() actually
+    executes under that child session, not the caller's."""
+    from prohap_spark.queries.registry import engine_session, table
+
+    parent_prev = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        child = engine_session(spark)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        ):
+            assert child.conf.get(k) == "true", k
+        # and the anti-serialization coalesce floor (see session.py)
+        assert (
+            child.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
+            == "64kb"
+        )
+        df = table(spark, SF, "lineitem")
+        sess = df.sparkSession
+        assert sess.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+        # and the caller's (sabotaged) conf is untouched — isolation
+        # works BOTH ways: engine settings never leak into user code
+        assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "false"
+    finally:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", parent_prev)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

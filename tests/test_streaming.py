@@ -945,3 +945,117 @@ def test_stream_scd2_restart_resumes_open_versions(spark, tmp_path):
         return {(k, v, vf, vt) for (k, v, vf), (a, vt) in out.items()}
 
     assert resolve(set(p1) | set(p2)) == resolve(want)
+
+
+def test_click_attribution_restart_recovers_join_state(spark, tmp_path):
+    """Fault-recovery pin for the stream-stream interval join (the
+    last stateful streaming operator without one — r9 closes the
+    sweep): views arrive, the query STOPS, then clicks inside the
+    lookback arrive and the query restarts from the SAME
+    checkpointLocation. The attributions can only emit if the
+    view-side JOIN STATE (buffered unmatched rows) survived the
+    restart — a fresh query would see no views at all. Also pins
+    exactly-once: a third run with no new files re-emits nothing."""
+    import datetime as dt
+
+    from prohap_spark.streaming.events import (
+        EVENT_SCHEMA,
+        click_view_attribution,
+        read_event_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    users = [1, 2, 3]
+
+    def write_file(kind, minute, base_id):
+        rows = [
+            (base_id + u, dt.datetime(2024, 1, 1, 10, minute), u, kind, 1.0, "{}")
+            for u in users
+        ]
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            click_view_attribution(
+                read_event_stream(spark, src, max_files_per_trigger=1)
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    write_file("view", 5, 100)  # views at 10:05
+    p1 = run()
+    assert p1 == []  # no clicks yet — nothing to attribute
+
+    # crash/redeploy: clicks land 40 min after the views (inside the
+    # 1 h lookback), restart from checkpoint
+    write_file("click", 45, 200)
+    p2 = run()
+    got = {(r["user_id"], r["click_id"], r["view_id"]) for r in p2}
+    assert got == {(u, 200 + u, 100 + u) for u in users}, got
+    for r in p2:
+        assert r["lag_us"] == 40 * 60 * 1_000_000
+
+    # exactly-once: no new files -> no re-emission of committed matches
+    p3 = run()
+    assert p3 == []
+
+
+def test_stream_token_budget_restart_resumes_counter(spark, tmp_path):
+    """Fault-recovery pin for the streaming budget counter: wave 1
+    fills 15 of a 20-token shard budget, the query stops, wave 2
+    arrives after a restart from the same checkpointLocation. The
+    wave-2 cumulative counts must CONTINUE from the recovered state
+    (20 then 25 — the second doc rejected); a query that lost state
+    would restart the counter at 5/10 and keep both."""
+    from prohap_spark.streaming.budget import stream_token_budget
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_docs(ids):
+        spark.createDataFrame(
+            [(i, "web", "a b c d e") for i in ids],  # 5 tokens each
+            "doc_id long, source string, text string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        collected = []
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = (
+            stream_token_budget(stream, budget_per_source=20, n_shards=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    write_docs([1, 2, 3])
+    p1 = run()
+    assert sorted(r["cum_tokens"] for r in p1) == [5, 10, 15]
+    assert all(r["kept"] for r in p1)
+
+    write_docs([4])
+    write_docs([5])
+    p2 = run()
+    # exactly-once: only the two new docs emit, in arrival (file) order
+    assert [(r["doc_id"], r["cum_tokens"], r["kept"]) for r in p2] == [
+        (4, 20, True),
+        (5, 25, False),
+    ]
