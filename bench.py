@@ -155,8 +155,20 @@ def main() -> None:
 
     builders.append(("dedup_minhash_lsh", build_minhash))
 
+    # SPARK_GRAFT_BENCH_MARKERS=1: write a per-query marker line to
+    # stderr so JVM log events (e.g. the benign late-accumulator burst
+    # documented below) can be attributed to the query that triggered
+    # them — the log4j console stream and ours interleave in order
+    markers = os.environ.get("SPARK_GRAFT_BENCH_MARKERS") == "1"
+
     def run_all(record: dict[str, list[float]] | None) -> None:
         for name, build in builders:
+            if markers:
+                sys.stderr.write(
+                    f"=== bench query {name} pass={'timed' if record is not None else 'warm'} "
+                    f"t={time.strftime('%H:%M:%S')}\n"
+                )
+                sys.stderr.flush()
             if name in errors:
                 continue
             # rebuild the frame OUTSIDE the timer each pass: plan-build
@@ -193,9 +205,31 @@ def main() -> None:
         # clearCache — they release when the Python frame objects are
         # garbage-collected and Spark's ContextCleaner runs. Collect
         # explicitly so earlier passes' blocks cannot accumulate into
-        # later passes' storage pressure
+        # later passes' storage pressure.
+        #
+        # The BENCH_r08 "ERROR DAGScheduler: Failed to update
+        # accumulator NNNN (Unknown class)" burst, run to ground in r9
+        # with the marker protocol (SPARK_GRAFT_BENCH_MARKERS=1): the
+        # burst fires MID-ACTION inside a share_scan query (caught
+        # live during dedup_minhash_lsh's warm pass — one stage's full
+        # task set x its ~17 SQL-metric accumulators, single
+        # timestamp). Mechanism: when a lazy localCheckpoint
+        # materializes, Spark truncates the lineage below it; the
+        # truncated subplan's weakly-referenced metric accumulators
+        # become collectible while the materialization stage's LAST
+        # task-completion events are still queued on the DAGScheduler
+        # event loop — the late events then log this ERROR. It is
+        # Spark-internal (not triggered by our gc — that runs between
+        # passes, the burst is mid-query), benign (the job result was
+        # already delivered; rc and the JSON line are unaffected), and
+        # not drainable from outside (no public API reaches the DAG
+        # event loop mid-action). The epilogue below prints a
+        # classification line after the JSON so a log tail is
+        # self-explaining. The sleep covers the OTHER variant of the
+        # same race (late events vs the between-pass gc).
         import gc
 
+        time.sleep(1.0)
         gc.collect()
         run_all(samples)
 
@@ -229,6 +263,17 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # self-classifying epilogue for the stderr tail (see the r9 note
+    # above the gc): the one known-benign ERROR signature named, so a
+    # reader of the driver's captured tail can tell it from a real
+    # failure without this file open
+    sys.stderr.write(
+        "bench epilogue: exit code 0 + the JSON line above = success. Any "
+        "'ERROR DAGScheduler: Failed to update accumulator' lines above are "
+        "the known-benign localCheckpoint lineage-truncation race "
+        "(bench.py r9 note); real failures appear in the JSON 'errors' "
+        "field or a non-zero exit.\n"
+    )
     spark.stop()
 
 

@@ -93,6 +93,151 @@ def hll_distinct(
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic Bloom filter (membership sketch) and count-min sketch
+# (frequency sketch) — the other two workhorse sketches of a 100 TB
+# curation pipeline, built from the same engine-identical ops as the
+# HLL above (md5 hex windows → exact integers; bit_or / sum / min
+# aggregates; no float anywhere):
+# - hash_j(x) = the j-th disjoint hex window of md5(x) parsed as an
+#   integer (16 or 20 bits per window — md5's 32 hex chars give room
+#   for 4 independent 20-bit draws), reduced mod the table width;
+# - Bloom words hold 62 bits each (NOT 64: DuckDB's BIGINT << raises
+#   on shifts ≥ 62, so the portable word is 62 bits — the 3% space
+#   tax buys bit-identical replay);
+# - both sketch states are driver-tiny (m/62 words; d×w counters) and
+#   build with ONE map-side-combinable aggregate over the exploded
+#   stream — at scale the sketch replaces a vocabulary/benchmark-sized
+#   hash set with a broadcastable array.
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 62
+
+
+def _md5_window_int(value: Column, start: int, width: int) -> Column:
+    """Exact integer from ``width`` hex chars of md5(value) starting at
+    1-based ``start`` — the multi-draw generalization of the HLL's
+    single 15-char window."""
+    return F.conv(F.substring(F.md5(value.cast("string")), start, width), 16, 10).cast(
+        "long"
+    )
+
+
+def _md5_window_sql(expr: str, start: int, width: int) -> str:
+    """DuckDB replay of :func:`_md5_window_int` (hex fold, same digits)."""
+    return (
+        f"list_reduce(list_transform(range({start}, {start + width}), "
+        f"i -> CAST(strpos('0123456789abcdef', "
+        f"substr(md5(CAST(({expr}) AS VARCHAR)), i, 1)) - 1 AS BIGINT)), "
+        "(a, b) -> a * 16 + b)"
+    )
+
+
+def bloom_hash_positions(value: Column, k: int, m_bits: int) -> Column:
+    """array<long> of ``k`` bit positions in [0, m_bits) for one value —
+    k disjoint 20-bit md5 windows reduced mod m_bits (independent draws
+    for m up to 2^20)."""
+    assert k <= 4 and m_bits <= 1 << 20
+    return F.array(
+        *[F.pmod(_md5_window_int(value, 1 + 5 * j, 5), F.lit(m_bits)) for j in range(k)]
+    )
+
+
+def bloom_build(grams: DataFrame, gram_col: str, k: int, m_bits: int) -> DataFrame:
+    """(word_idx int, word long): the Bloom filter of the ``gram_col``
+    values as 62-bit words — ONE bit_or aggregate over the exploded
+    positions, at most ceil(m_bits/62) output rows (broadcastable)."""
+    pos = grams.select(
+        F.explode(bloom_hash_positions(F.col(gram_col), k, m_bits)).alias("__pos")
+    )
+    return (
+        pos.select(
+            F.expr(f"CAST((__pos div {BLOOM_WORD_BITS}) AS INT)").alias("word_idx"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {BLOOM_WORD_BITS} AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(__mask)").alias("word"))
+    )
+
+
+def bloom_probe_hits(
+    items: DataFrame, key_cols: list[str], gram_col: str, bloom: DataFrame,
+    k: int, m_bits: int,
+) -> DataFrame:
+    """key_cols + (bloom_hit boolean) per input row: true iff ALL k of
+    the gram's bits are set in ``bloom`` (broadcast — the probe is
+    map-side; the corpus never shuffles)."""
+    pos = items.select(
+        *key_cols,
+        F.col(gram_col).alias("__gram"),
+        F.posexplode(bloom_hash_positions(F.col(gram_col), k, m_bits)).alias(
+            "__j", "__pos"
+        ),
+    ).select(
+        *key_cols,
+        "__gram",
+        "__j",
+        F.expr(f"CAST((__pos div {BLOOM_WORD_BITS}) AS INT)").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {BLOOM_WORD_BITS} AS INT))").alias(
+            "__mask"
+        ),
+    )
+    joined = pos.join(F.broadcast(bloom), "word_idx", "left")
+    bit_ok = (F.col("word").isNotNull()) & (
+        F.col("word").bitwiseAND(F.col("__mask")) == F.col("__mask")
+    )
+    return (
+        joined.groupBy(*key_cols, "__gram")
+        .agg(F.sum(bit_ok.cast("int")).alias("__ok"))
+        .select(*key_cols, F.col("__gram"), (F.col("__ok") == k).alias("bloom_hit"))
+    )
+
+
+def cms_build(tokens: DataFrame, token_col: str, d: int, w: int) -> DataFrame:
+    """(j int, idx int, cnt long): a d×w count-min sketch of the token
+    STREAM (duplicates count) — one map-side-combinable aggregate with
+    at most d*w output rows."""
+    assert d <= 4 and w <= 1 << 16
+    rows = tokens.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(_md5_window_int(F.col(token_col), 1 + 4 * j, 4), F.lit(w))
+                    for j in range(d)
+                ]
+            )
+        ).alias("j", "idx")
+    )
+    return rows.groupBy("j", "idx").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    candidates: DataFrame, token_col: str, cms: DataFrame, d: int, w: int
+) -> DataFrame:
+    """candidates + (cms_est long): min over the d counters addressed
+    by the candidate's hashes — the classic CMS point query, one
+    broadcast join against the d×w counter table."""
+    probe = candidates.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(_md5_window_int(F.col(token_col), 1 + 4 * j, 4), F.lit(w))
+                    for j in range(d)
+                ]
+            )
+        ).alias("j", "idx"),
+    )
+    others = [c for c in candidates.columns]
+    return (
+        probe.join(F.broadcast(cms), ["j", "idx"], "left")
+        .groupBy(*others)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
 def hll_oracle_sql(
     table: str, group_col: str, value_col: str, extra_select: str = ""
 ) -> str:

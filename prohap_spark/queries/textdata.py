@@ -663,6 +663,222 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_decontam_oracle() -> str:
+    from prohap_spark.functions.sketches import BLOOM_WORD_BITS as WB
+    from prohap_spark.functions.sketches import _md5_window_sql
+
+    K, M = 4, 1 << 17
+    pos_exprs = ", ".join(
+        f"{_md5_window_sql('gram', 1 + 5 * j, 5)} % {M}" for j in range(K)
+    )
+    mask = f"(CAST(1 AS BIGINT) << CAST(p % {WB} AS INT))"
+    gh = _md5_window_sql("gram", 1, 15)
+    return f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+            FROM documents)
+    ),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0
+    ),
+    bloom AS MATERIALIZED (
+      SELECT p // {WB} AS word_idx, bit_or({mask}) AS word
+      FROM (SELECT unnest([{pos_exprs}]) AS p FROM bench)
+      GROUP BY 1
+    ),
+    corpus AS (SELECT doc_id, grams FROM g WHERE doc_id % 17 != 0),
+    ce AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM corpus),
+    probe AS (
+      SELECT doc_id, gram, unnest([{pos_exprs}]) AS p FROM ce
+    ),
+    pb AS (
+      SELECT doc_id, gram,
+             sum(CASE WHEN b.word IS NOT NULL AND (b.word & {mask}) = {mask}
+                 THEN 1 ELSE 0 END) AS ok
+      FROM probe LEFT JOIN bloom b ON probe.p // {WB} = b.word_idx
+      GROUP BY 1, 2
+    ),
+    bdoc AS (
+      SELECT doc_id, sum(CASE WHEN ok = {K} THEN 1 ELSE 0 END) AS bloom_hits
+      FROM pb GROUP BY 1
+    ),
+    bh AS (SELECT DISTINCT {gh} AS ghash FROM bench),
+    ed AS (
+      SELECT c.doc_id, count(*) AS exact_hits
+      FROM (SELECT doc_id, {gh} AS ghash FROM ce) c JOIN bh USING (ghash)
+      GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(len(c.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(b.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+           CAST(coalesce(e.exact_hits, 0) AS BIGINT) AS exact_hits,
+           coalesce(b.bloom_hits, 0) >= 1 AS bloom_contaminated,
+           coalesce(e.exact_hits, 0) >= 1 AS exact_contaminated,
+           CAST(coalesce(b.bloom_hits, 0) - coalesce(e.exact_hits, 0) AS BIGINT)
+             AS bloom_fp
+    FROM corpus c
+    LEFT JOIN bdoc b USING (doc_id)
+    LEFT JOIN ed e USING (doc_id)
+    """
+
+
+@register("text_bloom_decontam", _bloom_decontam_oracle())
+def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (r9): the deterministic membership
+    sketch (functions/sketches.py — k=4 md5-window hashes over
+    m=131072 bits stored as 62-bit BIGINT words) built from the
+    benchmark's word trigrams, probed by the corpus, with the exact
+    hashed-shingle overlap beside it so the filter's false-positive
+    behavior is IN the data (bloom_fp >= 0 per doc — no false
+    negatives — is the structural guarantee both engines replay
+    bit-for-bit).
+
+    100 TB design: this is THE production decontamination structure —
+    the exact path (text_decontaminate) broadcasts the benchmark's
+    full distinct-shingle hash set, which at a GB-scale eval suite is
+    GBs per executor; the Bloom build collapses it to ceil(m/62)
+    BIGINT words (~16 KB here, MBs at production m) via ONE
+    map-side-combinable bit_or aggregate, and the corpus probe stays
+    a broadcast join against those words. Build cost is one pass over
+    the BENCHMARK (the small side); corpus cost is unchanged."""
+    from prohap_spark.functions.sketches import (
+        _md5_window_int,
+        bloom_build,
+        bloom_probe_hits,
+    )
+    from prohap_spark.operators.dedup import shingle_table
+
+    def md5_long(c):  # the codebase's 60-bit md5 value hash
+        return _md5_window_int(c, 1, 15)
+
+    K, M = 4, 1 << 17
+    d = table(spark, sf_dir, "documents")
+    # the bench gram set feeds the Bloom build AND the exact hash set —
+    # share it too (multiplied-subplan rule, same as corpus below)
+    bench_grams = (
+        shingle_table(d.where(F.col("doc_id") % 17 == 0), "doc_id", "text", 3)
+        .select(F.explode("__tokens").alias("gram"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bloom = bloom_build(bench_grams, "gram", K, M)
+    # the corpus gram table feeds BOTH probes (bloom + exact) — the
+    # multiplied-subplan rule: share the shingle derivation
+    corpus_grams = shingle_table(
+        d.where(F.col("doc_id") % 17 != 0), "doc_id", "text", 3
+    ).select("doc_id", F.explode_outer("__tokens").alias("gram")).localCheckpoint(
+        eager=False
+    )
+    bdoc = (
+        bloom_probe_hits(corpus_grams, ["doc_id"], "gram", bloom, K, M)
+        .groupBy("doc_id")
+        .agg(
+            F.count("__gram").alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("int")).alias("bloom_hits"),
+        )
+    )
+    bench_hash = bench_grams.select(md5_long(F.col("gram")).alias("__gh")).distinct().withColumn(
+        "__hit", F.lit(1)
+    )
+    edoc = (
+        corpus_grams.withColumn("__gh", md5_long(F.col("gram")))
+        .join(F.broadcast(bench_hash), "__gh", "left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce("__hit", F.lit(0))).alias("exact_hits"))
+    )
+    return bdoc.join(edoc, "doc_id").select(
+        "doc_id",
+        "n_grams",
+        F.col("bloom_hits").cast("long").alias("bloom_hits"),
+        F.col("exact_hits").cast("long").alias("exact_hits"),
+        (F.col("bloom_hits") >= 1).alias("bloom_contaminated"),
+        (F.col("exact_hits") >= 1).alias("exact_contaminated"),
+        (F.col("bloom_hits").cast("long") - F.col("exact_hits")).cast("long").alias(
+            "bloom_fp"
+        ),
+    )
+
+
+def _cms_heavy_hitters_oracle() -> str:
+    from prohap_spark.functions.sketches import _md5_window_sql
+
+    D, W, TOPK = 4, 1024, 20
+    pos_legs = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_md5_window_sql('tok', 1 + 4 * j, 4)} % {W} AS idx FROM toks"
+        for j in range(D)
+    )
+    cand_legs = "\n      UNION ALL ".join(
+        f"SELECT tok, exact_cnt, {j} AS j, "
+        f"{_md5_window_sql('tok', 1 + 4 * j, 4)} % {W} AS idx FROM top"
+        for j in range(D)
+    )
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+    ),
+    cms AS MATERIALIZED (
+      SELECT j, idx, count(*) AS cnt FROM (
+      {pos_legs}
+      ) GROUP BY 1, 2
+    ),
+    top AS MATERIALIZED (
+      SELECT tok, count(*) AS exact_cnt FROM toks
+      GROUP BY 1 ORDER BY exact_cnt DESC, tok LIMIT {TOPK}
+    ),
+    pe AS (
+      {cand_legs}
+    )
+    SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est,
+           CAST(min(coalesce(c.cnt, 0)) - exact_cnt AS BIGINT) AS overcount
+    FROM pe LEFT JOIN cms c USING (j, idx)
+    GROUP BY tok, exact_cnt
+    """
+
+
+@register("text_heavy_hitters_cms", _cms_heavy_hitters_oracle())
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (r9): the deterministic frequency
+    sketch (functions/sketches.py — d=4 rows x w=1024 counters, md5
+    window hashes, pure integer counts) built over the corpus token
+    stream, point-queried for the exact top-20 tokens so the CMS
+    guarantee is IN the data: overcount >= 0 always (CMS never
+    undercounts), bounded by e*N/w in expectation.
+
+    100 TB design: the sketch is the vocabulary-free frequency path —
+    state is d*w counters (4096 BIGINTs) regardless of corpus size,
+    built by ONE map-side-combinable aggregate over the exploded
+    tokens (the exchange carries at most d*w rows per task); point
+    queries broadcast the counter table. The exact top-k beside it is
+    the verification harness, not the scale path."""
+    from prohap_spark.functions.sketches import cms_build, cms_estimate
+
+    D, W, TOPK = 4, 1024, 20
+    d = table(spark, sf_dir, "documents")
+    # the token stream feeds the sketch build AND the exact counts —
+    # share the split/explode derivation (multiplied-subplan rule)
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    ).localCheckpoint(eager=False)
+    cms = cms_build(toks, "tok", D, W)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "tok")
+        .limit(TOPK)
+    )
+    est = cms_estimate(top, "tok", cms, D, W)
+    return est.select(
+        "tok",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
 @register(
     "text_repetition_stats",
     # within-document repetition (Gopher-style): duplicate-word and

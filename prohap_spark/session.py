@@ -29,6 +29,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescing targets shuffle BYTES and is blind to
+        # downstream per-row cost: the r9 profile caught it folding the
+        # ProHap kernel's 6.4k-row input (compressed ACGT shuffles
+        # brutally small) into ONE partition, serializing a 32-way
+        # Arrow/Python stage behind a single task (measured: e2e
+        # 3.6 s -> 1.8 s after this floor restored 16-way parallelism).
+        # Lowering the coalesce floor from the 1 MB default keeps
+        # small-byte/expensive-row stages wide; large shuffles are
+        # unaffected (their parallelismFirst byte targets dominate),
+        # and the worst case for genuinely tiny JVM stages is a few ms
+        # of extra task scheduling.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_COALESCE", "64kb"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

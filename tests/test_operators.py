@@ -2200,3 +2200,91 @@ def test_quality_probe_query_fits_and_scores(spark):
     assert agg["n"] > 0
     assert agg["mae"] < 100_000, agg["mae"]  # < 0.1 natural units
     assert agg["agree"] >= 0.9, agg["agree"]
+
+
+def test_bloom_filter_no_false_negatives_and_fp_rate(spark):
+    """The deterministic Bloom filter (r9): every inserted key MUST
+    probe true (no false negatives — the structural guarantee), and
+    the false-positive rate over non-inserted keys stays within 4x the
+    analytic (1 - e^(-kn/m))^k bound for the test's k=4, m=2^17,
+    n=2000 (analytic ~2.6e-6; the margin absorbs hash clustering)."""
+    from prohap_spark.functions.sketches import bloom_build, bloom_probe_hits
+
+    K, M = 4, 1 << 17
+    inserted = spark.range(2000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("gram")
+    )
+    bloom = bloom_build(inserted, "gram", K, M)
+    assert bloom.count() <= (M // 62) + 1
+
+    probe_in = inserted.select(F.col("gram"), F.lit(1).alias("k_id"))
+    hits = bloom_probe_hits(probe_in, ["k_id"], "gram", bloom, K, M)
+    assert hits.where(~F.col("bloom_hit")).count() == 0  # no false negatives
+
+    absent = spark.range(20000).select(
+        F.concat(F.lit("other_"), F.col("id")).alias("gram"), F.lit(1).alias("k_id")
+    )
+    fp = bloom_probe_hits(absent, ["k_id"], "gram", bloom, K, M).where(
+        F.col("bloom_hit")
+    ).count()
+    import math
+
+    analytic = (1 - math.exp(-K * 2000 / M)) ** K
+    assert fp / 20000 <= max(4 * analytic, 3 / 20000), (fp, analytic)
+
+
+def test_cms_never_undercounts_and_is_exact_when_sparse(spark):
+    """Count-min sketch (r9): estimates are >= exact for EVERY queried
+    token (CMS never undercounts), and with far fewer distinct tokens
+    than counters the estimate is exact for most tokens."""
+    from prohap_spark.functions.sketches import cms_build, cms_estimate
+
+    rows = [(f"tok{i % 50}",) for i in range(5000)]  # 50 tokens x 100
+    toks = spark.createDataFrame(rows, ["tok"])
+    cms = cms_build(toks, "tok", 4, 1024)
+    assert cms.count() <= 4 * 1024
+    cand = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = cms_estimate(cand, "tok", cms, 4, 1024).collect()
+    assert len(est) == 50
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in est)
+    exact_frac = sum(1 for r in est if r["cms_est"] == r["exact_cnt"]) / 50
+    assert exact_frac >= 0.8, exact_frac
+
+
+def test_bloom_word_semantics_match_duckdb(spark):
+    """The 62-bit word contract: Spark's bloom words bit-or to the
+    same BIGINTs DuckDB computes for the same keys (the portability
+    the 62-bit choice exists for — DuckDB raises on << 62+)."""
+    import duckdb
+
+    from prohap_spark.functions.sketches import (
+        BLOOM_WORD_BITS,
+        _md5_window_sql,
+        bloom_build,
+    )
+
+    K, M = 4, 1 << 17
+    keys = [f"gram {i}" for i in range(97)]
+    got = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(
+            spark.createDataFrame([(k,) for k in keys], ["gram"]), "gram", K, M
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE g AS SELECT * FROM (VALUES "
+        + ", ".join(f"({k!r})" for k in keys)
+        + ") v(gram)"
+    )
+    pos = ", ".join(
+        f"{_md5_window_sql('gram', 1 + 5 * j, 5)} % {M}" for j in range(K)
+    )
+    mask = f"(CAST(1 AS BIGINT) << CAST(p % {BLOOM_WORD_BITS} AS INT))"
+    want = dict(
+        con.execute(
+            f"SELECT p // {BLOOM_WORD_BITS}, bit_or({mask}) FROM "
+            f"(SELECT unnest([{pos}]) AS p FROM g) GROUP BY 1"
+        ).fetchall()
+    )
+    assert got == want

@@ -646,3 +646,61 @@ def test_engine_child_session_pins_aqe_skew_confs(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", parent_prev)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_prohap_kernel_stage_not_serialized_by_aqe_coalesce(spark):
+    """The r9 profile found AQE's byte-based partition coalescing
+    folding the ProHap kernel's input (thousands of rows, but tiny
+    COMPRESSED shuffle bytes — ACGT text compresses brutally) into ONE
+    partition, serializing the most expensive Python stage in the repo
+    behind a single task (e2e 3.6 s -> 1.8 s once fixed). The fix is
+    the coalesce floor minPartitionSize=64kb in session.py /
+    registry.py; this pins the RUNTIME behavior — the kernel's input
+    must still be spread over multiple partitions after AQE re-plans,
+    with no single partition holding everything."""
+    import prohap_spark.kernels.spark_kernels as sk
+    import prohap_spark.pipeline.prohap as pm
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+
+    captured = {}
+    orig = sk.annotate_items
+
+    def capture(df, **kw):
+        captured["df"] = df
+        return orig(df, **kw)
+
+    pm.annotate_items = capture
+    try:
+        run_prohap_e2e(spark, scale=1).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    finally:
+        pm.annotate_items = orig
+    sizes = [n for n in captured["df"].rdd.glom().map(len).collect() if n]
+    total = sum(sizes)
+    assert total > 1000, sizes  # the fixture is non-trivial
+    # the test session runs shuffle_partitions=4, so full width is 4;
+    # the pre-fix failure mode was exactly ONE partition with all rows
+    assert len(sizes) >= 2, sizes
+    assert max(sizes) < 0.8 * total, sizes
+
+
+def test_sketch_queries_plan_shapes(spark, qs):
+    """The r9 sketch queries' 100 TB shapes: the Bloom probe joins are
+    broadcast (the corpus never shuffles for membership), no nested
+    loops anywhere, and both queries' shared derivations keep the
+    documents scan at the checkpoint-shared ceiling (<= 2 visible
+    scans — the corpus leg and the bench leg for bloom; <= 1 for CMS
+    whose token stream is one shared checkpoint)."""
+    from prohap_spark.plans import plan_report, scans_per_file
+
+    bl = qs["text_bloom_decontam"](spark, SF)
+    rep = plan_report(bl)
+    assert rep["bnl_joins"] == 0
+    assert rep["broadcast_joins"] >= 2  # bloom words + exact hash set
+    assert scans_per_file(bl).get("documents.parquet", 0) <= 2
+
+    cms = qs["text_heavy_hitters_cms"](spark, SF)
+    rep2 = plan_report(cms)
+    assert rep2["bnl_joins"] == 0
+    assert scans_per_file(cms).get("documents.parquet", 0) <= 1
