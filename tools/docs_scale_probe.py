@@ -133,6 +133,46 @@ def main() -> None:
         row["funnel_rows"] = curation_funnel(docs).count()
         row["funnel_sec"] = round(time.monotonic() - t0, 3)
 
+        # r9 sketches: the Bloom probe should be corpus-LINEAR with a
+        # FIXED sketch (bench side constant — the 2114-word filter is
+        # broadcast; the corpus side is one map-side pass), and the
+        # CMS build corpus-linear with CONSTANT state (d*w counters
+        # regardless of r) — the defining property of both sketches
+        from prohap_spark.functions.sketches import (
+            bloom_build,
+            bloom_probe_hits,
+            cms_build,
+        )
+        from prohap_spark.operators.dedup import shingle_table
+
+        bench_grams = (
+            shingle_table(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet").where(
+                    F.col("doc_id") % 17 == 0
+                ),
+                "doc_id", "text", 3,
+            )
+            .select(F.explode("__tokens").alias("gram"))
+            .distinct()
+        )
+        bloom = bloom_build(bench_grams, "gram", 4, 1 << 17)
+        corpus_grams = shingle_table(docs, "doc_id", "text", 3).select(
+            "doc_id", F.explode("__tokens").alias("gram")
+        )
+        t0 = time.monotonic()
+        row["bloom_probe_rows"] = bloom_probe_hits(
+            corpus_grams, ["doc_id"], "gram", bloom, 4, 1 << 17
+        ).where(F.col("bloom_hit")).count()
+        row["bloom_probe_sec"] = round(time.monotonic() - t0, 3)
+
+        toks = docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+        )
+        t0 = time.monotonic()
+        cms = cms_build(toks, "tok", 4, 1024)
+        row["cms_counters"] = cms.count()
+        row["cms_build_sec"] = round(time.monotonic() - t0, 3)
+
         # peptides chain (r6 verdict #8): the bench's J6→J11+U4 chain
         # over the replicated corpus — the workload builder multiplies
         # with the docs, so this measures the explode/containment/
@@ -236,6 +276,8 @@ def main() -> None:
             f"semdedup {row['semdedup_sec']:6.2f}s  "
             f"semdedup_capped {row['semdedup_capped_sec']:6.2f}s  "
             f"funnel {row['funnel_sec']:6.2f}s  "
+            f"bloom {row['bloom_probe_sec']:6.2f}s  "
+            f"cms {row['cms_build_sec']:6.2f}s  "
             f"peptides {row['peptides_sec']:6.2f}s  "
             f"incr_exact {row['incr_exact_sec']:6.2f}s"
             f"/{row['incr_exact_idx_sec']:5.2f}s(idx)  "
