@@ -547,9 +547,21 @@ def multimodal_audio_window_codec(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _docs_as_media(spark: SparkSession, sf_dir: str, min_bytes: int):
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return d.where(F.octet_length(F.encode("text", "utf-8")) >= min_bytes).select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "utf-8").alias("text_bytes"),
+    return (
+        d.where(F.octet_length(F.encode("text", "utf-8")) >= min_bytes)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("text_bytes"),
+        )
+        # the byte-blind-parallelism rule's SCAN-side case (SURVEY §4):
+        # documents is one parquet row group, row groups can't split,
+        # so every codec's encode/decode Arrow stage would run on ONE
+        # task (measured: bmp_png 3.7 s single-task at sf0.1). The
+        # repartition shuffles only the selected payload bytes — bytes
+        # the Arrow stage ser/des anyway — and buys core-count-wide
+        # Python decode; at production scale media arrives as many
+        # files/row groups and this is a no-op-sized safety floor
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
