@@ -120,6 +120,69 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def stateful_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The SAME per-user running stats on Spark 4's current-generation
+    stateful API, ``transformWithStateInPandas`` (StatefulProcessor +
+    typed state handles) — the successor to applyInPandasWithState
+    above. Semantics are identical by construction (the parity test
+    pins stream-final == batch aggregate == the legacy operator), so
+    the two implementations document the API migration side by side:
+    GroupState's single untyped tuple becomes a NAMED ValueState with
+    its own schema (a processor can hold several — value/list/map —
+    plus timers), init/close lifecycle hooks replace the closure, and
+    the state store layout stays per-grouping-key shards, so the
+    100 TB shape is unchanged.
+
+    ENVIRONMENT GATE: Spark's transformWithState Python driver worker
+    requires the ``protobuf`` package (its state-server protocol is
+    proto-encoded). Where protobuf is absent the query fails at START
+    with Spark's own STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE —
+    fail-loud, nothing silent — and the parity pytest probes for the
+    same import and skips. The legacy operator above has no such
+    dependency and remains the default."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = "user_id long, n_events long, total_value double, last_ts_us long"
+
+    class UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n long, total double, last_us long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._state.get()
+            n, total, last_us = got if got is not None else (0, 0.0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    last_us = max(last_us, int(pdf["ts"].max().value // 1000))
+            self._state.update((n, total, last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        UserStatsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def click_view_attribution(
     events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -267,13 +267,19 @@ def test_knn_classify_broadcasts_probes_and_labels(spark, qs):
     assert rep["broadcast_joins"] >= 2
 
 
-def test_audio_container_no_shuffle(spark, qs):
+def test_audio_container_single_widening_exchange(spark, qs):
     """Container-metadata extraction is one mapInPandas over the
-    payload column — a scan-shaped plan with ZERO exchanges."""
-    from prohap_spark.plans import plan_report
+    payload column, plus EXACTLY the one round-robin exchange that
+    widens the decode stage past the single-row-group scan (the r9
+    scan-side parallelism floor in _docs_as_media — bmp_png measured
+    3.7 s single-task before it). Zero exchanges was the OLD pin; it
+    documented the serialized shape."""
+    from prohap_spark.plans import formatted_plan, plan_report
 
-    rep = plan_report(qs["multimodal_audio_container"](spark, SF))
-    assert rep["exchanges"] == 0
+    df = qs["multimodal_audio_container"](spark, SF)
+    rep = plan_report(df)
+    assert rep["exchanges"] == 1
+    assert "roundrobinpartitioning" in formatted_plan(df).lower()
 
 
 def test_hybrid_rrf_takeordered_legs_no_sortmerge(spark, qs):
