@@ -2288,3 +2288,59 @@ def test_bloom_word_semantics_match_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_md5_window_hash_cross_engine_unicode_property(spark):
+    """The md5-window integer device under EVERY deterministic sketch
+    (HLL registers, Bloom positions, CMS indices, fingerprints) must
+    agree bit-for-bit between Spark and DuckDB for arbitrary UNICODE
+    input, not just the ASCII the synthetic corpus exercises — both
+    engines hash the UTF-8 bytes of the string, and this is the pin.
+    Hypothesis drives the value generation; one batched Spark job and
+    one DuckDB query compare all windows at once."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prohap_spark.functions.sketches import _md5_window_int, _md5_window_sql
+
+    # windows used across the sketch family: HLL's 15-char value hash,
+    # Bloom's 4x5-char draws, CMS's 4x4-char draws
+    WINDOWS = [(1, 15), (1, 5), (6, 5), (11, 5), (16, 5), (1, 4), (5, 4), (9, 4), (13, 4)]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",),  # no lone surrogates
+                    max_codepoint=0x10FFFF,
+                ),
+                min_size=0,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(values):
+        df = spark.createDataFrame([(v,) for v in values], ["v"])
+        got = df.select(
+            "v",
+            *[
+                _md5_window_int(F.col("v"), s, w).alias(f"h_{s}_{w}")
+                for s, w in WINDOWS
+            ],
+        ).collect()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+        sel = ", ".join(
+            f"{_md5_window_sql('v', s, w)} AS h_{s}_{w}" for s, w in WINDOWS
+        )
+        want = {r[0]: r[1:] for r in con.execute(f"SELECT v, {sel} FROM t").fetchall()}
+        for r in got:
+            assert tuple(r[f"h_{s}_{w}"] for s, w in WINDOWS) == want[r["v"]], r["v"]
+
+    check()
