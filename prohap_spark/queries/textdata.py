@@ -185,9 +185,20 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-bigram Jaccard near-dup pairs within language blocks.
-    Quadratic within block — the verify kernel; LSH (below) is the
-    scale path that feeds it candidates instead."""
+    """Exact word-bigram Jaccard near-dup pairs within language blocks,
+    on the AllPairs/PPJoin prefix-filter strategy as of r9 (rarest-
+    first prefixes generate candidates via a sparse gram equi-join,
+    exact Jaccard verifies — identical result set to the old block-
+    quadratic join, pinned in pytest at two thresholds): the r9
+    full-registry timing sweep caught the quadratic form at 125 s on
+    sf0.1, 6x anything else on the board; the prefix form runs it in
+    ~6.6 s and changes the asymptotic shape from block-squared to
+    candidate-driven. At this deliberately permissive t=0.3 on a
+    shared-vocabulary corpus most block pairs survive as candidates
+    (the win here is shuffling slim id-pairs instead of token
+    arrays); at production thresholds the prefix math itself prunes.
+    The naive kernel remains available as strategy='block' for
+    post-LSH verification."""
     d = table(spark, sf_dir, "documents")
     out = jaccard_pairs(d, "doc_id", "text", ["lang"], threshold=0.30, ngram=2)
     return out.select("lang", "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -2344,3 +2344,31 @@ def test_md5_window_hash_cross_engine_unicode_property(spark):
             assert tuple(r[f"h_{s}_{w}"] for s, w in WINDOWS) == want[r["v"]], r["v"]
 
     check()
+
+
+def test_jaccard_prefix_strategy_equals_block_quadratic(spark):
+    """The AllPairs prefix-filtered set-similarity join must return
+    EXACTLY the block-quadratic result set (the prefix theorem: if
+    J(A,B) >= t, the rarest-first prefixes of length
+    |X| - ceil(t|X|) + 1 share a gram — candidates are a superset,
+    the exact verify closes the gap). Pinned at two thresholds, the
+    permissive one the registered query uses and a production-tight
+    one where the filter actually prunes."""
+    from prohap_spark.operators.dedup import jaccard_pairs
+    from prohap_spark.queries.registry import table
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    for t in (0.30, 0.75):
+        got = {
+            (r["lang"], r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(
+                d, "doc_id", "text", ["lang"], t, 2, strategy="prefix"
+            ).collect()
+        }
+        want = {
+            (r["lang"], r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(
+                d, "doc_id", "text", ["lang"], t, 2, strategy="block"
+            ).collect()
+        }
+        assert got == want, (t, len(got), len(want))
