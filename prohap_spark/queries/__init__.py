@@ -44,24 +44,24 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # tools/rotation_audit.py now audits. Registration is HARD-CAPPED at
 # 150 = 3x50 while the window is three rounds.)
 #
-# Round-9 state (registry 145): r8 was the first fully green driver
-# round (50/50, zero reds), so the r9 front is exactly the
-# pre-computed obligation set: 3 rule-(a) never-driver-checked r8
-# merge registrations (dedup_minhash_lsh_board, dedup_simhash_board,
-# multimodal_audio_window_codec — their first CORRECTNESS rows land
-# this round), 45 rule-(c) last-green-r6 entries (dark r7 and r8 —
-# the window forces them now), and the 2 slack slots spent on
-# ORACLE-GAINING RE-FRONTS: text_quality_classifier's gate swapped
-# from the rows-only L-BFGS demo to the integer fixed-point linear
-# probe (operators/classifier.py, bit-exact DuckDB training+scoring
-# replay, built r8 / wired r9), and agg_approx_sketches' projection
-# restructured to carry ONLY value-gated columns (exact aggregates +
-# the deterministic-HLL replay + property booleans bounding the
-# engine-native sketches). Both had r7 no_oracle rows that their new
-# oracles obsolete, so both must re-front (the audit enforces it).
-# Net: ROWS_ONLY_BY_DESIGN is EMPTY as of r9 — every registered
-# query carries a value-hash oracle. _BACK documents the 45
-# surviving r7-green entries — the r10 rule-(c) obligations.
+# Round-10 state (registry 147 at open): r9 was the second
+# consecutive fully green driver round (50/50, zero reds), so the r10
+# front is exactly the pre-computed obligation set: 2 rule-(a)
+# never-driver-checked r9 registrations (text_bloom_decontam,
+# text_heavy_hitters_cms — their first CORRECTNESS rows land this
+# round), 45 rule-(c) last-green-r7 entries (dark r8 and r9 — the
+# window forces them now), and the 3 slack slots spent on (1) an
+# ORACLE-CHANGING RE-FRONT: agg_approx_sketches' deterministic-HLL
+# replay gains the small-range linear-counting correction (r9 verdict
+# missing #4; functions/sketches.py + functions/integer_math.py
+# integer ln — the DuckDB replay changes with it, so the query must
+# re-front), and (2)+(3) two NEW TPC-H registrations widening the
+# relational surface with join patterns the registry lacked: q7
+# (two-sided nation cross-filter volume join) and q21 (exists /
+# not-exists correlated self-joins — semi+anti on the same key).
+# ROWS_ONLY_BY_DESIGN stays EMPTY — every registered query carries a
+# value-hash oracle. _BACK documents the 50 surviving r8-green
+# entries — the r11 rule-(c) obligations.
 # `python tools/rotation_audit.py` verifies all of this mechanically
 # against the CORRECTNESS_r*.json files.
 #
@@ -74,38 +74,16 @@ from prohap_spark.queries import threeexon_haplo  # noqa: F401
 # higher. Silent omission is never an option — the audit's exit code
 # enforces that the resolution is visible.
 _FRONT = [
-    # (a) registered r8 after that front filled (the slot-freeing
-    # merges), never driver-checked — first rows land now:
-    "dedup_minhash_lsh_board", "dedup_simhash_board",
-    "multimodal_audio_window_codec",
-    # oracle gained r9 (both were documented rows-only through r8) —
-    # an oracle-gaining query must re-front immediately:
-    "text_quality_classifier", "agg_approx_sketches",
-    # (c) last green r6, dark r7 and r8 — the window forces them now:
-    "q1_pricing_summary", "er_fuzzy_blocked_join",
-    "w1_islands_sessionize", "w1b_interval_islands",
-    "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
-    "j1_interval_join_binned", "stream_tumbling_window",
-    "j1b_interval_overlap_join", "stream_dedup_watermark",
-    "events_funnel", "w_ntile_percent_rank", "dedup_jaccard_pairs",
-    "dedup_cluster_reps", "text_bm25_topk",
-    "sampling_hash_split", "text_decontaminate",
-    "text_repetition_stats", "sampling_stratified_rates",
-    "text_bpe_tokens", "text_pii_scrub", "text_line_dedup",
-    "pack_context_windows", "sampling_token_budget", "dedup_winnowing",
-    "corpus_curation_e2e", "dedup_embedding_cosine", "sim_sq_ann",
-    "sim_pq_ann", "dedup_semantic", "j9_containment_join",
-    "stream_stateful_user_stats", "agg_salted_skew",
-    "multimodal_jpeg_codec", "agg_grouping_sets",
-    "domain_provar_fasta_oracle", "domain_postprocess_chain",
-    "u4_peptide_classes", "domain_provar_minus_strand",
-    "domain_provar_indel_oracle", "j8_gene_header_annotation",
-    "u4_full_class_grid", "domain_provar_threeexon_oracle",
-    "domain_prohap_threeexon_oracle",
-]
-_BACK = [
-    # last green r7, dark r8 AND r9 — the r10 rule-(c) front
-    # obligations (rotation_audit.py prints them)
+    # (a) registered r9 after that front filled (the sketch pair),
+    # never driver-checked — first rows land now:
+    "text_bloom_decontam", "text_heavy_hitters_cms",
+    # oracle CHANGED r10 (HLL replay gains the linear-counting
+    # small-range correction) — an oracle-changing query must
+    # re-front immediately:
+    "agg_approx_sketches",
+    # NEW registrations r10 (rule-a by construction — front now):
+    "q7_volume_shipping", "q21_suppliers_kept_waiting",
+    # (c) last green r7, dark r8 and r9 — the window forces them now:
     "so_set_ops", "agg_rollup", "agg_pivot", "agg_quantiles",
     "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
     "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
@@ -124,6 +102,32 @@ _BACK = [
     "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
     "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
     "s13_jsonl_roundtrip",
+]
+_BACK = [
+    # last green r8, dark r9 — the r11 rule-(c) front obligations
+    # (rotation_audit.py prints them)
+    "s1_scan_pushdown_projection", "f1_regex_threshold",
+    "f4_isin_filter", "f5_group_conditional_filter",
+    "f9_array_mask_filter", "j2_normalized_key_join",
+    "j3_star_dim_join", "j4_semi_join", "j11_anti_join",
+    "a2_signature_grouping", "a3_conditional_denominator",
+    "a4_group_frequency_maps", "a7_priority_dedup",
+    "a11_synthesize_missing_groups", "c15_map_merge_explode",
+    "j12_bucketed_colocated_join", "w5_running_offset",
+    "j6_explode_equijoin", "text_fingerprint_dedup", "dedup_exact_docs",
+    "text_bpe_train", "text_unigram_logprob", "text_char_entropy",
+    "sim_bruteforce_topk", "sim_ivf_ann", "emb_centroid_cosine",
+    "c_math_hash", "c2_regex_split_explode", "w3_array_sort_analytics",
+    "c_json_extract", "sql_api_q6", "stream_live_session_windows",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "agg_exact_distinct", "w_lead_lag", "agg_cube_grouping",
+    "multimodal_bmp_png_codec", "domain_provar_snp_oracle",
+    "domain_prohap_snp_oracle", "f10_sample_subset_prohap",
+    "f8_count_threshold_prohap", "domain_prohap_indel_oracle",
+    "domain_provar_start_oracle", "s7_tsv_gz_roundtrip",
+    "s10_partitioned_prune", "f2_allele_validity",
+    "domain_provar_junction_oracle", "domain_provar_forcerf_oracle",
+    "domain_prohap_junction_oracle",
 ]
 
 

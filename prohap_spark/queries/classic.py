@@ -1205,6 +1205,153 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_volume_shipping",
+    # nations are synthetic NATION_k in this corpus; the pair (1, 2)
+    # stands in for the spec's FRANCE/GERMANY. Revenue is exact
+    # integer cents so partial-agg order can't move the hash.
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(vol_cents) AS BIGINT) AS revenue_cents
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT) AS vol_cents
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: two-sided nation cross-filter — the disjunctive
+    (supp, cust) nation-pair predicate can't be pushed to either dim
+    alone, so each side pre-filters to the two named nations (that
+    conjunct-weakening IS pushable) and the pair disjunction applies
+    after both nation joins. Both nation dims broadcast (2 rows each);
+    the fact-side joins shuffle on their natural keys and AQE picks
+    broadcast for the post-filter order/customer sides at small SF.
+    Exact integer-cent revenue keeps the cross-engine hash stable."""
+    pair = ("NATION_1", "NATION_2")
+    n1 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    n2 = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*pair))
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+        "bigint"
+    )
+    joined = (
+        s.join(F.broadcast(n1), s["s_nationkey"] == n1["n_nationkey"])
+        .withColumnRenamed("n_name", "supp_nation")
+        .join(li, F.col("s_suppkey") == li["l_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), c["c_nationkey"] == n2["n_nationkey"])
+        .withColumnRenamed("n_name", "cust_nation")
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            cents.alias("vol_cents"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("vol_cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    # schema has no l_commitdate/l_receiptdate, so "late" reuses the
+    # q4 adaptation: shipped >90 days after the order date (a per-order
+    # constant, so lateness is decidable from (l_shipdate, o_orderdate)
+    # alone for every line on the order)
+    """
+    SELECT s.s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s.s_name
+    """,
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: correlated EXISTS + NOT EXISTS on the SAME
+    fact table and key — decorrelated into a left-semi ("some other
+    supplier on the order") and a left-anti ("no other supplier was
+    ALSO late") join, both equi-keyed on orderkey with suppkey-inequality
+    (and, for the anti, the lateness window) as non-equi residuals.
+    Lateness is relative to o_orderdate — a per-order constant the
+    probe row already carries, so the anti residual needs no second
+    orders join. At scale: three shuffles on orderkey (base join +
+    semi + anti, all the same key, so AQE reuses the exchange
+    partitioning) and a broadcast supplier⋈nation dim."""
+    n = table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"]
+    )
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_suppkey").alias("sk2"),
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("sk3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    return (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["sk2"]),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3["k3"])
+            & (F.col("l_suppkey") != l3["sk3"])
+            & (l3["ship3"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "graph_triangle_count",
     # co-purchase graph: parts are linked when any order contains both.
     # The oracle enumerates triangles with the simple id-ordered join
