@@ -28,12 +28,19 @@ Determinism and exactness, piece by piece:
   by the register sum — BIGINT in, BIGINT out, no float anywhere in
   the gated value.
 
-This is the RAW HLL estimator: the small-range linear-counting
-correction needs ln() (a transcendental — exactly the portability
-class this repo banished from hash gates), so it is deliberately
-omitted and the zero-register count is emitted beside the estimate
-for any consumer that wants to apply it. Accuracy for m = 64 is
-~1.04/sqrt(64) ≈ 13% relative error (pinned in tests).
+Small-range correction (r10): the classic linear-counting switch —
+when zero registers remain (V > 0) and the raw estimate is ≤ 2.5m,
+estimate m·ln(m/V) instead — needs ln(), a transcendental and
+exactly the portability class this repo banished from hash gates.
+It was omitted through r9 for that reason; it is now applied with
+the ALL-INTEGER fixed-point ln of ``functions/integer_math.py``
+(``iln_fp``, scale 2^30, built r8 for the micro-nat gates): both
+engines compute ``(m·(ln_fp(m) − ln_fp(V)) + 2^29) div 2^30`` from
+identical integers, so the corrected estimate stays bit-exact
+cross-engine. ln_fp(64) is exactly 6·LN2_FP (powers of two have a
+zero series term), precomputed as one literal. Accuracy for m = 64:
+~1.04/sqrt(64) ≈ 13% relative error in the raw range; linear
+counting shrinks the known low-n bias (pinned in tests).
 
 Scale shape: two hash aggregates — (group, register) max-rank, then
 per-group sum — both map-side combinable; register state is 64 rows
@@ -47,6 +54,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 M = 64  # registers (p = 6)
 RANK_CAP = 41
 ALPHA_NUM = int(round(0.709 * M * M * (1 << RANK_CAP)))  # alpha_64 m^2 2^41
+
+# linear-counting pieces (all exact integers, shared by both engines):
+# ln_fp(64) = 6·LN2_FP exactly — 64 is a power of two, so iln_fp's
+# atanh series term is zero and only the bit-length multiple remains
+from prohap_spark.functions.integer_math import FP_SHIFT, LN2_FP, iln_fp_col, iln_fp_sql
+
+ILN_M_FP = 6 * LN2_FP
+LC_THRESHOLD = (5 * M) // 2  # apply LC when raw estimate <= 2.5m and V > 0
 
 
 def _rank_cols(value: Column) -> tuple[Column, Column]:
@@ -83,12 +98,21 @@ def hll_distinct(
         F.sum(t).alias("__s_present"),
         F.count(F.lit(1)).alias("__n_present"),
     )
+    raw = F.expr(
+        f"CAST({ALPHA_NUM} AS BIGINT) div (__s_present + "
+        f"(CAST({M} AS BIGINT) - __n_present) * CAST({1 << RANK_CAP} AS BIGINT))"
+    )
+    v = (F.lit(M).cast("long") - F.col("__n_present")).alias("__v")
+    # linear counting: round-half-up(m·(ln_fp(m) − ln_fp(V)) / 2^30),
+    # every operand an exact integer (see module docstring)
+    lc = F.lit(M).cast("long") * (
+        F.lit(ILN_M_FP).cast("long") - iln_fp_col(v)
+    ) + F.lit(1 << (FP_SHIFT - 1)).cast("long")
+    lc_est = F.shiftright(lc, FP_SHIFT)
+    est = F.when((v > 0) & (raw <= LC_THRESHOLD), lc_est).otherwise(raw)
     return per.select(
         *group_cols,
-        F.expr(
-            f"CAST({ALPHA_NUM} AS BIGINT) div (__s_present + "
-            f"(CAST({M} AS BIGINT) - __n_present) * CAST({1 << RANK_CAP} AS BIGINT))"
-        ).alias("hll_est"),
+        est.cast("bigint").alias("hll_est"),
         (F.lit(M) - F.col("__n_present")).cast("int").alias("hll_zero_registers"),
     )
 
@@ -271,11 +295,20 @@ def hll_oracle_sql(
                   AS BIGINT) AS s_present,
              CAST(count(*) AS BIGINT) AS n_present
       FROM mm GROUP BY 1
+    ),
+    est AS (
+      SELECT {group_col},
+             CAST({ALPHA_NUM} // (s_present +
+                  ({M} - n_present) * CAST({1 << RANK_CAP} AS BIGINT))
+                  AS BIGINT) AS raw_est,
+             CAST({M} AS BIGINT) - n_present AS v
+      FROM ss
     )
     SELECT {group_col}{extra_select},
-           CAST({ALPHA_NUM} // (s_present +
-                ({M} - n_present) * CAST({1 << RANK_CAP} AS BIGINT))
-                AS BIGINT) AS hll_est,
-           CAST({M} - n_present AS INT) AS hll_zero_registers
-    FROM ss
+           CAST(CASE WHEN v > 0 AND raw_est <= {LC_THRESHOLD}
+                THEN ((CAST({M} AS BIGINT) * ({ILN_M_FP} - {iln_fp_sql("v")})
+                       + {1 << (FP_SHIFT - 1)}) >> {FP_SHIFT})
+                ELSE raw_est END AS BIGINT) AS hll_est,
+           CAST(v AS INT) AS hll_zero_registers
+    FROM est
     """

@@ -106,6 +106,13 @@ _FRONT = [
 _BACK = [
     # last green r8, dark r9 — the r11 rule-(c) front obligations
     # (rotation_audit.py prints them)
+    # WAIVER: agg_exact_distinct shares hll_distinct/hll_oracle_sql,
+    # whose r10 linear-counting correction changed both its query and
+    # oracle TEXT — but not its VALUES: at the gate SF every group's
+    # raw estimate clears 2.5m by ~10x, so the LC branch provably
+    # never fires there (pinned by test_hll_linear_counting_cross_
+    # engine_bit_exact's dormancy leg) and the r8 green remains
+    # value-valid without a re-front.
     "s1_scan_pushdown_projection", "f1_regex_threshold",
     "f4_isin_filter", "f5_group_conditional_filter",
     "f9_array_mask_filter", "j2_normalized_key_join",

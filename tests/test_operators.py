@@ -2090,18 +2090,18 @@ def test_hll_distinct_accuracy_and_partition_invariance(spark):
     for grp, n_distinct in (("b", 500), ("c", 5000)):
         est = got[grp]["hll_est"]
         assert abs(est - n_distinct) / n_distinct < 0.25, (grp, est, n_distinct)
-    # n = 50 << 2.5m is the documented small-range regime: the RAW
-    # estimator biases HIGH (the module docstring's reason for
-    # emitting hll_zero_registers instead of baking in a correction
-    # that needs ln()). The consumer-side linear-counting correction
-    # m*ln(m/V) from the emitted zero-register count must recover the
-    # true cardinality — proving the emitted columns suffice
+    # n = 50 << 2.5m is the small-range regime where the raw estimator
+    # biases HIGH: since r10 the estimator applies linear counting
+    # m·ln(m/V) internally (all-integer iln_fp, see module docstring),
+    # so the EMITTED estimate must already be in band — and must agree
+    # with the float reference formula to within fixed-point rounding
     import math
 
     v = got["a"]["hll_zero_registers"]
-    assert v > 0 and got["a"]["hll_est"] > 50
-    lc = 64 * math.log(64 / v)
-    assert abs(lc - 50) / 50 < 0.25, (lc, v)
+    assert v > 0
+    lc_float = 64 * math.log(64 / v)
+    assert abs(got["a"]["hll_est"] - 50) / 50 < 0.25, got["a"]
+    assert abs(got["a"]["hll_est"] - lc_float) <= 1, (got["a"], lc_float)
     # the 5000-distinct group fills all 64 registers
     assert got["c"]["hll_zero_registers"] == 0
 
@@ -2116,6 +2116,64 @@ def test_hll_distinct_accuracy_and_partition_invariance(spark):
     assert re16 == re1 == {
         (g, r["hll_est"], r["hll_zero_registers"]) for g, r in got.items()
     }
+
+
+def test_hll_linear_counting_cross_engine_bit_exact(spark):
+    """The r10 linear-counting correction: for cardinalities that put
+    the sketch in the small range (V zero registers > 0, raw estimate
+    ≤ 2.5m), the Spark estimator and the DuckDB replay must both take
+    the LC branch and return the SAME integers — the correction is
+    computed with the all-integer fixed-point ln, so bit-exactness is
+    by construction, pinned here across the branch boundary. Also pins
+    the dormancy invariant the r8 driver green of agg_exact_distinct
+    relies on: at the gate SF every group's cardinality is far above
+    2.5m, so the correction provably never fires there (checked over
+    the real gate tables in the oracle engine, where it's cheap)."""
+    import duckdb
+
+    from prohap_spark.functions.sketches import (
+        LC_THRESHOLD,
+        hll_distinct,
+        hll_oracle_sql,
+    )
+
+    rows = []
+    for grp, n_distinct in (("t1", 1), ("t7", 7), ("t30", 30), ("t90", 90), ("big", 4000)):
+        rows += [(grp, f"{grp}v{i % n_distinct}") for i in range(n_distinct * 2)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {
+        r["g"]: (r["hll_est"], r["hll_zero_registers"])
+        for r in hll_distinct(df, ["g"], "v").collect()
+    }
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    oracle = {r[0]: (r[1], r[2]) for r in con.sql(hll_oracle_sql("t", "g", "v")).fetchall()}
+    assert got == oracle, (got, oracle)
+
+    # the tiny groups exercise the LC branch (V > 0) and land close at
+    # small n where the raw estimator is known-biased; the big group
+    # exercises the raw branch
+    for grp, n_true in (("t1", 1), ("t7", 7), ("t30", 30)):
+        est, v = got[grp]
+        assert v > 0, grp
+        assert abs(est - n_true) <= max(2, 0.25 * n_true), (grp, est)
+    assert got["big"][1] == 0  # raw branch: all registers hit
+
+    # dormancy at the gate SF: both registered consumers' group
+    # cardinalities clear 2.5m by an order of magnitude, so the r8
+    # green of agg_exact_distinct (not re-fronted) is value-identical
+    sf = "/root/testdata/sf0.01"
+    for tbl, g, v in (
+        ("orders", "o_orderpriority", "o_custkey"),
+        ("lineitem", "l_returnflag", "l_orderkey"),
+    ):
+        con.sql(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf}/{tbl}.parquet')"
+        )
+        for _, raw_est, zeros in con.sql(hll_oracle_sql(tbl, g, v)).fetchall():
+            assert zeros == 0 or raw_est > LC_THRESHOLD, (tbl, raw_est, zeros)
 
 
 def test_linear_probe_integer_trainer_cross_engine_and_invariant(spark):
