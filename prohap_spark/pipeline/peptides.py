@@ -281,6 +281,23 @@ def annotate_peptides_full(
     m = explode_peptide_matches(peptides).join(
         F.broadcast(proteins_meta), "protein_accession", "left"
     )
+    # real-format extensions (pipeline/peptide_fixture.py): an entry's
+    # sub-sequence offset within the complete protein shifts the
+    # peptide position (peptides_annotate_variation.py:225), and when
+    # one FASTA accession stands for several matched proteins the
+    # match identity — specificity counts, the matching_proteins
+    # output — is the matched protein, not the entry accession
+    # (peptides_annotate_variation.py:217-222)
+    if "seq_position" in proteins_meta.columns:
+        m = m.withColumn(
+            "position",
+            F.col("position") + F.coalesce(F.col("seq_position"), F.lit(0)),
+        ).drop("seq_position")
+    if "matched_protein" in proteins_meta.columns:
+        m = m.withColumn(
+            "protein_accession",
+            F.coalesce("matched_protein", "protein_accession"),
+        ).drop("matched_protein")
     pep_w = Window.partitionBy("peptide_id")
     m = (
         m.withColumn("__any_cont", F.max((F.col("kind") == "cont").cast("int")).over(pep_w))
