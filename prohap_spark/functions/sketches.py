@@ -190,9 +190,12 @@ def bloom_probe_hits(
     items: DataFrame, key_cols: list[str], gram_col: str, bloom: DataFrame,
     k: int, m_bits: int,
 ) -> DataFrame:
-    """key_cols + (bloom_hit boolean) per input row: true iff ALL k of
-    the gram's bits are set in ``bloom`` (broadcast — the probe is
-    map-side; the corpus never shuffles)."""
+    """key_cols + (bloom_hit boolean) per DISTINCT (key_cols, gram):
+    true iff ALL k of the gram's bits are set in ``bloom`` (broadcast —
+    the probe is map-side; the corpus never shuffles). Duplicate
+    (key, gram) input rows are tolerated and collapse to one output
+    row: the gate is min-over-bits, not a sum that a duplicate could
+    inflate into a false negative (r9 advice)."""
     pos = items.select(
         *key_cols,
         F.col(gram_col).alias("__gram"),
@@ -214,8 +217,8 @@ def bloom_probe_hits(
     )
     return (
         joined.groupBy(*key_cols, "__gram")
-        .agg(F.sum(bit_ok.cast("int")).alias("__ok"))
-        .select(*key_cols, F.col("__gram"), (F.col("__ok") == k).alias("bloom_hit"))
+        .agg(F.min(bit_ok.cast("int")).alias("__ok"))
+        .select(*key_cols, F.col("__gram"), (F.col("__ok") == 1).alias("bloom_hit"))
     )
 
 

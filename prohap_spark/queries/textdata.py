@@ -743,9 +743,14 @@ def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     m=131072 bits stored as 62-bit BIGINT words) built from the
     benchmark's word trigrams, probed by the corpus, with the exact
     hashed-shingle overlap beside it so the filter's false-positive
-    behavior is IN the data (bloom_fp >= 0 per doc — no false
-    negatives — is the structural guarantee both engines replay
-    bit-for-bit).
+    behavior is IN the data. bloom_fp >= 0 per doc (no false
+    negatives) is the structural guarantee MODULO one caveat: the
+    "exact" side counts matches of the 60-bit md5 window, not the
+    gram string, so a 60-bit collision between a non-bench gram and a
+    bench gram (~2^-60 per pair) could inflate exact_hits past the
+    Bloom hits. Within that horizon both engines replay the identical
+    integers bit-for-bit (r9 advice: structural-vs-probabilistic
+    boundary stated, not blurred).
 
     100 TB design: this is THE production decontamination structure —
     the exact path (text_decontaminate) broadcasts the benchmark's

@@ -2290,6 +2290,15 @@ def test_bloom_filter_no_false_negatives_and_fp_rate(spark):
     analytic = (1 - math.exp(-K * 2000 / M)) ** K
     assert fp / 20000 <= max(4 * analytic, 3 / 20000), (fp, analytic)
 
+    # r9-advice regression: DUPLICATE (key, gram) probe rows must not
+    # manufacture false negatives (the old sum(bit_ok)==k gate saw
+    # dup*k bits and reported false); the min-gate collapses dups to
+    # one correct row per distinct (key, gram)
+    dup_probe = probe_in.unionAll(probe_in).unionAll(probe_in)
+    dup_hits = bloom_probe_hits(dup_probe, ["k_id"], "gram", bloom, K, M)
+    assert dup_hits.count() == 2000  # one row per distinct gram
+    assert dup_hits.where(~F.col("bloom_hit")).count() == 0
+
 
 def test_cms_never_undercounts_and_is_exact_when_sparse(spark):
     """Count-min sketch (r9): estimates are >= exact for EVERY queried

@@ -639,10 +639,14 @@ def test_engine_child_session_pins_aqe_skew_confs(spark):
         ):
             assert child.conf.get(k) == "true", k
         # and the anti-serialization coalesce floor (see session.py)
-        assert (
-            child.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize")
-            == "64kb"
-        )
+        # — same env-overridable expression as session.py, so the
+        # documented SPARK_GRAFT_MIN_COALESCE knob reaches the session
+        # registered queries actually execute on (r9 advice)
+        import os
+
+        assert child.conf.get(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+        ) == os.environ.get("SPARK_GRAFT_MIN_COALESCE", "64kb")
         df = table(spark, SF, "lineitem")
         sess = df.sparkSession
         assert sess.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
