@@ -11,10 +11,13 @@ untimed, and a fresh frame means operators using lazy localCheckpoint
 re-materialize honestly every pass — a reused frame would serve later
 passes from pass-1 checkpoint blocks). A full untimed pass absorbs
 JVM/JIT/codegen/Python-worker warmup, then THREE timed passes run
-the same queries and each reports its MEDIAN
-wall seconds (single-pass numbers on a shared box swing 2-3x — r4's
-"dedup_minhash_lsh regression" was exactly such a phantom; the median
-suppresses it). Driver-side plan construction and Catalyst analysis
+the same queries. The headline "value" is the median-sum (continuity
+with earlier rounds); the per-query "queries" map reports each
+query's MIN of the three passes — its noise floor on this box — so
+per-query round-over-round diffs self-correct for contention
+(single-pass numbers on a shared box swing 2-3x — r4's
+"dedup_minhash_lsh regression" was exactly such a phantom;
+sum(queries.values()) == min_total by construction). Driver-side plan construction and Catalyst analysis
 are one-time costs that amortize to zero at production scale, so they
 are deliberately outside the timed region; caches are cleared between
 passes so no pass serves data from the previous one.
@@ -235,8 +238,14 @@ def main() -> None:
 
     import statistics
 
-    timings = {n: round(statistics.median(v), 3) for n, v in samples.items()}
-    total = round(sum(timings.values()), 3)
+    medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
+    # per-query map: MIN-of-passes (r9 verdict #6) — the per-query
+    # noise floor, so round-over-round per-query diffs self-correct
+    # for box contention the way min_total already does for the total.
+    # The headline value stays the median-sum for continuity with
+    # BENCH_r01-r09; sum(queries.values()) == min_total by design.
+    timings = {n: round(min(v), 3) for n, v in samples.items()}
+    total = round(sum(medians.values()), 3)
     # Dispersion protocol (r7 verdict #6): a single hot sample on a
     # shared box can sit 20-30% above the same code's settled number,
     # which round-over-round comparison then misreads as a regression.

@@ -446,6 +446,42 @@ def jaccard_pairs(
     # rule; usual lazy-localCheckpoint caveats)
     if share_scan:
         base = base.localCheckpoint(eager=False)
+    cand = _prefix_candidates(base, id_col, block_cols, threshold)
+    ta = base.select(
+        *block_cols, F.col(id_col).alias("id_a"), F.col("__tokens").alias("tokens_a")
+    )
+    # ids are globally unique, so the second token join needs no block
+    # keys (the pair's block already came through cand/ta)
+    tb = base.select(F.col(id_col).alias("id_b"), F.col("__tokens").alias("tokens_b"))
+    verified = (
+        cand.join(ta, [*block_cols, "id_a"])
+        .join(tb, "id_b")
+        .withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select(*block_cols, "id_a", "id_b", "jaccard")
+
+
+def _prefix_candidates(
+    base: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float,
+    positional: bool = True,
+) -> DataFrame:
+    """Candidate (block, id_a, id_b) pairs of the AllPairs prefix
+    filter over a shingle_table frame, with the PPJoin POSITIONAL
+    filter (Xiao et al. 2008) applied inside the prefix join (r10):
+    a shared gram at 0-based order-positions (i, j) of sets sized
+    (n_a, n_b) bounds the overlap by min(i,j) + 1 +
+    min(n_a-i-1, n_b-j-1); a pair survives only if some shared prefix
+    gram's bound reaches the equivalent-overlap threshold
+    alpha = ceil(t*(n_a+n_b)/(1+t)). The alpha comparison is EXACT
+    integer arithmetic via the threshold's rational value (no float
+    edge can drop a true pair), so the result set is provably
+    identical to the unfiltered prefix join + verify."""
+    from fractions import Fraction
+
     grams = base.select(*block_cols, F.col(id_col), F.explode("__tokens").alias("__g"))
     dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     # rarest-first total order (ties on the gram string — any FIXED
@@ -465,29 +501,42 @@ def jaccard_pairs(
     prefixes = ordered.select(
         *block_cols,
         F.col(id_col),
-        F.explode(F.slice("__ord", F.lit(1), p)).alias("__e"),
-    ).select(*block_cols, id_col, F.col("__e.__g").alias("__g"))
-    pa = prefixes.select(*block_cols, F.col(id_col).alias("id_a"), "__g")
-    pb = prefixes.select(*block_cols, F.col(id_col).alias("id_b"), "__g")
-    cand = (
-        pa.join(pb, [*block_cols, "__g"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(*block_cols, "id_a", "id_b")
-        .distinct()
+        F.size("__ord").alias("__n"),
+        F.posexplode(F.slice("__ord", F.lit(1), p)).alias("__i", "__e"),
+    ).select(
+        *block_cols, id_col, "__n", "__i", F.col("__e.__g").alias("__g")
     )
-    ta = base.select(
-        *block_cols, F.col(id_col).alias("id_a"), F.col("__tokens").alias("tokens_a")
+    pa = prefixes.select(
+        *block_cols, F.col(id_col).alias("id_a"),
+        F.col("__n").alias("__na"), F.col("__i").alias("__ia"), "__g",
     )
-    # ids are globally unique, so the second token join needs no block
-    # keys (the pair's block already came through cand/ta)
-    tb = base.select(F.col(id_col).alias("id_b"), F.col("__tokens").alias("tokens_b"))
-    verified = (
-        cand.join(ta, [*block_cols, "id_a"])
-        .join(tb, "id_b")
-        .withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
-        .where(F.col("jaccard") >= threshold)
+    pb = prefixes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__n").alias("__nb"), F.col("__i").alias("__ib"), "__g",
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
     )
-    return verified.select(*block_cols, "id_a", "id_b", "jaccard")
+    joined = pa.join(
+        pb,
+        [pa["__g"] == pb["__g"]]
+        + [pa[c] == pb[f"__b_{c}"] for c in block_cols],
+    ).where(F.col("id_a") < F.col("id_b"))
+    if positional:
+        # overlap upper bound for THIS shared gram; exact-integer alpha
+        # test: bound*(den+num) >= num*(n_a+n_b)  <=>  bound >= alpha
+        r = Fraction(float(threshold))
+        bound = (
+            F.least("__ia", "__ib")
+            + F.lit(1)
+            + F.least(
+                F.col("__na") - F.col("__ia") - 1,
+                F.col("__nb") - F.col("__ib") - 1,
+            )
+        )
+        joined = joined.where(
+            bound * F.lit(r.denominator + r.numerator)
+            >= F.lit(r.numerator) * (F.col("__na") + F.col("__nb"))
+        )
+    return joined.select(*block_cols, "id_a", "id_b").distinct()
 
 
 def token_fingerprint(text_col: str | Column) -> Column:

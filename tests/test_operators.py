@@ -2017,6 +2017,95 @@ def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
         read_dedup_index(spark, path3)
 
 
+def test_dedup_index_torn_append_repair_resumes_ingest(spark, tmp_path):
+    """r9 verdict #7: the full incremental-ingest LIFECYCLE across a
+    torn append — ingest delta1, append its kept keys, TEAR the
+    appended index, observe the loud failure, REPAIR by re-deriving
+    from the surviving inputs, and complete the delta2 ingest with
+    dedup decisions identical to a never-torn from-scratch run."""
+    import os
+
+    import pytest as _pytest
+
+    from prohap_spark.operators.dedup import (
+        exact_key_index,
+        incremental_dedup,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"doc body {i}") for i in range(100)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "lifecycle_idx")
+    write_dedup_index(exact_key_index(base, "text").repartition(4), path)
+
+    # ingest 1: two new docs, one base dup — kept rows append to index
+    delta1 = spark.createDataFrame(
+        [(200, "doc body 3"), (201, "fresh one"), (202, "fresh two")],
+        "doc_id long, text string",
+    )
+    d1 = incremental_dedup(None, delta1, "doc_id", "text",
+                           base_keys=read_dedup_index(spark, path))
+    kept1 = {r["doc_id"] for r in d1.where("kept").collect()}
+    assert kept1 == {201, 202}
+    # build the curated corpus from the MATERIALIZED kept set — the
+    # lazy join's lineage would read the index files the next write
+    # overwrites (and the tear deletes)
+    corpus_after_1 = base.unionByName(
+        delta1.where(F.col("doc_id").isin(*kept1))
+    )
+    write_dedup_index(
+        exact_key_index(corpus_after_1, "text").repartition(4), path
+    )
+
+    # the torn append: one part-file of the refreshed index dies
+    parts = sorted(
+        f for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    assert len(parts) > 1
+    os.remove(os.path.join(path, parts[0]))
+    with _pytest.raises(ValueError, match="torn/partial"):
+        read_dedup_index(spark, path)
+
+    # REPAIR: re-derive the index from the surviving curated corpus
+    # (the inputs of record), re-write, and the validated read serves
+    write_dedup_index(
+        exact_key_index(corpus_after_1, "text").repartition(4), path
+    )
+    repaired = read_dedup_index(spark, path)
+
+    # ingest 2 resumes: dups against base, against ingest-1 keeps, and
+    # within itself must all flag exactly as a from-scratch run
+    delta2 = spark.createDataFrame(
+        [
+            (300, "doc body 42"),   # dup of original base
+            (301, "fresh one"),     # dup of an ingest-1 kept row
+            (302, "fresh three"),   # genuinely new
+            (303, "fresh three"),   # dup within delta2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["dup_of_base"], r["dup_within_delta"], r["kept"])
+        for r in incremental_dedup(
+            None, delta2, "doc_id", "text", base_keys=repaired
+        ).collect()
+    }
+    scratch = {
+        r["doc_id"]: (r["dup_of_base"], r["dup_within_delta"], r["kept"])
+        for r in incremental_dedup(
+            corpus_after_1, delta2, "doc_id", "text"
+        ).collect()
+    }
+    assert got == scratch == {
+        300: (True, False, False),
+        301: (True, False, False),
+        302: (False, False, True),
+        303: (False, True, False),
+    }
+
+
 def test_bpe_train_oracle_randomized_cross_engine(spark):
     """The unrolled DuckDB replay (bpe_train_oracle_sql) must match the
     Spark trainer on corpora it was NOT tuned on — randomized word

@@ -1,0 +1,97 @@
+"""Scale probe for jaccard_pairs(strategy='prefix') at PRODUCTION
+thresholds (r9 verdict #3): the r9 rewrite was measured at the
+registered query's deliberately permissive t=0.3, where the prefix
+filter passes most block pairs and the win is shuffle-payload-shaped.
+The asymptotic claim — candidates grow with true similarity structure,
+not with block² — only bites at production thresholds (t >= 0.7).
+
+This probe replicates the sf0.1 documents corpus R× (near-duplicate
+replicas, same scheme as docs_scale_probe) and records, per (R, t):
+
+- block_pairs: sum over blocks of C(n,2) — what the naive kernel
+  would verify;
+- cand_prefix: candidate pairs out of the bare AllPairs prefix join;
+- cand_positional: candidates surviving the PPJoin positional filter
+  (r10 — exact-integer alpha test, provably lossless);
+- pairs: verified result pairs;
+- wall seconds of the full operator.
+
+The claim under test: at t >= 0.7 cand_positional/block_pairs falls
+and the ratio SHRINKS as R grows (replicas share vocabulary, so
+block² grows R² while true near-dup structure grows ~R·dups).
+
+Usage: python tools/jaccard_scale_probe.py [replicas...]  (default 1 4 8 16)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+replicas = [int(a) for a in sys.argv[1:]] or [1, 4, 8, 16]
+THRESHOLDS = (0.3, 0.7, 0.8)
+BLOCKS = ["lang"]
+NGRAM = 1
+
+
+def replicated_docs(spark, r: int):
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep = spark.range(r).select(F.col("id").alias("rep"))
+    return d.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("rep")).alias("text"),
+        "lang",
+    )
+
+
+def main() -> None:
+    from prohap_spark.operators.dedup import (
+        _prefix_candidates,
+        jaccard_pairs,
+        shingle_table,
+    )
+    from prohap_spark.session import get_spark
+
+    spark = get_spark("jaccard-scale-probe")
+    # warmup
+    jaccard_pairs(
+        replicated_docs(spark, 1), "doc_id", "text", BLOCKS, 0.8, ngram=NGRAM
+    ).count()
+
+    for r in replicas:
+        docs = replicated_docs(spark, r)
+        base = shingle_table(docs, "doc_id", "text", NGRAM, keep_cols=BLOCKS)
+        base = base.localCheckpoint(eager=False)
+        block_pairs = (
+            base.groupBy(*BLOCKS)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("bp"))
+            .collect()[0]["bp"]
+        )
+        for t in THRESHOLDS:
+            row = {"replicas": r, "threshold": t, "block_pairs": int(block_pairs)}
+            row["cand_prefix"] = _prefix_candidates(
+                base, "doc_id", BLOCKS, t, positional=False
+            ).count()
+            row["cand_positional"] = _prefix_candidates(
+                base, "doc_id", BLOCKS, t, positional=True
+            ).count()
+            t0 = time.monotonic()
+            row["pairs"] = jaccard_pairs(
+                docs, "doc_id", "text", BLOCKS, t, ngram=NGRAM
+            ).count()
+            row["wall_sec"] = round(time.monotonic() - t0, 3)
+            row["cand_over_block"] = round(row["cand_positional"] / max(block_pairs, 1), 4)
+            print(json.dumps(row), flush=True)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
