@@ -131,7 +131,21 @@ def revert_peptide(peptide: str, pep_start: int, changes: list[tuple[int, str, s
     """U4 revert kernel (check_canonical_peptide,
     peptides_annotate_variation.py:171-190): undo the protein-level
     changes covered by a peptide window so the result can be containment-
-    tested against the canonical protein. ``changes``: (protein_pos,
+    tested against the canonical protein.
+
+    Cumulative-shift note: after replacing an alt allele of length la
+    with a ref allele of length lr, later alt-space positions shift by
+    lr − la — this kernel accumulates that sign
+    (``offset += len(ref) − len(alt)``). The reference accumulates
+    ``len(alt) − len(ref)`` (peptides_annotate_variation.py:180-184,
+    its ch tuple is (loc, ref, alt)), which mis-places the SECOND
+    reverted change when a peptide covers an indel followed by another
+    change; for the dominant cases (any number of SAVs, or a single
+    covered change of any kind) the shift is zero/unused and the two
+    agree. We keep the sign that round-trips (pinned in
+    tests/test_peptides.py).
+
+    ``changes``: (protein_pos,
     ref_aa, alt_aa) with protein_pos relative to the protein; positions
     are canonical-space. Pure Python — runs inside the Arrow batch of
     the annotation stage when needed.

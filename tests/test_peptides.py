@@ -91,6 +91,25 @@ def test_revert_peptide_round_trip():
     assert back == canonical
 
 
+def test_revert_peptide_indel_before_later_change():
+    """The cumulative-shift sign (docstring of revert_peptide): when an
+    INDEL precedes another covered change, the later change's alt-space
+    position must shift by len(ref) − len(alt) of the earlier revert —
+    both orderings round-trip."""
+    from prohap_spark.pipeline.peptides import revert_peptide
+
+    canonical = "MADEFGPKLQW"
+    # insertion XY after position 2 (alt-space: D at 2 -> DXY), then
+    # SAV P->V (canonical 6; alt-space 8 after the +2 insertion)
+    mutated = "MADXYEFGVKLQW"
+    back = revert_peptide(mutated, 0, [(2, "D", "DXY"), (8, "P", "V")])
+    assert back == canonical
+    # deletion then SAV: del EF (canonical 3-4), then P->V at alt 4
+    mutated2 = "MADGVKLQW"
+    back2 = revert_peptide(mutated2, 0, [(3, "EFG", "G"), (4, "P", "V")])
+    assert back2 == canonical
+
+
 def test_revert_peptide_window_offset():
     from prohap_spark.pipeline.peptides import revert_peptide
 
