@@ -450,12 +450,17 @@ def jaccard_pairs(
     ta = base.select(
         *block_cols, F.col(id_col).alias("id_a"), F.col("__tokens").alias("tokens_a")
     )
-    # ids are globally unique, so the second token join needs no block
-    # keys (the pair's block already came through cand/ta)
-    tb = base.select(F.col(id_col).alias("id_b"), F.col("__tokens").alias("tokens_b"))
+    # the b-side token join carries the block keys too (r10): ids only
+    # need to be unique WITHIN a block — with per-block id spaces (each
+    # block an independent dataset, a legitimate blocked-dedup shape) a
+    # bare id_b join would serve token arrays from the wrong block and
+    # silently mis-verify (caught by tests/test_jaccard_property.py)
+    tb = base.select(
+        *block_cols, F.col(id_col).alias("id_b"), F.col("__tokens").alias("tokens_b")
+    )
     verified = (
         cand.join(ta, [*block_cols, "id_a"])
-        .join(tb, "id_b")
+        .join(tb, [*block_cols, "id_b"])
         .withColumn("jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b")))
         .where(F.col("jaccard") >= threshold)
     )
@@ -475,13 +480,19 @@ def _prefix_candidates(
     a shared gram at 0-based order-positions (i, j) of sets sized
     (n_a, n_b) bounds the overlap by min(i,j) + 1 +
     min(n_a-i-1, n_b-j-1); a pair survives only if some shared prefix
-    gram's bound reaches the equivalent-overlap threshold
-    alpha = ceil(t*(n_a+n_b)/(1+t)). The alpha comparison is EXACT
-    integer arithmetic via the threshold's rational value (no float
-    edge can drop a true pair), so the result set is provably
-    identical to the unfiltered prefix join + verify."""
-    from fractions import Fraction
-
+    gram's bound could still pass the verify. The pass test is
+    expressed in the VERIFY'S OWN float semantics —
+    ``double(bound) / double(n_a + n_b - bound) >= t`` — because the
+    gate of record is jaccard_expr's double division, and IEEE
+    correctly-rounded division is monotone in the exact quotient: for
+    any true overlap o <= bound, fl(o/(s-o)) <= fl(bound/(s-bound)),
+    so a bound that fails here proves every o <= bound fails the
+    verify. (An exact-rational alpha test is WRONG here — at knife
+    edges like o/u = 4/5 vs t = the 0.8 double, the float quotient
+    rounds UP to exactly t and the verify accepts a pair whose exact
+    J is below t's exact rational value; caught by
+    tests/test_jaccard_property.py.) Result set provably identical to
+    the unfiltered prefix join + verify."""
     grams = base.select(*block_cols, F.col(id_col), F.explode("__tokens").alias("__g"))
     dfreq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
     # rarest-first total order (ties on the gram string — any FIXED
@@ -521,9 +532,9 @@ def _prefix_candidates(
         + [pa[c] == pb[f"__b_{c}"] for c in block_cols],
     ).where(F.col("id_a") < F.col("id_b"))
     if positional:
-        # overlap upper bound for THIS shared gram; exact-integer alpha
-        # test: bound*(den+num) >= num*(n_a+n_b)  <=>  bound >= alpha
-        r = Fraction(float(threshold))
+        # overlap upper bound for THIS shared gram, tested in the
+        # verify's float semantics (see docstring — monotone rounding
+        # makes the drop provably safe)
         bound = (
             F.least("__ia", "__ib")
             + F.lit(1)
@@ -532,9 +543,9 @@ def _prefix_candidates(
                 F.col("__nb") - F.col("__ib") - 1,
             )
         )
+        union_floor = (F.col("__na") + F.col("__nb") - bound).cast("double")
         joined = joined.where(
-            bound * F.lit(r.denominator + r.numerator)
-            >= F.lit(r.numerator) * (F.col("__na") + F.col("__nb"))
+            bound.cast("double") / union_floor >= F.lit(float(threshold))
         )
     return joined.select(*block_cols, "id_a", "id_b").distinct()
 
