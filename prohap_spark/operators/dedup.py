@@ -248,6 +248,85 @@ def lsh_candidate_pairs(
     return pairs.join(toks_a, "id_a").join(toks_b, "id_b")
 
 
+def lsh_detection_prob(threshold: float, num_hashes: int, band_size: int) -> float:
+    """P(two sets with Jaccard ``threshold`` share at least one LSH
+    band) for a ``num_hashes``-long MinHash signature banded into rows
+    of ``band_size``: 1 - (1 - t^r)^b — the standard S-curve
+    (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3;
+    public method)."""
+    b = num_hashes // band_size
+    return 1.0 - (1.0 - threshold**band_size) ** b
+
+
+def lsh_plan(
+    threshold: float,
+    min_recall: float = 0.95,
+    max_fp_sim: float | None = None,
+    max_fp_prob: float = 0.05,
+    max_hashes: int = 128,
+) -> dict:
+    """Choose (num_hashes, band_size) for MinHash-LSH from the
+    OPERATING REQUIREMENTS instead of folklore defaults: the cheapest
+    configuration whose S-curve detects true pairs (J >= threshold)
+    with probability >= ``min_recall`` while — optionally — keeping
+    the candidate probability of a dissimilar pair (J = max_fp_sim)
+    <= ``max_fp_prob``.
+
+    Cost model: signature length (num_hashes) dominates both compute
+    (one md5-derived hash per position per gram) and the band-table
+    shuffle (n_bands rows per doc), so the search minimizes num_hashes
+    first, then n_bands. Returns the config plus its predicted curve
+    points; raises ValueError when no configuration within
+    ``max_hashes`` satisfies the constraints (the caller should relax
+    recall or raise the budget — silence would under-dedup).
+
+    100 TB relevance: recall here is PER-PAIR detection probability —
+    a fleet-scale corpus has billions of true pairs, so an
+    85%-detection default silently misses ~15% of near-dups; this
+    makes the trade explicit and testable (the empirical leg lives in
+    tests/test_operators.py)."""
+    best = None
+    for num_hashes in range(2, max_hashes + 1):
+        for band_size in range(1, num_hashes + 1):
+            if num_hashes % band_size:
+                continue
+            recall = lsh_detection_prob(threshold, num_hashes, band_size)
+            if recall < min_recall:
+                continue
+            if max_fp_sim is not None:
+                fp = lsh_detection_prob(max_fp_sim, num_hashes, band_size)
+                if fp > max_fp_prob:
+                    continue
+            n_bands = num_hashes // band_size
+            key = (num_hashes, n_bands)
+            if best is None or key < (best["num_hashes"], best["n_bands"]):
+                best = {
+                    "num_hashes": num_hashes,
+                    "band_size": band_size,
+                    "n_bands": n_bands,
+                    "recall_at_threshold": recall,
+                    "fp_prob_at_max_fp_sim": (
+                        lsh_detection_prob(max_fp_sim, num_hashes, band_size)
+                        if max_fp_sim is not None
+                        else None
+                    ),
+                }
+        if best is not None and best["num_hashes"] == num_hashes:
+            break  # num_hashes is the primary cost — first feasible wins
+    if best is None:
+        raise ValueError(
+            f"lsh_plan: no (num_hashes<=#{max_hashes}, band_size) reaches "
+            f"recall {min_recall} at J={threshold}"
+            + (
+                f" with FP prob <= {max_fp_prob} at J={max_fp_sim}"
+                if max_fp_sim is not None
+                else ""
+            )
+            + " — relax the constraints or raise max_hashes"
+        )
+    return best
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

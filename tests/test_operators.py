@@ -1939,6 +1939,59 @@ def test_containment_join_bound_fails_loud_and_matches_unbounded(spark):
     assert n == 30
 
 
+def test_lsh_plan_math_and_empirical_recall(spark):
+    """lsh_plan (r10): (a) the analytic pieces are self-consistent —
+    the chosen config meets the recall/FP constraints and no cheaper
+    num_hashes does; (b) the S-curve PREDICTS measured reality: 200
+    planted pairs at J = 0.8 run through lsh_candidate_pairs with the
+    planned config must be detected at a rate within binomial noise
+    of the predicted detection probability."""
+    from prohap_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_detection_prob,
+        lsh_plan,
+    )
+
+    plan = lsh_plan(0.8, min_recall=0.95, max_fp_sim=0.3, max_fp_prob=0.05)
+    assert plan["num_hashes"] % plan["band_size"] == 0
+    assert plan["recall_at_threshold"] >= 0.95
+    assert plan["fp_prob_at_max_fp_sim"] <= 0.05
+    # minimality: every smaller signature has NO feasible banding
+    for nh in range(2, plan["num_hashes"]):
+        assert not any(
+            nh % bs == 0
+            and lsh_detection_prob(0.8, nh, bs) >= 0.95
+            and lsh_detection_prob(0.3, nh, bs) <= 0.05
+            for bs in range(1, nh + 1)
+        ), nh
+    # infeasible constraints fail loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="relax the constraints"):
+        lsh_plan(0.5, min_recall=0.999, max_fp_sim=0.45, max_fp_prob=0.001, max_hashes=32)
+
+    # empirical leg: 200 disjoint-vocabulary pairs at exactly J = 0.8
+    # (|A| = |B| = 18 tokens sharing 16: 16/20 = 0.8)
+    rows = []
+    for p in range(200):
+        shared = [f"p{p}s{i}" for i in range(16)]
+        rows.append((2 * p, shared + [f"p{p}a1", f"p{p}a2"]))
+        rows.append((2 * p + 1, shared + [f"p{p}b1", f"p{p}b2"]))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(
+            df, "doc_id", "tokens", plan["num_hashes"], plan["band_size"]
+        ).collect()
+    }
+    detected = sum(1 for p in range(200) if (2 * p, 2 * p + 1) in got)
+    predicted = lsh_detection_prob(0.8, plan["num_hashes"], plan["band_size"])
+    # binomial sd at n=200 is < 0.016 for any p in the planned range;
+    # 0.06 covers 3+ sd plus the md5-hash-family deviation from the
+    # idealized independent-permutation model
+    assert abs(detected / 200 - predicted) <= 0.06, (detected, predicted)
+
+
 def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
     """r7 verdict #8: a torn/partial persisted dedup index must fail
     loud, never silently under-dedup. Every surviving part-file of a
