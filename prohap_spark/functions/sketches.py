@@ -77,19 +77,45 @@ def _rank_cols(value: Column) -> tuple[Column, Column]:
     return reg, rank
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, group_cols: list[str], value_col: str
 ) -> DataFrame:
-    """Per-group deterministic HLL: returns group_cols +
-    (hll_est BIGINT, hll_zero_registers INT). Every intermediate is an
-    exact integer, so the result is identical on any partitioning and
-    replayable by :func:`hll_oracle_sql` in DuckDB."""
+    """The HLL's PERSISTABLE state: group_cols + (__reg INT, __m INT)
+    max-rank register rows (≤ m = 64 per group, values never stored).
+    This is the sketch-algebra artifact — registers from independently
+    processed shards/ingests MERGE losslessly via :func:`hll_merge`
+    (max is associative/commutative/idempotent), and
+    :func:`hll_estimate_from_registers` finishes them into the same
+    estimate a single-pass build produces (union-equivalence pinned in
+    pytest). At 100 TB this is the incremental story: per-shard
+    register tables are ≤ 64 rows/group regardless of shard size."""
     reg, rank = _rank_cols(F.col(value_col))
-    regs = (
+    return (
         df.select(*group_cols, reg.alias("__reg"), rank.alias("__rank"))
         .groupBy(*group_cols, "__reg")
         .agg(F.max("__rank").alias("__m"))
     )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge shard register tables: union + per-register max. Lossless
+    by the max semilattice — merging N shards' registers equals
+    building one sketch over the concatenated shards."""
+    it = iter(register_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c not in ("__m",)]
+    return out.groupBy(*keys).agg(F.max("__m").alias("__m"))
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Finish register rows into group_cols + (hll_est BIGINT,
+    hll_zero_registers INT) — the shared tail of :func:`hll_distinct`
+    (raw harmonic estimator + the r10 linear-counting small-range
+    correction, all exact integers)."""
     t = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), {RANK_CAP} - "
         f"CAST(least(__m, {RANK_CAP}) AS INT))"
@@ -114,6 +140,20 @@ def hll_distinct(
         *group_cols,
         est.cast("bigint").alias("hll_est"),
         (F.lit(M) - F.col("__n_present")).cast("int").alias("hll_zero_registers"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """Per-group deterministic HLL: returns group_cols +
+    (hll_est BIGINT, hll_zero_registers INT). Every intermediate is an
+    exact integer, so the result is identical on any partitioning and
+    replayable by :func:`hll_oracle_sql` in DuckDB. Composition of
+    :func:`hll_registers` + :func:`hll_estimate_from_registers` — the
+    single-pass convenience over the mergeable register artifact."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col), group_cols
     )
 
 
@@ -184,6 +224,32 @@ def bloom_build(grams: DataFrame, gram_col: str, k: int, m_bits: int) -> DataFra
         .groupBy("word_idx")
         .agg(F.expr("bit_or(__mask)").alias("word"))
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom word tables built with the SAME (k, m_bits): union +
+    per-word bit_or. Lossless by the bit-or semilattice — merging
+    per-shard filters equals building one filter over the union of
+    their inputs (pinned word-for-word in pytest). The 100 TB
+    incremental path: each ingest builds its ~m/62-word filter in one
+    map-side pass; the merged artifact is the same few KBs."""
+    it = iter(blooms)
+    out = next(it)
+    for b in it:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the SAME (d, w): union +
+    per-counter sum. CMS counters are linear, so the merge is exact —
+    identical counters to one build over the concatenated streams
+    (pinned in pytest)."""
+    it = iter(sketches)
+    out = next(it)
+    for s in it:
+        out = out.unionByName(s)
+    return out.groupBy("j", "idx").agg(F.sum("cnt").alias("cnt"))
 
 
 def bloom_probe_hits(

@@ -2318,6 +2318,100 @@ def test_hll_linear_counting_cross_engine_bit_exact(spark):
             assert zeros == 0 or raw_est > LC_THRESHOLD, (tbl, raw_est, zeros)
 
 
+def test_sketch_merge_algebra_equals_single_build(spark):
+    """Sketch algebra (r10): sketches built on independent shards and
+    MERGED must equal the single-pass build over the concatenated
+    data — the property that makes sketches the incremental-ingest
+    state at 100 TB. HLL: register max-merge → identical (est, zeros),
+    including across the linear-counting branch. Bloom: word bit_or
+    merge → identical words. CMS: counter sum merge → identical
+    counters. All exact-integer equalities, not tolerance checks."""
+    from prohap_spark.functions.sketches import (
+        bloom_build,
+        bloom_merge,
+        cms_build,
+        cms_merge,
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_merge,
+        hll_registers,
+    )
+
+    # overlapping shards: shard1 = ids 0..599, shard2 = 400..999 (the
+    # merge must also dedupe the overlap, which max/bit_or do and sum
+    # deliberately does NOT — CMS counts the STREAM)
+    def docs(lo, hi):
+        return spark.range(lo, hi).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+
+    s1, s2, full = docs(0, 600), docs(400, 1000), docs(0, 1000)
+
+    merged_regs = hll_merge(
+        hll_registers(s1, ["g"], "v"), hll_registers(s2, ["g"], "v")
+    )
+    got = {
+        r["g"]: (r["hll_est"], r["hll_zero_registers"])
+        for r in hll_estimate_from_registers(merged_regs, ["g"]).collect()
+    }
+    # the union of the two shards has duplicates (400..599 twice) —
+    # HLL is duplicate-insensitive, so compare against the DISTINCT
+    # union, i.e. full
+    want = {
+        r["g"]: (r["hll_est"], r["hll_zero_registers"])
+        for r in hll_distinct(full, ["g"], "v").collect()
+    }
+    assert got == want
+    # small-range leg: tiny shards exercise the LC branch post-merge
+    t1 = spark.createDataFrame([("a", f"x{i}") for i in range(4)], "g string, v string")
+    t2 = spark.createDataFrame([("a", f"x{i}") for i in range(2, 7)], "g string, v string")
+    tm = hll_estimate_from_registers(
+        hll_merge(hll_registers(t1, ["g"], "v"), hll_registers(t2, ["g"], "v")), ["g"]
+    ).collect()[0]
+    tf = hll_distinct(
+        t1.unionByName(t2).distinct(), ["g"], "v"
+    ).collect()[0]
+    assert (tm["hll_est"], tm["hll_zero_registers"]) == (
+        tf["hll_est"],
+        tf["hll_zero_registers"],
+    )
+    assert tm["hll_zero_registers"] > 0  # the LC branch was actually on
+
+    K, MB = 4, 1 << 14
+    g1 = s1.select(F.col("v").alias("gram"))
+    g2 = s2.select(F.col("v").alias("gram"))
+    bm = {
+        r["word_idx"]: r["word"]
+        for r in bloom_merge(
+            bloom_build(g1, "gram", K, MB), bloom_build(g2, "gram", K, MB)
+        ).collect()
+    }
+    bf = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(full.select(F.col("v").alias("gram")), "gram", K, MB).collect()
+    }
+    assert bm == bf
+
+    # CMS is a STREAM sketch: merged shards == concatenated stream
+    # (including the double-counted overlap)
+    toks1 = s1.select(F.col("g").alias("tok"))
+    toks2 = s2.select(F.col("g").alias("tok"))
+    cm = {
+        (r["j"], r["idx"]): r["cnt"]
+        for r in cms_merge(
+            cms_build(toks1, "tok", 4, 256), cms_build(toks2, "tok", 4, 256)
+        ).collect()
+    }
+    cf = {
+        (r["j"], r["idx"]): r["cnt"]
+        for r in cms_build(
+            toks1.unionByName(toks2), "tok", 4, 256
+        ).collect()
+    }
+    assert cm == cf
+
+
 def test_linear_probe_integer_trainer_cross_engine_and_invariant(spark):
     """The integer fixed-point linear-probe trainer (the device that
     can replace text_quality_classifier's rows-only gate): learned
