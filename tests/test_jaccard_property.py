@@ -101,6 +101,48 @@ def test_prefix_positional_matches_block_and_bruteforce(spark):
                 assert (cid, 0, 1) in got_prefix, (t, cid)
 
 
+def test_prefix_candidates_grow_linearly_under_fresh_content(spark):
+    """The scale claim behind the prefix strategy, pinned at test
+    scale (tools/jaccard_scale_probe.py measures it at sf0.1): when a
+    corpus doubles with FRESH content (disjoint vocabulary — the
+    realistic growth model), positional candidates must grow ~linearly
+    while block pairs grow ~quadratically. Deterministic corpus: R
+    replicas of 60 docs over replica-prefixed vocabularies."""
+    from prohap_spark.operators.dedup import _prefix_candidates, shingle_table
+
+    def corpus(n_rep):
+        rng = random.Random(99)
+        rows = []
+        for rep in range(n_rep):
+            vocab = [f"r{rep}w{v}" for v in range(40)]
+            for d in range(60):
+                rows.append(
+                    (
+                        rep * 1000 + d,
+                        " ".join(rng.choice(vocab) for _ in range(10)),
+                    )
+                )
+        return spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "blk", F.lit("one")
+        )
+
+    counts = {}
+    for r in (1, 2, 4):
+        base = shingle_table(corpus(r), "doc_id", "text", 1, keep_cols=["blk"])
+        counts[r] = _prefix_candidates(base, "doc_id", ["blk"], 0.7).count()
+    n = 60
+    # block pairs: C(60,2)=1770 -> C(240,2)=28680 (16.2x). Candidates:
+    # cross-replica docs share no grams, so candidates are exactly
+    # R x (1-replica candidates) up to same-seed variation — assert
+    # growth is ~linear (within 1.5x of proportional), far below the
+    # quadratic 4x-per-doubling
+    assert counts[2] <= 2 * counts[1] * 1.5, counts
+    assert counts[4] <= 4 * counts[1] * 1.5, counts
+    block_growth_4 = (4 * n * (4 * n - 1)) / (n * (n - 1))  # ~16.2
+    cand_growth_4 = counts[4] / max(counts[1], 1)
+    assert cand_growth_4 < block_growth_4 / 2, (counts, block_growth_4)
+
+
 def test_prefix_positional_matches_block_bigram(spark):
     """Same identity at the registered query's bigram shape, one
     threshold on each side of the production boundary."""
