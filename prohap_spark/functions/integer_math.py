@@ -181,6 +181,57 @@ def iln_fp_sql(n_expr: str) -> str:
     return _iln_fp(_ISqlOps(), n_expr)
 
 
+class _IPyOps:
+    """Pure-Python twin of the Column/SQL ops: runs the SAME abstract
+    algorithm on plain ints, so driver-side or Arrow-batch Python code
+    (e.g. the streaming HLL's state finisher) derives the identical
+    integers the JVM and DuckDB derive. Operands are nonnegative in
+    _iln_fp, so ``//`` and ``>>`` match Spark div / shiftright."""
+
+    def lit(self, i):
+        return i
+
+    def add(self, a, b):
+        return a + b
+
+    def sub(self, a, b):
+        return a - b
+
+    def mul(self, a, b):
+        return a * b
+
+    def idiv(self, a, b):
+        return a // b
+
+    def shr(self, a, bits):
+        return a >> bits
+
+    def shl_e(self, a, amt):
+        # eager evaluation computes BOTH if_gt branches; the discarded
+        # one can carry a negative amount (symbolic backends never
+        # execute it) — clamp so Python doesn't raise on the dead value
+        return a << max(amt, 0)
+
+    def shr_e(self, a, amt):
+        return a >> max(amt, 0)
+
+    def bitlen(self, a):
+        return a.bit_length()
+
+    def if_gt(self, a, b, then, otherwise):
+        return then if a > b else otherwise
+
+    def bind(self, val, fn):
+        return fn(val)
+
+
+def iln_fp_int(n: int) -> int:
+    """Fixed-point ln(n)·2^30 of a positive int — bit-identical to
+    :func:`iln_fp_col` / :func:`iln_fp_sql` (pinned in
+    tests/test_integer_math.py)."""
+    return _iln_fp(_IPyOps(), n)
+
+
 def inll_micro_col(c: Column, total: Column) -> Column:
     """round-half-up((ln(total) - ln(c)) * 1e6) as BIGINT micro-nats —
     the all-integer twin of portable_math.nll_micro_col. The half-up

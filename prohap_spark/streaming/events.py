@@ -224,6 +224,87 @@ def click_view_attribution(
     )
 
 
+def stateful_distinct_hll(events: DataFrame, group_col: str = "event_type") -> DataFrame:
+    """Streaming approximate distinct-count: the deterministic HLL's
+    64 max-rank registers (functions/sketches.py) carried as
+    applyInPandasWithState state — per group the state is a FIXED
+    64-int array no matter how many distinct values stream through,
+    which is the whole point at 100 TB: exact streaming distinct needs
+    value-sized state, the sketch needs 256 bytes.
+
+    Each micro-batch folds its rows' (register, rank) into the state
+    and emits the group's CUMULATIVE (hll_est, hll_zero_registers,
+    n_rows) in update mode. The hash and the estimate finisher — raw
+    harmonic estimator + linear-counting small-range correction via
+    the pure-Python integer ln (integer_math.iln_fp_int) — replay the
+    batch hll_distinct BIT-EXACTLY, so the stream's final emission per
+    group equals the batch sketch on the same data (parity-pinned in
+    tests/test_streaming.py)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from prohap_spark.functions.integer_math import FP_SHIFT, iln_fp_int
+    from prohap_spark.functions.sketches import (
+        ALPHA_NUM,
+        ILN_M_FP,
+        LC_THRESHOLD,
+        M,
+        RANK_CAP,
+    )
+
+    out_schema = (
+        f"{group_col} string, hll_est long, hll_zero_registers int, n_rows long"
+    )
+    state_schema = "regs array<int>, n long"
+
+    def estimate(regs: list[int]) -> tuple[int, int]:
+        present = [m for m in regs if m >= 0]
+        s_present = sum(1 << (RANK_CAP - min(m, RANK_CAP)) for m in present)
+        n_present = len(present)
+        v = M - n_present
+        raw = ALPHA_NUM // (s_present + v * (1 << RANK_CAP))
+        if v > 0 and raw <= LC_THRESHOLD:
+            return (M * (ILN_M_FP - iln_fp_int(v)) + (1 << (FP_SHIFT - 1))) >> FP_SHIFT, v
+        return raw, v
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            regs, n_rows = state.get
+            regs = list(regs)
+        else:
+            regs, n_rows = [-1] * M, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for val in pdf["__hll_value"]:
+                # the codebase's 60-bit md5 value hash, python-side:
+                # identical to conv(substr(md5(v),1,15),16,10)
+                h = int(hashlib.md5(str(val).encode()).hexdigest()[:15], 16)
+                reg = h % M
+                w = h >> 6
+                rank = 55 if w == 0 else 55 - w.bit_length()
+                if rank > regs[reg]:
+                    regs[reg] = rank
+        state.update((regs, n_rows))
+        est, zeros = estimate(regs)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "hll_est": [est],
+                "hll_zero_registers": [zeros],
+                "n_rows": [n_rows],
+            }
+        )
+
+    src = events.select(
+        F.col(group_col), F.col("user_id").cast("string").alias("__hll_value")
+    )
+    return src.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     ev = events.withWatermark("ts", watermark) if events.isStreaming else events

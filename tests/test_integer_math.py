@@ -87,3 +87,24 @@ def test_inll_micro_cross_engine_and_sane(spark):
     for (c, t), m in got.items():
         true = -math.log(c / t) * 1e6
         assert abs(m - true) <= max(1.0, 1e-6 * true) + 1.0, (c, t, m, true)
+
+
+def test_iln_fp_int_bit_identical_to_sql():
+    """The r10 pure-Python twin (iln_fp_int) must derive the SAME
+    integers as the DuckDB form across magnitudes — it is what lets
+    Arrow-batch/driver Python (the streaming HLL finisher) replay the
+    engine's fixed-point ln exactly."""
+    import duckdb
+
+    from prohap_spark.functions.integer_math import iln_fp_int, iln_fp_sql
+
+    con = duckdb.connect()
+    ns = (
+        list(range(1, 130))
+        + [2**k for k in range(1, 62)]
+        + [10**k for k in range(1, 18)]
+        + [3, 7, 63, 64, 65, 2**40 - 1, 2**40 + 1]
+    )
+    for n in ns:
+        duck = con.sql(f"SELECT {iln_fp_sql(f'CAST({n} AS BIGINT)')} AS v").fetchone()[0]
+        assert iln_fp_int(n) == duck, n

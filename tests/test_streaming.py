@@ -148,6 +148,54 @@ def test_stateful_user_stats_state_survives_batches(spark, events_dir):
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
 
 
+def test_stateful_distinct_hll_stream_equals_batch_sketch(spark, events_dir):
+    """Streaming HLL distinct (r10): per event_type the stream's final
+    cumulative emission must equal the BATCH deterministic sketch
+    BIT-EXACTLY — same md5 register hash, same integer estimator, same
+    linear-counting branch (the python iln_fp_int twin) — and the
+    update-mode sink must hold more rows than groups (the register
+    state really crossed micro-batches). The exact distinct count sits
+    beside it to confirm the estimate is in the sketch's error band."""
+    from prohap_spark.functions.sketches import hll_distinct
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_distinct_hll,
+    )
+
+    stream = stateful_distinct_hll(
+        read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    )
+    run_to_memory_sink(stream, "hll_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM hll_out").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            final[r["event_type"]] = r
+    assert len(rows) > len(final)  # multi-batch state
+
+    b = _batch(spark, events_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("v")
+    )
+    want = {
+        r["event_type"]: (r["hll_est"], r["hll_zero_registers"])
+        for r in hll_distinct(b, ["event_type"], "v").collect()
+    }
+    got = {
+        g: (r["hll_est"], r["hll_zero_registers"]) for g, r in final.items()
+    }
+    assert got == want  # bit-exact stream == batch sketch
+    exact = {
+        r["event_type"]: r["n"]
+        for r in b.groupBy("event_type")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    for g, (est, _) in got.items():
+        assert abs(est - exact[g]) <= 0.4 * exact[g], (g, est, exact[g])
+
+
 def test_click_attribution_batch_equals_stream(spark, events_dir):
     """Stream-stream interval self-join parity: the same click→view
     attribution transform under readStream (watermarked both sides)
@@ -792,6 +840,78 @@ def test_stateful_restart_recovers_checkpointed_state(spark, tmp_path):
         assert g["n_events"] == w["n_events"] == 5
         assert abs(g["total_value"] - w["total_value"]) < 1e-6
         assert g["last_ts_us"] == w["last_ts_us"]
+
+
+def test_stateful_distinct_hll_restart_recovers_registers(spark, tmp_path):
+    """Kill-and-resume pin for the streaming HLL (the stateful-restart
+    discipline applied to the r10 sketch state): stop the query, land
+    new files whose values OVERLAP phase 1 (a resumed register state
+    must not re-count them; a lost state would), restart from the SAME
+    checkpointLocation. The final post-restart emission must equal the
+    batch sketch over ALL files bit-exactly, and only the new batches
+    may emit."""
+    import datetime as dt
+
+    from prohap_spark.functions.sketches import hll_distinct
+    from prohap_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stateful_distinct_hll,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    eid = 0
+
+    def write_file(user_ids):
+        nonlocal eid
+        rows = []
+        for u in user_ids:
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 10, eid % 60), u, "click", 1.0, "{}")
+            )
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            stateful_distinct_hll(read_event_stream(spark, src, max_files_per_trigger=1))
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    write_file(range(0, 40))
+    write_file(range(20, 60))
+    p1 = run()
+    assert p1
+
+    # crash/redeploy; the new wave OVERLAPS phase 1 (30..69)
+    write_file(range(30, 70))
+    p2 = run()
+    assert 0 < len(p2) <= 1  # one group, one new batch — exactly-once
+
+    want = hll_distinct(
+        spark.read.parquet(src).select(
+            "event_type", F.col("user_id").cast("string").alias("v")
+        ),
+        ["event_type"],
+        "v",
+    ).collect()[0]
+    got = max(p2, key=lambda r: r["n_rows"])
+    assert (got["hll_est"], got["hll_zero_registers"]) == (
+        want["hll_est"],
+        want["hll_zero_registers"],
+    )
+    assert got["n_rows"] == 120  # all three files counted exactly once
 
 
 def test_stream_near_dup_restart_recovers_bucket_state(spark, tmp_path):
