@@ -1015,9 +1015,13 @@ def _index_stats(df: DataFrame) -> tuple[int, int, list[str]]:
     return int(row["n"]), int(row["x"] or 0), cols
 
 
-def write_dedup_index(index: DataFrame, path: str) -> dict:
-    """Persist a dedup index (``exact_key_index`` / ``lsh_band_index``)
-    with a VALIDATION MANIFEST beside the parquet files.
+def write_dedup_index(
+    index: DataFrame, path: str, partition_by: list[str] | None = None
+) -> dict:
+    """Persist a validated index artifact (``exact_key_index`` /
+    ``lsh_band_index`` / the IVF cell table in
+    operators/similarity.py) with a VALIDATION MANIFEST beside the
+    parquet files.
 
     Why: a torn or partially-deleted index is the failure parquet
     cannot catch on its own — every surviving part-file is internally
@@ -1027,11 +1031,18 @@ def write_dedup_index(index: DataFrame, path: str) -> dict:
     duplicates). The manifest pins (row count, order-independent
     checksum, column set) computed from a read-back of what was
     actually written; :func:`read_dedup_index` re-derives them and
-    refuses a mismatch. Returns the manifest dict."""
+    refuses a mismatch. ``partition_by`` lays the artifact out
+    partitioned on disk (e.g. IVF cells by cell_id so probes prune to
+    nprobe directories); the stats are column-NAME-sorted, so the
+    read-back reordering of partition columns doesn't move the
+    checksum. Returns the manifest dict."""
     import json
     import os
 
-    index.write.mode("overwrite").parquet(path)
+    w = index.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
     back = index.sparkSession.read.parquet(path)
     n, x, cols = _index_stats(back)
     manifest = {"n_rows": n, "checksum_xor_crc32": x, "columns": cols}

@@ -498,6 +498,7 @@ def ivf_ann_topk(
     nprobe: int = 3,
     score_decimals: int = 6,
     assign_decimals: int = 4,
+    assigned_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate NN: every corpus vector is
     assigned to its nearest centroid cell once; a query probes only its
@@ -544,16 +545,27 @@ def ivf_ann_topk(
 
     # corpus side: the shared n=1 argmax assignment (map-side partial
     # aggregation — one narrow shuffled row per corpus vector); the
-    # window-based nearest_cells stays for the small probe side (n>1)
-    assigned = assign_nearest_cell(
-        corpus.select(
-            F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
-        ),
-        centroids,
-        "__cid",
-        "__cvec",
-        assign_decimals,
-    ).select("__cid", "cell_id", "__cvec", F.col("__vnorm").alias("__cnorm"))
+    # window-based nearest_cells stays for the small probe side (n>1).
+    # ``assigned_cells`` (the PERSISTED index from write_ivf_index)
+    # skips the assignment pass entirely — the deployment path where
+    # the corpus is indexed once and probed many times
+    if assigned_cells is not None:
+        assigned = assigned_cells.select(
+            F.col(corpus_id).alias("__cid"),
+            "cell_id",
+            F.col(vec_col).alias("__cvec"),
+            F.col("__vnorm").alias("__cnorm"),
+        )
+    else:
+        assigned = assign_nearest_cell(
+            corpus.select(
+                F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+            ),
+            centroids,
+            "__cid",
+            "__cvec",
+            assign_decimals,
+        ).select("__cid", "cell_id", "__cvec", F.col("__vnorm").alias("__cnorm"))
     probes = nearest_cells(queries, query_id, nprobe).toDF(
         "__qid", "cell_id", "__qvec", "__qnorm"
     )
@@ -580,6 +592,106 @@ def ivf_ann_topk(
             "cosine",
             "rank",
         )
+    )
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    path: str,
+    assign_decimals: int = 4,
+) -> dict:
+    """Persist the IVF search structure as a VALIDATED artifact —
+    index once, probe many (the deployment shape: the corpus-sized
+    assignment pass is the expensive part; probes are nprobe-cell
+    equi-joins). Two parquet tables under ``path``, each with the
+    manifest discipline of operators/dedup.py (torn/partial writes
+    fail loud on read, never silently drop cells):
+
+    - ``cells``: (corpus_id, cell_id, vec, __vnorm), PARTITIONED BY
+      cell_id — a probe of nprobe cells prunes to nprobe directories
+      on disk, the inverted-file layout the method is named for;
+    - ``centroids``: (cell_id, centroid).
+
+    Plus a meta.json pinning (corpus_id, vec_col, assign_decimals) so
+    a reader can't probe with mismatched rounding. Returns the
+    manifests."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    cells = assign_nearest_cell(
+        corpus.select(F.col(corpus_id), F.col(vec_col)),
+        centroids,
+        corpus_id,
+        vec_col,
+        assign_decimals,
+    )
+    m_cells = write_dedup_index(cells, f"{path}/cells", partition_by=["cell_id"])
+    m_cent = write_dedup_index(
+        centroids.select("cell_id", "centroid"), f"{path}/centroids"
+    )
+    meta = {
+        "corpus_id": corpus_id,
+        "vec_col": vec_col,
+        "assign_decimals": assign_decimals,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"cells": m_cells, "centroids": m_cent, "meta": meta}
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted IVF index, validating BOTH tables against
+    their manifests (loud ValueError on any drift — a silently
+    truncated cell table would just lower recall, the worst failure
+    mode because nothing crashes). Returns (cells, centroids, meta)."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    cells = read_dedup_index(spark, f"{path}/cells")
+    centroids = read_dedup_index(spark, f"{path}/centroids")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return cells, centroids, meta
+
+
+def ivf_ann_topk_from_index(
+    queries: DataFrame,
+    index_path_or_tables,
+    query_id: str,
+    k: int,
+    nprobe: int = 3,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index: identical results to
+    ``ivf_ann_topk`` over the original corpus (pinned in pytest),
+    without the corpus assignment pass. Accepts a path (validated
+    load) or the (cells, centroids, meta) triple from
+    :func:`read_ivf_index`."""
+    if isinstance(index_path_or_tables, str):
+        cells, centroids, meta = read_ivf_index(
+            queries.sparkSession, index_path_or_tables
+        )
+    else:
+        cells, centroids, meta = index_path_or_tables
+    return ivf_ann_topk(
+        queries,
+        corpus=None,
+        centroids=centroids,
+        query_id=query_id,
+        corpus_id=meta["corpus_id"],
+        vec_col=meta["vec_col"],
+        k=k,
+        nprobe=nprobe,
+        score_decimals=score_decimals,
+        assign_decimals=meta["assign_decimals"],
+        assigned_cells=cells,
     )
 
 

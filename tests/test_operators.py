@@ -2070,6 +2070,71 @@ def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
         read_dedup_index(spark, path3)
 
 
+def test_ivf_index_persist_probe_identity_and_torn_read(spark, tmp_path):
+    """The persisted IVF artifact (r10): probing the written index
+    must return EXACTLY what ivf_ann_topk computes over the original
+    corpus (same ranks, same rounded cosines — vectors and norms
+    round-trip parquet doubles bit-exactly), the cells table must be
+    laid out partitioned by cell_id (the inverted-file on-disk claim),
+    and a torn cell directory must fail LOUD on read — a silently
+    truncated cell table would just lower recall, which nothing
+    downstream would catch."""
+    import os
+
+    import pytest as _pytest
+
+    from prohap_spark.operators.similarity import (
+        ivf_ann_topk,
+        ivf_ann_topk_from_index,
+        read_ivf_index,
+        train_centroids_by_label,
+        write_ivf_index,
+    )
+
+    import random as _random
+
+    rng = _random.Random(5)
+    corpus = spark.createDataFrame(
+        [
+            (i, f"lab{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(300)
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = train_centroids_by_label(corpus, "label", "embedding")
+
+    path = str(tmp_path / "ivf")
+    manifests = write_ivf_index(corpus, cents, "vec_id", "embedding", path)
+    assert manifests["cells"]["n_rows"] == 300
+    # inverted-file layout: one directory per cell
+    assert any(
+        d.startswith("cell_id=") for d in os.listdir(f"{path}/cells")
+    )
+
+    direct = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_ann_topk(
+            queries, corpus, cents, "qid", "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    }
+    via_index = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_ann_topk_from_index(queries, path, "qid", k=5, nprobe=2).collect()
+    }
+    assert via_index == direct and len(direct) > 0
+
+    # torn cell directory: delete one cell's part-file -> loud refusal
+    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell_id=")]
+    victim_dir = os.path.join(path, "cells", sorted(cell_dirs)[0])
+    victim = [f for f in os.listdir(victim_dir) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(victim_dir, victim))
+    with _pytest.raises(ValueError, match="does not match its|torn/partial"):
+        read_ivf_index(spark, path)
+
+
 def test_dedup_index_torn_append_repair_resumes_ingest(spark, tmp_path):
     """r9 verdict #7: the full incremental-ingest LIFECYCLE across a
     torn append — ingest delta1, append its kept keys, TEAR the
