@@ -305,6 +305,86 @@ def stateful_distinct_hll(events: DataFrame, group_col: str = "event_type") -> D
     )
 
 
+def stateful_heavy_hitters_cms(
+    events: DataFrame,
+    token_col: str = "event_type",
+    threshold: int = 10,
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Streaming heavy hitters on a count-min sketch carried as
+    applyInPandasWithState state: d×w counters (fixed-size whatever
+    the token cardinality) plus the candidate set of tokens whose
+    RUNNING estimate has reached ``threshold``.
+
+    Guarantee (the classic CMS+threshold argument): at a token's last
+    arrival its running estimate >= its true total (CMS never
+    undercounts and counts only grow), so every token whose TRUE
+    stream count reaches the threshold is in the candidate set — no
+    false negatives, ever. False positives are CMS-overcount-bounded;
+    when distinct tokens ≪ d×w the sketch is exact and the final
+    emission equals the batch sketch's thresholded point query
+    bit-for-bit (both pinned in tests/test_streaming.py). Hashes are
+    the batch sketch's md5 windows (functions/sketches.py), so stream
+    and batch address the SAME counters.
+
+    Single global group (lit key): heavy-hitterdom is a corpus-global
+    property; the state is the sketch, not the corpus, so one state
+    shard suffices at any scale — shard by a key column instead if
+    per-key heavy hitters are wanted."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "token string, est long, n_rows long"
+    state_schema = "cnt array<long>, cand map<string, long>, n long"
+
+    def idxs(tok: str) -> list[int]:
+        hx = hashlib.md5(str(tok).encode()).hexdigest()
+        return [int(hx[4 * j : 4 * j + 4], 16) % w for j in range(d)]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cnt, cand, n_rows = state.get
+            cnt = list(cnt)
+            cand = dict(cand or {})
+        else:
+            cnt, cand, n_rows = [0] * (d * w), {}, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            for tok in pdf["__tok"]:
+                tok = str(tok)
+                pos = idxs(tok)
+                for j, ix in enumerate(pos):
+                    cnt[j * w + ix] += 1
+                est = min(cnt[j * w + ix] for j, ix in enumerate(pos))
+                if est >= threshold:
+                    cand[tok] = est
+        state.update((cnt, cand, n_rows))
+        # refresh every candidate's estimate to the CURRENT counters
+        # before emitting (an estimate can grow after the token's last
+        # arrival as other tokens hash into its cells)
+        out_toks = sorted(cand)
+        ests = [
+            min(cnt[j * w + ix] for j, ix in enumerate(idxs(t))) for t in out_toks
+        ]
+        yield pd.DataFrame(
+            {
+                "token": out_toks,
+                "est": ests,
+                "n_rows": [n_rows] * len(out_toks),
+            }
+        )
+
+    src = events.select(F.col(token_col).cast("string").alias("__tok")).withColumn(
+        "__g", F.lit(1)
+    )
+    return src.groupBy("__g").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     ev = events.withWatermark("ts", watermark) if events.isStreaming else events

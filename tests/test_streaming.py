@@ -196,6 +196,127 @@ def test_stateful_distinct_hll_stream_equals_batch_sketch(spark, events_dir):
         assert abs(est - exact[g]) <= 0.4 * exact[g], (g, est, exact[g])
 
 
+def test_stateful_heavy_hitters_cms_stream_equals_batch(spark, events_dir):
+    """Streaming CMS heavy hitters (r10): (a) NO FALSE NEGATIVES — the
+    final candidate set contains every token whose true count reaches
+    the threshold (the running-estimate >= true-count argument, which
+    holds regardless of sketch pressure); (b) at sparse parameters
+    (distinct tokens ≪ d×w, so the sketch is exact) the final
+    emission equals the BATCH sketch's thresholded point query
+    bit-for-bit — same md5 counter addressing, same min-query."""
+    from prohap_spark.functions.sketches import cms_build, cms_estimate
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_heavy_hitters_cms,
+    )
+
+    threshold = 50
+    stream = stateful_heavy_hitters_cms(
+        read_event_stream(spark, events_dir, max_files_per_trigger=1),
+        threshold=threshold,
+    )
+    run_to_memory_sink(stream, "hh_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    assert rows
+    last_n = max(r["n_rows"] for r in rows)
+    got = {r["token"]: r["est"] for r in rows if r["n_rows"] == last_n}
+
+    toks = _batch(spark, events_dir).select(
+        F.col("event_type").cast("string").alias("tok")
+    )
+    # (a) no false negatives vs TRUE counts
+    true_heavy = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] >= threshold
+    }
+    assert set(true_heavy) <= set(got)
+
+    # (b) exact parity with the batch sketch under sparse params
+    cms = cms_build(toks, "tok", 4, 256)
+    batch = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(toks.distinct(), "tok", cms, 4, 256)
+        .where(F.col("cms_est") >= threshold)
+        .collect()
+    }
+    assert got == batch
+
+
+def test_stateful_heavy_hitters_cms_restart(spark, tmp_path):
+    """Kill-and-resume for the CMS state: counters and candidates must
+    survive a checkpoint restart — the post-restart final emission
+    equals the batch sketch over ALL files, with only new batches
+    emitting."""
+    import datetime as dt
+
+    from prohap_spark.functions.sketches import cms_build, cms_estimate
+    from prohap_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stateful_heavy_hitters_cms,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    eid = 0
+
+    def write_file(kinds):
+        nonlocal eid
+        rows = []
+        for kind in kinds:
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 10, eid % 60), 1, kind, 1.0, "{}")
+            )
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            stateful_heavy_hitters_cms(
+                read_event_stream(spark, src, max_files_per_trigger=1), threshold=8
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    # phase 1: 'hot' appears 6x (below threshold) across two files
+    write_file(["hot"] * 3 + ["cold1", "cold2"])
+    write_file(["hot"] * 3 + ["cold3"])
+    p1 = run()
+    assert all(r["token"] != "hot" for r in p1)  # not yet heavy
+
+    # crash/redeploy: 4 more 'hot' — ONLY a resumed counter state can
+    # see it cross the threshold (6 pre-restart + 4 post = 10 >= 8)
+    write_file(["hot"] * 4 + ["cold4"])
+    p2 = run()
+    assert p2 and max(r["n_rows"] for r in p2) == 14
+    final = {r["token"]: r["est"] for r in p2 if r["n_rows"] == 14}
+    assert "hot" in final
+
+    toks = spark.read.parquet(src).select(
+        F.col("event_type").cast("string").alias("tok")
+    )
+    cms = cms_build(toks, "tok", 4, 256)
+    batch = {
+        r["tok"]: r["cms_est"]
+        for r in cms_estimate(toks.distinct(), "tok", cms, 4, 256)
+        .where(F.col("cms_est") >= 8)
+        .collect()
+    }
+    assert final == batch
+
+
 def test_click_attribution_batch_equals_stream(spark, events_dir):
     """Stream-stream interval self-join parity: the same click→view
     attribution transform under readStream (watermarked both sides)
