@@ -1301,15 +1301,21 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21 shape: correlated EXISTS + NOT EXISTS on the SAME
-    fact table and key — decorrelated into a left-semi ("some other
-    supplier on the order") and a left-anti ("no other supplier was
-    ALSO late") join, both equi-keyed on orderkey with suppkey-inequality
-    (and, for the anti, the lateness window) as non-equi residuals.
-    Lateness is relative to o_orderdate — a per-order constant the
-    probe row already carries, so the anti residual needs no second
-    orders join. At scale: three shuffles on orderkey (base join +
-    semi + anti, all the same key, so AQE reuses the exchange
-    partitioning) and a broadcast supplier⋈nation dim."""
+    fact table and key. The textbook decorrelation is a left-semi +
+    left-anti self-join — THREE lineitem scans and three orderkey
+    shuffles. This rewrite is the set-algebra equivalent with ONE scan
+    and one fact-table shuffle: a late line of supplier s qualifies iff the
+    order's late-supplier set is exactly {s} (the NOT EXISTS) and the
+    order has another supplier at all (the EXISTS), so two STACKED
+    aggregations — per (orderkey, suppkey) line/late-line counts, then
+    per orderkey supplier/late-supplier counts with the unique late
+    supplier carried via max(when(...)) — compute both predicates
+    without ever touching lineitem again. The second aggregate's key
+    (orderkey) is a prefix of the first's, so it reuses the exchange
+    (zero extra shuffle); numwait = the winning supplier's late-line
+    count, summed per supplier after the broadcast supplier⋈nation
+    join. At 100 TB this is the difference between one pass over the
+    fact table and three."""
     n = table(spark, sf_dir, "nation").where(
         F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
     )
@@ -1318,36 +1324,30 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = table(spark, sf_dir, "lineitem")
-    l1 = (
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    # ONE explicit repartition on the shared key prefix: hash(ok)
+    # satisfies the clustering both aggregates require (equal ok ⇒
+    # co-located ⇒ equal (ok, sk) co-located too), so NEITHER groupBy
+    # inserts its own exchange — verified in the plan audit
+    per_os = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
-        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+        .repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(late.cast("long")).alias("__n_late"))
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("k2"),
-        F.col("l_suppkey").alias("sk2"),
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum((F.col("__n_late") > 0).cast("long")).alias("__n_late_supp"),
+        F.max(F.when(F.col("__n_late") > 0, F.col("l_suppkey"))).alias("__late_supp"),
+        F.max(F.when(F.col("__n_late") > 0, F.col("__n_late"))).alias("__late_lines"),
     )
-    l3 = li.select(
-        F.col("l_orderkey").alias("k3"),
-        F.col("l_suppkey").alias("sk3"),
-        F.col("l_shipdate").alias("ship3"),
+    winners = per_o.where(
+        (F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1)
     )
     return (
-        l1.join(
-            l2,
-            (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["sk2"]),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l_orderkey") == l3["k3"])
-            & (F.col("l_suppkey") != l3["sk3"])
-            & (l3["ship3"] > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
-            "left_anti",
-        )
+        winners.join(F.broadcast(s), winners["__late_supp"] == s["s_suppkey"])
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("__late_lines").alias("numwait"))
     )
 
 
