@@ -194,6 +194,94 @@ def hyperplane_bucket_expr(
     return F.coalesce(guard, F.concat(*[plane_bit(p) for p in range(n_planes)]))
 
 
+def hyperplane_probe_buckets(
+    vec_col: str | Column,
+    n_planes: int = 8,
+    seed: str = "hp",
+    n_probes: int = 2,
+    max_dim: int = 4096,
+    quantize_micro: bool = False,
+) -> Column:
+    """Multi-probe LSH bucket array (Lv et al. 2007, public method):
+    the base hyperplane bucket PLUS ``n_probes`` perturbed buckets,
+    each flipping one of the query's lowest-|margin| sign bits — the
+    planes the vector sits closest to, i.e. the bits most likely to
+    differ for a true near neighbor. Probing those buckets buys the
+    recall of extra tables without building (or storing) them: the
+    corpus keeps ONE bucket per table; only the query side fans out.
+
+    Determinism: probe order is (|margin|, plane index) ascending —
+    margins are the same rounded/quantized sums the base bucket's sign
+    test uses, so the perturbation sequence is engine-stable. Returns
+    array<string> of 1 + n_probes bucket strings."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    assert n_probes < n_planes
+
+    def plane_sum(p: int) -> Column:
+        signs = hyperplane_sign_string(seed, p, max_dim)
+        if quantize_micro:
+            signed = F.transform(
+                v,
+                lambda x, i: F.when(
+                    F.lit(signs).substr(i + 1, F.lit(1)) == "1",
+                    _micro_component(x),
+                ).otherwise(-_micro_component(x)),
+            )
+            return F.aggregate(signed, F.lit(0).cast("long"), lambda a, x: a + x)
+        signed = F.transform(
+            v,
+            lambda x, i: F.when(
+                F.lit(signs).substr(i + 1, F.lit(1)) == "1", x.cast("double")
+            ).otherwise(-x.cast("double")),
+        )
+        return F.round(F.aggregate(signed, F.lit(0.0), lambda a, x: a + x), 6)
+
+    sums = F.array(*[plane_sum(p) for p in range(n_planes)])
+    base = F.aggregate(
+        sums,
+        F.lit(""),
+        lambda acc, s: F.concat(acc, F.when(s >= 0, F.lit("1")).otherwise(F.lit("0"))),
+    )
+    # plane indices by ascending |margin| (ties on index), first n_probes
+    order = F.slice(
+        F.array_sort(
+            F.transform(
+                sums, lambda s, i: F.struct(F.abs(s).alias("m"), i.alias("i"))
+            )
+        ),
+        1,
+        n_probes,
+    )
+    guard = F.when(
+        F.size(v) > max_dim,
+        F.raise_error(
+            F.lit(f"hyperplane_probe_buckets: vector dim exceeds max_dim={max_dim}")
+        ),
+    )
+    # bind the base string once via the 1-element-transform device so
+    # the n_planes plane sums aren't recomputed per probe
+    combined = F.element_at(
+        F.transform(
+            F.array(base),
+            lambda b: F.concat(
+                F.array(b),
+                F.transform(
+                    order,
+                    lambda e: F.concat(
+                        F.substring(b, F.lit(1), e["i"]),
+                        F.when(
+                            F.substring(b, e["i"] + 1, F.lit(1)) == "1", F.lit("0")
+                        ).otherwise(F.lit("1")),
+                        F.substring(b, e["i"] + 2, F.lit(n_planes)),
+                    ),
+                ),
+            ),
+        ),
+        1,
+    )
+    return F.coalesce(guard, combined)
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -205,6 +293,7 @@ def lsh_ann_topk(
     n_tables: int = 8,
     score_decimals: int | None = None,
     quantize_micro: bool = False,
+    n_probes: int = 0,
 ) -> DataFrame:
     """Approximate NN: bucket both sides with random hyperplanes and
     brute force only within shared buckets — an equi-join on the bucket
@@ -250,10 +339,37 @@ def lsh_ann_topk(
             for t in range(n_tables)
         ]
     )
+    if n_probes > 0:
+        # multi-probe (Lv et al. 2007): the QUERY side additionally
+        # probes its n_probes lowest-|margin| bit flips per table —
+        # the corpus keeps one bucket per table, so index size is
+        # unchanged and only the (small) query fan-out grows. Strictly
+        # additive: every base-bucket candidate is still probed, so
+        # recall is monotonically >= the n_probes=0 run (pinned in
+        # pytest).
+        def _prefixed(t: int) -> Column:
+            # NB: a two-parameter transform lambda means (element,
+            # index) to pyspark — binding the table id via a default
+            # arg would silently receive the index Column instead
+            prefix = F.lit(f"{t}:")
+            return F.transform(
+                hyperplane_probe_buckets(
+                    vec_col,
+                    n_planes,
+                    seed=f"hp{t}",
+                    n_probes=n_probes,
+                    quantize_micro=quantize_micro,
+                ),
+                lambda b: F.concat(prefix, b),
+            )
+
+        q_buckets = F.flatten(F.array(*[_prefixed(t) for t in range(n_tables)]))
+    else:
+        q_buckets = buckets
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
-        F.explode(buckets).alias("__bucket"),
+        F.explode(q_buckets).alias("__bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),

@@ -2070,6 +2070,65 @@ def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
         read_dedup_index(spark, path3)
 
 
+def test_lsh_multiprobe_improves_recall(spark):
+    """Multi-probe LSH (r10): (a) the probe array's base bucket equals
+    hyperplane_bucket_expr exactly (corpus buckets must collide with
+    the query's base probe); (b) every perturbed bucket differs from
+    the base by EXACTLY one bit; (c) recall@5 vs exact cosine is
+    monotone in n_probes and strictly improves by probes=4 on a
+    single-table run — the recall-per-table trade the method buys
+    without growing the index."""
+    import random as _random
+
+    from prohap_spark.operators.similarity import (
+        cosine_topk,
+        hyperplane_bucket_expr,
+        hyperplane_probe_buckets,
+        lsh_ann_topk,
+    )
+
+    rng = _random.Random(3)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(400)],
+        "vid long, emb array<double>",
+    )
+    chk = corpus.select(
+        hyperplane_bucket_expr("emb", 8, seed="hpX").alias("b"),
+        hyperplane_probe_buckets("emb", 8, seed="hpX", n_probes=3).alias("pb"),
+    )
+    assert chk.where(F.col("b") != F.col("pb")[0]).count() == 0
+    ham = chk.select(
+        F.expr(
+            "aggregate(slice(pb, 2, 3), 0, (acc, p) -> acc + "
+            "aggregate(sequence(1, length(b)), 0, (a, i) -> a + "
+            "CASE WHEN substring(b, i, 1) <> substring(p, i, 1) THEN 1 ELSE 0 END))"
+        ).alias("d")
+    ).agg(F.min("d").alias("lo"), F.max("d").alias("hi")).collect()[0]
+    assert (ham["lo"], ham["hi"]) == (3, 3)  # 3 probes x exactly 1 flip
+
+    queries = corpus.where(F.col("vid") % 29 == 0).select(
+        F.col("vid").alias("qid"), "emb"
+    )
+    truth = {
+        (r["qid"], r["vid"])
+        for r in cosine_topk(queries, corpus, "qid", "vid", "emb", k=5).collect()
+    }
+
+    def recall(n_probes):
+        got = {
+            (r["qid"], r["vid"])
+            for r in lsh_ann_topk(
+                queries, corpus, "qid", "vid", "emb",
+                k=5, n_planes=10, n_tables=1, n_probes=n_probes,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4, (r0, r2, r4)
+    assert r4 > r0, (r0, r4)
+
+
 def test_ivf_index_persist_probe_identity_and_torn_read(spark, tmp_path):
     """The persisted IVF artifact (r10): probing the written index
     must return EXACTLY what ivf_ann_topk computes over the original
