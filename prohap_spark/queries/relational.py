@@ -602,7 +602,13 @@ def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison into a bounded within-block one — and are verified
     with exact JVM-side Levenshtein (built-in, no UDF). The 100 TB
     shape: one shuffle on the blocking key; block sizes bound the
-    quadratic term, and skewed blocks split under AQE."""
+    quadratic term, and skewed blocks split under AQE. Two candidate-
+    side cuts (r10): a length bound (|len(a)−len(b)| ≤ k is NECESSARY
+    for dist ≤ k — a plain column comparison that prunes before any
+    DP runs) and the THRESHOLD form of the distance itself
+    (levenshtein(a, b, k) computes the banded O(len·k) DP and
+    early-exits at -1 past the threshold, instead of the full
+    O(len²) table the unbounded form fills)."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -610,21 +616,26 @@ def er_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("p_name", " "), -1).alias("noun"),
     )
     a, b = p.alias("a"), p.alias("b")
-    # compute the O(len²) distance ONCE per candidate pair — filtering
+    # compute the banded distance ONCE per candidate pair — filtering
     # on a separate levenshtein expression would evaluate it twice
     # (Spark does not CSE across Filter and Project)
     return (
         a.join(b, ["p_brand", "noun"])
-        .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .where(
+            (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(F.length("a.p_name") - F.length("b.p_name")) <= 3
+            )
+        )
         .select(
             F.col("p_brand").alias("brand"),
             F.col("a.p_partkey").alias("id_a"),
             F.col("b.p_partkey").alias("id_b"),
             F.col("a.p_name").alias("name_a"),
             F.col("b.p_name").alias("name_b"),
-            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3).alias("edit_dist"),
         )
-        .where(F.col("edit_dist") <= 3)
+        .where(F.col("edit_dist") >= 0)
     )
 
 
