@@ -1115,25 +1115,26 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18 shape: aggregated IN-subquery (orders whose total
-    quantity clears a threshold) as a semi join against the grouped
-    lineitem — the qualifying-key set is threshold-selective, so the
-    probe side broadcasts under AQE. Quantities are integral in this
-    corpus; summing them as bigint keeps the cross-engine hash exact."""
+    quantity clears a threshold). The textbook decorrelation semi-joins
+    the qualifying keys and then RE-joins lineitem to re-aggregate the
+    very sum that qualified them — two fact scans computing one number.
+    Since the output grain IS the subquery's grain (per order), the
+    HAVING aggregate double-duties as the result column (r10): one
+    lineitem scan, one groupBy, and the threshold-selective survivors
+    broadcast-join the order/customer dims. Quantities are integral in
+    this corpus; summing them as bigint keeps the cross-engine hash
+    exact."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("__q"))
-        .where(F.col("__q") > 250)
-        .select("l_orderkey")
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
     )
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        big.join(o, "o_orderkey")
         .join(c, F.col("o_custkey") == c["c_custkey"])
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",
