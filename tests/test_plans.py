@@ -714,3 +714,32 @@ def test_sketch_queries_plan_shapes(spark, qs):
     rep2 = plan_report(cms)
     assert rep2["bnl_joins"] == 0
     assert scans_per_file(cms).get("documents.parquet", 0) <= 1
+
+
+def test_q18_q21_single_fact_scan(spark, qs):
+    """The r10 one-pass rewrites must STAY one-pass: Q18 (the HAVING
+    aggregate double-dutying as the output column) and Q21 (stacked
+    aggregations replacing the semi/anti self-joins) each read
+    lineitem exactly once, and Q21 keeps its single explicit
+    fact-table exchange plus the final small aggregate — the
+    difference between one pass over a 100 TB fact table and two or
+    three."""
+    from prohap_spark.plans import scans_per_file
+
+    q18 = qs["q18_large_volume_customer"](spark, SF)
+    assert scans_per_file(q18).get("lineitem.parquet", 0) == 1
+
+    q21 = qs["q21_suppliers_kept_waiting"](spark, SF)
+    assert scans_per_file(q21).get("lineitem.parquet", 0) == 1
+
+
+def test_er_fuzzy_banded_levenshtein_and_length_guard(spark, qs):
+    """The ER join's candidate cuts must survive refactors: the plan
+    carries the THRESHOLD (3-arg) levenshtein — the banded O(len·k)
+    DP — and the length pre-filter, not an unbounded distance
+    computed for every blocked pair."""
+    df = qs["er_fuzzy_blocked_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the threshold form prints the bound as Some(3)
+    assert "levenshtein" in plan and "Some(3)" in plan, plan[:2000]
+    assert "abs((length(" in plan, plan[:2000]
