@@ -316,11 +316,19 @@ def test_q4_semi_join_not_bnl(spark, qs):
 
 
 def test_q18_semi_join_and_bigint_sums(spark, qs):
+    """r10 rewrite: the semi-join + re-aggregate shape is GONE — the
+    HAVING aggregate double-duties as the output column, so the plan
+    carries exactly one aggregation over one lineitem scan and no
+    semi join at all (test_q18_q21_single_fact_scan pins the scan
+    count; this pins the join strategy)."""
     from prohap_spark.plans import formatted_plan
 
     plan = formatted_plan(qs["q18_large_volume_customer"](spark, SF))
-    assert "LeftSemi" in plan
+    assert "LeftSemi" not in plan  # the double-aggregate shape is gone
     assert "BroadcastNestedLoop" not in plan
+    # partial+final of ONE aggregation — the formatted plan prints
+    # each node twice (tree + detail), so 2 nodes => 4 mentions
+    assert plan.count("HashAggregate") <= 4
 
 
 def test_q22_broadcast_stats_and_anti_join(spark, qs):
