@@ -131,3 +131,83 @@ def stream_near_dup_candidates(
     return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
         fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_bloom_dedup(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """BOUNDED-STATE streaming exact-key dedup: a Bloom filter of the
+    md5 content keys carried as applyInPandasWithState state. The two
+    exact streaming dedups hold state proportional to what they've
+    seen (dropDuplicatesWithinWatermark bounds it by TIME; the LSH
+    bucket state by membership caps); this one holds ceil(m/62)
+    BIGINT words FOREVER — the 100 TB trade: state that never grows,
+    paid for with a quantified false-positive rate.
+
+    Semantics per arriving doc: ``dup`` is true iff all k of its
+    key's bits were already set. NO FALSE NEGATIVES — a true repeat
+    of an inserted key always probes true, so a kept corpus never
+    contains two copies of the same text; a novel doc is falsely
+    dropped with the Bloom FPR ((1 − e^(−kn/m))^k, ~1e-5 at the
+    defaults for 10k keys). Hashing is the batch sketch's md5-window
+    device (functions/sketches.py), python-side byte-for-byte, so the
+    final state equals ``bloom_build`` over the kept keys — pinned in
+    tests/test_streaming.py along with sparse-regime equality to
+    exact dedup and the kill-and-resume restart.
+
+    Within one micro-batch, ids process in sorted order (the
+    keep-smallest-id convention of the batch dedup family)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from prohap_spark.functions.sketches import BLOOM_WORD_BITS
+
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, dup boolean, n_seen long"
+    state_schema = "words array<long>, n long"
+
+    def positions(key: str) -> list[int]:
+        hx = hashlib.md5(key.encode()).hexdigest()
+        return [int(hx[5 * j : 5 * j + 5], 16) % m_bits for j in range(k)]
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            words, n_seen = state.get
+            words = list(words)
+        else:
+            words, n_seen = [0] * n_words, 0
+        rows = {}
+        for pdf in pdfs:
+            for i, doc_key in zip(pdf[id_col], pdf["__key"]):
+                rows.setdefault(i, str(doc_key))
+        out_ids, out_dup, out_n = [], [], []
+        for i in sorted(rows):
+            pos = positions(rows[i])
+            hit = all(
+                words[p // BLOOM_WORD_BITS] >> (p % BLOOM_WORD_BITS) & 1
+                for p in pos
+            )
+            if not hit:
+                for p in pos:
+                    words[p // BLOOM_WORD_BITS] |= 1 << (p % BLOOM_WORD_BITS)
+                n_seen += 1
+            out_ids.append(i)
+            out_dup.append(hit)
+            out_n.append(n_seen)
+        state.update((words, n_seen))
+        yield pd.DataFrame({id_col: out_ids, "dup": out_dup, "n_seen": out_n})
+
+    src = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__key")
+    ).withColumn("__g", F.lit(1))
+    return src.groupBy("__g").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
