@@ -94,3 +94,64 @@ def write_fasta(
     if single_file:
         out = out.coalesce(1)
     out.write.mode("overwrite").text(path)
+
+
+def normalize_fasta_headers(
+    df: DataFrame, tag: str = "", use_enst: bool = False
+) -> DataFrame:
+    """The reference's search-engine header normalization
+    (peptide_annotation/src/fix_headers.py, wired by its Snakefile's
+    reference_fix_headers rule with ``-t _ensref -use_ENST 1``):
+
+    - tag coerced to the ``generic…`` family — untagged headers get
+      ``generic`` + the custom tag, tags lacking the keyword are
+      prefixed ``generic_``;
+    - ``use_enst``: when the description names an ENST transcript, it
+      REPLACES the accession (version-stripped) — the device that
+      keys the Ensembl proteome by transcript instead of ENSP, which
+      the U4 canonical path depends on;
+    - a ``matching_proteins:`` field is guaranteed (defaulting to the
+      final accession), so every entry downstream parses with the
+      same micro-format (common.py:58-60).
+
+    Pure column transform over the (tag, accession, description,
+    sequence) frame ``read_fasta`` produces; compose with
+    ``write_fasta`` for the file-to-file shape of the original.
+    Divergence from the reference (documented): an EMPTY description
+    gains no leading space before ``matching_proteins:`` (the
+    original's string concat leaves one — cosmetic, and our own
+    reader trims neither way)."""
+    base_tag = (
+        F.when(F.col("tag").contains("generic"), F.col("tag"))
+        .when(
+            F.col("tag") == "",
+            F.concat(F.lit("generic"), F.lit(tag)),
+        )
+        .otherwise(F.concat(F.lit("generic_"), F.col("tag")))
+    )
+    # our reader tags headers without pipes as literal 'generic' —
+    # those are exactly the reference's "not formatted" branch, which
+    # appends the custom tag
+    base_tag = F.when(
+        F.col("tag") == "generic", F.concat(F.lit("generic"), F.lit(tag))
+    ).otherwise(base_tag)
+    enst = F.regexp_extract(F.coalesce("description", F.lit("")), r"ENST(\d+)", 1)
+    accession = (
+        F.when(
+            F.lit(use_enst) & (enst != ""), F.concat(F.lit("ENST"), enst)
+        ).otherwise(F.col("accession"))
+        if use_enst
+        else F.col("accession")
+    )
+    desc0 = F.coalesce(F.col("description"), F.lit(""))
+    description = F.when(
+        desc0.contains("matching_proteins:"), desc0
+    ).otherwise(
+        F.concat_ws(" ", F.when(desc0 != "", desc0), F.concat(F.lit("matching_proteins:"), accession))
+    )
+    return df.select(
+        base_tag.alias("tag"),
+        accession.alias("accession"),
+        description.alias("description"),
+        "sequence",
+    )

@@ -241,3 +241,61 @@ def test_orc_roundtrip_nested(spark, tmp_path):
         for r in rt.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_normalize_fasta_headers_matches_fix_headers_contract(spark, tmp_path):
+    """The fix_headers equivalent (r10; fix_headers.py:50-90 is the
+    contract, Snakefile rule reference_fix_headers wires it with
+    -t _ensref -use_ENST 1): Ensembl-proteome-style headers normalize
+    to the generic|accession|description shape with the ENST id
+    replacing the ENSP accession (version-stripped), a guaranteed
+    matching_proteins field, and generic-family tag coercion — then
+    round-trip through write_fasta/read_fasta."""
+    from prohap_spark.sources.fasta import (
+        normalize_fasta_headers,
+        read_fasta,
+        write_fasta,
+    )
+
+    raw = str(tmp_path / "raw.fa")
+    with open(raw, "w") as f:
+        # Ensembl pep.all shape: unpiped header, ENST in the description
+        f.write(
+            ">ENSP00000488240.1 pep chromosome:GRCh38:1:100:200:1 "
+            "gene:ENSG00000284662.1 transcript:ENST00000633070.1 "
+            "gene_biotype:protein_coding\nMKVL\nAAXY\n"
+        )
+        # already-piped header WITHOUT the generic keyword
+        f.write(">sp|P12345|ALBU_HUMAN Serum albumin\nMWVT\n")
+        # already-generic entry with matching_proteins present: no-op
+        f.write(">generic_cont|GAG|matching_proteins:GAG\nMAGA\n")
+
+    df = read_fasta(spark, raw)
+    out = {
+        r["accession"]: r
+        for r in normalize_fasta_headers(df, tag="_ensref", use_enst=True).collect()
+    }
+
+    ens = out["ENST00000633070"]  # ENSP accession REPLACED, version-stripped
+    assert ens["tag"] == "generic_ensref"
+    assert ens["description"].endswith("matching_proteins:ENST00000633070")
+    assert ens["sequence"] == "MKVLAAXY"
+
+    alb = out["P12345"]
+    assert alb["tag"] == "generic_sp"  # generic_ prefix coerced on
+    assert "matching_proteins:P12345" in alb["description"]
+
+    gag = out["GAG"]
+    assert gag["tag"] == "generic_cont"
+    assert gag["description"] == "matching_proteins:GAG"  # untouched
+
+    # round-trip through the sink and reader
+    sink = str(tmp_path / "norm_fa")
+    write_fasta(normalize_fasta_headers(df, tag="_ensref", use_enst=True), sink)
+    back = {
+        r["accession"]: r for r in read_fasta(spark, sink + "/part-*").collect()
+    }
+    assert set(back) == set(out)
+    for acc, r in out.items():
+        assert back[acc]["tag"] == r["tag"]
+        assert back[acc]["sequence"] == r["sequence"]
