@@ -171,11 +171,14 @@ def write_vcf(
     (vcf_filter_fix.py:48-63). Partition-per-chromosome layout comes
     from partitionBy on the caller side (S10)."""
     cols = [F.col(c) for c in VCF_CORE]
-    body = df.select(
-        F.concat_ws(
-            "\t", *cols, F.array_join(F.col("genotypes"), "\t")
-        ).alias("value")
+    # sample-less VCFs (e.g. the csv_to_vcf custom-variant shim) have
+    # no genotypes column — emit the 9 core columns alone
+    tail = (
+        [F.array_join(F.col("genotypes"), "\t")]
+        if "genotypes" in df.columns
+        else []
     )
+    body = df.select(F.concat_ws("\t", *cols, *tail).alias("value"))
     header_cols = "\t".join(
         ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO", "FORMAT"]
         + (sample_names or [])
@@ -183,3 +186,36 @@ def write_vcf(
     header_lines = [(line,) for line in (meta_header or [])] + [(header_cols,)]
     header = body.sparkSession.createDataFrame(header_lines, ["value"])
     header.unionByName(body).coalesce(1).write.mode("overwrite").text(path)
+
+
+def csv_to_vcf(
+    df: DataFrame,
+    chrom_col: str = "chrom",
+    pos_col: str = "pos",
+    id_col: str = "accession",
+    ref_col: str = "ref",
+    alt_col: str = "alt",
+) -> DataFrame:
+    """The reference's custom-variant ingest shim (src/csv_to_vcf.py:
+    formats an arbitrary tabular variant list into VCF shape so ProVar
+    can consume user-supplied variants): map the five named columns
+    onto the VCF core, dot-fill QUAL/FILTER/INFO, order by
+    (chrom, pos). Returns a frame in this module's lower-case core
+    schema — compose with ``write_vcf`` (which emits the #CHROM header
+    row) for the original's file-to-file behavior; the sort matches
+    the original's sort_values(['#CHROM','POS']) string-major order
+    only when chromosomes are compared alike, so chrom sorts AS TEXT
+    here too (the reference sorts the '#CHROM' object column —
+    lexicographic for string chroms)."""
+    out = df.select(
+        F.col(chrom_col).cast("string").alias("chrom"),
+        F.col(pos_col).cast("long").alias("pos"),
+        F.col(id_col).cast("string").alias("id"),
+        F.col(ref_col).cast("string").alias("ref"),
+        F.col(alt_col).cast("string").alias("alt"),
+        F.lit(".").alias("qual"),
+        F.lit(".").alias("filter"),
+        F.lit(".").alias("info"),
+        F.lit(".").alias("format"),
+    )
+    return out.orderBy(F.col("chrom").cast("string"), "pos")

@@ -299,3 +299,42 @@ def test_normalize_fasta_headers_matches_fix_headers_contract(spark, tmp_path):
     for acc, r in out.items():
         assert back[acc]["tag"] == r["tag"]
         assert back[acc]["sequence"] == r["sequence"]
+
+
+def test_csv_to_vcf_shim(spark, tmp_path):
+    """src/csv_to_vcf.py equivalent: arbitrary variant CSV → VCF core
+    with dot-filled QUAL/FILTER/INFO, (chrom, pos)-ordered, and
+    writable by write_vcf with the #CHROM header (round-tripped)."""
+    from prohap_spark.sources.vcf import csv_to_vcf, read_vcf, write_vcf
+
+    csv = str(tmp_path / "vars.csv")
+    with open(csv, "w") as f:
+        f.write("accession;chromosome;position;reference;alternative\n")
+        f.write("rs2;2;500;G;T\n")
+        f.write("rs1;1;900;A;C\n")
+        f.write("rs3;1;100;AT;A\n")
+    raw = spark.read.option("sep", ";").option("header", True).csv(csv)
+    vcf = csv_to_vcf(
+        raw,
+        chrom_col="chromosome",
+        pos_col="position",
+        id_col="accession",
+        ref_col="reference",
+        alt_col="alternative",
+    )
+    rows = vcf.collect()
+    assert [(r["chrom"], r["pos"], r["id"]) for r in rows] == [
+        ("1", 100, "rs3"),
+        ("1", 900, "rs1"),
+        ("2", 500, "rs2"),
+    ]
+    assert all(r["qual"] == r["filter"] == r["info"] == "." for r in rows)
+
+    sink = str(tmp_path / "out_vcf")
+    write_vcf(vcf, sink)
+    back = read_vcf(spark, sink + "/part-*")
+    assert {(r["chrom"], r["pos"], r["ref"], r["alt"]) for r in back.collect()} == {
+        ("1", 100, "AT", "A"),
+        ("1", 900, "A", "C"),
+        ("2", 500, "G", "T"),
+    }
