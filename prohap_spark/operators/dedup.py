@@ -629,6 +629,130 @@ def _prefix_candidates(
     return joined.select(*block_cols, "id_a", "id_b").distinct()
 
 
+def cdc_chunk_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 16,
+    min_words: int = 8,
+    max_words: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC family, public
+    method): split each document at WORD positions where a hash of the
+    trailing ``window``-word context is ≡ 0 (mod ``divisor``) —
+    boundaries determined by CONTENT, not offsets, so an insertion
+    near the head re-chunks only up to the first downstream boundary
+    and every later chunk keeps its identity (the shift-resistance
+    property fixed-window segmentation lacks; pinned in pytest).
+    Expected chunk length ≈ divisor words, bounded to
+    [min_words, max_words]: candidate cuts closer than min_words to
+    the previous accepted cut are skipped (the FastCDC minimum), and
+    intervals longer than max_words force arithmetic cuts (identity
+    shift-resistance holds only within such an oversized stretch —
+    the same trade FastCDC's forced cut makes).
+
+    Returns one row per (id, chunk_idx, chunk, chunk_hash). All
+    column expressions (transform/filter/aggregate/xxhash64) — the
+    per-row cost is O(n_words · window) hash characters; a 100 TB
+    deployment would drop the context re-concat for a true O(n)
+    rolling polynomial inside a pandas UDF, which changes the
+    boundary positions but none of the properties."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n = F.size(words)
+    # candidate cut AFTER word i (1-based), needing i >= window so the
+    # context is full
+    ctx_hash = lambda i: F.xxhash64(  # noqa: E731
+        F.concat_ws(" ", F.slice(words, i - window + 1, window))
+    )
+    cand = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i >= window) & (F.pmod(ctx_hash(i), F.lit(divisor)) == 0),
+    )
+    # FastCDC minimum: fold candidates left-to-right, accept a cut only
+    # min_words past the previous accepted one
+    cuts = F.aggregate(
+        cand,
+        F.array(F.lit(0)),
+        lambda acc, c: F.when(
+            c - F.element_at(acc, -1) >= min_words, F.concat(acc, F.array(c))
+        ).otherwise(acc),
+    )
+    cuts = F.when(
+        F.element_at(cuts, -1) < n, F.concat(cuts, F.array(n))
+    ).otherwise(cuts)
+    # intervals (a, b]; force arithmetic sub-cuts past max_words
+    intervals = F.flatten(
+        F.transform(
+            F.sequence(F.lit(2), F.size(cuts)),
+            lambda j: F.transform(
+                F.sequence(
+                    F.element_at(cuts, (j - 1).cast("int")),
+                    F.element_at(cuts, j.cast("int")) - 1,
+                    F.lit(max_words),
+                ),
+                lambda a: F.struct(
+                    a.alias("a"),
+                    F.least(
+                        a + max_words, F.element_at(cuts, j.cast("int"))
+                    ).alias("b"),
+                ),
+            ),
+        )
+    )
+    chunks = df.select(
+        F.col(id_col),
+        words.alias("__ws"),
+        F.posexplode(intervals).alias("chunk_idx", "__iv"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__ws"),
+                F.col("__iv.a").cast("int") + 1,
+                (F.col("__iv.b") - F.col("__iv.a")).cast("int"),
+            ),
+        ).alias("chunk"),
+    )
+    return chunks.where(F.length("chunk") > 0).withColumn(
+        "chunk_hash", F.xxhash64("chunk")
+    )
+
+
+def cdc_dedup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **chunk_kwargs,
+) -> DataFrame:
+    """Per-document chunk-level dup report over CDC chunks: (id,
+    n_chunks, n_dup_chunks, dup_fraction) where a chunk is dup if its
+    hash appears in ≥2 documents corpus-wide. The 100 TB shape: only
+    (id, hash) pairs shuffle — chunk text never leaves the map side;
+    one hash aggregate + one equi-join, the segment_dedup layout with
+    shift-resistant boundaries."""
+    ch = cdc_chunk_table(df, id_col, text_col, **chunk_kwargs)
+    pairs = ch.select(F.col(id_col), "chunk_hash")
+    dup_hashes = (
+        pairs.groupBy("chunk_hash")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = pairs.join(
+        dup_hashes.withColumn("__dup", F.lit(1)), "chunk_hash", "left"
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.coalesce("__dup", F.lit(0))).alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.coalesce("__dup", F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("dup_fraction"),
+    )
+
+
 def token_fingerprint(text_col: str | Column) -> Column:
     """Canonical document fingerprint: md5 of the sorted distinct token
     set — robust to word order and repetition (the A6/A7 'sequence

@@ -2070,6 +2070,74 @@ def test_dedup_index_torn_write_fails_loud(spark, tmp_path):
         read_dedup_index(spark, path3)
 
 
+def test_cdc_chunking_shift_resistance_and_bounds(spark):
+    """Content-defined chunking (r10): (a) SHIFT RESISTANCE — after
+    inserting words at the head of a document, the surviving chunk
+    multiset overlaps the original's far more than fixed-window
+    segmentation's does (whose every window shifts); (b) chunk sizes
+    respect [min_words, max_words] except the final fragment;
+    (c) deterministic under repartitioning; (d) cdc_dedup_stats flags
+    exactly the cross-document duplicated chunks."""
+    import random as _random
+
+    from prohap_spark.operators.dedup import cdc_chunk_table, cdc_dedup_stats
+
+    rng = _random.Random(11)
+    vocab = [f"tok{v}" for v in range(500)]
+    body = " ".join(rng.choice(vocab) for _ in range(600))
+    shifted = "inserted header words here " + body
+    df = spark.createDataFrame(
+        [(1, body), (2, shifted)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_table(df, "doc_id", "text", min_words=8, max_words=64)
+    rows = ch.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    c1 = {c for _, c in by_doc[1]}
+    c2 = {c for _, c in by_doc[2]}
+    cdc_shared = len(c1 & c2) / len(c1)
+    # fixed-window comparison: every 16-word window shifts by the
+    # 4-word insertion, so (almost) nothing survives
+    def fixed(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 16]) for i in range(0, len(w), 16)}
+
+    fixed_shared = len(fixed(body) & fixed(shifted)) / len(fixed(body))
+    assert cdc_shared >= 0.7, (cdc_shared, len(c1), len(c2))
+    assert fixed_shared <= 0.1, fixed_shared
+    assert cdc_shared > fixed_shared + 0.5
+
+    # (b) size bounds: all but each doc's final chunk inside
+    # [min_words, max_words]
+    for doc, chunks in by_doc.items():
+        ordered = [c for _, c in sorted(chunks)]
+        for c in ordered[:-1]:
+            assert 8 <= len(c.split()) <= 64, (doc, len(c.split()))
+        assert len(ordered[-1].split()) <= 64
+
+    # (c) partition invariance
+    re16 = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_hash"])
+        for r in cdc_chunk_table(
+            df.repartition(16), "doc_id", "text", min_words=8, max_words=64
+        ).collect()
+    }
+    assert re16 == {(r["doc_id"], r["chunk_idx"], r["chunk_hash"]) for r in rows}
+
+    # (d) dup stats: doc 3 repeats doc 1's tail verbatim behind fresh
+    # content — its shared chunks (and only those) flag as dups
+    tail = " ".join(body.split()[-200:])
+    df3 = spark.createDataFrame(
+        [(1, body), (3, "completely fresh opening " * 10 + tail)],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r for r in cdc_dedup_stats(df3, "doc_id", "text").collect()}
+    assert stats[3]["n_dup_chunks"] > 0
+    assert stats[1]["n_dup_chunks"] > 0
+    assert stats[3]["n_dup_chunks"] < stats[3]["n_chunks"]  # fresh part kept
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe LSH (r10): (a) the probe array's base bucket equals
     hyperplane_bucket_expr exactly (corpus buckets must collide with
