@@ -637,6 +637,7 @@ def cdc_chunk_table(
     divisor: int = 16,
     min_words: int = 8,
     max_words: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Content-defined chunking (the Rabin/FastCDC family, public
     method): split each document at WORD positions where a hash of the
@@ -654,51 +655,78 @@ def cdc_chunk_table(
 
     Returns one row per (id, chunk_idx, chunk, chunk_hash). All
     column expressions (transform/filter/aggregate/xxhash64) — the
-    per-row cost is O(n_words · window) hash characters; a 100 TB
-    deployment would drop the context re-concat for a true O(n)
-    rolling polynomial inside a pandas UDF, which changes the
-    boundary positions but none of the properties."""
+    per-row cost is O(n_words · window) hash characters; for the true
+    O(n) rolling polynomial see :func:`cdc_chunk_table_rolling`.
+
+    ``hash_fn``: 'xxhash64' (default — fastest, Spark-only) or 'md5'
+    (the codebase's 60-bit md5 integer, replayable bit-exactly by a
+    DuckDB oracle — the registered ``dedup_cdc_chunking`` query uses
+    this so boundary decisions are cross-engine value-checked)."""
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     n = F.size(words)
     # candidate cut AFTER word i (1-based), needing i >= window so the
     # context is full
-    ctx_hash = lambda i: F.xxhash64(  # noqa: E731
-        F.concat_ws(" ", F.slice(words, i - window + 1, window))
-    )
+    if hash_fn == "md5":
+        ctx_hash = lambda i: F.conv(  # noqa: E731
+            F.substring(
+                F.md5(F.concat_ws(" ", F.slice(words, i - window + 1, window))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        ctx_hash = lambda i: F.xxhash64(  # noqa: E731
+            F.concat_ws(" ", F.slice(words, i - window + 1, window))
+        )
     cand = F.filter(
         F.sequence(F.lit(1), n),
         lambda i: (i >= window) & (F.pmod(ctx_hash(i), F.lit(divisor)) == 0),
     )
     # FastCDC minimum: fold candidates left-to-right, accept a cut only
-    # min_words past the previous accepted one
+    # min_words past the previous accepted one. The tail cut (append n
+    # when the last accepted cut falls short of it) lives in the
+    # finish lambda: a lambda variable is a BOUND VALUE, so acc is
+    # referenced twice without re-running the fold — the previous
+    # standalone F.when re-evaluated the whole fold (and with it every
+    # candidate hash) once per reference.
     cuts = F.aggregate(
         cand,
         F.array(F.lit(0)),
         lambda acc, c: F.when(
             c - F.element_at(acc, -1) >= min_words, F.concat(acc, F.array(c))
         ).otherwise(acc),
+        lambda acc: F.when(
+            F.element_at(acc, -1) < n, F.concat(acc, F.array(n))
+        ).otherwise(acc),
     )
-    cuts = F.when(
-        F.element_at(cuts, -1) < n, F.concat(cuts, F.array(n))
-    ).otherwise(cuts)
-    # intervals (a, b]; force arithmetic sub-cuts past max_words
-    intervals = F.flatten(
-        F.transform(
-            F.sequence(F.lit(2), F.size(cuts)),
+    # intervals (a, b]; force arithmetic sub-cuts past max_words.
+    # `cuts` is bound ONCE via the singleton-array transform: the naive
+    # form references it 4x inside the lambdas, and higher-order-
+    # function bodies defeat codegen subexpression elimination, so each
+    # reference re-evaluated the entire candidate-hash scan — measured
+    # ~20x wall on the md5 variant at sf0.01 (39 s -> 2 s).
+    def _intervals(cs):
+        return F.transform(
+            F.sequence(F.lit(2), F.size(cs)),
             lambda j: F.transform(
                 F.sequence(
-                    F.element_at(cuts, (j - 1).cast("int")),
-                    F.element_at(cuts, j.cast("int")) - 1,
+                    F.element_at(cs, (j - 1).cast("int")),
+                    F.element_at(cs, j.cast("int")) - 1,
                     F.lit(max_words),
                 ),
                 lambda a: F.struct(
                     a.alias("a"),
                     F.least(
-                        a + max_words, F.element_at(cuts, j.cast("int"))
+                        a + max_words, F.element_at(cs, j.cast("int"))
                     ).alias("b"),
                 ),
             ),
         )
+
+    intervals = F.flatten(
+        F.flatten(F.transform(F.array(cuts), lambda cs: _intervals(cs)))
     )
     chunks = df.select(
         F.col(id_col),
@@ -721,10 +749,114 @@ def cdc_chunk_table(
     )
 
 
+def cdc_chunk_table_rolling(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    divisor: int = 16,
+    min_words: int = 8,
+    max_words: int = 64,
+) -> DataFrame:
+    """Content-defined chunking with a TRUE O(n)-per-document rolling
+    polynomial (the Rabin fingerprint the method is named for — the
+    100 TB follow-up :func:`cdc_chunk_table`'s docstring promises):
+    instead of re-concatenating and re-hashing the ``window``-word
+    context at every position (O(n·window) characters per row), an
+    Arrow-batched ``mapInPandas`` kernel rolls
+
+        h_i = (h_{i-1}·B + x_i − x_{i-window}·B^window) mod M
+
+    over per-word CRC32 codes — O(1) per word, one pass per document
+    (B = 1e6+3, M = 2^61−1; incremental == from-scratch window hash is
+    pinned in pytest, so the O(n) trick provably computes the same
+    boundary decisions a naive per-window hash would).
+
+    Same cut policy as the column-algebra variant — candidate where
+    the context hash ≡ 0 (mod divisor), greedy FastCDC minimum,
+    forced arithmetic cuts past ``max_words`` — but a DIFFERENT hash
+    family, so boundary POSITIONS differ by design while every
+    property (shift resistance, expected/bounded chunk length,
+    concat-identity) holds for both; the shared property suite runs
+    against each. Returns (id, chunk_idx, chunk, chunk_hash) like the
+    column variant (chunk_hash = the codebase's 60-bit md5 integer).
+
+    100 TB shape: the kernel is per-row independent (no state across
+    documents), Arrow-batched, and emits chunk rows only — the
+    downstream dup aggregate still shuffles (id, hash) pairs alone.
+    ``tools/cdc_scale_probe.py`` measures the per-word cost staying
+    flat as documents grow 1k→16k words while the column variant's
+    grows with window·n."""
+    import hashlib
+    import zlib
+
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, chunk_idx int, chunk string, chunk_hash long"
+    )
+    B = 1_000_003
+    M = (1 << 61) - 1
+    bw = pow(B, window, M)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_idx, out_chunk, out_hash = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                ws = str(text).strip().lower().split()
+                n = len(ws)
+                xs = [zlib.crc32(w.encode()) + 1 for w in ws]
+                cuts = [0]
+                h = 0
+                for i in range(n):
+                    h = (h * B + xs[i]) % M
+                    if i >= window:
+                        h = (h - xs[i - window] * bw) % M
+                    pos = i + 1
+                    if (
+                        pos >= window
+                        and h % divisor == 0
+                        and pos - cuts[-1] >= min_words
+                    ):
+                        cuts.append(pos)
+                if cuts[-1] < n:
+                    cuts.append(n)
+                k = 0
+                for j in range(1, len(cuts)):
+                    a, b = cuts[j - 1], cuts[j]
+                    while a < b:
+                        e = min(a + max_words, b)
+                        chunk = " ".join(ws[a:e])
+                        if chunk:
+                            out_id.append(rid)
+                            out_idx.append(k)
+                            out_chunk.append(chunk)
+                            out_hash.append(
+                                int(
+                                    hashlib.md5(chunk.encode()).hexdigest()[:15],
+                                    16,
+                                )
+                            )
+                            k += 1
+                        a = e
+            yield pd.DataFrame(
+                {
+                    id_col: out_id,
+                    "chunk_idx": out_idx,
+                    "chunk": out_chunk,
+                    "chunk_hash": out_hash,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def cdc_dedup_stats(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    strategy: str = "column",
     **chunk_kwargs,
 ) -> DataFrame:
     """Per-document chunk-level dup report over CDC chunks: (id,
@@ -732,8 +864,11 @@ def cdc_dedup_stats(
     hash appears in ≥2 documents corpus-wide. The 100 TB shape: only
     (id, hash) pairs shuffle — chunk text never leaves the map side;
     one hash aggregate + one equi-join, the segment_dedup layout with
-    shift-resistant boundaries."""
-    ch = cdc_chunk_table(df, id_col, text_col, **chunk_kwargs)
+    shift-resistant boundaries. ``strategy``: 'column' (pure column
+    algebra, engine-replayable) or 'rolling' (the O(n) Rabin kernel,
+    :func:`cdc_chunk_table_rolling`)."""
+    chunker = cdc_chunk_table_rolling if strategy == "rolling" else cdc_chunk_table
+    ch = chunker(df, id_col, text_col, **chunk_kwargs)
     pairs = ch.select(F.col(id_col), "chunk_hash")
     dup_hashes = (
         pairs.groupBy("chunk_hash")
