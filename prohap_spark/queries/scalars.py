@@ -10,19 +10,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from prohap_spark.queries.registry import register, table
 
 
-@register(
-    "c_math_hash",
-    """
-    SELECT p_partkey,
-           CAST(floor(p_retailprice / 3) AS BIGINT) AS fl,
-           CAST(ceil(p_retailprice / 3) AS BIGINT)  AS ce,
-           p_size % 3 AS pm,
-           printf('%x', p_partkey * 7) AS hex7,
-           md5(p_name) AS name_md5,
-           format('{:.5f}', round(p_retailprice / 7, 5)) AS fixed5
-    FROM part
-    """,
-)
 def c_math_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C10/C11/C12: codon-style integer arithmetic (floor/ceil/pmod),
     hex id formatting, stable content hashing, 5-decimal fixed-point
@@ -40,19 +27,6 @@ def c_math_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c2_regex_split_explode",
-    """
-    SELECT o_orderkey, part_idx, part_str
-    FROM (
-      SELECT o_orderkey,
-             generate_subscripts(regexp_split_to_array(o_orderpriority, '[-_ ]'), 1) - 1 AS part_idx,
-             unnest(regexp_split_to_array(o_orderpriority, '[-_ ]')) AS part_str
-      FROM orders
-    )
-    WHERE o_orderkey < 1000
-    """,
-)
 def c2_regex_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C2 regex split + posexplode (the re.split change-string parse,
     process_haplotypes.py:180-194)."""
@@ -199,15 +173,6 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "c_json_extract",
-    """
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
-           CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 'high' ELSE 'low' END AS bucket
-    FROM events
-    """,
-)
 def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON functions (§2.8 surplus — the reference parses its ad-hoc
     key:value formats by regex; proper JSON is the free upgrade):
@@ -219,6 +184,80 @@ def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["k"].alias("k"),
         F.when(parsed["k"] > 50, "high").otherwise("low").alias("bucket"),
     )
+
+
+@register(
+    "c_scalar_board",
+    """
+    SELECT 'math' AS leg, p_partkey AS k,
+           CAST(floor(p_retailprice / 3) AS BIGINT) AS i1,
+           CAST(ceil(p_retailprice / 3) AS BIGINT)  AS i2,
+           CAST(p_size % 3 AS BIGINT) AS i3,
+           printf('%x', p_partkey * 7) AS s1,
+           md5(p_name) AS s2,
+           format('{:.5f}', round(p_retailprice / 7, 5)) AS s3
+    FROM part
+    UNION ALL
+    SELECT 'regex' AS leg, o_orderkey AS k,
+           CAST(generate_subscripts(regexp_split_to_array(o_orderpriority, '[-_ ]'), 1) - 1 AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2, CAST(NULL AS BIGINT) AS i3,
+           unnest(regexp_split_to_array(o_orderpriority, '[-_ ]')) AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
+    FROM orders
+    WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT 'json' AS leg, event_id AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS i1,
+           CAST(NULL AS BIGINT) AS i2, CAST(NULL AS BIGINT) AS i3,
+           CASE WHEN CAST(json_extract(props, '$.k') AS INT) > 50 THEN 'high' ELSE 'low' END AS s1,
+           CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS VARCHAR) AS s3
+    FROM events
+    """,
+)
+def c_scalar_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-surface board — the r8-cohort singletons
+    ``c_math_hash`` + ``c2_regex_split_explode`` + ``c_json_extract``
+    MERGED into one registered query (the slot-freeing board device of
+    dedup_minhash_lsh_board / dedup_simhash_board, r11): three
+    independent legs over three tables, mapped onto one generic
+    (leg, k, i1-i3, s1-s3) schema with the other legs' columns NULL —
+    every value each singleton hashed still flows into the value hash,
+    so coverage is preserved while the registry spends one rotation
+    slot instead of three. The original callables remain the library
+    surface above (docstrings carry the reference citations)."""
+    NB, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
+
+    math_leg = c_math_hash(spark, sf_dir).select(
+        F.lit("math").alias("leg"),
+        F.col("p_partkey").cast("long").alias("k"),
+        F.col("fl").alias("i1"),
+        F.col("ce").alias("i2"),
+        F.col("pm").cast("long").alias("i3"),
+        F.col("hex7").alias("s1"),
+        F.col("name_md5").alias("s2"),
+        F.col("fixed5").alias("s3"),
+    )
+    regex_leg = c2_regex_split_explode(spark, sf_dir).select(
+        F.lit("regex").alias("leg"),
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("part_idx").cast("long").alias("i1"),
+        NB.alias("i2"),
+        NB.alias("i3"),
+        F.col("part_str").alias("s1"),
+        NS.alias("s2"),
+        NS.alias("s3"),
+    )
+    json_leg = c_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("leg"),
+        F.col("event_id").cast("long").alias("k"),
+        F.col("k").cast("long").alias("i1"),
+        NB.alias("i2"),
+        NB.alias("i3"),
+        F.col("bucket").alias("s1"),
+        NS.alias("s2"),
+        NS.alias("s3"),
+    )
+    return math_leg.unionByName(regex_leg).unionByName(json_leg)
 
 
 @register(
@@ -355,3 +394,122 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts_us",
         )
     )
+
+
+def _stream_sketch_oracle_sql() -> str:
+    from prohap_spark.functions.sketches import _md5_window_sql, hll_oracle_sql
+
+    d, w, th = 4, 256, 10
+    pos_legs = "\n      UNION ALL ".join(
+        f"SELECT {j} AS j, {_md5_window_sql('tok', 1 + 4 * j, 4)} % {w} AS idx FROM toks"
+        for j in range(d)
+    )
+    cand_legs = "\n      UNION ALL ".join(
+        f"SELECT tok, {j} AS j, {_md5_window_sql('tok', 1 + 4 * j, 4)} % {w} AS idx FROM cand"
+        for j in range(d)
+    )
+    return f"""
+    WITH hll AS ({hll_oracle_sql("events", "event_type", "user_id")}),
+    grp AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1
+    ),
+    toks AS (SELECT CAST(event_type AS VARCHAR) AS tok FROM events),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+    cms AS (
+      SELECT j, idx, count(*) AS cnt FROM (
+      {pos_legs}
+      ) GROUP BY 1, 2
+    ),
+    cand AS (SELECT DISTINCT tok FROM toks),
+    pe AS (
+      {cand_legs}
+    ),
+    est AS (
+      SELECT tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+      FROM pe LEFT JOIN cms c USING (j, idx)
+      GROUP BY tok
+    )
+    SELECT 'hll' AS leg, hll.event_type AS key, hll.hll_est AS est,
+           CAST(hll.hll_zero_registers AS BIGINT) AS aux, grp.n_rows
+    FROM hll JOIN grp USING (event_type)
+    UNION ALL
+    SELECT 'cms' AS leg, tok AS key, est,
+           CAST(NULL AS BIGINT) AS aux, tot.n AS n_rows
+    FROM est, tot WHERE est >= {th}
+    """
+
+
+@register("stream_sketch_board", _stream_sketch_oracle_sql())
+def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch state ops on the correctness board (r10's
+    streaming/events.py stateful_distinct_hll + stateful_heavy_hitters
+    _cms, previously pytest-only): both run as REAL
+    applyInPandasWithState streams over the 4-file event source (one
+    file per micro-batch, so sketch state MUST survive batch
+    boundaries), and the FINAL cumulative emission must equal the
+    batch sketch replayed by the DuckDB oracle — the HLL leg
+    bit-exactly (same 60-bit md5 hash, integer estimator, linear-
+    counting branch), the CMS leg under the same d=4 x w=256 md5
+    counter addressing with threshold 10. Bounded state is the whole
+    point: 64 ints per group / d*w counters, whatever the stream
+    length."""
+    import os
+
+    from pyspark.sql import Window
+
+    from prohap_spark.queries.registry import events_table
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_distinct_hll,
+        stateful_heavy_hitters_cms,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = f"/tmp/prohap_stream_events_x4_{tag}"
+    if not os.path.exists(f"{d}/_SUCCESS"):
+        events_table(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(d)
+
+    hll_stream = stateful_distinct_hll(
+        read_event_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory_sink(hll_stream, "sketch_hll_out", output_mode="update")
+    # update mode keeps every batch's emission; per group the FINAL
+    # one is the row with the highest cumulative n_rows
+    w_h = Window.partitionBy("event_type").orderBy(F.col("n_rows").desc())
+    hll_leg = (
+        spark.sql("SELECT * FROM sketch_hll_out")
+        .withColumn("__rn", F.row_number().over(w_h))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.lit("hll").alias("leg"),
+            F.col("event_type").alias("key"),
+            F.col("hll_est").alias("est"),
+            F.col("hll_zero_registers").cast("long").alias("aux"),
+            "n_rows",
+        )
+    )
+
+    cms_stream = stateful_heavy_hitters_cms(
+        read_event_stream(spark, d, max_files_per_trigger=1),
+        token_col="event_type",
+        threshold=10,
+        d=4,
+        w=256,
+    )
+    run_to_memory_sink(cms_stream, "sketch_cms_out", output_mode="update")
+    # single global group: the final batch's rows carry the max n_rows
+    w_c = Window.partitionBy("token").orderBy(F.col("n_rows").desc())
+    cms_leg = (
+        spark.sql("SELECT * FROM sketch_cms_out")
+        .withColumn("__rn", F.row_number().over(w_c))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.lit("cms").alias("leg"),
+            F.col("token").alias("key"),
+            "est",
+            F.lit(None).cast("long").alias("aux"),
+            "n_rows",
+        )
+    )
+    return hll_leg.unionByName(cms_leg)

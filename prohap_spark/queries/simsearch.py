@@ -24,9 +24,9 @@ _DUCK_DOT = (
 _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
-@register(
-    "sim_bruteforce_topk",
-    f"""
+# (Registered via sim_embedding_board since r11 — the slot-freeing
+# merge; this stays the recall baseline every ANN test pins against.)
+_BRUTE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
     scored AS (
@@ -41,8 +41,9 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x 
       FROM scored
     )
     SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: broadcast the query set, JVM-side
     zip_with/aggregate dot product (double precision, deterministic
@@ -217,9 +218,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_ivf_ann",
-    f"""
+# shared by sim_ivf_ann AND sim_ivf_index_probe: the probe-from-index
+# path is pinned (pytest + the probe query's own hash gate) to produce
+# IDENTICAL values to the direct path, so one replay serves both.
+_IVF_ANN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
     ed AS (
@@ -275,8 +277,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
+@register("sim_ivf_ann", _IVF_ANN_ORACLE)
 def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label-mean centroids as the coarse quantizer (the
     trained-quantizer table a k-means job would emit), corpus assigned
@@ -295,9 +299,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.toDF("qid", "cid", "cosine", "rank")
 
 
-@register(
-    "emb_centroid_cosine",
-    f"""
+# (Registered via sim_embedding_board since r11.)
+_CENTROID_ORACLE = f"""
     WITH e AS (
       SELECT vec_id, label, unnest(embedding) AS x,
              generate_subscripts(embedding, 1) AS d
@@ -316,8 +319,9 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label, round(dot / (vnorm * cnorm), 4) AS centroid_cosine
     FROM joined
-    """,
-)
+    """
+
+
 def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + each vector's cosine to its centroid —
     exploded per-dimension aggregation (the clustering-adjacent
@@ -343,6 +347,52 @@ def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.col("dot") / (F.col("vnorm") * F.col("cnorm")), 4).alias("centroid_cosine"),
     )
+
+
+@register(
+    "sim_embedding_board",
+    f"""
+    WITH brute_leg AS ({_BRUTE_ORACLE}),
+    centroid_leg AS ({_CENTROID_ORACLE})
+    SELECT 'brute_topk' AS leg, CAST(qid AS BIGINT) AS qid,
+           CAST(cid AS BIGINT) AS cid, CAST(NULL AS VARCHAR) AS label,
+           cosine AS score, CAST(rank AS BIGINT) AS rank
+    FROM brute_leg
+    UNION ALL
+    SELECT 'centroid' AS leg, CAST(vec_id AS BIGINT) AS qid,
+           CAST(NULL AS BIGINT) AS cid, label,
+           centroid_cosine AS score, CAST(NULL AS BIGINT) AS rank
+    FROM centroid_leg
+    """,
+)
+def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-analytics board — the r8-cohort singletons
+    ``sim_bruteforce_topk`` (the exact-cosine top-5 every ANN recall
+    test is measured against) and ``emb_centroid_cosine`` (per-label
+    centroid cosine, the clustering-adjacent shape) MERGED into one
+    registered query (r11 slot-freeing board): two legs over the same
+    embeddings table on a unified (leg, qid, cid, label, score, rank)
+    schema, off-leg columns NULL. Both callables above remain the
+    library/test surface — the merge changes registry accounting, not
+    any semantics."""
+    NB, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
+    brute = sim_bruteforce_topk(spark, sf_dir).select(
+        F.lit("brute_topk").alias("leg"),
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cid").cast("long").alias("cid"),
+        NS.alias("label"),
+        F.col("cosine").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+    cent = emb_centroid_cosine(spark, sf_dir).select(
+        F.lit("centroid").alias("leg"),
+        F.col("vec_id").cast("long").alias("qid"),
+        NB.alias("cid"),
+        "label",
+        F.col("centroid_cosine").alias("score"),
+        NB.alias("rank"),
+    )
+    return brute.unionByName(cent)
 
 
 _DUCK_NORMI = (
@@ -836,3 +886,42 @@ def sim_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.where(F.col("vec_id") >= 10)
     cents = train_centroids_kmeans_q(c, "vec_id", "embedding", k=4, n_iter=3)
     return ivf_l2_topk_q(q, c, cents, "vec_id", "vec_id", "embedding", k=5, nprobe=2)
+
+
+_IVF_IDX_BASE = __import__("os").getpid()
+
+
+@register("sim_ivf_index_probe", _IVF_ANN_ORACLE)
+def sim_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-IVF deployment path on the correctness board
+    (operators/similarity.py write_ivf_index / read_ivf_index /
+    ivf_ann_topk_from_index, r10): the corpus-sized assignment pass
+    runs ONCE into a cell_id-partitioned, manifest-validated on-disk
+    artifact; the query probes nprobe=3 cells straight off the index —
+    no assignment pass, no corpus shuffle (nprobe directory prunes on
+    disk, the inverted-file layout). Values must equal the direct
+    sim_ivf_ann path bit-for-bit (same oracle SQL — the index is a
+    materialization, not an approximation of the approximation), so a
+    torn write, manifest drift, or rounding mismatch between indexer
+    and prober goes hash-red instead of silently costing recall."""
+    import atexit
+    import os
+    import shutil
+
+    from prohap_spark.operators.similarity import (
+        ivf_ann_topk_from_index,
+        train_centroids_by_label,
+        write_ivf_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/prohap_ivf_index_{_IVF_IDX_BASE}/{tag}"
+    if not os.path.exists(f"{path}/meta.json"):
+        atexit.register(shutil.rmtree, path, True)
+        cent = train_centroids_by_label(e, "label", "embedding")
+        write_ivf_index(c, cent, "vec_id", "embedding", path)
+    out = ivf_ann_topk_from_index(q, path, "vec_id", k=5, nprobe=3)
+    return out.toDF("qid", "cid", "cosine", "rank")

@@ -1610,18 +1610,17 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_logprob",
-    # per-token NLL in integer micro-nats so the per-doc sum is an
-    # exact bigint (no float summation-order drift). The hash-gated
-    # projection is INTEGER-ONLY (r8): two consecutive rounds the
-    # driver hashed the derived avg_nll DOUBLE red while the identical
-    # expression tree passed the full-precision local checker, so the
-    # gate no longer carries any double at all — the readable nats
-    # average is avg_nll_micro / 1e6, derivable downstream. If this
-    # query is STILL red on pure BIGINTs, the defect is localized to
-    # the micro-nat derivation itself, not the float-hash layer.
-    f"""
+# per-token NLL in integer micro-nats so the per-doc sum is an
+# exact bigint (no float summation-order drift). The hash-gated
+# projection is INTEGER-ONLY (r8): two consecutive rounds the
+# driver hashed the derived avg_nll DOUBLE red while the identical
+# expression tree passed the full-precision local checker, so the
+# gate no longer carries any double at all — the readable nats
+# average is avg_nll_micro / 1e6, derivable downstream. If this
+# query is STILL red on pure BIGINTs, the defect is localized to
+# the micro-nat derivation itself, not the float-hash layer.
+# (Registered via text_info_board since r11 — the slot-freeing merge.)
+_UNIGRAM_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS w
       FROM documents
@@ -1638,8 +1637,9 @@ def unigram_logprob_scores(d: DataFrame, head_k: int = 65536) -> DataFrame:
            CAST(sum(l.nll_micro) // count(*) AS BIGINT) AS avg_nll_micro
     FROM toks t JOIN lp l USING (w)
     GROUP BY t.doc_id
-    """,
-)
+    """
+
+
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality scoring (the CCNet/KenLM perplexity-proxy
     shape): corpus unigram distribution → per-token negative log
@@ -1884,16 +1884,15 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_char_entropy",
-    # per-character Shannon entropy in integer micro-nats (exact
-    # bigint sums — the unigram-logprob determinism device at the
-    # character level). INTEGER-ONLY hash gate (r8): the derived
-    # char_entropy_nats DOUBLE went driver hash-red two rounds running
-    # while passing the full-precision local checker, so the gated
-    # projection now carries no double — the readable nats value is
-    # entropy_micro / 1e6, derivable downstream
-    f"""
+# per-character Shannon entropy in integer micro-nats (exact
+# bigint sums — the unigram-logprob determinism device at the
+# character level). INTEGER-ONLY hash gate (r8): the derived
+# char_entropy_nats DOUBLE went driver hash-red two rounds running
+# while passing the full-precision local checker, so the gated
+# projection now carries no double — the readable nats value is
+# entropy_micro / 1e6, derivable downstream.
+# (Registered via text_info_board since r11 — the slot-freeing merge.)
+_CHAR_ENTROPY_ORACLE = f"""
     WITH ch AS (
       SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c
       FROM documents
@@ -1913,8 +1912,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ent_micro_sum AS BIGINT) AS ent_micro_sum,
            CAST(ent_micro_sum // n_chars_counted AS BIGINT) AS entropy_micro
     FROM e
-    """,
-)
+    """
+
+
 def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document (a curation-grade
     gibberish/boilerplate signal: natural text sits in a narrow
@@ -1949,6 +1949,49 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ent_micro_sum",
         F.expr("ent_micro_sum div n_chars_counted").alias("entropy_micro"),
     )
+
+
+@register(
+    "text_info_board",
+    f"""
+    WITH unigram_leg AS ({_UNIGRAM_ORACLE}),
+    entropy_leg AS ({_CHAR_ENTROPY_ORACLE})
+    SELECT 'unigram' AS leg, doc_id,
+           CAST(n_tokens AS BIGINT) AS n_units,
+           sum_nll_micro AS micro_sum, avg_nll_micro AS micro_avg
+    FROM unigram_leg
+    UNION ALL
+    SELECT 'char_entropy' AS leg, doc_id,
+           n_chars_counted AS n_units,
+           ent_micro_sum AS micro_sum, entropy_micro AS micro_avg
+    FROM entropy_leg
+    """,
+)
+def text_info_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic quality scoring board — the r8-cohort
+    singletons ``text_unigram_logprob`` (unigram-LM NLL, the
+    CCNet/KenLM perplexity-proxy shape) and ``text_char_entropy``
+    (per-character Shannon entropy) MERGED into one registered query
+    (the r11 slot-freeing board device): both are micro-nat
+    integer-exact per-document scores over the same corpus, mapped
+    onto (leg, doc_id, n_units, micro_sum, micro_avg) — every value
+    either singleton hashed still reaches the value hash. The
+    callables above stay the library surface."""
+    uni = text_unigram_logprob(spark, sf_dir).select(
+        F.lit("unigram").alias("leg"),
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_units"),
+        F.col("sum_nll_micro").alias("micro_sum"),
+        F.col("avg_nll_micro").alias("micro_avg"),
+    )
+    ent = text_char_entropy(spark, sf_dir).select(
+        F.lit("char_entropy").alias("leg"),
+        "doc_id",
+        F.col("n_chars_counted").alias("n_units"),
+        F.col("ent_micro_sum").alias("micro_sum"),
+        F.col("entropy_micro").alias("micro_avg"),
+    )
+    return uni.unionByName(ent)
 
 
 @register(
@@ -2499,4 +2542,105 @@ def dedup_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.withColumn("host_rank", F.row_number().over(w).cast("long"))
         .withColumn("kept", F.col("host_rank") <= 40)
+    )
+
+
+_CDC_W, _CDC_D, _CDC_MIN, _CDC_MAX = 3, 8, 4, 32
+
+
+def _cdc_oracle_sql() -> str:
+    # the codebase's 60-bit md5 integer device (15 hex chars, exact)
+    md5int = (
+        "list_reduce(list_transform(range(1, 16), "
+        "k -> CAST(strpos('0123456789abcdef', substr(md5({x}), k, 1)) - 1 "
+        "AS BIGINT)), (a, b) -> a * 16 + b)"
+    )
+    ctx = f"array_to_string(list_slice(ws, i - {_CDC_W - 1}, i), ' ')"
+    # greedy FastCDC-minimum fold. NOTE: a list-of-list accumulator
+    # miscompiles in DuckDB 1.0 list_reduce (drops the prefix when the
+    # accumulator has grown past 2 and concatenates again), so the
+    # accumulator is a comma-joined VARCHAR — same fold, string-typed.
+    fold = (
+        "list_reduce(list_concat(['0'], list_transform(cand, "
+        "c -> CAST(c AS VARCHAR))), (acc, x) -> CASE WHEN "
+        "CAST(x AS BIGINT) - CAST(string_split(acc, ',')[-1] AS BIGINT) "
+        f">= {_CDC_MIN} THEN acc || ',' || x ELSE acc END)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id, ws, len(ws) AS n,
+        list_filter(range(1, len(ws) + 1),
+          i -> i >= {_CDC_W} AND
+            ({md5int.format(x=ctx)} % {_CDC_D}) = 0) AS cand
+      FROM base
+    ),
+    cuts0 AS (
+      SELECT doc_id, ws, n,
+        list_transform(string_split({fold}, ','),
+                       s -> CAST(s AS BIGINT)) AS cuts
+      FROM cand
+    ),
+    cuts1 AS (
+      SELECT doc_id, ws,
+        CASE WHEN cuts[-1] < n THEN list_concat(cuts, [n]) ELSE cuts END AS cuts
+      FROM cuts0
+    ),
+    chunks0 AS (
+      SELECT doc_id,
+        unnest(flatten(list_transform(range(2, len(cuts) + 1),
+          j -> list_transform(range(cuts[j-1], cuts[j], {_CDC_MAX}),
+            a -> array_to_string(list_slice(ws, CAST(a + 1 AS INT),
+                 CAST(least(a + {_CDC_MAX}, cuts[j]) AS INT)), ' '))))) AS chunk
+      FROM cuts1
+    ),
+    nonempty AS (SELECT doc_id, chunk FROM chunks0 WHERE length(chunk) > 0),
+    dups AS (
+      SELECT chunk FROM nonempty GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+      SELECT n.doc_id, CASE WHEN d.chunk IS NOT NULL THEN 1 ELSE 0 END AS dup
+      FROM nonempty n LEFT JOIN dups d USING (chunk)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+           CAST((sum(dup) * 1000000) // count(*) AS BIGINT) AS dup_fraction_micro
+    FROM flagged GROUP BY doc_id
+    """
+
+
+@register("dedup_cdc_chunking", _cdc_oracle_sql())
+def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (operators/dedup.py
+    cdc_chunk_table / cdc_dedup_stats — the Rabin/FastCDC-family
+    shift-resistant segmenter, r10) on the correctness board: word
+    boundaries where the md5-60-bit context hash ≡ 0 (mod 8), FastCDC
+    minimum 4 / forced maximum 32 words, per-document chunk-level dup
+    stats. ``hash_fn='md5'`` selects the engine-portable boundary hash
+    so the ENTIRE derivation — candidate cuts, the greedy minimum
+    fold, forced arithmetic cuts, chunk identity, corpus-wide dup
+    flags — replays bit-exactly in DuckDB (the xxhash64 default stays
+    the production fast path; boundary positions differ by hash, the
+    properties don't). The projection is integer-only (micro dup
+    fraction via bigint div) — no double reaches the value hash.
+
+    100 TB design: unchanged from cdc_dedup_stats — chunk text never
+    leaves the map side of the dup aggregate; only (id, hash) pairs
+    shuffle."""
+    from prohap_spark.operators.dedup import cdc_dedup_stats
+
+    d = table(spark, sf_dir, "documents")
+    st = cdc_dedup_stats(
+        d, "doc_id", "text",
+        window=_CDC_W, divisor=_CDC_D, min_words=_CDC_MIN,
+        max_words=_CDC_MAX, hash_fn="md5",
+    )
+    return st.select(
+        "doc_id",
+        "n_chunks",
+        "n_dup_chunks",
+        F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_fraction_micro"),
     )
