@@ -44,8 +44,6 @@ HEADLINE = [
     "stream_tumbling_window",
     "text_quality",
     "text_fingerprint_dedup",
-    "sim_bruteforce_topk",
-    "emb_centroid_cosine",
     # the peptide chain (explode + containment join + canonical-first
     # resolution + class grid, J6/J9/J11/U4) — kernel-adjacent path
     # whose perf was invisible to round-over-round comparison before r5
@@ -69,7 +67,16 @@ HEADLINE = [
     # rewrite (packed out-neighbor arrays, JVM-side array_intersect)
     # runs the same graph ~10x faster and earned the board slot.
     "graph_triangle_count",
+    # r11: the one-scan TPC-H rewrites (Q18 HAVING-double-duty, Q21
+    # stacked-aggregation) join the board so the plan-audit wins are
+    # wall-clocked every round, not just plan-pinned (r10 verdict #5)
+    "q18_large_volume_customer",
+    "q21_suppliers_kept_waiting",
 ]
+# sim_bruteforce_topk / emb_centroid_cosine merged into
+# sim_embedding_board in r11 (registry slot-freeing); custom builders
+# below keep their bench entries like-for-like with BENCH_r01..r10
+# (the build_minhash precedent).
 # graph_pagerank joins the board via a custom builder below (the
 # registered query materializes inside its eager checkpoint, which
 # would move all the work outside the timed region).
@@ -157,6 +164,16 @@ def main() -> None:
         return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     builders.append(("dedup_minhash_lsh", build_minhash))
+
+    # the two sim_embedding_board legs, timed separately under their
+    # historical names (see the HEADLINE note)
+    from prohap_spark.queries.simsearch import (
+        emb_centroid_cosine,
+        sim_bruteforce_topk,
+    )
+
+    builders.append(("sim_bruteforce_topk", lambda: sim_bruteforce_topk(spark, sf_dir)))
+    builders.append(("emb_centroid_cosine", lambda: emb_centroid_cosine(spark, sf_dir)))
 
     # SPARK_GRAFT_BENCH_MARKERS=1: write a per-query marker line to
     # stderr so JVM log events (e.g. the benign late-accumulator burst

@@ -5,6 +5,9 @@ silently regress them."""
 
 import pytest
 
+from prohap_spark.queries.simsearch import sim_bruteforce_topk as _brute_topk
+from prohap_spark.queries.textdata import text_unigram_logprob as _unigram_logprob
+
 SF = "/root/testdata/sf0.01"
 
 
@@ -58,7 +61,7 @@ def test_binned_interval_join_avoids_nested_loop(spark, qs):
 def test_lsh_ann_avoids_cross_join(spark, qs):
     from prohap_spark.plans import plan_report
 
-    brute = plan_report(qs["sim_bruteforce_topk"](spark, SF))
+    brute = plan_report(_brute_topk(spark, SF))
     ann = plan_report(qs["sim_lsh_ann"](spark, SF))
     assert brute["bnl_joins"] >= 1  # the baseline IS a cross join
     assert ann["bnl_joins"] == 0  # the scale path must not be
@@ -162,7 +165,7 @@ def test_partitioned_sink_read_prunes_partitions(spark):
 def test_unigram_logprob_broadcast_vocab(spark, qs):
     from prohap_spark.plans import plan_report
 
-    rep = plan_report(qs["text_unigram_logprob"](spark, SF))
+    rep = plan_report(_unigram_logprob(spark, SF))
     # the BOUNDED top-K head broadcasts (map-side scoring for the hot
     # path); the only nested-loops are broadcast 1-row corpus-total
     # joins — one per derivation of the NLL table (head, and the
