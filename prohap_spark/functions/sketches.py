@@ -49,7 +49,7 @@ per group, never the values.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 M = 64  # registers (p = 6)
 RANK_CAP = 41
@@ -329,6 +329,162 @@ def cms_estimate(
         .groupBy(*others)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable quantile histogram — the fourth workhorse
+# sketch of a 100 TB pipeline (HLL = distinct, CMS = frequency,
+# Bloom = membership, QHIST = distribution), built to the same rules:
+# exact integers everywhere the engines must agree, a fixed-size
+# map-side-combinable state (n_buckets counters per group), and a
+# lossless merge (counter sum — associative/commutative). Quantile
+# answers come back as BUCKET indices with a provable guarantee: the
+# sketch's bucket for quantile q IS the bucket containing the exact
+# discrete q-quantile (smallest value whose <=-rank reaches
+# ceil(q·n)) — proven by cum_hist(b*-1) < rank(v*) <= cum_hist(b*),
+# pinned as an exact integer equality in pytest and in the registered
+# gate query. Resolution is (hi-lo)/n_buckets; values outside [lo,hi)
+# clamp to the edge buckets (documented, like any fixed-universe
+# sketch; KLL/t-digest trade this for adaptive buckets at the price
+# of engine-replayability). Spark's own approx_percentile remains the
+# convenience API; this is the ARTIFACT path — per-shard histograms
+# persist/merge like hll_registers do.
+# ---------------------------------------------------------------------------
+
+
+def qhist_bucket(value: Column, lo: float, hi: float, n_buckets: int) -> Column:
+    """Bucket index of one value: clamp(floor((v-lo)·n/(hi-lo)), 0, n-1).
+    Same literal expression order as the DuckDB replay, so the double
+    arithmetic is bit-identical cross-engine."""
+    raw = F.floor(
+        (value.cast("double") - F.lit(float(lo)))
+        * F.lit(float(n_buckets))
+        / (F.lit(float(hi)) - F.lit(float(lo)))
+    )
+    return F.least(
+        F.greatest(raw, F.lit(0)), F.lit(n_buckets - 1)
+    ).cast("long")
+
+
+def qhist_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The PERSISTABLE state: group_cols + (__qb long, __qn long)
+    bucket-count rows (<= n_buckets per group, values never stored).
+    One map-side-combinable aggregate; shards merge via
+    :func:`qhist_merge`."""
+    return (
+        df.select(
+            *group_cols,
+            qhist_bucket(F.col(value_col), lo, hi, n_buckets).alias("__qb"),
+        )
+        .groupBy(*group_cols, "__qb")
+        .agg(F.count(F.lit(1)).alias("__qn"))
+    )
+
+
+def qhist_merge(*hist_tables: DataFrame) -> DataFrame:
+    """Merge shard histograms: union + per-bucket sum. Lossless —
+    merging N shards equals one build over their concatenation
+    (counts are exact integers)."""
+    it = iter(hist_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns if c != "__qn"]
+    return out.groupBy(*keys).agg(F.sum("__qn").alias("__qn"))
+
+
+def qhist_quantiles(
+    hist: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """Finish a histogram into group_cols + (q double, bucket long,
+    n_rows long): for each q, the smallest bucket whose cumulative
+    count reaches ceil(q·n) — exactly the bucket holding the exact
+    discrete q-quantile (see the section comment). Integer arithmetic
+    except ceil(q·n), whose operands are the identical double q and
+    bigint n on both engines."""
+    cum_w = Window.partitionBy(*group_cols).orderBy("__qb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("__cum", F.sum("__qn").over(cum_w))
+    tot = hist.groupBy(*group_cols).agg(F.sum("__qn").alias("n_rows"))
+    targets = tot.select(
+        *group_cols,
+        "n_rows",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    ).withColumn("__target", F.ceil(F.col("q") * F.col("n_rows")).cast("long"))
+    joined = cum.join(targets, list(group_cols)).where(
+        F.col("__cum") >= F.col("__target")
+    )
+    return joined.groupBy(*group_cols, "q", "n_rows").agg(
+        F.min("__qb").alias("bucket")
+    ).select(*group_cols, "q", "bucket", "n_rows")
+
+
+def qhist_oracle_sql(
+    table: str,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_buckets: int,
+    qs: list[float],
+) -> str:
+    """DuckDB replay of qhist_build + qhist_quantiles PLUS the exact
+    discrete quantile and its bucket (the provable-equality leg the
+    registered gate query compares against)."""
+    bucket = (
+        f"CAST(least(greatest(floor((CAST({{v}} AS DOUBLE) - {float(lo)}) "
+        f"* {float(n_buckets)} / ({float(hi)} - {float(lo)})), 0), "
+        f"{n_buckets - 1}) AS BIGINT)"
+    )
+    q_values = ", ".join(f"({float(q)})" for q in qs)
+    return f"""
+    WITH vals AS (SELECT {group_col} AS g, {value_col} AS v FROM {table}),
+    hist AS (
+      SELECT g, {bucket.format(v='v')} AS qb, CAST(count(*) AS BIGINT) AS qn
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (SELECT g, CAST(sum(qn) AS BIGINT) AS n_rows FROM hist GROUP BY 1),
+    qs(q) AS (VALUES {q_values}),
+    tq AS (
+      SELECT g, n_rows, q, CAST(ceil(q * n_rows) AS BIGINT) AS target
+      FROM tot, qs
+    ),
+    cum AS (
+      SELECT g, qb,
+             CAST(sum(qn) OVER (PARTITION BY g ORDER BY qb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM hist
+    ),
+    skb AS (
+      SELECT t.g, t.q, t.n_rows, min(c.qb) AS bucket
+      FROM tq t JOIN cum c ON t.g = c.g AND c.cum >= t.target
+      GROUP BY 1, 2, 3
+    ),
+    vcum AS (
+      SELECT g, v,
+             CAST(count(*) OVER (PARTITION BY g ORDER BY v
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS vc
+      FROM vals
+    ),
+    exact AS (
+      SELECT t.g, t.q, min(v.v) AS exact_v
+      FROM tq t JOIN vcum v ON t.g = v.g AND v.vc >= t.target
+      GROUP BY 1, 2
+    )
+    SELECT s.g AS {group_col}, s.q, s.bucket, s.n_rows, e.exact_v,
+           {bucket.format(v='e.exact_v')} AS exact_bucket
+    FROM skb s JOIN exact e ON s.g = e.g AND s.q = e.q
+    """
 
 
 def hll_oracle_sql(

@@ -73,7 +73,13 @@ from prohap_spark.queries import shim_board  # noqa: F401
 # ROWS_ONLY_BY_DESIGN stays EMPTY — every registered query carries a
 # value-hash oracle. _BACK documents the 49 surviving r9-green
 # entries — the r12 rule-(c) obligations (agg_approx_sketches is r10
-# green, so its window reopens at r13).
+# green, so its window reopens at r13). One more r11 registration,
+# agg_quantile_sketch (the mergeable quantile-histogram sketch,
+# completing the HLL/CMS/Bloom merge-algebra family), lands
+# MID-registry: the front is full, so it takes the audit's
+# rule-(a)-next-round lane and fronts r12 — 49 + 1 = exactly the r12
+# budget. Registry now sits AT the 150 = 3x50 hard cap; any future
+# registration requires a board-merge or deregistration first.
 # `python tools/rotation_audit.py` verifies all of this mechanically
 # against the CORRECTNESS_r*.json files.
 #

@@ -489,6 +489,71 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QH_LO, _QH_HI, _QH_N, _QH_QS = 0.0, 600000.0, 512, (0.5, 0.9)
+
+
+@register(
+    "agg_quantile_sketch",
+    __import__(
+        "prohap_spark.functions.sketches", fromlist=["qhist_oracle_sql"]
+    ).qhist_oracle_sql(
+        "orders", "o_orderpriority", "o_totalprice",
+        _QH_LO, _QH_HI, _QH_N, list(_QH_QS),
+    ),
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile-histogram sketch (functions/sketches.py
+    qhist_build / qhist_merge / qhist_quantiles — r11, completing the
+    HLL/CMS/Bloom merge-algebra family with the DISTRIBUTION sketch):
+    512 linear buckets over [0, 600000) of o_totalprice per
+    o_orderpriority, p50/p90 answered as bucket indices, PLUS the
+    exact discrete quantile computed from raw values and its bucket —
+    the provable guarantee (sketch bucket == bucket of the exact
+    q-quantile, an integer equality) sits inside the value hash
+    rather than in a doc claim. exact_v is a selected raw input value
+    (never an aggregate-computed float), so it hashes safely.
+
+    100 TB design: the sketch is ONE map-side-combinable aggregate
+    with <= 512 counter rows per group (approx_percentile's internal
+    state is engine-private; this artifact persists and merges across
+    shards/days like hll_registers); the exact leg here is the
+    verification harness, not the scale path."""
+    from prohap_spark.functions.sketches import (
+        qhist_bucket,
+        qhist_build,
+        qhist_quantiles,
+    )
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    vals = o.select(F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v"))
+    hist = qhist_build(vals, ["g"], "v", _QH_LO, _QH_HI, _QH_N)
+    sk = qhist_quantiles(hist, ["g"], list(_QH_QS))
+    targets = sk.select(
+        "g", "q", "n_rows",
+        F.ceil(F.col("q") * F.col("n_rows")).cast("long").alias("__target"),
+        "bucket",
+    )
+    vc_w = Window.partitionBy("g").orderBy("v").rangeBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vals.withColumn("__vc", F.count(F.lit(1)).over(vc_w))
+    exact = (
+        vcum.join(targets, "g")
+        .where(F.col("__vc") >= F.col("__target"))
+        .groupBy("g", "q", "n_rows", "bucket")
+        .agg(F.min("v").alias("exact_v"))
+    )
+    return exact.select(
+        F.col("g").alias("o_orderpriority"),
+        "q",
+        "bucket",
+        "n_rows",
+        "exact_v",
+        qhist_bucket(F.col("exact_v"), _QH_LO, _QH_HI, _QH_N).alias("exact_bucket"),
+    )
+
+
 @register(
     "c_string_surgery",
     """

@@ -3035,3 +3035,73 @@ def test_containment_join_matched_volume_scales_linearly(spark):
     assert volume(1, 4) == v11
     # both axes: R independent copies of the 1x workload
     assert volume(4, 4) == 4 * v11
+
+
+def test_qhist_merge_algebra_and_quantile_guarantee(spark):
+    """Quantile-histogram sketch (r11): (a) shard-built histograms
+    merge losslessly — qhist_merge over 3 disjoint shards equals the
+    single-pass build as exact integer equality; (b) the quantile
+    guarantee — for every group and q, the sketch's bucket equals the
+    bucket CONTAINING the exact discrete q-quantile (randomized over
+    groups/values, the provable identity the registered gate also
+    hashes); (c) out-of-range values clamp to the edge buckets."""
+    import math
+    import random as _random
+
+    from prohap_spark.functions.sketches import (
+        qhist_build,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    rng = _random.Random(29)
+    rows = [
+        (f"g{r % 4}", rng.uniform(-50.0, 1100.0))  # some outside [0, 1000)
+        for r in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    lo, hi, n = 0.0, 1000.0, 64
+
+    # (a) merge == single build
+    full = {
+        (r["g"], r["__qb"]): r["__qn"]
+        for r in qhist_build(df, ["g"], "v", lo, hi, n).collect()
+    }
+    shards = [
+        spark.createDataFrame(rows[i::3], "g string, v double") for i in range(3)
+    ]
+    merged = {
+        (r["g"], r["__qb"]): r["__qn"]
+        for r in qhist_merge(
+            *[qhist_build(s, ["g"], "v", lo, hi, n) for s in shards]
+        ).collect()
+    }
+    assert merged == full
+
+    # (b) sketch bucket == bucket of the exact discrete quantile
+    hist = qhist_build(df, ["g"], "v", lo, hi, n)
+    got = {
+        (r["g"], r["q"]): (r["bucket"], r["n_rows"])
+        for r in qhist_quantiles(hist, ["g"], [0.25, 0.5, 0.9]).collect()
+    }
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    width = (hi - lo) / n
+
+    def bucket_of(v):
+        return min(max(math.floor((v - lo) * n / (hi - lo)), 0), n - 1)
+
+    for g, vs in by_g.items():
+        vs.sort()
+        for q in (0.25, 0.5, 0.9):
+            target = math.ceil(q * len(vs))
+            exact_v = vs[target - 1]
+            b, n_rows = got[(g, q)]
+            assert n_rows == len(vs)
+            assert b == bucket_of(exact_v), (g, q, b, exact_v)
+
+    # (c) clamping: every bucket index within [0, n)
+    assert all(0 <= qb < n for (_, qb) in full)
+    assert any(qb == 0 for (_, qb) in full)  # negatives clamped down
+    assert any(qb == n - 1 for (_, qb) in full)  # overflow clamped up
