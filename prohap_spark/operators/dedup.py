@@ -662,87 +662,87 @@ def cdc_chunk_table(
     (the codebase's 60-bit md5 integer, replayable bit-exactly by a
     DuckDB oracle — the registered ``dedup_cdc_chunking`` query uses
     this so boundary decisions are cross-engine value-checked)."""
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(words)
-    # candidate cut AFTER word i (1-based), needing i >= window so the
-    # context is full
-    if hash_fn == "md5":
-        ctx_hash = lambda i: F.conv(  # noqa: E731
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(words, i - window + 1, window))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-    else:
-        ctx_hash = lambda i: F.xxhash64(  # noqa: E731
-            F.concat_ws(" ", F.slice(words, i - window + 1, window))
+    # THE COST MODEL LIVES IN LAMBDA BINDING. Higher-order-function
+    # bodies are interpreted per element with NO subexpression
+    # elimination, so any non-lambda-variable subtree inside a lambda
+    # re-evaluates per element. Three generations of blowup fixed
+    # here, each measured by tools/cdc_scale_probe.py:
+    # (1) `cuts` referenced 4x re-ran the entire candidate-hash scan
+    #     per reference (~20x wall on the md5 variant at sf0.01);
+    # (2) exploding (a, b] interval structs and slicing in a follow-up
+    #     projection carried the FULL words array into every Generate
+    #     output row — O(n²/divisor) copying per document;
+    # (3) the words SPLIT expression referenced inside the candidate
+    #     filter's lambda re-split the whole document once per word
+    #     position — O(n²) in characters (4.3 s -> 20.5 s from 500- to
+    #     2000-word docs at CONSTANT total words).
+    # Everything therefore nests inside ONE singleton transform that
+    # binds the split result as a lambda VALUE `w`, with `cuts` bound
+    # the same way one level down.
+    def _ctx_hash(w, i):
+        ctx = F.concat_ws(" ", F.slice(w, i - window + 1, window))
+        if hash_fn == "md5":
+            return F.conv(F.substring(F.md5(ctx), 1, 15), 16, 10).cast("long")
+        return F.xxhash64(ctx)
+
+    def _chunks_of(w):
+        n = F.size(w)
+        # candidate cut AFTER word i (1-based), needing i >= window so
+        # the context is full
+        cand = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i >= window) & (F.pmod(_ctx_hash(w, i), F.lit(divisor)) == 0),
         )
-    cand = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: (i >= window) & (F.pmod(ctx_hash(i), F.lit(divisor)) == 0),
-    )
-    # FastCDC minimum: fold candidates left-to-right, accept a cut only
-    # min_words past the previous accepted one. The tail cut (append n
-    # when the last accepted cut falls short of it) lives in the
-    # finish lambda: a lambda variable is a BOUND VALUE, so acc is
-    # referenced twice without re-running the fold — the previous
-    # standalone F.when re-evaluated the whole fold (and with it every
-    # candidate hash) once per reference.
-    cuts = F.aggregate(
-        cand,
-        F.array(F.lit(0)),
-        lambda acc, c: F.when(
-            c - F.element_at(acc, -1) >= min_words, F.concat(acc, F.array(c))
-        ).otherwise(acc),
-        lambda acc: F.when(
-            F.element_at(acc, -1) < n, F.concat(acc, F.array(n))
-        ).otherwise(acc),
-    )
-    # intervals (a, b]; force arithmetic sub-cuts past max_words.
-    # `cuts` is bound ONCE via the singleton-array transform: the naive
-    # form references it 4x inside the lambdas, and higher-order-
-    # function bodies defeat codegen subexpression elimination, so each
-    # reference re-evaluated the entire candidate-hash scan — measured
-    # ~20x wall on the md5 variant at sf0.01 (39 s -> 2 s).
-    def _intervals(cs):
-        return F.transform(
-            F.sequence(F.lit(2), F.size(cs)),
-            lambda j: F.transform(
-                F.sequence(
-                    F.element_at(cs, (j - 1).cast("int")),
-                    F.element_at(cs, j.cast("int")) - 1,
-                    F.lit(max_words),
+        # FastCDC minimum: fold candidates left-to-right, accept a cut
+        # only min_words past the previous accepted one; the tail cut
+        # (append n when the last accepted cut falls short) lives in
+        # the finish lambda so `acc` is referenced as a bound value
+        cuts = F.aggregate(
+            cand,
+            F.array(F.lit(0)),
+            lambda acc, c: F.when(
+                c - F.element_at(acc, -1) >= min_words, F.concat(acc, F.array(c))
+            ).otherwise(acc),
+            lambda acc: F.when(
+                F.element_at(acc, -1) < n, F.concat(acc, F.array(n))
+            ).otherwise(acc),
+        )
+        # intervals (a, b] with forced arithmetic sub-cuts past
+        # max_words, materialized directly as chunk strings
+        return F.flatten(
+            F.transform(
+                F.array(cuts),
+                lambda cs: F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(2), F.size(cs)),
+                        lambda j: F.transform(
+                            F.sequence(
+                                F.element_at(cs, (j - 1).cast("int")),
+                                F.element_at(cs, j.cast("int")) - 1,
+                                F.lit(max_words),
+                            ),
+                            lambda a: F.concat_ws(
+                                " ",
+                                F.slice(
+                                    w,
+                                    (a + 1).cast("int"),
+                                    F.least(
+                                        F.lit(max_words),
+                                        F.element_at(cs, j.cast("int")) - a,
+                                    ).cast("int"),
+                                ),
+                            ),
+                        ),
+                    )
                 ),
-                lambda a: F.struct(
-                    a.alias("a"),
-                    F.least(
-                        a + max_words, F.element_at(cs, j.cast("int"))
-                    ).alias("b"),
-                ),
-            ),
+            )
         )
 
-    intervals = F.flatten(
-        F.flatten(F.transform(F.array(cuts), lambda cs: _intervals(cs)))
-    )
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    chunk_arr = F.flatten(F.transform(F.array(words), lambda w: _chunks_of(w)))
     chunks = df.select(
         F.col(id_col),
-        words.alias("__ws"),
-        F.posexplode(intervals).alias("chunk_idx", "__iv"),
-    ).select(
-        id_col,
-        "chunk_idx",
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("__ws"),
-                F.col("__iv.a").cast("int") + 1,
-                (F.col("__iv.b") - F.col("__iv.a")).cast("int"),
-            ),
-        ).alias("chunk"),
+        F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),
     )
     return chunks.where(F.length("chunk") > 0).withColumn(
         "chunk_hash", F.xxhash64("chunk")
