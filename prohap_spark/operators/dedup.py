@@ -957,8 +957,17 @@ def segment_dedup(
     shuffle payload is ~seg_words× smaller and the reassembly is
     shuffle-free. Returns (id_col, n_segs, n_removed, scrubbed_text)."""
 
-    def seglist_of(col: str):
-        ws = F.split(F.trim(F.col(col)), " ")
+    def ws_of(col: str):
+        return F.split(F.trim(F.col(col)), " ")
+
+    def seglist_from(ws):
+        # `ws` must be a MATERIALIZED column reference, never the raw
+        # split expression (the HOF lesson, see cdc_chunk_table's
+        # cost-model comment): the slice inside the per-element lambda
+        # re-evaluates its operand per segment, which would re-split
+        # the document once per segment — O(n²/seg_words) chars on
+        # long documents. Referencing the attribute >= 2x also keeps
+        # CollapseProject from inlining the split back in.
         n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
         return F.transform(
             F.sequence(F.lit(0), n_segs - 1),
@@ -977,10 +986,14 @@ def segment_dedup(
     # loses its blocks with no recompute path. Pass share_scan=False
     # on clusters with preemptible executors or when the frame must
     # re-read live sources per action; the result is identical.
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(seglist_of(text_col)).alias("__seg_idx", "__seg"),
-    ).select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
+    ex = (
+        df.select(F.col(id_col), ws_of(text_col).alias("__sws"))
+        .select(
+            F.col(id_col),
+            F.posexplode(seglist_from(F.col("__sws"))).alias("__seg_idx", "__seg"),
+        )
+        .select(id_col, "__seg_idx", F.xxhash64(F.col("__seg")).alias("__k"))
+    )
     if share_scan:
         ex = ex.localCheckpoint(eager=False)
     dup = (
@@ -1002,8 +1015,10 @@ def segment_dedup(
     # (measured 3.5x on the sf0.1 bench); a materialized projection
     # is evaluated once (CollapseProject keeps non-cheap multi-use
     # aliases in their own project)
-    joined = df.join(removed, id_col, "left").withColumn(
-        "__segs", seglist_of(text_col)
+    joined = (
+        df.join(removed, id_col, "left")
+        .withColumn("__sws", ws_of(text_col))
+        .withColumn("__segs", seglist_from(F.col("__sws")))
     )
     segs = F.col("__segs")
     kept = _drop_positions(segs, rm)
