@@ -162,23 +162,26 @@ def band_table(
     md5-hashed to a bucket key. Shared by the one-shot batch LSH and
     the stateful streaming variant so both bucket identically."""
     assert num_hashes % band_size == 0
-    sig = df.select(
-        F.col(id_col),
-        minhash_signature_expr(tokens_col, num_hashes).alias("__sig"),
-    )
     n_bands = num_hashes // band_size
-    return sig.select(
-        id_col,
-        F.posexplode(
-            F.transform(
+    # bind the signature as a lambda VALUE: an aliased __sig column
+    # referenced once inside the band lambda gets inlined back by
+    # CollapseProject, and higher-order bodies re-evaluate non-bound
+    # subtrees per element — the md5-heavy signature would recompute
+    # once per BAND (the k-means argmin-per-dimension lesson)
+    band_arr = F.flatten(
+        F.transform(
+            F.array(minhash_signature_expr(tokens_col, num_hashes)),
+            lambda s: F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.md5(
-                    F.concat_ws(
-                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
-                    )
+                    F.concat_ws("|", F.slice(s, b * band_size + 1, band_size))
                 ),
-            )
-        ).alias("band_idx", "band_hash"),
+            ),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(band_arr).alias("band_idx", "band_hash"),
     )
 
 
@@ -381,23 +384,9 @@ def lsh_bucket_stats(
     the bucket aggregate, no pair explode) before/alongside a capped
     dedup so truncation is measured, not silent."""
     toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
-    sig = toks.select(
-        F.col(id_col), minhash_signature_expr("__tokens", num_hashes).alias("__sig")
-    )
-    n_bands = num_hashes // band_size
-    bands = sig.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|", F.slice(F.col("__sig"), b * band_size + 1, band_size)
-                    )
-                ),
-            )
-        ).alias("band_idx", "band_hash"),
-    )
+    # same lambda-binding as band_table: the signature must compute
+    # once per row, not once per band
+    bands = band_table(toks, id_col, "__tokens", num_hashes, band_size)
     out = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
