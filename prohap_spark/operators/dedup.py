@@ -846,6 +846,7 @@ def cdc_dedup_stats(
     id_col: str,
     text_col: str,
     strategy: str = "column",
+    share_scan: bool = True,
     **chunk_kwargs,
 ) -> DataFrame:
     """Per-document chunk-level dup report over CDC chunks: (id,
@@ -855,10 +856,16 @@ def cdc_dedup_stats(
     one hash aggregate + one equi-join, the segment_dedup layout with
     shift-resistant boundaries. ``strategy``: 'column' (pure column
     algebra, engine-replayable) or 'rolling' (the O(n) Rabin kernel,
-    :func:`cdc_chunk_table_rolling`)."""
+    :func:`cdc_chunk_table_rolling`). ``share_scan``: the (id, hash)
+    pair table feeds two consumers (the dup aggregate and the join
+    back) — the lazy localCheckpoint runs the chunker ONCE instead of
+    per consumer (segment_dedup's device, with its trade-offs:
+    executor-local blocks, snapshot-on-first-action)."""
     chunker = cdc_chunk_table_rolling if strategy == "rolling" else cdc_chunk_table
     ch = chunker(df, id_col, text_col, **chunk_kwargs)
     pairs = ch.select(F.col(id_col), "chunk_hash")
+    if share_scan:
+        pairs = pairs.localCheckpoint(eager=False)
     dup_hashes = (
         pairs.groupBy("chunk_hash")
         .agg(F.countDistinct(id_col).alias("__nd"))

@@ -385,6 +385,84 @@ def stateful_heavy_hitters_cms(
     )
 
 
+def stateful_quantiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_buckets: int = 256,
+    qs: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Streaming quantiles on the mergeable quantile histogram
+    (functions/sketches.py qhist_*, r11 — the DISTRIBUTION member of
+    the streaming sketch family beside HLL distinct, CMS heavy
+    hitters, and Bloom dedup): per group the state is a FIXED
+    n_buckets counter array no matter how many values stream through
+    — exact streaming quantiles need value-sized state, the histogram
+    needs n_buckets longs.
+
+    Each micro-batch buckets its values with the SAME clamp/floor
+    arithmetic as qhist_bucket (python floats are the same IEEE
+    doubles), folds them into the counters, and emits each q's
+    CUMULATIVE answer — the smallest bucket whose cumulative count
+    reaches ceil(q·n) — in update mode. The final emission equals the
+    batch qhist_quantiles on the same data EXACTLY (integer counters;
+    parity-pinned in tests/test_streaming.py), and inherits the batch
+    sketch's guarantee: the answered bucket contains the exact
+    discrete q-quantile."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{group_col} string, q double, bucket long, n_rows long"
+    )
+    state_schema = "cnt array<long>, n long"
+    span = hi - lo
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cnt, n = state.get
+            cnt = list(cnt)
+        else:
+            cnt, n = [0] * n_buckets, 0
+        for pdf in pdfs:
+            n += len(pdf)
+            for v in pdf["__qval"]:
+                b = min(max(math.floor((float(v) - lo) * n_buckets / span), 0),
+                        n_buckets - 1)
+                cnt[b] += 1
+        state.update((cnt, n))
+        buckets = []
+        for q in qs:
+            target = math.ceil(q * n)
+            cum = 0
+            ans = n_buckets - 1
+            for b in range(n_buckets):
+                cum += cnt[b]
+                if cum >= target:
+                    ans = b
+                    break
+            buckets.append(ans)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]] * len(qs),
+                "q": [float(q) for q in qs],
+                "bucket": buckets,
+                "n_rows": [n] * len(qs),
+            }
+        )
+
+    src = events.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__qval")
+    )
+    return src.groupBy(group_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     ev = events.withWatermark("ts", watermark) if events.isStreaming else events

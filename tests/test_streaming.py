@@ -1482,3 +1482,127 @@ def test_stream_bloom_dedup_bounded_state_and_restart(spark, tmp_path):
     got3 = {r["doc_id"]: r["dup"] for r in p3}
     assert got3 == {400: True, 401: True}
     assert want_words  # bloom_build sanity (non-empty filter)
+
+
+def test_stateful_quantiles_stream_equals_batch_qhist(spark, events_dir):
+    """Streaming quantile histogram (r11): per event_type the stream's
+    final cumulative emission must equal the BATCH qhist_quantiles
+    answer EXACTLY — same clamp/floor bucket arithmetic (python floats
+    are the same IEEE doubles), same integer counters, same
+    ceil(q·n) target — and the update-mode sink must hold more rows
+    than groups×qs (the counter state really crossed micro-batches).
+    The guarantee transfers from the batch sketch: the answered bucket
+    contains the exact discrete q-quantile."""
+    from prohap_spark.functions.sketches import qhist_build, qhist_quantiles
+    from prohap_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stateful_quantiles,
+    )
+
+    lo, hi, nb, qs = 0.0, 1000.0, 128, (0.5, 0.9)
+    stream = stateful_quantiles(
+        read_event_stream(spark, events_dir, max_files_per_trigger=1),
+        lo=lo, hi=hi, n_buckets=nb, qs=qs,
+    )
+    run_to_memory_sink(stream, "qh_out", output_mode="update")
+    rows = spark.sql("SELECT * FROM qh_out").collect()
+    final = {}
+    for r in rows:
+        k = (r["event_type"], r["q"])
+        if k not in final or r["n_rows"] > final[k]["n_rows"]:
+            final[k] = r
+    assert len(rows) > len(final)  # multi-batch state
+
+    b = _batch(spark, events_dir).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    hist = qhist_build(b, ["event_type"], "v", lo, hi, nb)
+    want = {
+        (r["event_type"], r["q"]): (r["bucket"], r["n_rows"])
+        for r in qhist_quantiles(hist, ["event_type"], list(qs)).collect()
+    }
+    got = {k: (r["bucket"], r["n_rows"]) for k, r in final.items()}
+    assert got == want
+
+    # the transferred guarantee: answered bucket holds the exact
+    # discrete q-quantile
+    import math
+
+    vals = {}
+    for r in b.collect():
+        vals.setdefault(r["event_type"], []).append(r["v"])
+    for (g, q), (bucket, n_rows) in got.items():
+        vs = sorted(vals[g])
+        exact_v = vs[math.ceil(q * len(vs)) - 1]
+        want_b = min(max(math.floor((exact_v - lo) * nb / (hi - lo)), 0), nb - 1)
+        assert bucket == want_b, (g, q, bucket, want_b)
+
+
+def test_stateful_quantiles_restart_recovers_counters(spark, tmp_path):
+    """Kill-and-resume pin for the streaming quantile histogram: stop,
+    land new files, restart from the same checkpointLocation — the
+    final post-restart emission must equal the batch sketch over ALL
+    files (counters resumed, nothing double-counted)."""
+    import datetime as dt
+    import math
+
+    from prohap_spark.functions.sketches import qhist_build, qhist_quantiles
+    from prohap_spark.streaming.events import (
+        EVENT_SCHEMA,
+        read_event_stream,
+        stateful_quantiles,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    eid = 0
+    lo, hi, nb, qs = 0.0, 100.0, 64, (0.5,)
+
+    def write_file(values):
+        nonlocal eid
+        rows = []
+        for v in values:
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 10, eid % 60), eid, "click",
+                 float(v), "{}")
+            )
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        collected = []
+        q = (
+            stateful_quantiles(
+                read_event_stream(spark, src, max_files_per_trigger=1),
+                lo=lo, hi=hi, n_buckets=nb, qs=qs,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, epoch: collected.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return collected
+
+    write_file(range(0, 40))
+    write_file(range(30, 80))
+    p1 = run()
+    assert p1
+
+    write_file(range(50, 99))
+    p2 = run()
+    assert 0 < len(p2) <= 1  # one group, one q, one new batch
+
+    b = spark.read.parquet(src).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    hist = qhist_build(b, ["event_type"], "v", lo, hi, nb)
+    want = qhist_quantiles(hist, ["event_type"], list(qs)).collect()[0]
+    got = max(p2, key=lambda r: r["n_rows"])
+    assert (got["bucket"], got["n_rows"]) == (want["bucket"], want["n_rows"])
+    assert got["n_rows"] == 40 + 50 + 49  # every file counted exactly once
