@@ -331,6 +331,47 @@ def cms_estimate(
     )
 
 
+def hll_intersect_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Inclusion–exclusion overlap estimate from two register tables
+    (:func:`hll_registers` artifacts): |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), where the union estimate comes from :func:`hll_merge`
+    (lossless). The set-algebra read on the sketch artifacts — e.g.
+    'how much does this crawl snapshot overlap the curated corpus'
+    without touching either corpus's rows. Error compounds the three
+    estimates' bands (~1.04/sqrt(m) each), so small intersections of
+    large sets can come back NEGATIVE — clamped to 0 and honest:
+    below the error floor the right answer is 'indistinguishable from
+    disjoint'. Returns group_cols + (est_a, est_b, est_union,
+    est_intersect), all exact-integer-derived BIGINTs. Inner-joins on
+    the group key: a group present in only one side has no
+    intersection to estimate."""
+    a = hll_estimate_from_registers(regs_a, group_cols).select(
+        *group_cols, F.col("hll_est").alias("est_a")
+    )
+    b = hll_estimate_from_registers(regs_b, group_cols).select(
+        *group_cols, F.col("hll_est").alias("est_b")
+    )
+    u = hll_estimate_from_registers(
+        hll_merge(regs_a, regs_b), group_cols
+    ).select(*group_cols, F.col("hll_est").alias("est_union"))
+    return (
+        a.join(b, list(group_cols))
+        .join(u, list(group_cols))
+        .select(
+            *group_cols,
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"),
+                F.lit(0).cast("bigint"),
+            ).alias("est_intersect"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic mergeable quantile histogram — the fourth workhorse
 # sketch of a 100 TB pipeline (HLL = distinct, CMS = frequency,

@@ -3105,3 +3105,40 @@ def test_qhist_merge_algebra_and_quantile_guarantee(spark):
     assert all(0 <= qb < n for (_, qb) in full)
     assert any(qb == 0 for (_, qb) in full)  # negatives clamped down
     assert any(qb == n - 1 for (_, qb) in full)  # overflow clamped up
+
+
+def test_hll_intersect_estimate_overlap_bands(spark):
+    """HLL set algebra (r11): the inclusion-exclusion overlap estimate
+    from two register ARTIFACTS — (a) a planted 50% overlap lands
+    within the compounded error band of the three m=64 estimates;
+    (b) disjoint sets estimate at/near zero (the clamp keeps the
+    negative tail honest); (c) identical sets estimate ~their own
+    cardinality and est_union == est_a == est_b EXACTLY (merging a
+    register table with itself is idempotent)."""
+    from prohap_spark.functions.sketches import (
+        hll_intersect_estimate,
+        hll_registers,
+    )
+
+    def regs(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+        )
+        return hll_registers(df, ["g"], "v")
+
+    # (a) |A|=2000, |B|=2000, |A∩B|=1000
+    out = hll_intersect_estimate(regs(0, 2000), regs(1000, 3000), ["g"]).collect()[0]
+    # each estimate carries ~13% band; inclusion-exclusion compounds to
+    # a few hundred absolute here — accept a generous envelope
+    assert 200 <= out["est_intersect"] <= 1800, out
+    assert 1400 <= out["est_a"] <= 2600
+
+    # (b) disjoint
+    out2 = hll_intersect_estimate(regs(0, 2000), regs(50000, 52000), ["g"]).collect()[0]
+    assert out2["est_intersect"] <= 700, out2
+
+    # (c) identical: union of a sketch with itself is itself
+    r = regs(0, 1500)
+    out3 = hll_intersect_estimate(r, r, ["g"]).collect()[0]
+    assert out3["est_a"] == out3["est_b"] == out3["est_union"]
+    assert out3["est_intersect"] == out3["est_a"]
