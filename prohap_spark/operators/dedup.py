@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from prohap_spark.functions.hof import bind_once
+
 
 def dedup_exact(
     df: DataFrame,
@@ -168,16 +170,14 @@ def band_table(
     # CollapseProject, and higher-order bodies re-evaluate non-bound
     # subtrees per element — the md5-heavy signature would recompute
     # once per BAND (the k-means argmin-per-dimension lesson)
-    band_arr = F.flatten(
-        F.transform(
-            F.array(minhash_signature_expr(tokens_col, num_hashes)),
-            lambda s: F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws("|", F.slice(s, b * band_size + 1, band_size))
-                ),
+    band_arr = bind_once(
+        minhash_signature_expr(tokens_col, num_hashes),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(n_bands - 1)),
+            lambda b: F.md5(
+                F.concat_ws("|", F.slice(s, b * band_size + 1, band_size))
             ),
-        )
+        ),
     )
     return df.select(
         F.col(id_col),
@@ -698,37 +698,35 @@ def cdc_chunk_table(
         )
         # intervals (a, b] with forced arithmetic sub-cuts past
         # max_words, materialized directly as chunk strings
-        return F.flatten(
-            F.transform(
-                F.array(cuts),
-                lambda cs: F.flatten(
-                    F.transform(
-                        F.sequence(F.lit(2), F.size(cs)),
-                        lambda j: F.transform(
-                            F.sequence(
-                                F.element_at(cs, (j - 1).cast("int")),
-                                F.element_at(cs, j.cast("int")) - 1,
-                                F.lit(max_words),
-                            ),
-                            lambda a: F.concat_ws(
-                                " ",
-                                F.slice(
-                                    w,
-                                    (a + 1).cast("int"),
-                                    F.least(
-                                        F.lit(max_words),
-                                        F.element_at(cs, j.cast("int")) - a,
-                                    ).cast("int"),
-                                ),
+        return bind_once(
+            cuts,
+            lambda cs: F.flatten(
+                F.transform(
+                    F.sequence(F.lit(2), F.size(cs)),
+                    lambda j: F.transform(
+                        F.sequence(
+                            F.element_at(cs, (j - 1).cast("int")),
+                            F.element_at(cs, j.cast("int")) - 1,
+                            F.lit(max_words),
+                        ),
+                        lambda a: F.concat_ws(
+                            " ",
+                            F.slice(
+                                w,
+                                (a + 1).cast("int"),
+                                F.least(
+                                    F.lit(max_words),
+                                    F.element_at(cs, j.cast("int")) - a,
+                                ).cast("int"),
                             ),
                         ),
-                    )
-                ),
-            )
+                    ),
+                )
+            ),
         )
 
     words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    chunk_arr = F.flatten(F.transform(F.array(words), lambda w: _chunks_of(w)))
+    chunk_arr = bind_once(words, _chunks_of)
     chunks = df.select(
         F.col(id_col),
         F.posexplode(chunk_arr).alias("chunk_idx", "chunk"),

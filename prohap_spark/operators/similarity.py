@@ -1340,15 +1340,10 @@ def _l2q_argmin_expr(dists: "F.Column"):
     computing the distance array ONCE (bound as a lambda value —
     array_position(d, array_min(d)) with d spelled twice would
     evaluate the whole k-distance computation twice per row)."""
+    from prohap_spark.functions.hof import bind_once
+
     return (
-        F.element_at(
-            F.transform(
-                F.array(dists),
-                lambda d: F.array_position(d, F.array_min(d)),
-            ),
-            1,
-        )
-        - 1
+        bind_once(dists, lambda d: F.array_position(d, F.array_min(d))) - 1
     ).cast("int")
 
 
