@@ -331,6 +331,88 @@ def cms_estimate(
     )
 
 
+def kmv_bottom_k(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) bottom-k sketch: per group the k
+    smallest md5 hashes of the DISTINCT values, with the values kept
+    beside their hashes. One artifact, two capabilities:
+
+    - a deterministic UNIFORM SAMPLE of the distinct values (md5
+      order is value-blind, so the k kept values are an unbiased
+      without-replacement sample — the mergeable reservoir);
+    - a distinct-count estimator via :func:`kmv_estimate`.
+
+    Mergeable like the other sketches (min-k is a semilattice:
+    :func:`kmv_merge` = union + re-take bottom k, equal to a
+    single-pass build — exact equality, not approximation). State is
+    k rows per group. Engine-replayable: md5 order is total and
+    engine-independent. Returns group_cols + (__kmv_hash string,
+    __kmv_value string, __kmv_rank int)."""
+    h = F.md5(F.col(value_col).cast("string"))
+    distinct = df.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("__kmv_value"),
+        h.alias("__kmv_hash"),
+    ).dropDuplicates([*group_cols, "__kmv_hash"])
+    w = Window.partitionBy(*group_cols).orderBy("__kmv_hash")
+    return (
+        distinct.withColumn("__kmv_rank", F.row_number().over(w))
+        .where(F.col("__kmv_rank") <= k)
+        .select(*group_cols, "__kmv_hash", "__kmv_value", "__kmv_rank")
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge shard bottom-k sketches: union + re-take the k smallest
+    per group. EXACTLY equals a single-pass build over the
+    concatenated shards (the k smallest of a union are among the
+    union of each shard's k smallest) — pinned in pytest."""
+    it = iter(sketches)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    keys = [c for c in out.columns
+            if c not in ("__kmv_hash", "__kmv_value", "__kmv_rank")]
+    dd = out.dropDuplicates([*keys, "__kmv_hash"])
+    w = Window.partitionBy(*keys).orderBy("__kmv_hash")
+    return (
+        dd.withColumn("__kmv_rank", F.row_number().over(w))
+        .where(F.col("__kmv_rank") <= k)
+        .select(*keys, "__kmv_hash", "__kmv_value", "__kmv_rank")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate from a bottom-k sketch: the classic
+    (k−1)/h_(k) KMV estimator, where h_(k) is the k-th smallest hash
+    mapped to (0,1) — here the first 15 md5 hex chars as a 60-bit
+    fraction, all integer until the final division (one double ratio
+    of exact integers, engine-identical). Groups with fewer than k
+    distinct values are EXACT (the sketch holds every value).
+    Relative error ~1/sqrt(k−2). Returns group_cols +
+    (kmv_est bigint, kmv_exact boolean)."""
+    per = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(
+            F.when(
+                F.col("__kmv_rank") == k,
+                F.conv(F.substring("__kmv_hash", 1, 15), 16, 10).cast("long"),
+            )
+        ).alias("__hk"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise(
+        (F.lit(float(k - 1)) * F.lit(float(1 << 60))) / F.col("__hk").cast("double")
+    )
+    return per.select(
+        *group_cols,
+        F.round(est).cast("bigint").alias("kmv_est"),
+        (F.col("__n") < k).alias("kmv_exact"),
+    )
+
+
 def hll_intersect_estimate(
     regs_a: DataFrame, regs_b: DataFrame, group_cols: list[str]
 ) -> DataFrame:

@@ -3142,3 +3142,57 @@ def test_hll_intersect_estimate_overlap_bands(spark):
     out3 = hll_intersect_estimate(r, r, ["g"]).collect()[0]
     assert out3["est_a"] == out3["est_b"] == out3["est_union"]
     assert out3["est_intersect"] == out3["est_a"]
+
+
+def test_kmv_bottom_k_merge_sample_and_estimate(spark):
+    """KMV bottom-k sketch (r11): (a) shard merge EXACTLY equals the
+    single-pass build (min-k semilattice — not an approximation);
+    (b) the kept values are a value-blind uniform sample: two
+    disjoint halves of a shuffled domain land in the sample in
+    near-equal proportion; (c) the (k-1)/h_(k) distinct estimate
+    lands within its ~1/sqrt(k-2) band, and small groups are EXACT;
+    (d) duplicates don't perturb the sketch (distinct semantics)."""
+    from prohap_spark.functions.sketches import (
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    k = 64
+    rows = [("g", f"v{i}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+
+    full = kmv_bottom_k(df, ["g"], "v", k=k)
+    full_set = {(r["__kmv_rank"], r["__kmv_hash"]) for r in full.collect()}
+
+    # (a) merge == single build, exact
+    shards = [
+        spark.createDataFrame(rows[i::3], "g string, v string") for i in range(3)
+    ]
+    merged = kmv_merge(
+        *[kmv_bottom_k(s, ["g"], "v", k=k) for s in shards], k=k
+    )
+    assert {(r["__kmv_rank"], r["__kmv_hash"]) for r in merged.collect()} == full_set
+
+    # (b) uniform: values v0..v2499 vs v2500..v4999 split the sample
+    # roughly evenly (binomial k=64, p=.5 — 5 sigma ~ 20)
+    vals = [r["__kmv_value"] for r in full.collect()]
+    low = sum(1 for v in vals if int(v[1:]) < 2500)
+    assert 12 <= low <= 52, low
+
+    # (c) estimate bands
+    est = kmv_estimate(full, ["g"], k=k).collect()[0]
+    assert not est["kmv_exact"]
+    assert abs(est["kmv_est"] - 5000) <= 5000 * 5 / (k - 2) ** 0.5, est
+    small = kmv_estimate(
+        kmv_bottom_k(
+            spark.createDataFrame(rows[:30], "g string, v string"), ["g"], "v", k=k
+        ),
+        ["g"],
+        k=k,
+    ).collect()[0]
+    assert small["kmv_exact"] and small["kmv_est"] == 30
+
+    # (d) duplicate-blind
+    dup = kmv_bottom_k(df.unionAll(df), ["g"], "v", k=k)
+    assert {(r["__kmv_rank"], r["__kmv_hash"]) for r in dup.collect()} == full_set
