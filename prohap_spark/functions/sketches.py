@@ -550,6 +550,68 @@ def qhist_quantiles(
     ).select(*group_cols, "q", "bucket", "n_rows")
 
 
+def exact_quantile_twopass(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    q: float,
+    lo: float,
+    hi: float,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT discrete q-quantile (smallest value whose <=-rank reaches
+    ceil(q·n)) in TWO passes — the 100 TB replacement for the global
+    sort `percentile()` implies:
+
+    pass 1: the qhist histogram (one map-side-combinable aggregate)
+      locates each group's target bucket and the rank already covered
+      by earlier buckets;
+    pass 2: scan again keeping ONLY rows in the target bucket (a
+      map-side filter against a broadcast of <= one row per group; at
+      uniform spread that's n/n_buckets rows per group) and take the
+      (target − covered)-th smallest within it — a per-group window
+      over the pruned slice, never a corpus-wide sort.
+
+    Values outside [lo, hi) clamp into the edge buckets (they still
+    count toward ranks, so the answer is exact regardless — clamping
+    only affects how much pass 2 prunes). Exactness is pinned against
+    a single-pass sort in pytest. Returns group_cols + (q, exact_v,
+    n_rows)."""
+    hist = qhist_build(df, group_cols, value_col, lo, hi, n_buckets)
+    located = qhist_quantiles(hist, group_cols, [q]).select(
+        *group_cols, "bucket", "n_rows",
+        F.ceil(F.lit(float(q)) * F.col("n_rows")).cast("long").alias("__target"),
+    )
+    covered = (
+        hist.join(located.select(*group_cols, "bucket"), group_cols)
+        .where(F.col("__qb") < F.col("bucket"))
+        .groupBy(*group_cols)
+        .agg(F.sum("__qn").alias("__covered"))
+    )
+    loc = located.join(covered, group_cols, "left").select(
+        *group_cols, "bucket", "n_rows", "__target",
+        F.coalesce("__covered", F.lit(0)).alias("__covered"),
+    )
+    pruned = df.select(
+        *group_cols,
+        F.col(value_col).alias("__v"),
+        qhist_bucket(F.col(value_col), lo, hi, n_buckets).alias("__qb"),
+    ).join(
+        F.broadcast(loc), [*group_cols]
+    ).where(F.col("__qb") == F.col("bucket"))
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == F.col("__target") - F.col("__covered"))
+        .select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.col("__v").alias("exact_v"),
+            "n_rows",
+        )
+    )
+
+
 def qhist_oracle_sql(
     table: str,
     group_col: str,

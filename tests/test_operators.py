@@ -3196,3 +3196,40 @@ def test_kmv_bottom_k_merge_sample_and_estimate(spark):
     # (d) duplicate-blind
     dup = kmv_bottom_k(df.unionAll(df), ["g"], "v", k=k)
     assert {(r["__kmv_rank"], r["__kmv_hash"]) for r in dup.collect()} == full_set
+
+
+def test_exact_quantile_twopass_equals_sort(spark):
+    """Two-pass exact quantile (r11): histogram-prune + in-bucket rank
+    must equal the single-pass sorted answer EXACTLY — randomized over
+    groups, q values, duplicates, and values OUTSIDE the histogram
+    range (clamped buckets still rank correctly; only pruning
+    efficiency degrades)."""
+    import math
+    import random as _random
+
+    from prohap_spark.functions.sketches import exact_quantile_twopass
+
+    rng = _random.Random(31)
+    rows = []
+    for g in range(4):
+        for _ in range(1500):
+            v = rng.choice(
+                [rng.uniform(-20, 1100), float(rng.randrange(0, 50))]  # dups + out-of-range
+            )
+            rows.append((f"g{g}", v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for q in (0.1, 0.5, 0.9):
+        got = {
+            r["g"]: (r["exact_v"], r["n_rows"])
+            for r in exact_quantile_twopass(
+                df, ["g"], "v", q, lo=0.0, hi=1000.0, n_buckets=64
+            ).collect()
+        }
+        assert set(got) == set(by_g)
+        for g, vs in by_g.items():
+            vs_sorted = sorted(vs)
+            want = vs_sorted[math.ceil(q * len(vs)) - 1]
+            assert got[g] == (want, len(vs)), (g, q, got[g], want)
