@@ -121,3 +121,51 @@ def negative_pairs(
             F.col(id_col).alias("neg_id"),
         )
     )
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    group — the Efraimidis–Spirakis A-Res scheme with the randomness
+    replaced by the codebase's md5 fraction: each row draws
+    u = md5frac(id) ∈ (0,1) and keys on u^(1/w); the k LARGEST keys
+    are the sample. Inclusion probability is proportional-to-weight
+    in the A-Res sense (a row with 2x the weight wins ~2x as often),
+    reproducible across runs/partitionings because u is content-keyed
+    — no rand(), the sampling_hash_split discipline.
+
+    Mergeable like the KMV sketch (top-k by key is a semilattice):
+    union shard samples and re-take the top k — exactly equal to a
+    single-pass draw, so per-shard samples compose at 100 TB. One
+    window shuffle per draw; weights <= 0 are excluded (their key
+    would be 0). Returns group_cols + (id, weight, sample_rank).
+
+    The float pow makes the KEY engine-specific (pow is not correctly
+    rounded), so this is a library op, not an oracle-gated query —
+    the pytest pins determinism, merge-equality, and the
+    weight-proportional inclusion property instead."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("double")
+        / F.lit(float(1 << 60))
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    scored = df.where(F.col(weight_col) > 0).select(
+        *group_cols,
+        F.col(id_col),
+        F.col(weight_col),
+        key.alias("__wk"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__wk").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .select(*group_cols, id_col, weight_col, "sample_rank")
+    )

@@ -3233,3 +3233,55 @@ def test_exact_quantile_twopass_equals_sort(spark):
             vs_sorted = sorted(vs)
             want = vs_sorted[math.ceil(q * len(vs)) - 1]
             assert got[g] == (want, len(vs)), (g, q, got[g], want)
+
+
+def test_weighted_bottom_k_properties(spark):
+    """Deterministic weighted sampling (r11): (a) reproducible across
+    repartitioning (content-keyed md5 draw, no rand()); (b) shard
+    merge == single draw (top-k-by-key semilattice, via re-drawing on
+    the union of shard samples); (c) the A-Res inclusion property —
+    across many independent groups, heavy items (10x weight) appear
+    in the k-sample far more often than light ones; (d) zero/negative
+    weights never sampled."""
+    from prohap_spark.operators.sampling import weighted_bottom_k
+
+    rows = []
+    for g in range(60):  # 60 independent draws
+        for i in range(40):
+            w = 10.0 if i < 8 else 1.0  # 8 heavy, 32 light
+            rows.append((f"g{g}", g * 1000 + i, w))
+    rows.append(("g0", 99999, 0.0))  # never sampled
+    df = spark.createDataFrame(rows, "g string, id long, w double")
+
+    out = weighted_bottom_k(df, ["g"], "id", "w", k=8).collect()
+    assert all(r["w"] > 0 for r in out)
+    got = {(r["g"], r["id"], r["sample_rank"]) for r in out}
+
+    # (a) partition invariance
+    re16 = {
+        (r["g"], r["id"], r["sample_rank"])
+        for r in weighted_bottom_k(df.repartition(16), ["g"], "id", "w", k=8).collect()
+    }
+    assert re16 == got
+
+    # (b) shard-merge equality: drawing over the union of per-shard
+    # k-samples equals the full draw (keys are content-determined)
+    shards = [
+        spark.createDataFrame(rows[i::2], "g string, id long, w double")
+        for i in range(2)
+    ]
+    shard_samples = [
+        weighted_bottom_k(s, ["g"], "id", "w", k=8) for s in shards
+    ]
+    pooled = shard_samples[0].unionByName(shard_samples[1]).select("g", "id", "w")
+    remerged = {
+        (r["g"], r["id"], r["sample_rank"])
+        for r in weighted_bottom_k(pooled, ["g"], "id", "w", k=8).collect()
+    }
+    assert remerged == got
+
+    # (c) heavy items (20% of population, 10x weight) dominate the
+    # sample: expected A-Res share far above the uniform 20%
+    n_heavy = sum(1 for (_, i, _r) in got if i % 1000 < 8)
+    share = n_heavy / len(got)
+    assert share >= 0.45, share  # uniform would sit ~0.20
