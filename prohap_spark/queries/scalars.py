@@ -396,10 +396,22 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the streaming-quantile leg's universe: qhist over events.value
+# (observed range ~[0, 500) at every SF; values outside clamp to the
+# edge buckets identically in both engines)
+_SSB_QLO, _SSB_QHI, _SSB_QN, _SSB_QS = 0.0, 500.0, 256, (0.25, 0.5, 0.75)
+
+
 def _stream_sketch_oracle_sql() -> str:
     from prohap_spark.functions.sketches import _md5_window_sql, hll_oracle_sql
 
     d, w, th = 4, 256, 10
+    qb = (
+        f"CAST(least(greatest(floor((CAST(v AS DOUBLE) - {_SSB_QLO}) "
+        f"* {float(_SSB_QN)} / ({_SSB_QHI} - {_SSB_QLO})), 0), "
+        f"{_SSB_QN - 1}) AS BIGINT)"
+    )
+    q_values = ", ".join(f"({float(q)})" for q in _SSB_QS)
     pos_legs = "\n      UNION ALL ".join(
         f"SELECT {j} AS j, {_md5_window_sql('tok', 1 + 4 * j, 4)} % {w} AS idx FROM toks"
         for j in range(d)
@@ -428,6 +440,29 @@ def _stream_sketch_oracle_sql() -> str:
       SELECT tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
       FROM pe LEFT JOIN cms c USING (j, idx)
       GROUP BY tok
+    ),
+    qvals AS (SELECT event_type AS g, value AS v FROM events),
+    qhist AS (
+      SELECT g, {qb} AS qb, CAST(count(*) AS BIGINT) AS qn
+      FROM qvals GROUP BY 1, 2
+    ),
+    qtot AS (SELECT g, CAST(sum(qn) AS BIGINT) AS n_rows FROM qhist GROUP BY 1),
+    qqs(q) AS (VALUES {q_values}),
+    qtq AS (
+      SELECT g, n_rows, q, CAST(ceil(q * n_rows) AS BIGINT) AS target
+      FROM qtot, qqs
+    ),
+    qcum AS (
+      SELECT g, qb,
+             CAST(sum(qn) OVER (PARTITION BY g ORDER BY qb
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum
+      FROM qhist
+    ),
+    qskb AS (
+      SELECT t.g, t.q, t.n_rows, min(c.qb) AS bucket
+      FROM qtq t JOIN qcum c ON t.g = c.g AND c.cum >= t.target
+      GROUP BY 1, 2, 3
     )
     SELECT 'hll' AS leg, hll.event_type AS key, hll.hll_est AS est,
            CAST(hll.hll_zero_registers AS BIGINT) AS aux, grp.n_rows
@@ -436,6 +471,11 @@ def _stream_sketch_oracle_sql() -> str:
     SELECT 'cms' AS leg, tok AS key, est,
            CAST(NULL AS BIGINT) AS aux, tot.n AS n_rows
     FROM est, tot WHERE est >= {th}
+    UNION ALL
+    SELECT 'qh' AS leg,
+           g || '@' || CAST(CAST(q * 100 AS BIGINT) AS VARCHAR) AS key,
+           bucket AS est, CAST(q * 100 AS BIGINT) AS aux, n_rows
+    FROM qskb
     """
 
 
@@ -450,9 +490,12 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch sketch replayed by the DuckDB oracle — the HLL leg
     bit-exactly (same 60-bit md5 hash, integer estimator, linear-
     counting branch), the CMS leg under the same d=4 x w=256 md5
-    counter addressing with threshold 10. Bounded state is the whole
-    point: 64 ints per group / d*w counters, whatever the stream
-    length."""
+    counter addressing with threshold 10, and (r11 tail) the QH leg —
+    stateful_quantiles, the streaming face of the qhist distribution
+    sketch — answering p25/p50/p75 bucket indices per event_type from
+    a fixed 256-counter state, equal to the batch qhist replay.
+    Bounded state is the whole point: 64 ints per group / d*w
+    counters / 256 counters per group, whatever the stream length."""
     import os
 
     from pyspark.sql import Window
@@ -463,6 +506,7 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_memory_sink,
         stateful_distinct_hll,
         stateful_heavy_hitters_cms,
+        stateful_quantiles,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -512,4 +556,33 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
-    return hll_leg.unionByName(cms_leg)
+
+    qh_stream = stateful_quantiles(
+        read_event_stream(spark, d, max_files_per_trigger=1),
+        group_col="event_type",
+        value_col="value",
+        lo=_SSB_QLO,
+        hi=_SSB_QHI,
+        n_buckets=_SSB_QN,
+        qs=_SSB_QS,
+    )
+    run_to_memory_sink(qh_stream, "sketch_qh_out", output_mode="update")
+    # per (group, q) the final cumulative emission carries the max n
+    w_q = Window.partitionBy("event_type", "q").orderBy(F.col("n_rows").desc())
+    qh_leg = (
+        spark.sql("SELECT * FROM sketch_qh_out")
+        .withColumn("__rn", F.row_number().over(w_q))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.lit("qh").alias("leg"),
+            F.concat(
+                F.col("event_type"),
+                F.lit("@"),
+                (F.col("q") * 100).cast("long").cast("string"),
+            ).alias("key"),
+            F.col("bucket").alias("est"),
+            (F.col("q") * 100).cast("long").alias("aux"),
+            "n_rows",
+        )
+    )
+    return hll_leg.unionByName(cms_leg).unionByName(qh_leg)
