@@ -271,6 +271,24 @@ _DUCK_BIGRAMS = (
     UNION ALL
     SELECT 'capped' AS leg, id_a, id_b, round(jaccard, 6) AS jaccard
     FROM verified WHERE in_capped
+    UNION ALL
+    -- plan leg: full replay of the lsh_plan grid search (min num_hashes
+    -- then min n_bands over configs with recall>=0.95 at J=0.6 and
+    -- candidate prob <=0.05 at J=0.2). Feasibility margins over the
+    -- whole grid are >=5e-5 (measured), so libm-pow ulp drift cannot
+    -- flip a boundary decision cross-engine.
+    SELECT 'plan' AS leg, nh AS id_a, nb AS id_b, round(recall, 6) AS jaccard
+    FROM (
+      SELECT nh, nb, recall FROM (
+        SELECT nh, bs, nh // bs AS nb,
+               1 - power(1 - power(0.6, bs), nh // bs) AS recall,
+               1 - power(1 - power(0.2, bs), nh // bs) AS fp
+        FROM (SELECT unnest(range(2, 129)) AS nh),
+             (SELECT unnest(range(1, 129)) AS bs)
+        WHERE bs <= nh AND nh % bs = 0
+      ) WHERE recall >= 0.95 AND fp <= 0.05
+      ORDER BY nh, nb LIMIT 1
+    )
     """,
 )
 def dedup_minhash_lsh_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,7 +316,19 @@ def dedup_minhash_lsh_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
         )
 
-    return leg("uncapped", None).unionByName(leg("capped", 8))
+    # plan leg (r11 tail): lsh_plan — the (num_hashes, band_size)
+    # planner derived from operating requirements — gets its driver
+    # row. The search runs driver-side (a bounded grid, no data), the
+    # oracle replays the same argmin in SQL; recall rounds at 6dp.
+    from prohap_spark.operators.dedup import lsh_plan
+
+    p = lsh_plan(0.6, min_recall=0.95, max_fp_sim=0.2, max_fp_prob=0.05)
+    plan_leg = spark.createDataFrame(
+        [("plan", p["num_hashes"], p["n_bands"],
+          round(p["recall_at_threshold"], 6))],
+        "leg string, id_a long, id_b long, jaccard double",
+    )
+    return leg("uncapped", None).unionByName(leg("capped", 8)).unionByName(plan_leg)
 
 
 # dedup_simhash and dedup_simhash_near were MERGED into the one
