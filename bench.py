@@ -38,10 +38,8 @@ HEADLINE = [
     "j3_star_dim_join",
     "j10_asof_join",
     "a2_signature_grouping",
-    "w1_islands_sessionize",
     "w5_running_offset",
     "topk_per_group",
-    "stream_tumbling_window",
     "text_quality",
     "text_fingerprint_dedup",
     # the peptide chain (explode + containment join + canonical-first
@@ -174,6 +172,22 @@ def main() -> None:
 
     builders.append(("sim_bruteforce_topk", lambda: sim_bruteforce_topk(spark, sf_dir)))
     builders.append(("emb_centroid_cosine", lambda: emb_centroid_cosine(spark, sf_dir)))
+
+    # w1_islands_sessionize / stream_tumbling_window merged into
+    # w1_islands_board / stream_batch_parity_board in the r11 tail;
+    # direct builders keep their bench entries like-for-like with
+    # BENCH_r01..r10 (same device as the sim_embedding_board legs)
+    from prohap_spark.queries.windowed import (
+        stream_tumbling_window,
+        w1_islands_sessionize,
+    )
+
+    builders.append(
+        ("w1_islands_sessionize", lambda: w1_islands_sessionize(spark, sf_dir))
+    )
+    builders.append(
+        ("stream_tumbling_window", lambda: stream_tumbling_window(spark, sf_dir))
+    )
 
     # SPARK_GRAFT_BENCH_MARKERS=1: write a per-query marker line to
     # stderr so JVM log events (e.g. the benign late-accumulator burst

@@ -131,21 +131,36 @@ _FRONT = [
 _BACK = [
     # last green r9, dark r10 — the r12 rule-(c) front obligations
     # (rotation_audit.py prints them; agg_approx_sketches re-fronted
-    # r10 and is NOT due until r13)
+    # r10 and is NOT due until r13).
+    #
+    # r11-TAIL MERGES (uses 8-10 of the slot-freeing device): SIX of
+    # the r9-green singletons here were merged pairwise into three
+    # boards to fund three genuinely-new r12 registrations while
+    # keeping the r12 front at exactly 50 and the registry at the
+    # 150 cap:
+    #   sim_sq_ann + sim_pq_ann           -> sim_quantized_ann_board
+    #   w1_islands_sessionize
+    #     + w1b_interval_islands          -> w1_islands_board
+    #   stream_tumbling_window
+    #     + stream_dedup_watermark        -> stream_batch_parity_board
+    # Every merged leg maps ALL of its previously hashed values onto
+    # the board schema (off-leg columns NULL), so per-operator value
+    # coverage is unchanged; the boards inherit their members' r12
+    # obligation as rule-(a) new registrations (new_waiting lane).
+    # The singleton callables remain the library/pytest/bench surface.
     "dedup_minhash_lsh_board", "dedup_simhash_board",
     "multimodal_audio_window_codec", "text_quality_classifier",
     "q1_pricing_summary", "er_fuzzy_blocked_join",
-    "w1_islands_sessionize", "w1b_interval_islands",
     "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
-    "j1_interval_join_binned", "stream_tumbling_window",
-    "j1b_interval_overlap_join", "stream_dedup_watermark",
+    "j1_interval_join_binned",
+    "j1b_interval_overlap_join",
     "events_funnel", "w_ntile_percent_rank", "dedup_jaccard_pairs",
     "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
     "text_decontaminate", "text_repetition_stats",
     "sampling_stratified_rates", "text_bpe_tokens", "text_pii_scrub",
     "text_line_dedup", "pack_context_windows", "sampling_token_budget",
     "dedup_winnowing", "corpus_curation_e2e", "dedup_embedding_cosine",
-    "sim_sq_ann", "sim_pq_ann", "dedup_semantic", "j9_containment_join",
+    "dedup_semantic", "j9_containment_join",
     "stream_stateful_user_stats", "agg_salted_skew",
     "multimodal_jpeg_codec", "agg_grouping_sets",
     "domain_provar_fasta_oracle", "domain_postprocess_chain",

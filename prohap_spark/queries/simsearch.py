@@ -400,9 +400,7 @@ _DUCK_NORMI = (
 )
 
 
-@register(
-    "sim_sq_ann",
-    f"""
+_SQ_ANN_SQL = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     base AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
     qz AS (
@@ -439,8 +437,9 @@ _DUCK_NORMI = (
       FROM exact
     )
     SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-    """,
-)
+    """
+
+
 def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 scalar-quantized two-stage ANN: approximate cosine against
     the 4×-smaller quantized vectors (the per-vector scale cancels out
@@ -457,9 +456,7 @@ def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.toDF("qid", "cid", "cosine", "rank")
 
 
-@register(
-    "sim_pq_ann",
-    f"""
+_PQ_ANN_SQL = f"""
     WITH en AS (
       -- L2-normalize first: PQ-ADC approximates the INNER PRODUCT, so
       -- unit vectors make the candidate ranking a cosine ranking
@@ -531,8 +528,9 @@ def sim_sq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
       FROM exact
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
 def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_*): the
     64-dim corpus encodes to 4 codes (one per 16-dim subspace, L2
@@ -568,6 +566,36 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         q, c, codebook, "qid", "cid", "nv",
         k=5, sub_dim=16, num_codes=10, rerank_k=50, rerank_vec_col="embedding",
     )
+
+
+# sim_sq_ann and sim_pq_ann were MERGED into the one registered board
+# below in the r11 tail (the dedup_minhash_lsh_board slot-freeing
+# device, 8th use): identical (qid, cid, cosine, rank) output shapes,
+# so one query drives both quantized-ANN code paths under a leg tag
+# and frees the rotation slot the r12 front needs for a genuinely new
+# registration. The singleton callables above stay the library/pytest
+# surface (tests import them directly).
+@register(
+    "sim_quantized_ann_board",
+    f"""
+    SELECT 'sq' AS leg, qid, cid, cosine, rank FROM ({_SQ_ANN_SQL})
+    UNION ALL
+    SELECT 'pq' AS leg, qid, cid, cosine, rank FROM ({_PQ_ANN_SQL})
+    """,
+)
+def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both quantized two-stage ANN operators on one correctness
+    board: the INT8 scalar-quantized path (sq leg — see sim_sq_ann)
+    and the product-quantization ADC path (pq leg — see sim_pq_ann),
+    each value-checked end-to-end against its full SQL replay
+    (quantization, candidate cut, exact rerank)."""
+    sq = sim_sq_ann(spark, sf_dir).select(
+        F.lit("sq").alias("leg"), "qid", "cid", "cosine", "rank"
+    )
+    pq = sim_pq_ann(spark, sf_dir).select(
+        F.lit("pq").alias("leg"), "qid", "cid", "cosine", "rank"
+    )
+    return sq.unionByName(pq)
 
 
 @register(

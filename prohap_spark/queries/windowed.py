@@ -12,9 +12,7 @@ from prohap_spark.operators.topk import top_k_per_group
 from prohap_spark.queries.registry import register, table
 
 
-@register(
-    "w1_islands_sessionize",
-    """
+_W1_SESSIONIZE_SQL = """
     WITH g AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -31,8 +29,9 @@ from prohap_spark.queries.registry import register, table
     SELECT user_id, session_id, count(*) AS n_events,
            epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
     FROM s GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
 def w1_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 gaps-and-islands: sessionize events per user with a 1 h gap
     (the overlap-clustering window pipeline from get_haplotypes.py:8-30
@@ -46,9 +45,7 @@ def w1_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w1b_interval_islands",
-    """
+_W1B_ISLANDS_SQL = """
     WITH iv AS (
       SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS d_start,
              epoch_us(l_shipdate) // 86400000000 + CAST(l_quantity AS BIGINT) AS d_end,
@@ -72,8 +69,9 @@ def w1_islands_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_suppkey, island_id, count(*) AS n_members
     FROM s GROUP BY l_suppkey, island_id
-    """,
-)
+    """
+
+
 def w1b_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 exact reference semantics: cluster overlapping [start, end]
     intervals per group; islands with >1 member are the 'conflicting
@@ -92,6 +90,53 @@ def w1b_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     isl = cluster_overlapping_intervals(iv, ["l_suppkey"], "d_start", "d_end")
     return isl.groupBy("l_suppkey", "island_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# w1_islands_sessionize and w1b_interval_islands were MERGED into the
+# one registered board below in the r11 tail (the
+# dedup_minhash_lsh_board slot-freeing device, 9th use): both are the
+# W1 gaps-and-islands family — time-gap sessionization and interval
+# overlap clustering — and map onto one (leg, key, island_id, n,
+# start_us, end_us) schema with off-leg columns NULL, so per-operator
+# value coverage is unchanged and a rotation slot frees for the r12
+# front. The singleton callables above stay the library/pytest/bench
+# surface (bench keeps a direct w1_islands_sessionize builder).
+@register(
+    "w1_islands_board",
+    f"""
+    SELECT 'sess' AS leg, user_id AS key, session_id AS island_id,
+           n_events AS n, start_us, end_us
+    FROM ({_W1_SESSIONIZE_SQL})
+    UNION ALL
+    SELECT 'interval' AS leg, l_suppkey AS key, island_id,
+           n_members AS n, CAST(NULL AS BIGINT) AS start_us,
+           CAST(NULL AS BIGINT) AS end_us
+    FROM ({_W1B_ISLANDS_SQL})
+    """,
+)
+def w1_islands_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both W1 gaps-and-islands operators on one correctness board:
+    per-user 1 h sessionization (sess leg — see w1_islands_sessionize)
+    and per-supplier interval overlap clustering (interval leg — see
+    w1b_interval_islands), each against its full window-function SQL
+    replay."""
+    sess = w1_islands_sessionize(spark, sf_dir).select(
+        F.lit("sess").alias("leg"),
+        F.col("user_id").alias("key"),
+        F.col("session_id").alias("island_id"),
+        F.col("n_events").alias("n"),
+        "start_us",
+        "end_us",
+    )
+    iv = w1b_interval_islands(spark, sf_dir).select(
+        F.lit("interval").alias("leg"),
+        F.col("l_suppkey").alias("key"),
+        "island_id",
+        F.col("n_members").alias("n"),
+        F.lit(None).cast("long").alias("start_us"),
+        F.lit(None).cast("long").alias("end_us"),
+    )
+    return sess.unionByName(iv)
 
 
 @register(
@@ -301,17 +346,16 @@ def j6_explode_equijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.join(stats, "word").select("doc_id", "word", "global_count")
 
 
-@register(
-    "stream_tumbling_window",
-    """
+_STREAM_TUMBLING_SQL = """
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
            event_type,
            count(*) AS n,
            round(sum(value), 4) AS total_value
     FROM events
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 streaming surface, batch-checkable form: tumbling 1 h
     window aggregation with window(ts, '1 hour') — the same expression
@@ -389,15 +433,14 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return click_view_attribution(ev)
 
 
-@register(
-    "stream_dedup_watermark",
-    # the corpus is unioned with a verbatim copy of itself: exactly-once
-    # ids must collapse the pair back to one row per event
-    """
+# the corpus is unioned with a verbatim copy of itself: exactly-once
+# ids must collapse the pair back to one row per event
+_STREAM_DEDUP_SQL = """
     SELECT DISTINCT event_id, epoch_us(ts) AS ts_us, event_type, user_id
     FROM events
-    """,
-)
+    """
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 streaming dedup, batch-checkable form: duplicate events
     (a full verbatim copy unioned in) collapsed to exactly-once
@@ -415,6 +458,54 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "user_id"
     )
+
+
+# stream_tumbling_window and stream_dedup_watermark were MERGED into
+# the one registered board below in the r11 tail (the
+# dedup_minhash_lsh_board slot-freeing device, 10th use): both are the
+# §2.10 batch-checkable streaming-surface family, mapped onto one
+# (leg, i1, i2, i3, s1, d1) generic schema (the c_scalar_board
+# pattern) with off-leg columns NULL — per-operator value coverage
+# unchanged, one rotation slot freed for the r12 front. The singleton
+# callables above stay the library/pytest/bench surface (bench keeps a
+# direct stream_tumbling_window builder).
+@register(
+    "stream_batch_parity_board",
+    f"""
+    SELECT 'tumbling' AS leg, window_start_us AS i1, n AS i2,
+           CAST(NULL AS BIGINT) AS i3, event_type AS s1,
+           total_value AS d1
+    FROM ({_STREAM_TUMBLING_SQL})
+    UNION ALL
+    SELECT 'dedup' AS leg, event_id AS i1, ts_us AS i2, user_id AS i3,
+           event_type AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM ({_STREAM_DEDUP_SQL})
+    """,
+)
+def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both §2.10 batch-checkable streaming-surface operators on one
+    correctness board: tumbling 1 h window aggregation (tumbling leg —
+    see stream_tumbling_window; the identical expression runs under
+    readStream + withWatermark in tests/test_streaming.py) and
+    exactly-once watermark dedup (dedup leg — see
+    stream_dedup_watermark)."""
+    t = stream_tumbling_window(spark, sf_dir).select(
+        F.lit("tumbling").alias("leg"),
+        F.col("window_start_us").alias("i1"),
+        F.col("n").alias("i2"),
+        F.lit(None).cast("long").alias("i3"),
+        F.col("event_type").alias("s1"),
+        F.col("total_value").alias("d1"),
+    )
+    d = stream_dedup_watermark(spark, sf_dir).select(
+        F.lit("dedup").alias("leg"),
+        F.col("event_id").alias("i1"),
+        F.col("ts_us").alias("i2"),
+        F.col("user_id").alias("i3"),
+        F.col("event_type").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+    return t.unionByName(d)
 
 
 @register(

@@ -526,9 +526,11 @@ def test_sq_ann_matches_bruteforce_topk(spark):
         (r["qid"], r["rank"]): r["cid"]
         for r in _brute_topk(spark, sf).collect()
     }
+    from prohap_spark.queries.simsearch import sim_sq_ann
+
     sq = {
         (r["qid"], r["rank"]): r["cid"]
-        for r in q["sim_sq_ann"](spark, sf).collect()
+        for r in sim_sq_ann(spark, sf).collect()
     }
     assert len(brute) > 0
     assert sq == brute
@@ -687,7 +689,9 @@ def test_pq_ann_recall_and_shape(spark):
     q = queries()
     sf = "/root/testdata/sf0.001"
     brute = {(r["qid"], r["cid"]) for r in _brute_topk(spark, sf).collect()}
-    pq = q["sim_pq_ann"](spark, sf).collect()
+    from prohap_spark.queries.simsearch import sim_pq_ann
+
+    pq = sim_pq_ann(spark, sf).collect()
     hits = {(r["qid"], r["cid"]) for r in pq}
     assert len(brute) > 0
     assert len(brute & hits) / len(brute) >= 0.25

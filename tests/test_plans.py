@@ -131,7 +131,9 @@ def test_sq_ann_broadcasts_queries_and_prunes(spark, qs):
     re-shuffles for the cross score) and no sort-merge join appears."""
     from prohap_spark.plans import plan_report
 
-    rep = plan_report(qs["sim_sq_ann"](spark, SF), "sq_ann")
+    from prohap_spark.queries.simsearch import sim_sq_ann
+
+    rep = plan_report(sim_sq_ann(spark, SF), "sq_ann")
     assert rep["sortmerge_joins"] == 0
 
 
