@@ -875,3 +875,133 @@ def j12_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.sum("cents").alias("revenue_cents"),
     )
+
+
+def _j13_bloom_oracle_sql() -> str:
+    from prohap_spark.functions.sketches import BLOOM_WORD_BITS as WB
+    from prohap_spark.functions.sketches import _md5_window_sql
+
+    k, m = 4, 1 << 14
+    dim_pos = ", ".join(
+        f"{_md5_window_sql('k', 1 + 5 * j, 5)} % {m}" for j in range(k)
+    )
+    fk_pos = ", ".join(
+        f"{_md5_window_sql('CAST(l_orderkey AS VARCHAR)', 1 + 5 * j, 5)} % {m}"
+        for j in range(k)
+    )
+    mask = f"(CAST(1 AS BIGINT) << CAST(p % {WB} AS INT))"
+    return f"""
+    WITH dk AS (
+      SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    bloom AS MATERIALIZED (
+      SELECT p // {WB} AS wi, bit_or({mask}) AS word
+      FROM (SELECT unnest([{dim_pos}]) AS p FROM dk)
+      GROUP BY 1
+    ),
+    fk AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS nrows
+           FROM lineitem GROUP BY 1),
+    probe AS (
+      SELECT l_orderkey, nrows, unnest([{fk_pos}]) AS p FROM fk
+    ),
+    pp AS (
+      SELECT l_orderkey, any_value(nrows) AS nrows,
+             sum(CASE WHEN b.word IS NOT NULL AND (b.word & {mask}) = {mask}
+                 THEN 1 ELSE 0 END) AS ok
+      FROM probe LEFT JOIN bloom b ON probe.p // {WB} = b.wi
+      GROUP BY l_orderkey
+    ),
+    in_dim AS (
+      SELECT DISTINCT o_orderkey FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ),
+    stats AS (
+      SELECT CAST(sum(nrows) AS BIGINT) AS n_fact,
+             CAST(sum(CASE WHEN ok = {k} THEN nrows ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+             CAST(sum(CASE WHEN d.o_orderkey IS NOT NULL THEN nrows ELSE 0 END)
+               AS BIGINT) AS n_exact_pass,
+             CAST(sum(CASE WHEN ok = {k} AND d.o_orderkey IS NULL THEN nrows
+                 ELSE 0 END) AS BIGINT) AS n_false_positive
+      FROM pp LEFT JOIN in_dim d ON pp.l_orderkey = d.o_orderkey
+    ),
+    res AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             round(sum(l_quantity), 2) AS qty
+      FROM lineitem l JOIN in_dim d ON l.l_orderkey = d.o_orderkey
+      GROUP BY 1
+    )
+    SELECT 'result' AS leg, l_returnflag AS key, n, qty FROM res
+    UNION ALL
+    SELECT 'stats' AS leg, 'n_fact' AS key, n_fact AS n,
+           CAST(NULL AS DOUBLE) AS qty FROM stats
+    UNION ALL
+    SELECT 'stats', 'n_bloom_pass', n_bloom_pass, NULL FROM stats
+    UNION ALL
+    SELECT 'stats', 'n_exact_pass', n_exact_pass, NULL FROM stats
+    UNION ALL
+    SELECT 'stats', 'n_false_positive', n_false_positive, NULL FROM stats
+    """
+
+
+@register("j13_bloom_semi_join", _j13_bloom_oracle_sql())
+def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 (r11 tail, beyond the reference): Bloom-filter semi-join
+    reduction (operators/bloom_join.py) — the runtime-filter pushdown
+    that cuts a fact⋈dim join's shuffle at 100 TB. The dim side
+    (urgent orders) builds a k=4, m=2^14 Bloom filter via ONE map-side
+    bit_or aggregate (<= 265 BIGINT words, collected bounded and
+    inlined as a literal); lineitem is prefiltered MAP-SIDE — no
+    false negatives, so dropped rows provably can't match — and the
+    exact semi-join that follows removes the false positives.
+
+    m is deliberately tight for the gate SF (~3k keys × 4 bits into
+    16k bits ⇒ ~50% fill, ~7% FP) so the false-positive path is
+    EXERCISED and its exact count sits inside the value hash: the
+    stats leg carries (n_fact, n_bloom_pass, n_exact_pass,
+    n_false_positive), every integer replayed bit-for-bit by the
+    DuckDB oracle from the same md5-window bit algebra. Sizing rule at
+    scale: m ≈ 14-20 bits/dim-key (FP 1e-3..1e-4 at k=4), words grow
+    with DIM (the small side), never with fact.
+
+    Self-auditing like j12: the exact phase must plan as a broadcast
+    semi-join over the PREFILTERED fact — a SortMergeJoin here would
+    mean the reduction never happened."""
+    from prohap_spark.operators.bloom_join import (
+        bloom_semi_join,
+        bloom_semi_join_stats,
+    )
+    from prohap_spark.plans import plan_nodes
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    dim = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    sj = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14)
+    nodes = plan_nodes(sj)
+    if "SortMergeJoin" in nodes:
+        raise RuntimeError(
+            "bloom_semi_join's exact phase planned a SortMergeJoin — the "
+            f"broadcast reduction was lost: {nodes}"
+        )
+    res = sj.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    ).select(F.lit("result").alias("leg"), F.col("l_returnflag").alias("key"), "n", "qty")
+    st = bloom_semi_join_stats(
+        li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14
+    )
+    stats = st.select(
+        F.expr(
+            "stack(4, 'n_fact', n_fact, 'n_bloom_pass', n_bloom_pass, "
+            "'n_exact_pass', n_exact_pass, 'n_false_positive', "
+            "n_false_positive) AS (key, n)"
+        )
+    ).select(
+        F.lit("stats").alias("leg"), "key", "n",
+        F.lit(None).cast("double").alias("qty"),
+    )
+    return res.unionByName(stats)

@@ -3289,3 +3289,51 @@ def test_weighted_bottom_k_properties(spark):
     n_heavy = sum(1 for (_, i, _r) in got if i % 1000 < 8)
     share = n_heavy / len(got)
     assert share >= 0.45, share  # uniform would sit ~0.20
+
+
+def test_bloom_semi_join_equals_exact_semi_join(spark):
+    """bloom_semi_join == the plain left-semi join, row for row, on
+    both probe paths (literal words and broadcast word-table), with a
+    deliberately tight filter so false positives genuinely flow
+    through the prefilter and the exact phase removes them — no false
+    negatives is the structural Bloom guarantee."""
+    from prohap_spark.operators.bloom_join import (
+        bloom_semi_join,
+        bloom_semi_join_stats,
+    )
+
+    # fact keys 0..999 x 3 duplicates each; dim keeps multiples of 7
+    fact = spark.createDataFrame(
+        [(k % 1000, i) for i, k in enumerate(range(3000))], "key long, payload long"
+    )
+    dim = spark.createDataFrame(
+        [(k,) for k in range(0, 1000, 7)], "dkey long"
+    )
+    expect = {
+        (r["key"], r["payload"])
+        for r in fact.join(
+            dim, fact["key"] == dim["dkey"], "left_semi"
+        ).collect()
+    }
+    # 143 dim keys (multiples of 7 below 1000) x 3 duplicate fact rows
+    assert len(expect) == 143 * 3
+    # m=256 bits for 143 keys*4 hashes => heavily loaded => real FPs
+    for collect_filter in (True, False):
+        got = {
+            (r["key"], r["payload"])
+            for r in bloom_semi_join(
+                fact, dim, "key", "dkey", k=4, m_bits=256,
+                collect_filter=collect_filter,
+            ).collect()
+        }
+        assert got == expect, f"collect_filter={collect_filter}"
+
+    st = bloom_semi_join_stats(fact, dim, "key", "dkey", k=4, m_bits=256).collect()[0]
+    assert st["n_fact"] == 3000
+    assert st["n_exact_pass"] == len(expect)
+    # no false negatives: every true match bloom-passes
+    assert st["n_bloom_pass"] >= st["n_exact_pass"]
+    # the tight filter must actually produce FPs for this test to mean
+    # anything — and they must be exactly the bloom/exact gap
+    assert st["n_false_positive"] == st["n_bloom_pass"] - st["n_exact_pass"]
+    assert st["n_false_positive"] > 0
