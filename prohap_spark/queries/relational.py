@@ -1005,3 +1005,149 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("qty"),
     )
     return res.unionByName(stats)
+
+
+def _layout_zorder_oracle_sql() -> str:
+    from prohap_spark.operators.layout import zorder_key_sql
+
+    zk = zorder_key_sql(["xq", "yq"], 8)
+    return f"""
+    WITH o AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS xc,
+             o_custkey AS yc
+      FROM orders
+    ),
+    mm AS (
+      SELECT min(xc) AS xmn, max(xc) AS xmx,
+             min(yc) AS ymn, max(yc) AS ymx
+      FROM o
+    ),
+    q AS (
+      SELECT (xc - xmn) * 256 // (xmx - xmn + 1) AS xq,
+             (yc - ymn) * 256 // (ymx - ymn + 1) AS yq
+      FROM o, mm
+    ),
+    t AS (SELECT xq, yq, {zk} // 1024 AS tile FROM q),
+    tiles AS (
+      SELECT tile, CAST(count(*) AS BIGINT) AS n,
+             min(xq) AS xmin, max(xq) AS xmax,
+             min(yq) AS ymin, max(yq) AS ymax
+      FROM t GROUP BY 1
+    ),
+    lint AS (
+      SELECT xq // 4 AS tile,
+             min(xq) AS xmin, max(xq) AS xmax,
+             min(yq) AS ymin, max(yq) AS ymax
+      FROM q GROUP BY 1
+    ),
+    nbox AS (
+      SELECT CAST(sum(CASE WHEN yq BETWEEN 64 AND 127 THEN 1 ELSE 0 END)
+               AS BIGINT) AS y_rows,
+             CAST(sum(CASE WHEN xq BETWEEN 64 AND 127 THEN 1 ELSE 0 END)
+               AS BIGINT) AS x_rows
+      FROM q
+    )
+    SELECT 'tile' AS leg, CAST(tile AS VARCHAR) AS key, n,
+           xmin AS a, xmax AS b, ymin AS c, ymax AS d
+    FROM tiles
+    UNION ALL
+    SELECT 'prune', 'z_ybox',
+           (SELECT CAST(count(*) AS BIGINT) FROM tiles
+            WHERE ymin <= 127 AND ymax >= 64),
+           (SELECT y_rows FROM nbox), NULL, NULL, NULL
+    UNION ALL
+    SELECT 'prune', 'z_xbox',
+           (SELECT CAST(count(*) AS BIGINT) FROM tiles
+            WHERE xmin <= 127 AND xmax >= 64),
+           (SELECT x_rows FROM nbox), NULL, NULL, NULL
+    UNION ALL
+    SELECT 'prune', 'lin_ybox',
+           (SELECT CAST(count(*) AS BIGINT) FROM lint
+            WHERE ymin <= 127 AND ymax >= 64),
+           (SELECT y_rows FROM nbox), NULL, NULL, NULL
+    UNION ALL
+    SELECT 'prune', 'lin_xbox',
+           (SELECT CAST(count(*) AS BIGINT) FROM lint
+            WHERE xmin <= 127 AND xmax >= 64),
+           (SELECT x_rows FROM nbox), NULL, NULL, NULL
+    """
+
+
+@register("layout_zorder_cluster", _layout_zorder_oracle_sql())
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-layout clustering (operators/layout.py — r11 tail,
+    beyond the reference): orders quantized to a 256x256
+    (price-cents, custkey) grid, Morton-interleaved, and carved into
+    64 fixed-width z-range tiles — the deterministic model of what
+    write_zorder_clustered's files (and their parquet footer min/max
+    stats) look like. The tile leg hashes every tile's row count and
+    per-dimension span; the prune leg hashes the pruning model
+    itself: how many tiles a quarter-domain box on EACH dimension
+    must scan, z-order vs a linear (x-only) clustering of the same
+    64-file budget. The z layout prunes on BOTH dimensions (each tile
+    is a 32x32 space tile); the linear layout prunes only on x — its
+    y-box hit count is all 64 tiles, which is exactly the single-sort
+    failure mode z-ordering exists to fix at 100 TB. Every number is
+    exact integer bit algebra, replayed by the oracle bit-for-bit.
+    The actual clustered WRITER (repartitionByRange on the Morton key
+    + sortWithinPartitions) and its file-level min/max locality are
+    pinned in pytest, where file boundaries may be sampling-dependent."""
+    from prohap_spark.operators.layout import quantize_minmax, zorder_key
+
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("xc"),
+        F.col("o_custkey").alias("yc"),
+    )
+    q = quantize_minmax(quantize_minmax(o, "xc", 8, "xq"), "yc", 8, "yq")
+    # share the quantized grid across the four consumers below
+    q = q.select("xq", "yq").localCheckpoint(eager=False)
+    t = q.withColumn("__zkey", zorder_key(["xq", "yq"], 8)).withColumn(
+        "tile", F.expr("__zkey div 1024")
+    )
+    tiles = t.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xq").alias("xmin"), F.max("xq").alias("xmax"),
+        F.min("yq").alias("ymin"), F.max("yq").alias("ymax"),
+    )
+    tiles = tiles.localCheckpoint(eager=False)
+    lint = q.withColumn("tile", F.expr("xq div 4")).groupBy("tile").agg(
+        F.min("xq").alias("xmin"), F.max("xq").alias("xmax"),
+        F.min("yq").alias("ymin"), F.max("yq").alias("ymax"),
+    )
+    tile_leg = tiles.select(
+        F.lit("tile").alias("leg"), F.col("tile").cast("string").alias("key"),
+        "n", F.col("xmin").alias("a"), F.col("xmax").alias("b"),
+        F.col("ymin").alias("c"), F.col("ymax").alias("d"),
+    )
+    nbox = q.agg(
+        F.sum(F.col("yq").between(64, 127).cast("long")).alias("y_rows"),
+        F.sum(F.col("xq").between(64, 127).cast("long")).alias("x_rows"),
+    )
+
+    def hit_count(stats: DataFrame, lo_col: str, hi_col: str):
+        return stats.where(
+            (F.col(lo_col) <= 127) & (F.col(hi_col) >= 64)
+        ).agg(F.count(F.lit(1)).alias("hits"))
+
+    def prune_leg(tag: str, stats: DataFrame, lo: str, hi: str, rows: str):
+        return (
+            hit_count(stats, lo, hi)
+            .join(F.broadcast(nbox))
+            .select(
+                F.lit("prune").alias("leg"), F.lit(tag).alias("key"),
+                F.col("hits").alias("n"), F.col(rows).alias("a"),
+                F.lit(None).cast("long").alias("b"),
+                F.lit(None).cast("long").alias("c"),
+                F.lit(None).cast("long").alias("d"),
+            )
+        )
+
+    out = tile_leg
+    for tag, stats, lo, hi, rows in (
+        ("z_ybox", tiles, "ymin", "ymax", "y_rows"),
+        ("z_xbox", tiles, "xmin", "xmax", "x_rows"),
+        ("lin_ybox", lint, "ymin", "ymax", "y_rows"),
+        ("lin_xbox", lint, "xmin", "xmax", "x_rows"),
+    ):
+        out = out.unionByName(prune_leg(tag, stats, lo, hi, rows))
+    return out
