@@ -83,6 +83,20 @@ from prohap_spark.queries import shim_board  # noqa: F401
 # `python tools/rotation_audit.py` verifies all of this mechanically
 # against the CORRECTNESS_r*.json files.
 #
+# r11 TAIL (the continuation session): three genuinely-new operators
+# registered — j13_bloom_semi_join (Bloom runtime-filter semi-join
+# reduction), layout_zorder_cluster (Morton-curve clustering +
+# pruning model), sketch_algebra_board (KMV bottom-k/merge/estimate +
+# HLL inclusion-exclusion intersect) — funded by merging SIX r9-green
+# back-cohort singletons into three boards (see the _BACK comment),
+# so the r12 front is exactly 50 (43 surviving rule-(c) r9-greens +
+# 3 merge boards + agg_quantile_sketch + 3 new registrations, all in
+# the audit's new_waiting lane) and the registry is back AT the 150
+# cap. Two zero-slot leg extensions the same session: the qh
+# (streaming-quantile) leg on stream_sketch_board (fronting THIS
+# round) and the lsh_plan leg on dedup_minhash_lsh_board (fronting
+# r12 as a rule-(c) obligation anyway).
+#
 # Overflow precedence (first exercised r8): if a round's obligations
 # exceed the 50 budget, priority is (b) red/err > (a) never-checked >
 # (c) going-dark, and the displaced lowest-priority entries either

@@ -554,6 +554,149 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_algebra_oracle_sql() -> str:
+    from prohap_spark.functions.sketches import _md5_window_sql, hll_oracle_sql
+
+    hk = _md5_window_sql("v", 1, 15)
+    kmv_leg = f"""
+      SELECT g,
+             CASE WHEN n < 64 THEN CAST(n AS BIGINT)
+                  ELSE CAST(round(63.0 * 1152921504606846976.0
+                       / CAST(hk AS DOUBLE)) AS BIGINT) END AS est,
+             CAST(CASE WHEN n < 64 THEN 1 ELSE 0 END AS BIGINT) AS aux
+      FROM (
+        SELECT g, CAST(count(*) AS BIGINT) AS n,
+               max(CASE WHEN rnk = 64 THEN {hk} END) AS hk
+        FROM (
+          SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY md5(v)) AS rnk
+          FROM (SELECT DISTINCT o_orderpriority AS g,
+                       CAST(o_custkey AS VARCHAR) AS v FROM orders)
+        ) WHERE rnk <= 64
+        GROUP BY g
+      )"""
+    return f"""
+    WITH seta AS (SELECT 'x' AS g, o_custkey AS v FROM orders
+                  WHERE o_orderpriority = '1-URGENT'),
+    setb AS (SELECT 'x' AS g, o_custkey AS v FROM orders
+             WHERE o_orderpriority = '2-HIGH'),
+    setu AS (SELECT * FROM seta UNION ALL SELECT * FROM setb),
+    ea AS (SELECT hll_est AS e FROM ({hll_oracle_sql("seta", "g", "v")})),
+    eb AS (SELECT hll_est AS e FROM ({hll_oracle_sql("setb", "g", "v")})),
+    eu AS (SELECT hll_est AS e FROM ({hll_oracle_sql("setu", "g", "v")}))
+    SELECT 'kmv_direct' AS leg, g AS key, est, aux,
+           CAST(NULL AS VARCHAR) AS val
+    FROM ({kmv_leg})
+    UNION ALL
+    SELECT 'kmv_merged' AS leg, g AS key, est, aux,
+           CAST(NULL AS VARCHAR) AS val
+    FROM ({kmv_leg})
+    UNION ALL
+    SELECT 'kmv_sample' AS leg, g AS key, CAST(rnk AS BIGINT) AS est,
+           CAST(NULL AS BIGINT) AS aux, v AS val
+    FROM (
+      SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY md5(v)) AS rnk
+      FROM (SELECT DISTINCT o_orderpriority AS g,
+                   CAST(o_custkey AS VARCHAR) AS v FROM orders)
+    ) WHERE rnk <= 8
+    UNION ALL
+    SELECT 'hll' AS leg, 'est_a', ea.e, NULL, NULL FROM ea
+    UNION ALL
+    SELECT 'hll' AS leg, 'est_b', eb.e, NULL, NULL FROM eb
+    UNION ALL
+    SELECT 'hll' AS leg, 'est_union', eu.e, NULL, NULL FROM eu
+    UNION ALL
+    SELECT 'hll' AS leg, 'est_intersect',
+           greatest(ea.e + eb.e - eu.e, 0), NULL, NULL
+    FROM ea, eb, eu
+    """
+
+
+@register("sketch_algebra_board", _sketch_algebra_oracle_sql())
+def sketch_algebra_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r11 sketch-ALGEBRA surfaces on one correctness board
+    (functions/sketches.py, previously pytest-only):
+
+    - kmv_direct: the KMV bottom-64 sketch of distinct custkeys per
+      order priority, finished by the (k-1)/h_(k) estimator — one
+      mergeable artifact doubling as a deterministic uniform sample.
+    - kmv_merged: the SAME numbers computed the OTHER way — per-shard
+      sketches (orders split by orderkey parity) merged via kmv_merge.
+      The oracle emits one replay for both legs, so merge==build
+      exactness is inside the value hash, not just a doc claim.
+    - kmv_sample: the bottom-8 sampled values per group verbatim (the
+      mergeable-reservoir capability).
+    - hll: set algebra ON sketch artifacts — est(A), est(B),
+      est(A∪B) via lossless register max-merge, and the
+      inclusion-exclusion overlap estimate of urgent-vs-high customer
+      sets, every integer replayed by the oracle (union replay = the
+      concatenated input, BECAUSE merge is lossless).
+
+    100 TB relevance: these are the read/compose operations on
+    persisted sketch state — overlap of two corpus snapshots, distinct
+    counts across shards/days — without touching either corpus's
+    rows."""
+    from prohap_spark.functions.sketches import (
+        hll_intersect_estimate,
+        hll_registers,
+        kmv_bottom_k,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_custkey").alias("v"),
+        "o_orderkey",
+    )
+
+    def kmv_rows(tag: str, est_df: DataFrame) -> DataFrame:
+        return est_df.select(
+            F.lit(tag).alias("leg"),
+            F.col("g").alias("key"),
+            F.col("kmv_est").alias("est"),
+            F.col("kmv_exact").cast("long").alias("aux"),
+            F.lit(None).cast("string").alias("val"),
+        )
+
+    sk = kmv_bottom_k(vals, ["g"], "v", k=64)
+    direct = kmv_rows("kmv_direct", kmv_estimate(sk, ["g"], k=64))
+    shards = [
+        kmv_bottom_k(vals.where(F.col("o_orderkey") % 2 == p), ["g"], "v", k=64)
+        for p in (0, 1)
+    ]
+    merged = kmv_rows(
+        "kmv_merged", kmv_estimate(kmv_merge(*shards, k=64), ["g"], k=64)
+    )
+    sample = sk.where(F.col("__kmv_rank") <= 8).select(
+        F.lit("kmv_sample").alias("leg"),
+        F.col("g").alias("key"),
+        F.col("__kmv_rank").cast("long").alias("est"),
+        F.lit(None).cast("long").alias("aux"),
+        F.col("__kmv_value").alias("val"),
+    )
+
+    def prio_set(p: str) -> DataFrame:
+        return o.where(F.col("o_orderpriority") == p).select(
+            F.lit("x").alias("g"), F.col("o_custkey").alias("v")
+        )
+
+    regs_a = hll_registers(prio_set("1-URGENT"), ["g"], "v")
+    regs_b = hll_registers(prio_set("2-HIGH"), ["g"], "v")
+    hx = hll_intersect_estimate(regs_a, regs_b, ["g"])
+    hll_leg = hx.select(
+        F.expr(
+            "stack(4, 'est_a', est_a, 'est_b', est_b, 'est_union', est_union, "
+            "'est_intersect', est_intersect) AS (key, est)"
+        )
+    ).select(
+        F.lit("hll").alias("leg"), "key", "est",
+        F.lit(None).cast("long").alias("aux"),
+        F.lit(None).cast("string").alias("val"),
+    )
+    return direct.unionByName(merged).unionByName(sample).unionByName(hll_leg)
+
+
 @register(
     "c_string_surgery",
     """
