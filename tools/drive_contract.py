@@ -42,7 +42,7 @@ print(f"queries: {len(qs)}, oracles: {len(oracles)}")
 missing = [k for k in oracles if k not in qs]
 assert not missing, f"oracle without query: {missing}"
 
-sample = ["q1_pricing_summary", "j10_asof_join", "w1_islands_sessionize", "dedup_minhash_lsh_board", "w1b_interval_islands"]
+sample = ["q1_pricing_summary", "j10_asof_join", "w1_islands_board", "dedup_minhash_lsh_board", "j13_bloom_semi_join"]
 for name in sample:
     out = qs[name](spark, "/root/testdata/sf0.01")
     n = out.count()
