@@ -3413,3 +3413,49 @@ def test_zorder_clustered_write_files_are_tiles(spark, tmp_path):
     # dramatically better than the single-sort layout's
     assert zx <= 0.60 and zy <= 0.60, (zx, zy)
     assert zy <= 0.6 * ly, (zy, ly)
+
+
+def test_kmv_intersect_estimate(spark):
+    """KMV overlap estimator (theta-sketch read): exact when the union
+    sketch holds everything; within a binomial band on large sets; and
+    invariant to building the input sketches from shards (kmv_merge
+    exactness carries through the intersection read)."""
+    from prohap_spark.functions.sketches import (
+        kmv_bottom_k,
+        kmv_intersect_estimate,
+        kmv_merge,
+    )
+
+    # exact regime: |A∪B| = 40 < k=64
+    a = spark.createDataFrame([("g", i) for i in range(30)], "g string, v long")
+    b = spark.createDataFrame([("g", i) for i in range(20, 40)], "g string, v long")
+    ska = kmv_bottom_k(a, ["g"], "v", k=64)
+    skb = kmv_bottom_k(b, ["g"], "v", k=64)
+    r = kmv_intersect_estimate(ska, skb, ["g"], k=64).collect()[0]
+    assert r["kmv_intersect_est"] == 10  # values 20..29
+    assert r["kmv_union_est"] == 40
+
+    # estimator regime: |A| = |B| = 4000, overlap 2000, k = 256
+    big_a = spark.createDataFrame([("g", i) for i in range(4000)], "g string, v long")
+    big_b = spark.createDataFrame(
+        [("g", i) for i in range(2000, 6000)], "g string, v long"
+    )
+    sa = kmv_bottom_k(big_a, ["g"], "v", k=256)
+    sb = kmv_bottom_k(big_b, ["g"], "v", k=256)
+    est = kmv_intersect_estimate(sa, sb, ["g"], k=256).collect()[0]
+    # truth: union 6000, intersection 2000 (fraction 1/3); k=256 gives
+    # ~±3 sigma band of fraction ±0.088 -> intersect in [1300, 2800]
+    # (plus union-estimate error ~6%); generous deterministic band:
+    assert 1100 <= est["kmv_intersect_est"] <= 3000, est
+    assert 5000 <= est["kmv_union_est"] <= 7200, est
+
+    # shard invariance: sketches from two shards, merged, give the
+    # IDENTICAL read (merge == single build, so every downstream
+    # number matches bit for bit)
+    sh = [
+        kmv_bottom_k(big_a.where(F.col("v") % 2 == p), ["g"], "v", k=256)
+        for p in (0, 1)
+    ]
+    sa2 = kmv_merge(*sh, k=256)
+    est2 = kmv_intersect_estimate(sa2, sb, ["g"], k=256).collect()[0]
+    assert est2 == est
