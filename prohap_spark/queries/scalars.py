@@ -514,10 +514,44 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(f"{d}/_SUCCESS"):
         events_table(spark, sf_dir).repartition(4).write.mode("overwrite").parquet(d)
 
+    # the three sketch streams are independent (separate memory sinks,
+    # separate state stores) — run them CONCURRENTLY; each still
+    # consumes its 4 micro-batches in order, so the state-across-
+    # batches property under test is untouched, the wall just overlaps
+    # (~2.5x on the gate box)
+    import concurrent.futures as _cf
+
     hll_stream = stateful_distinct_hll(
         read_event_stream(spark, d, max_files_per_trigger=1)
     )
-    run_to_memory_sink(hll_stream, "sketch_hll_out", output_mode="update")
+    cms_stream = stateful_heavy_hitters_cms(
+        read_event_stream(spark, d, max_files_per_trigger=1),
+        token_col="event_type",
+        threshold=10,
+        d=4,
+        w=256,
+    )
+    qh_stream = stateful_quantiles(
+        read_event_stream(spark, d, max_files_per_trigger=1),
+        group_col="event_type",
+        value_col="value",
+        lo=_SSB_QLO,
+        hi=_SSB_QHI,
+        n_buckets=_SSB_QN,
+        qs=_SSB_QS,
+    )
+    with _cf.ThreadPoolExecutor(3) as ex:
+        futs = [
+            ex.submit(run_to_memory_sink, s, n, "update")
+            for s, n in (
+                (hll_stream, "sketch_hll_out"),
+                (cms_stream, "sketch_cms_out"),
+                (qh_stream, "sketch_qh_out"),
+            )
+        ]
+        for f in futs:
+            f.result()
+
     # update mode keeps every batch's emission; per group the FINAL
     # one is the row with the highest cumulative n_rows
     w_h = Window.partitionBy("event_type").orderBy(F.col("n_rows").desc())
@@ -534,14 +568,6 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    cms_stream = stateful_heavy_hitters_cms(
-        read_event_stream(spark, d, max_files_per_trigger=1),
-        token_col="event_type",
-        threshold=10,
-        d=4,
-        w=256,
-    )
-    run_to_memory_sink(cms_stream, "sketch_cms_out", output_mode="update")
     # single global group: the final batch's rows carry the max n_rows
     w_c = Window.partitionBy("token").orderBy(F.col("n_rows").desc())
     cms_leg = (
@@ -557,16 +583,6 @@ def stream_sketch_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    qh_stream = stateful_quantiles(
-        read_event_stream(spark, d, max_files_per_trigger=1),
-        group_col="event_type",
-        value_col="value",
-        lo=_SSB_QLO,
-        hi=_SSB_QHI,
-        n_buckets=_SSB_QN,
-        qs=_SSB_QS,
-    )
-    run_to_memory_sink(qh_stream, "sketch_qh_out", output_mode="update")
     # per (group, q) the final cumulative emission carries the max n
     w_q = Window.partitionBy("event_type", "q").orderBy(F.col("n_rows").desc())
     qh_leg = (
