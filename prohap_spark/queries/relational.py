@@ -643,7 +643,12 @@ def sketch_algebra_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_merge,
     )
 
-    o = table(spark, sf_dir, "orders")
+    # ONE scan of orders feeds all seven consumers (kmv direct, two
+    # shard sketches, the sample, and the two HLL register builds) —
+    # the multiplied-subplan rule
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey", "o_orderkey"
+    ).localCheckpoint(eager=False)
     vals = o.select(
         F.col("o_orderpriority").alias("g"),
         F.col("o_custkey").alias("v"),
@@ -659,7 +664,8 @@ def sketch_algebra_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("val"),
         )
 
-    sk = kmv_bottom_k(vals, ["g"], "v", k=64)
+    # the bottom-k table feeds the estimator AND the sample leg
+    sk = kmv_bottom_k(vals, ["g"], "v", k=64).localCheckpoint(eager=False)
     direct = kmv_rows("kmv_direct", kmv_estimate(sk, ["g"], k=64))
     shards = [
         kmv_bottom_k(vals.where(F.col("o_orderkey") % 2 == p), ["g"], "v", k=64)
@@ -1267,30 +1273,26 @@ def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xq").between(64, 127).cast("long")).alias("x_rows"),
     )
 
-    def hit_count(stats: DataFrame, lo_col: str, hi_col: str):
-        return stats.where(
-            (F.col(lo_col) <= 127) & (F.col(hi_col) >= 64)
-        ).agg(F.count(F.lit(1)).alias("hits"))
-
-    def prune_leg(tag: str, stats: DataFrame, lo: str, hi: str, rows: str):
+    def hit_count(tag: str, stats: DataFrame, lo_col: str, hi_col: str):
         return (
-            hit_count(stats, lo, hi)
-            .join(F.broadcast(nbox))
-            .select(
-                F.lit("prune").alias("leg"), F.lit(tag).alias("key"),
-                F.col("hits").alias("n"), F.col(rows).alias("a"),
-                F.lit(None).cast("long").alias("b"),
-                F.lit(None).cast("long").alias("c"),
-                F.lit(None).cast("long").alias("d"),
-            )
+            stats.where((F.col(lo_col) <= 127) & (F.col(hi_col) >= 64))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(tag).alias("key"), "n")
         )
 
-    out = tile_leg
-    for tag, stats, lo, hi, rows in (
-        ("z_ybox", tiles, "ymin", "ymax", "y_rows"),
-        ("z_xbox", tiles, "xmin", "xmax", "x_rows"),
-        ("lin_ybox", lint, "ymin", "ymax", "y_rows"),
-        ("lin_xbox", lint, "xmin", "xmax", "x_rows"),
-    ):
-        out = out.unionByName(prune_leg(tag, stats, lo, hi, rows))
-    return out
+    hits = (
+        hit_count("z_ybox", tiles, "ymin", "ymax")
+        .unionByName(hit_count("z_xbox", tiles, "xmin", "xmax"))
+        .unionByName(hit_count("lin_ybox", lint, "ymin", "ymax"))
+        .unionByName(hit_count("lin_xbox", lint, "xmin", "xmax"))
+    )
+    # ONE broadcast of the one-row box-count table for all four legs
+    prune = hits.join(F.broadcast(nbox)).select(
+        F.lit("prune").alias("leg"), "key", "n",
+        F.when(F.col("key").endswith("ybox"), F.col("y_rows"))
+        .otherwise(F.col("x_rows")).alias("a"),
+        F.lit(None).cast("long").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("d"),
+    )
+    return tile_leg.unionByName(prune)
