@@ -120,6 +120,73 @@ def bloom_semi_join(
     )
 
 
+def write_bloom_index(
+    dim: DataFrame, dim_key: str, path: str, k: int = 4, m_bits: int = 1 << 17
+) -> dict:
+    """Persist the runtime filter as a VALIDATED artifact — build once
+    from the (expensive) dim scan, reuse across every subsequent fact
+    ingest. The word table carries the manifest discipline of
+    operators/dedup.py (torn/partial writes fail loud on read: a
+    silently truncated filter would DROP set bits and turn the
+    no-false-negative guarantee into silent row loss), and meta.json
+    pins (k, m_bits, dim_key) so a reader can't probe with mismatched
+    hash parameters — a k/m mismatch computes different bit positions
+    and breaks the guarantee just as silently. Returns the manifest.
+
+    Incremental growth: build a words table from the new batch alone
+    (bloom_build) and bit_or it in (functions.sketches.bloom_merge);
+    merged == rebuilt word-for-word (the semilattice), pinned in
+    pytest at the artifact level."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
+    bloom = bloom_build(keys, "__bk", k, m_bits)
+    manifest = write_dedup_index(bloom, f"{path}/words")
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"k": k, "m_bits": m_bits, "dim_key": dim_key}, f)
+    return manifest
+
+
+def read_bloom_index(spark, path: str, k: int, m_bits: int) -> DataFrame:
+    """Read a :func:`write_bloom_index` artifact, refusing a manifest
+    mismatch (torn write) or a (k, m_bits) parameter mismatch (wrong
+    bit addressing). Returns the validated word table."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if (meta["k"], meta["m_bits"]) != (k, m_bits):
+        raise ValueError(
+            f"bloom index at {path} was built with (k={meta['k']}, "
+            f"m_bits={meta['m_bits']}); probing with (k={k}, "
+            f"m_bits={m_bits}) would compute different bit positions "
+            "and silently break the no-false-negative guarantee"
+        )
+    return read_dedup_index(spark, f"{path}/words")
+
+
+def bloom_prefilter_from_index(
+    spark, fact: DataFrame, fact_key: str, path: str, k: int = 4,
+    m_bits: int = 1 << 17,
+) -> DataFrame:
+    """Map-side prefilter of ``fact`` against a persisted
+    :func:`write_bloom_index` artifact: keeps every row whose key the
+    filter admits (all true matches + the FP fraction — compose with
+    the exact join downstream). The words collect is bounded by
+    ceil(m_bits/62) regardless of dim size."""
+    bloom = read_bloom_index(spark, path, k, m_bits)
+    words = bloom_words_dense(bloom, m_bits)
+    return fact.where(
+        bloom_pass_expr(F.col(fact_key).cast("string"), words, k, m_bits)
+    )
+
+
 def bloom_semi_join_stats(
     fact: DataFrame,
     dim: DataFrame,

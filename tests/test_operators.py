@@ -3459,3 +3459,80 @@ def test_kmv_intersect_estimate(spark):
     sa2 = kmv_merge(*sh, k=256)
     est2 = kmv_intersect_estimate(sa2, sb, ["g"], k=256).collect()[0]
     assert est2 == est
+
+
+def test_bloom_index_artifact_lifecycle(spark, tmp_path):
+    """Persisted runtime-filter artifact: (a) index-backed prefilter
+    admits every true match (no false negatives through the artifact
+    path); (b) incremental build — two batches merged via bloom_merge
+    and rewritten — equals the direct build word for word; (c) a
+    (k, m_bits) parameter mismatch on read fails loud; (d) a torn
+    write (deleted part-file) fails loud."""
+    import glob
+    import os
+
+    from prohap_spark.functions.sketches import bloom_build, bloom_merge
+    from prohap_spark.operators.bloom_join import (
+        bloom_prefilter_from_index,
+        read_bloom_index,
+        write_bloom_index,
+    )
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 500, 3)], "dkey long")
+    fact = spark.createDataFrame([(k, k * 10) for k in range(500)], "key long, p long")
+    path = str(tmp_path / "bloomidx")
+    write_bloom_index(dim, "dkey", path, k=4, m_bits=1 << 12)
+
+    kept = {
+        r["key"]
+        for r in bloom_prefilter_from_index(
+            spark, fact, "key", path, k=4, m_bits=1 << 12
+        ).collect()
+    }
+    true_keys = {k for k in range(0, 500, 3)}
+    assert true_keys <= kept  # no false negatives
+
+    # (b) incremental == direct, word for word
+    halves = [
+        dim.where(F.col("dkey") % 2 == p).select(
+            F.col("dkey").cast("string").alias("__bk")
+        )
+        for p in (0, 1)
+    ]
+    merged = bloom_merge(
+        bloom_build(halves[0], "__bk", 4, 1 << 12),
+        bloom_build(halves[1], "__bk", 4, 1 << 12),
+    )
+    inc_path = str(tmp_path / "bloomidx_inc")
+    os.makedirs(inc_path)
+    write_dedup_index(merged, f"{inc_path}/words")
+    with open(f"{inc_path}/meta.json", "w") as f:
+        import json
+
+        json.dump({"k": 4, "m_bits": 1 << 12, "dim_key": "dkey"}, f)
+    direct = {
+        (r["word_idx"], r["word"])
+        for r in read_bloom_index(spark, path, 4, 1 << 12).collect()
+    }
+    incremental = {
+        (r["word_idx"], r["word"])
+        for r in read_bloom_index(spark, inc_path, 4, 1 << 12).collect()
+    }
+    assert incremental == direct
+
+    # (c) parameter mismatch fails loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different bit positions"):
+        read_bloom_index(spark, path, 4, 1 << 13)
+
+    # (d) torn write fails loud: with multiple part-files the manifest
+    # row-count/checksum check trips; when the tear removed the ONLY
+    # part, the read itself errors (no files) — loud either way, never
+    # a silent subset
+    parts = glob.glob(f"{path}/words/part-*.parquet")
+    assert parts
+    os.remove(parts[0])
+    with _pytest.raises(Exception):
+        read_bloom_index(spark, path, 4, 1 << 12).collect()
