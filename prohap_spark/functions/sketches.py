@@ -240,6 +240,36 @@ def bloom_merge(*blooms: DataFrame) -> DataFrame:
     return out.groupBy("word_idx").agg(F.expr("bit_or(word)").alias("word"))
 
 
+def cms_join_size_estimate(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with the SAME (d, w) over the two sides' join keys: the classic CMS
+    inner product — for each hash row j, sum counter products over
+    shared cells; take the MIN across rows. |A ⋈ B| = Σ_v fA(v)·fB(v)
+    never exceeds the estimate (collisions only ADD), so the min-row
+    product is a one-sided overestimate within ε·N_A·N_B (ε = e/w) with
+    probability 1−δ (δ = e^−d) — exactly the guarantee a join planner
+    wants when deciding broadcast vs shuffle vs salt BEFORE paying the
+    shuffle: sketches are map-side-combinable d·w counter tables built
+    in one pass per side (or merged from shards), no join executed.
+    Exact-integer arithmetic — engine-replayable. Returns one row
+    (join_size_est bigint)."""
+    a = cms_a.select("j", "idx", F.col("cnt").alias("__ca"))
+    b = cms_b.select("j", "idx", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["j", "idx"])
+        .groupBy("j")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    # a hash row with NO shared non-zero cell has dot 0 (disjoint key
+    # sets under that hash) — it must participate in the min, not
+    # vanish from the inner join
+    rows = cms_a.select("j").distinct()
+    full = rows.join(per_row, "j", "left").select(
+        F.coalesce("__dot", F.lit(0)).alias("__dot")
+    )
+    return full.agg(F.min("__dot").cast("bigint").alias("join_size_est"))
+
+
 def cms_merge(*sketches: DataFrame) -> DataFrame:
     """Merge count-min sketches built with the SAME (d, w): union +
     per-counter sum. CMS counters are linear, so the merge is exact —

@@ -3536,3 +3536,47 @@ def test_bloom_index_artifact_lifecycle(spark, tmp_path):
     os.remove(parts[0])
     with _pytest.raises(Exception):
         read_bloom_index(spark, path, 4, 1 << 12).collect()
+
+
+def test_cms_join_size_estimate(spark):
+    """CMS inner-product join-size estimation: one-sided (never below
+    the true equi-join cardinality), tight when w >> distinct keys,
+    exactly 0 for disjoint sides, and shard-mergeable through
+    cms_merge before the read."""
+    from prohap_spark.functions.sketches import (
+        cms_build,
+        cms_join_size_estimate,
+        cms_merge,
+    )
+
+    d, w = 4, 1 << 12
+    # side A: keys 0..199, key i appears (i % 3) + 1 times
+    a_rows = [(str(i),) for i in range(200) for _ in range((i % 3) + 1)]
+    # side B: keys 100..299, key i appears (i % 2) + 1 times
+    b_rows = [(str(i),) for i in range(100, 300) for _ in range((i % 2) + 1)]
+    A = spark.createDataFrame(a_rows, "k string")
+    B = spark.createDataFrame(b_rows, "k string")
+    truth = sum(
+        ((i % 3) + 1) * ((i % 2) + 1) for i in range(100, 200)
+    )  # shared keys 100..199
+    ca = cms_build(A, "k", d, w)
+    cb = cms_build(B, "k", d, w)
+    est = cms_join_size_estimate(ca, cb).collect()[0]["join_size_est"]
+    assert est >= truth  # one-sided
+    assert est <= truth + 40, (est, truth)  # tight at this load factor
+
+    # disjoint sides -> the zero-dot rows must reach the min
+    C = spark.createDataFrame([(str(i),) for i in range(5000, 5100)], "k string")
+    est0 = cms_join_size_estimate(ca, cms_build(C, "k", d, w)).collect()[0][
+        "join_size_est"
+    ]
+    assert est0 == 0 or est0 <= 5, est0  # 0 barring a rare md5 cell collision
+
+    # shard-merge: A built from two halves, merged, same estimate
+    halves = [
+        cms_build(A.where(F.crc32("k") % 2 == p), "k", d, w) for p in (0, 1)
+    ]
+    est_m = cms_join_size_estimate(cms_merge(*halves), cb).collect()[0][
+        "join_size_est"
+    ]
+    assert est_m == est
