@@ -70,6 +70,12 @@ HEADLINE = [
     # wall-clocked every round, not just plan-pinned (r10 verdict #5)
     "q18_large_volume_customer",
     "q21_suppliers_kept_waiting",
+    # r11 tail: the z-order tile/pruning model joins the board (the
+    # Bloom semi-join joins via a direct builder below — the
+    # registered gate deliberately under-sizes m to exercise FPs at
+    # sf0.01, which saturates at sf0.1; the bench times the operator
+    # in its intended regime, m sized ~17 bits/key)
+    "layout_zorder_cluster",
 ]
 # sim_bruteforce_topk / emb_centroid_cosine merged into
 # sim_embedding_board in r11 (registry slot-freeing); custom builders
@@ -188,6 +194,29 @@ def main() -> None:
     builders.append(
         ("stream_tumbling_window", lambda: stream_tumbling_window(spark, sf_dir))
     )
+
+    # Bloom runtime-filter semi-join at its production sizing (see the
+    # HEADLINE note): urgent-orders keys -> m=2^19 filter (~23% fill at
+    # sf0.1), lineitem prefiltered map-side before the exact semi-join
+    def build_bloom_semi():
+        from pyspark.sql import functions as F
+
+        from prohap_spark.operators.bloom_join import bloom_semi_join
+        from prohap_spark.queries.registry import table as _table
+
+        li = _table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_quantity"
+        )
+        dim = _table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        sj = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 19)
+        return sj.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+
+    builders.append(("j13_bloom_semi_join", build_bloom_semi))
 
     # SPARK_GRAFT_BENCH_MARKERS=1: write a per-query marker line to
     # stderr so JVM log events (e.g. the benign late-accumulator burst

@@ -53,26 +53,50 @@ def bloom_words_dense(bloom: DataFrame, m_bits: int) -> list[int]:
 
 def bloom_pass_expr(key: Column, words: list[int], k: int, m_bits: int) -> Column:
     """Boolean column: all k Bloom bits of ``key`` are set in the
-    literal ``words`` array — the map-side probe. The word array is a
-    foldable literal (constant-folded once at plan time), and the k
-    md5 windows share one md5 via codegen subexpression elimination."""
-    warr = F.array(*[F.lit(w).cast("long") for w in words])
-    pos = bloom_hash_positions(key, k, m_bits)
-    # F.shiftleft's numBits arg must be a python int; call_function
-    # reaches the SQL shiftleft, which takes a column
-    return F.forall(
-        pos,
-        lambda p: (
-            F.element_at(warr, (p / BLOOM_WORD_BITS).cast("int") + 1).bitwiseAND(
-                F.call_function(
-                    "shiftleft",
-                    F.lit(1).cast("long"),
-                    (p % BLOOM_WORD_BITS).cast("int"),
-                )
+    literal ``words`` array — the map-side probe.
+
+    Two measured cost cliffs shaped this expression (sf0.1 lineitem,
+    m=2^19 → 8457 words; the SURVEY §4 lambda-binding rule both
+    times):
+
+    - the word table MUST be a true Literal(ArrayData) —
+      ``F.lit(numpy_array)`` — never ``F.array(*literals)``:
+      CreateArray re-evaluates its 8457 children per row once codegen
+      bails on the huge expression (15 s/pass), and inside a `forall`
+      lambda it re-evaluates per ELEMENT. The numpy literal probes at
+      ~0.5 s.
+    - md5 is computed ONCE per row (bind_once) and the k positions cut
+      from its hex windows — k separate md5 calls measured 3.3 s vs
+      1.9 s bound."""
+    import numpy as np
+
+    from prohap_spark.functions.hof import bind_once
+
+    warr = F.lit(np.array(words, dtype=np.int64))
+
+    def probe(h: Column) -> Column:
+        cond = None
+        for j in range(k):
+            p = F.pmod(
+                F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast("long"),
+                F.lit(m_bits),
             )
-            != 0
-        ),
-    )
+            test = (
+                F.element_at(
+                    warr, (p / BLOOM_WORD_BITS).cast("int") + 1
+                ).bitwiseAND(
+                    F.call_function(
+                        "shiftleft",
+                        F.lit(1).cast("long"),
+                        (p % BLOOM_WORD_BITS).cast("int"),
+                    )
+                )
+                != 0
+            )
+            cond = test if cond is None else (cond & test)
+        return cond
+
+    return bind_once(F.md5(key.cast("string")), probe)
 
 
 def bloom_semi_join(

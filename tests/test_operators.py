@@ -3580,3 +3580,26 @@ def test_cms_join_size_estimate(spark):
         "join_size_est"
     ]
     assert est_m == est
+
+
+def test_zorder_key_three_columns(spark):
+    """The Morton interleave generalizes to k=3: bit i of column j
+    lands at position i*3 + j — checked against a python reference on
+    a value grid."""
+    from prohap_spark.operators.layout import zorder_key
+
+    def z3(x, y, z, bits=4):
+        out = 0
+        for i in range(bits):
+            out |= ((x >> i) & 1) << (3 * i)
+            out |= ((y >> i) & 1) << (3 * i + 1)
+            out |= ((z >> i) & 1) << (3 * i + 2)
+        return out
+
+    vals = [0, 1, 7, 8, 15]
+    df = spark.createDataFrame(
+        [(a, b, c) for a in vals for b in vals for c in vals],
+        "a long, b long, c long",
+    ).withColumn("z", zorder_key(["a", "b", "c"], 4))
+    for r in df.collect():
+        assert r["z"] == z3(r["a"], r["b"], r["c"]), (r["a"], r["b"], r["c"])
