@@ -494,12 +494,17 @@ _QH_LO, _QH_HI, _QH_N, _QH_QS = 0.0, 600000.0, 512, (0.5, 0.9)
 
 @register(
     "agg_quantile_sketch",
-    __import__(
+    # twopass_v replays as exact_v: the two-pass operator is provably
+    # equal to the windowed exact quantile (same rank statistic), so
+    # the oracle aliases it — any drift in the operator goes hash-red
+    "SELECT *, exact_v AS twopass_v FROM ("
+    + __import__(
         "prohap_spark.functions.sketches", fromlist=["qhist_oracle_sql"]
     ).qhist_oracle_sql(
         "orders", "o_orderpriority", "o_totalprice",
         _QH_LO, _QH_HI, _QH_N, list(_QH_QS),
-    ),
+    )
+    + ")",
 )
 def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile-histogram sketch (functions/sketches.py
@@ -519,6 +524,7 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards/days like hll_registers); the exact leg here is the
     verification harness, not the scale path."""
     from prohap_spark.functions.sketches import (
+        exact_quantile_twopass,
         qhist_bucket,
         qhist_build,
         qhist_quantiles,
@@ -544,13 +550,26 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("g", "q", "n_rows", "bucket")
         .agg(F.min("v").alias("exact_v"))
     )
-    return exact.select(
+    # the r11 two-pass exact-quantile operator (histogram locate +
+    # pruned in-bucket rank — no global sort) re-derives the same
+    # value THROUGH ITS OWN PATH; the oracle aliases exact_v, so any
+    # operator drift goes hash-red (its library pytest pins equality
+    # vs a single-pass sort; this puts the operator on the driver gate
+    # zero-slot)
+    tp = None
+    for q in _QH_QS:
+        leg = exact_quantile_twopass(
+            vals, ["g"], "v", q, _QH_LO, _QH_HI, _QH_N
+        ).select("g", "q", F.col("exact_v").alias("twopass_v"))
+        tp = leg if tp is None else tp.unionByName(leg)
+    return exact.join(tp, ["g", "q"]).select(
         F.col("g").alias("o_orderpriority"),
         "q",
         "bucket",
         "n_rows",
         "exact_v",
         qhist_bucket(F.col("exact_v"), _QH_LO, _QH_HI, _QH_N).alias("exact_bucket"),
+        "twopass_v",
     )
 
 
