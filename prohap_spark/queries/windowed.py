@@ -469,6 +469,36 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unchanged, one rotation slot freed for the r12 front. The singleton
 # callables above stay the library/pytest/bench surface (bench keeps a
 # direct stream_tumbling_window builder).
+_RESAMPLE_LOCF_SQL = """
+    WITH rs AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS bucket,
+             ts, event_id, value
+      FROM events
+    ),
+    rl AS (
+      SELECT user_id, bucket, value FROM (
+        SELECT user_id, bucket, value,
+               row_number() OVER (PARTITION BY user_id, bucket
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM rs
+      ) WHERE rn = 1
+    ),
+    sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+           FROM rl GROUP BY 1),
+    gr AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM sp),
+    fj AS (
+      SELECT g.user_id, g.bucket, r.value AS obs
+      FROM gr g LEFT JOIN rl r USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           last_value(obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS is_filled
+    FROM fj
+    """
+
+
 @register(
     "stream_batch_parity_board",
     f"""
@@ -480,6 +510,11 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'dedup' AS leg, event_id AS i1, ts_us AS i2, user_id AS i3,
            event_type AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM ({_STREAM_DEDUP_SQL})
+    UNION ALL
+    SELECT 'resample' AS leg, user_id AS i1, bucket AS i2,
+           CAST(is_filled AS BIGINT) AS i3, CAST(NULL AS VARCHAR) AS s1,
+           value AS d1
+    FROM ({_RESAMPLE_LOCF_SQL})
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,7 +540,23 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("s1"),
         F.lit(None).cast("double").alias("d1"),
     )
-    return t.unionByName(d)
+    # resample leg (r11 tail): daily LOCF gap-fill — the time-series
+    # regularization operator (operators/resample.py); carried values
+    # pass through untouched so the doubles hash identically
+    from prohap_spark.operators.resample import resample_locf
+
+    ev = table(spark, sf_dir, "events")
+    r = resample_locf(
+        ev, ["user_id"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+    ).select(
+        F.lit("resample").alias("leg"),
+        F.col("user_id").alias("i1"),
+        F.col("bucket").alias("i2"),
+        F.col("is_filled").cast("long").alias("i3"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("value").alias("d1"),
+    )
+    return t.unionByName(d).unionByName(r)
 
 
 @register(

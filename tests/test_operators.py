@@ -3603,3 +3603,43 @@ def test_zorder_key_three_columns(spark):
     ).withColumn("z", zorder_key(["a", "b", "c"], 4))
     for r in df.collect():
         assert r["z"] == z3(r["a"], r["b"], r["c"]), (r["a"], r["b"], r["c"])
+
+
+def test_resample_locf_literal_fixture(spark):
+    """Gap-fill semantics on a hand-derived fixture: last observation
+    per bucket (tiebreak respected), empty buckets carried forward
+    with is_filled=1, the grid spans exactly first..last observed
+    bucket per group."""
+    import datetime as dt
+
+    from prohap_spark.operators.resample import resample_locf
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour, 0, 0)
+
+    rows = [
+        # group A: obs day1 (two in-bucket, later wins), gap day2-3, obs day4
+        ("A", t(1, 2), 1, 10.0),
+        ("A", t(1, 9), 2, 11.0),
+        ("A", t(4), 3, 40.0),
+        # group B: single observation -> single row, no fill
+        ("B", t(2), 4, 7.5),
+        # group A tiebreak: same ts, higher event_id wins
+        ("A", t(1, 9), 9, 12.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, event_id long, value double")
+    out = {
+        (r["g"], r["bucket"]): (r["value"], r["is_filled"])
+        for r in resample_locf(
+            df, ["g"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+    base_a = next(b for (g, b) in out if g == "A")
+    assert out[("A", base_a)] == (12.0, 0)        # day1: latest ts, max id
+    assert out[("A", base_a + 1)] == (12.0, 1)    # day2 carried
+    assert out[("A", base_a + 2)] == (12.0, 1)    # day3 carried
+    assert out[("A", base_a + 3)] == (40.0, 0)    # day4 observed
+    assert len([1 for (g, _) in out if g == "A"]) == 4
+    assert len([1 for (g, _) in out if g == "B"]) == 1
+    (bb,) = [b for (g, b) in out if g == "B"]
+    assert out[("B", bb)] == (7.5, 0)
