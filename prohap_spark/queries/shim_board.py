@@ -97,18 +97,10 @@ def s14_s15_shim_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("substring('ACGT', 1 + pmod(p_partkey, 4), 1)").alias("ref"),
         F.expr("substring('ACGT', 1 + pmod(p_partkey + 1, 4), 1)").alias("alt"),
     )
-    write_vcf(csv_to_vcf(custom), vcf_dir)
-    vcf_rt = read_vcf(spark, vcf_dir).select(
-        F.lit("vcf").alias("leg"),
-        F.col("pos").alias("k"),
-        F.col("chrom").alias("c1"),
-        F.col("id").alias("c2"),
-        F.col("ref").alias("c3"),
-        F.col("alt").alias("c4"),
-        F.concat_ws("/", "qual", "filter", "info", "format").alias("c5"),
-    )
-
-    # --- S15 leg: four-branch header table -> normalize -> FASTA rt ---
+    # --- S15 leg input (built before the writes so BOTH sink
+    # roundtrips run concurrently: independent dirs, independent
+    # lineages — the ~16 s build wall is two sequential small-file
+    # sink paths, threading halves it) ---
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     m4, m2 = F.pmod("doc_id", F.lit(4)), F.pmod("doc_id", F.lit(2))
     enst_acc = F.concat(F.lit("ENST"), (F.col("doc_id") + 100000).cast("string"))
@@ -123,7 +115,30 @@ def s14_s15_shim_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.regexp_replace(F.lower("text"), "[^a-z]", ""), 1, 80)
         ).alias("sequence"),
     ).where(F.length("sequence") > 0)
-    write_fasta(normalize_fasta_headers(raw, tag="_ensref", use_enst=True), fasta_dir)
+
+    import concurrent.futures as _cf
+
+    with _cf.ThreadPoolExecutor(2) as ex:
+        fv = ex.submit(write_vcf, csv_to_vcf(custom), vcf_dir)
+        ff = ex.submit(
+            write_fasta,
+            normalize_fasta_headers(raw, tag="_ensref", use_enst=True),
+            fasta_dir,
+        )
+        fv.result()
+        ff.result()
+
+    vcf_rt = read_vcf(spark, vcf_dir).select(
+        F.lit("vcf").alias("leg"),
+        F.col("pos").alias("k"),
+        F.col("chrom").alias("c1"),
+        F.col("id").alias("c2"),
+        F.col("ref").alias("c3"),
+        F.col("alt").alias("c4"),
+        F.concat_ws("/", "qual", "filter", "info", "format").alias("c5"),
+    )
+
+    # --- S15 leg: the normalized table written above, read back ---
     fasta_rt = read_fasta(spark, fasta_dir).select(
         F.lit("fasta").alias("leg"),
         F.length("sequence").cast("long").alias("k"),
