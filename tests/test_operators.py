@@ -3643,3 +3643,35 @@ def test_resample_locf_literal_fixture(spark):
     assert len([1 for (g, _) in out if g == "B"]) == 1
     (bb,) = [b for (g, b) in out if g == "B"]
     assert out[("B", bb)] == (7.5, 0)
+
+
+def test_zorder_tile_span_shrinks_with_tile_count(spark):
+    """The z-curve scaling law the 100 TB story rests on: quadrupling
+    the tile (file) budget halves each dimension's mean tile span, so
+    pruning selectivity keeps improving as the table is split finer —
+    measured on the deterministic tile model, no files involved."""
+    import numpy as np
+
+    from prohap_spark.operators.layout import zorder_tile_stats
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(
+            rng.integers(0, 100_000, n), rng.integers(0, 100_000, n)
+        )],
+        "x long, y long",
+    )
+
+    def mean_spans(n_tiles):
+        rows = zorder_tile_stats(df, ["x", "y"], bits=8, n_tiles=n_tiles).collect()
+        xs = [r["x_max"] - r["x_min"] for r in rows]
+        ys = [r["y_max"] - r["y_min"] for r in rows]
+        return sum(xs) / len(xs), sum(ys) / len(ys), len(rows)
+
+    x64, y64, n64 = mean_spans(64)
+    x1k, y1k, n1k = mean_spans(1024)
+    assert n64 <= 64 and n1k <= 1024
+    # 16x more tiles => ~4x smaller spans per dim; assert at least 2.5x
+    assert x1k * 2.5 <= x64, (x1k, x64)
+    assert y1k * 2.5 <= y64, (y1k, y64)
