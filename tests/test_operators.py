@@ -3675,3 +3675,51 @@ def test_zorder_tile_span_shrinks_with_tile_count(spark):
     # 16x more tiles => ~4x smaller spans per dim; assert at least 2.5x
     assert x1k * 2.5 <= x64, (x1k, x64)
     assert y1k * 2.5 <= y64, (y1k, y64)
+
+
+def test_resample_locf_random_vs_pandas_reference(spark):
+    """Randomized parity: resample_locf over 60 groups x random sparse
+    timestamps equals an independent pandas resample/ffill derivation
+    row for row."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from prohap_spark.operators.resample import resample_locf
+
+    rng = np.random.default_rng(3)
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 3, 1)
+    for g in range(60):
+        n = int(rng.integers(1, 12))
+        for _ in range(n):
+            ts = base + dt.timedelta(
+                days=int(rng.integers(0, 20)), seconds=int(rng.integers(0, 86400))
+            )
+            rows.append((f"g{g}", ts, eid, float(rng.integers(0, 1000))))
+            eid += 1
+    df = spark.createDataFrame(rows, "g string, ts timestamp, event_id long, value double")
+    got = {
+        (r["g"], r["bucket"]): (r["value"], r["is_filled"])
+        for r in resample_locf(
+            df, ["g"], "ts", "value", 86400, tiebreak_cols=["event_id"]
+        ).collect()
+    }
+
+    pdf = pd.DataFrame(rows, columns=["g", "ts", "event_id", "value"])
+    pdf["bucket"] = (pdf["ts"].astype("int64") // 10**9) // 86400
+    expect = {}
+    for g, grp in pdf.groupby("g"):
+        last = grp.sort_values(["bucket", "ts", "event_id"]).groupby("bucket").last()
+        b0, b1 = int(last.index.min()), int(last.index.max())
+        obs = last["value"].to_dict()
+        cur = None
+        for b in range(b0, b1 + 1):
+            if b in obs:
+                cur = obs[b]
+                expect[(g, b)] = (cur, 0)
+            else:
+                expect[(g, b)] = (cur, 1)
+    assert got == expect
