@@ -224,6 +224,20 @@ def click_view_attribution(
     )
 
 
+def enrich_with_static_dim(
+    events: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """STREAM-STATIC enrichment join — the remaining §2.10 join shape
+    beside the stream-stream attribution above: every micro-batch
+    joins against the (slowly-changing-at-most-between-restarts)
+    static dimension; Spark plans it as a per-batch broadcast hash
+    join, so no stream state is kept at all. Works identically in
+    batch (the same call — parity-pinned in tests). Left join keeps
+    unmatched events with NULL attributes, matching warehouse
+    enrichment semantics."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def stateful_distinct_hll(events: DataFrame, group_col: str = "event_type") -> DataFrame:
     """Streaming approximate distinct-count: the deterministic HLL's
     64 max-rank registers (functions/sketches.py) carried as

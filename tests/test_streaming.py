@@ -1606,3 +1606,34 @@ def test_stateful_quantiles_restart_recovers_counters(spark, tmp_path):
     got = max(p2, key=lambda r: r["n_rows"])
     assert (got["bucket"], got["n_rows"]) == (want["bucket"], want["n_rows"])
     assert got["n_rows"] == 40 + 50 + 49  # every file counted exactly once
+
+
+def test_stream_static_enrichment_batch_parity(spark, events_dir):
+    """Stream-static broadcast enrichment: readStream micro-batches
+    joined against a static dim equal the batch join row for row,
+    including the unmatched-left NULL rows."""
+    from prohap_spark.streaming.events import (
+        enrich_with_static_dim,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    dim = spark.createDataFrame(
+        [("view", "cheap", 1), ("click", "mid", 5)],
+        "event_type string, tier string, weight int",
+    )  # 'purchase' deliberately missing -> NULL attrs must survive
+
+    batch = enrich_with_static_dim(
+        spark.read.parquet(events_dir), dim
+    ).select("event_id", "tier", "weight")
+    stream = enrich_with_static_dim(
+        read_event_stream(spark, events_dir, max_files_per_trigger=1), dim
+    ).select("event_id", "tier", "weight")
+    run_to_memory_sink(stream, "enrich_out", output_mode="append")
+    got = {
+        (r["event_id"], r["tier"], r["weight"])
+        for r in spark.sql("SELECT * FROM enrich_out").collect()
+    }
+    want = {(r["event_id"], r["tier"], r["weight"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
+    assert any(t is None for (_, t, _) in got)  # unmatched rows kept
