@@ -50,10 +50,13 @@ def resample_locf(
     w_last = Window.partitionBy(*group_cols, "bucket").orderBy(
         F.col("__ts").desc(), *[F.col(c).desc() for c in tiebreak]
     )
+    # per_bucket feeds BOTH the span aggregate and the grid join — the
+    # multiplied-subplan rule: one lazy checkpoint, one upstream scan
     per_bucket = (
         b.withColumn("__rn", F.row_number().over(w_last))
         .where(F.col("__rn") == 1)
         .select(*group_cols, "bucket", F.col("__v").alias("__obs"))
+        .localCheckpoint(eager=False)
     )
     span = per_bucket.groupBy(*group_cols).agg(
         F.min("bucket").alias("__b0"), F.max("bucket").alias("__b1")

@@ -515,6 +515,14 @@ _RESAMPLE_LOCF_SQL = """
            CAST(is_filled AS BIGINT) AS i3, CAST(NULL AS VARCHAR) AS s1,
            value AS d1
     FROM ({_RESAMPLE_LOCF_SQL})
+    UNION ALL
+    SELECT 'enrich' AS leg, e.event_id AS i1,
+           CAST(d.weight AS BIGINT) AS i2, CAST(NULL AS BIGINT) AS i3,
+           d.tier AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM events e
+    LEFT JOIN (VALUES ('view', 'cheap', 1), ('click', 'mid', 5),
+                      ('purchase', 'high', 20)) d(event_type, tier, weight)
+      ON e.event_type = d.event_type
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,7 +564,24 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s1"),
         F.col("value").alias("d1"),
     )
-    return t.unionByName(d).unionByName(r)
+    # enrich leg (r11 tail): the stream-static broadcast enrichment
+    # join (streaming/events.py enrich_with_static_dim — the same call
+    # runs under readStream, parity-pinned in tests/test_streaming.py)
+    from prohap_spark.streaming.events import enrich_with_static_dim
+
+    dim = spark.createDataFrame(
+        [("view", "cheap", 1), ("click", "mid", 5), ("purchase", "high", 20)],
+        "event_type string, tier string, weight int",
+    )
+    e = enrich_with_static_dim(ev, dim).select(
+        F.lit("enrich").alias("leg"),
+        F.col("event_id").alias("i1"),
+        F.col("weight").cast("long").alias("i2"),
+        F.lit(None).cast("long").alias("i3"),
+        F.col("tier").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+    return t.unionByName(d).unionByName(r).unionByName(e)
 
 
 @register(
