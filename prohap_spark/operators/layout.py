@@ -33,7 +33,7 @@ Pieces:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def quantize_minmax(
@@ -53,6 +53,48 @@ def quantize_minmax(
         f"(CAST({col} AS BIGINT) - __mn) * {1 << bits} div (__mx - __mn + 1)"
     )
     return df.join(F.broadcast(mm)).withColumn(out, q).drop("__mn", "__mx")
+
+
+def quantize_equidepth(
+    df: DataFrame,
+    col: str,
+    bits: int,
+    out: str,
+    lo: float,
+    hi: float,
+    n_hist: int = 4096,
+) -> DataFrame:
+    """Add ``out``: an EQUI-DEPTH level in [0, 2^bits) — ~equal row
+    count per level — derived from the qhist histogram instead of a
+    global sort (ntile/percent_rank would single-task the order-by;
+    this is one map-side-combinable aggregate + a broadcast of a
+    <= n_hist-row bucket→level map). The answer for SKEWED z-order
+    dimensions, where min/max scaling collapses most rows into a few
+    levels and the Morton tiles stop being equi-populated: level =
+    floor(cum_count_BEFORE_bucket · 2^bits / n), exact BIGINT
+    arithmetic, accurate to the histogram's resolution. Ties beyond a
+    level's fair share cannot be split by ANY rank method — a fine
+    bucket holding p·n rows occupies ~p·2^bits consecutive level ids
+    starting at its cum-before position; the non-tie mass still
+    spreads evenly."""
+    from prohap_spark.functions.sketches import qhist_bucket, qhist_build
+
+    hist = qhist_build(df, [], col, lo, hi, n_hist)
+    cum_w = Window.orderBy("__qb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = hist.agg(F.sum("__qn").alias("__n"))
+    levels = (
+        hist.withColumn("__cum", F.sum("__qn").over(cum_w))
+        .join(F.broadcast(tot))
+        .select(
+            "__qb",
+            F.expr(f"(__cum - __qn) * {1 << bits} div __n").alias(out),
+        )
+    )
+    return df.withColumn(
+        "__qb", qhist_bucket(F.col(col), lo, hi, n_hist)
+    ).join(F.broadcast(levels), "__qb").drop("__qb")
 
 
 def zorder_key(cols: list[str], bits: int = 8) -> Column:

@@ -3723,3 +3723,52 @@ def test_resample_locf_random_vs_pandas_reference(spark):
             else:
                 expect[(g, b)] = (cur, 1)
     assert got == expect
+
+
+def test_quantize_equidepth_balances_skew(spark):
+    """Equi-depth quantizer on continuously skewed data (u^3 power
+    law — resolvable by the linear histogram; heavier low-end density
+    wants a log transform first, the documented resolution limit): all
+    16 levels populated within ~2x of the fair share, while the
+    min/max quantizer dumps ~40% of rows into level 0 — the skewed
+    z-order dimension fix. A separate zipf check pins the documented
+    tie semantics: an unsplittable tie mass occupies one level and the
+    REST still spreads."""
+    from collections import Counter
+
+    import numpy as np
+
+    from prohap_spark.operators.layout import quantize_equidepth, quantize_minmax
+
+    rng = np.random.default_rng(5)
+    vals = (rng.random(20_000) ** 3 * 100_000).astype(int)
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+
+    eq = Counter(
+        r["lvl"] for r in quantize_equidepth(
+            df, "x", 4, "lvl", 0.0, 100_001.0, n_hist=4096
+        ).collect()
+    )
+    mm = Counter(
+        r["lvl"] for r in quantize_minmax(df, "x", 4, "lvl").collect()
+    )
+    assert sum(eq.values()) == 20_000
+    # minmax: P(x < domain/16) = (1/16)^(1/3) ~ 0.40 -> level 0 hogs
+    assert mm[0] >= 0.35 * 20_000, mm
+    # equi-depth: all 16 levels live, each within [fair/2, 2*fair]
+    fair = 20_000 / 16
+    assert len(eq) == 16, eq
+    assert all(fair / 2 <= c <= 2 * fair for c in eq.values()), eq
+
+    # tie semantics: zipf(1.3) puts ~2/3 of rows at tiny tied values
+    # (one fine bucket) -> that mass is ONE level by construction,
+    # starting at level 0 (cum-before), and the rest still spreads
+    zvals = np.minimum(rng.zipf(1.3, 20_000), 100_000).astype(int)
+    zdf = spark.createDataFrame([(int(v),) for v in zvals], "x long")
+    zq = Counter(
+        r["lvl"] for r in quantize_equidepth(
+            zdf, "x", 4, "lvl", 0.0, 100_001.0, n_hist=4096
+        ).collect()
+    )
+    assert zq.most_common(1)[0][0] == 0  # the tie mass sits at level 0
+    assert len(zq) >= 6, zq
