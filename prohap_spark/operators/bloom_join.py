@@ -107,6 +107,7 @@ def bloom_semi_join(
     k: int = 4,
     m_bits: int = 1 << 17,
     collect_filter: bool = True,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """Semi-join ``fact`` to ``dim`` with a Bloom prefilter: returns
     exactly the fact rows whose ``fact_key`` appears in ``dim`` —
@@ -121,12 +122,18 @@ def bloom_semi_join(
     gate), and fact is semi-joined against the passing keys; use it
     when m_bits is too large to inline AND distinct keys are much
     smaller than rows, since it trades the literal for one key-grain
-    aggregate + one key semi-join."""
-    keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
-    bloom = bloom_build(keys, "__bk", k, m_bits)
+    aggregate + one key semi-join.
+
+    ``words``: pre-collected dense word list (bloom_words_dense) to
+    share one filter build across several consumers (e.g. the join
+    and its stats diagnostic)."""
     key_col = F.col(fact_key).cast("string")
+    if words is None:
+        keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
+        bloom = bloom_build(keys, "__bk", k, m_bits)
     if collect_filter:
-        words = bloom_words_dense(bloom, m_bits)
+        if words is None:
+            words = bloom_words_dense(bloom, m_bits)
         reduced = fact.where(bloom_pass_expr(key_col, words, k, m_bits))
     else:
         from prohap_spark.functions.sketches import bloom_probe_hits
@@ -218,14 +225,17 @@ def bloom_semi_join_stats(
     dim_key: str,
     k: int = 4,
     m_bits: int = 1 << 17,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """One row of reduction evidence: (n_fact, n_bloom_pass,
     n_exact_pass, n_false_positive). n_bloom_pass/n_fact is the
     fraction of the fact table that enters the join after the
     prefilter; n_false_positive = bloom passes the exact join removes.
-    All exact integers — a SQL engine replays them bit-for-bit."""
-    keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
-    words = bloom_words_dense(bloom_build(keys, "__bk", k, m_bits), m_bits)
+    All exact integers — a SQL engine replays them bit-for-bit.
+    ``words``: share a pre-collected filter (see bloom_semi_join)."""
+    if words is None:
+        keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
+        words = bloom_words_dense(bloom_build(keys, "__bk", k, m_bits), m_bits)
     key_col = F.col(fact_key).cast("string")
     exact_keys = dim.select(F.col(dim_key).alias("__ek")).distinct()
     flagged = fact.select(

@@ -1136,9 +1136,11 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Self-auditing like j12: the exact phase must plan as a broadcast
     semi-join over the PREFILTERED fact — a SortMergeJoin here would
     mean the reduction never happened."""
+    from prohap_spark.functions.sketches import bloom_build
     from prohap_spark.operators.bloom_join import (
         bloom_semi_join,
         bloom_semi_join_stats,
+        bloom_words_dense,
     )
     from prohap_spark.plans import plan_nodes
 
@@ -1148,7 +1150,12 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = table(spark, sf_dir, "orders").where(
         F.col("o_orderpriority") == "1-URGENT"
     ).select("o_orderkey")
-    sj = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14)
+    # one filter build shared by the join and its stats leg
+    keys = dim.select(F.col("o_orderkey").cast("string").alias("__bk")).distinct()
+    words = bloom_words_dense(bloom_build(keys, "__bk", 4, 1 << 14), 1 << 14)
+    sj = bloom_semi_join(
+        li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14, words=words
+    )
     nodes = plan_nodes(sj)
     if "SortMergeJoin" in nodes:
         raise RuntimeError(
@@ -1160,7 +1167,7 @@ def j13_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     ).select(F.lit("result").alias("leg"), F.col("l_returnflag").alias("key"), "n", "qty")
     st = bloom_semi_join_stats(
-        li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14
+        li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 14, words=words
     )
     stats = st.select(
         F.expr(
