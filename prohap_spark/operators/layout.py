@@ -115,6 +115,28 @@ def zorder_key(cols: list[str], bits: int = 8) -> Column:
     return out
 
 
+def zorder_decode(zkey: Column, k: int, bits: int = 8) -> Column:
+    """Inverse of :func:`zorder_key`: array<long> of the k quantized
+    coordinates recovered from a Morton key (bit i*k+j of the key is
+    bit i of coordinate j). Same unrolled literal arithmetic; the
+    roundtrip decode(encode(x)) == x is property-pinned in pytest —
+    the key is information-preserving, so range/tile logic can always
+    recover per-dimension bounds from key bounds."""
+    coords = []
+    for j in range(k):
+        terms = []
+        for i in range(bits):
+            terms.append(
+                (zkey.bitwiseAND(F.lit(1 << (i * k + j))) != 0).cast("long")
+                * F.lit(1 << i)
+            )
+        c = terms[0]
+        for t in terms[1:]:
+            c = c + t
+        coords.append(c)
+    return F.array(*coords)
+
+
 def zorder_key_sql(cols: list[str], bits: int = 8) -> str:
     """DuckDB replay of :func:`zorder_key` (same bit placement)."""
     k = len(cols)

@@ -3772,3 +3772,25 @@ def test_quantize_equidepth_balances_skew(spark):
     )
     assert zq.most_common(1)[0][0] == 0  # the tie mass sits at level 0
     assert len(zq) >= 6, zq
+
+
+def test_zorder_roundtrip_property(spark):
+    """decode(encode(coords)) == coords for random coordinate tuples
+    at k=2 and k=3 — the Morton key is information-preserving."""
+    import numpy as np
+
+    from prohap_spark.operators.layout import zorder_decode, zorder_key
+
+    rng = np.random.default_rng(17)
+    for k, bits in ((2, 8), (3, 5)):
+        cols = [f"c{j}" for j in range(k)]
+        rows = [
+            tuple(int(v) for v in rng.integers(0, 1 << bits, k))
+            for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, ", ".join(f"{c} long" for c in cols))
+        out = df.withColumn("z", zorder_key(cols, bits)).withColumn(
+            "back", zorder_decode(F.col("z"), k, bits)
+        )
+        for r in out.collect():
+            assert list(r["back"]) == [r[c] for c in cols], (k, r)
