@@ -151,6 +151,44 @@ def bloom_semi_join(
     )
 
 
+def bloom_plan(n_keys: int, fp_target: float = 1e-3, max_k: int = 4) -> dict:
+    """Choose (k, m_bits) from the OPERATING REQUIREMENTS instead of
+    folklore defaults (the lsh_plan discipline applied to the runtime
+    filter): the smallest power-of-two m whose optimal-k FP rate meets
+    ``fp_target`` for ``n_keys`` distinct dim keys. Uses the standard
+    model fp = (1 − e^(−k·n/m))^k with k capped at ``max_k`` (the
+    md5-window budget: 4 disjoint 20-bit draws). Returns the config
+    plus its predicted fp and bytes; raises when no m within the
+    2^20-bit probe ceiling reaches the target — silence would ship a
+    saturated filter that passes everything (the j13 gate's m is
+    deliberately BELOW this planner's answer to exercise exactly that
+    regime)."""
+    import math
+
+    if n_keys <= 0:
+        raise ValueError("bloom_plan: n_keys must be positive")
+    for log_m in range(10, 21):
+        m = 1 << log_m
+        best = None
+        for k in range(1, max_k + 1):
+            fp = (1.0 - math.exp(-k * n_keys / m)) ** k
+            if best is None or fp < best[1]:
+                best = (k, fp)
+        if best[1] <= fp_target:
+            k, fp = best
+            return {
+                "k": k,
+                "m_bits": m,
+                "bits_per_key": m / n_keys,
+                "predicted_fp": fp,
+                "filter_bytes": ((m + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS) * 8,
+            }
+    raise ValueError(
+        f"bloom_plan: no m <= 2^20 reaches fp {fp_target} for {n_keys} keys "
+        "— shard the dim keys across multiple filters or relax the target"
+    )
+
+
 def write_bloom_index(
     dim: DataFrame, dim_key: str, path: str, k: int = 4, m_bits: int = 1 << 17
 ) -> dict:

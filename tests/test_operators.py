@@ -3794,3 +3794,38 @@ def test_zorder_roundtrip_property(spark):
         )
         for r in out.collect():
             assert list(r["back"]) == [r[c] for c in cols], (k, r)
+
+
+def test_bloom_plan_meets_target_empirically(spark):
+    """bloom_plan's chosen (k, m) meets its FP target when measured on
+    real data: plan for 3000 keys at 1e-2, build the filter, probe
+    50k non-member keys, and compare the empirical FP rate to the
+    prediction (within 3x — binomial noise + model slack). Also: the
+    planner refuses an impossible target instead of shipping a
+    saturated filter."""
+    import pytest as _pytest
+
+    from prohap_spark.functions.sketches import bloom_build
+    from prohap_spark.operators.bloom_join import (
+        bloom_pass_expr,
+        bloom_plan,
+        bloom_words_dense,
+    )
+
+    plan = bloom_plan(3000, fp_target=1e-2)
+    assert plan["predicted_fp"] <= 1e-2
+    dim = spark.createDataFrame([(k,) for k in range(3000)], "dkey long")
+    keys = dim.select(F.col("dkey").cast("string").alias("__bk")).distinct()
+    words = bloom_words_dense(
+        bloom_build(keys, "__bk", plan["k"], plan["m_bits"]), plan["m_bits"]
+    )
+    probe = spark.createDataFrame(
+        [(k,) for k in range(1_000_000, 1_050_000)], "key long"
+    )
+    n_fp = probe.where(
+        bloom_pass_expr(F.col("key").cast("string"), words, plan["k"], plan["m_bits"])
+    ).count()
+    assert n_fp / 50_000 <= 3 * plan["predicted_fp"], (n_fp, plan)
+
+    with _pytest.raises(ValueError, match="shard the dim keys"):
+        bloom_plan(10_000_000, fp_target=1e-6)
