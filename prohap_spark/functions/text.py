@@ -80,3 +80,49 @@ def lang_id_expr(text: str | Column, profiles: dict[str, tuple] = LANG_PROFILES,
     for lang, s in reversed(scores):
         pick = F.when((s == best_score) & (best_score >= min_ratio), F.lit(lang)).otherwise(pick)
     return pick
+
+
+TRACKING_PARAM_RE = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref|ref_src)="
+
+
+def canonicalize_url(url: str | Column) -> Column:
+    """Canonical dedup key for a URL — the crawl-dedup staple that
+    collapses the tracking-parameter/fragment/case/trailing-slash
+    variants one page accumulates across snapshots:
+
+    - scheme and host lowercased; port dropped (parse_url HOST is
+      host-only — http://a:80/ and http://a/ collapse, as do any
+      explicit non-default ports, which for a DEDUP key is the safe
+      direction: it can only merge true near-variants);
+    - fragment dropped (never reaches the server);
+    - tracking params removed (utm_*, fbclid, gclid, msclkid, mc_eid,
+      ref, ref_src), remaining query params SORTED so param order
+      doesn't split a key, '=' -joined as given;
+    - path's trailing slash stripped (root normalizes to empty path).
+
+    Pure JVM column expressions (try_parse_url + filter/array_sort
+    inside one projection) — no UDF. Returns NULL for rows the parser
+    rejects or that lack a host (ANSI parse_url THROWS on malformed
+    input — try_parse_url is the tolerant form), so malformed urls
+    never collide on a shared key."""
+    u = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    path_norm = F.when(
+        path.isNull() | (path == "") | (path == "/"), F.lit("")
+    ).otherwise(F.regexp_replace(path, "/$", ""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(query, F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    return F.when(
+        host.isNotNull() & proto.isNotNull(),
+        F.concat(proto, F.lit("://"), host, path_norm, qs),
+    )

@@ -3853,3 +3853,34 @@ def test_compact_parquet_preserves_data_and_reduces_files(spark, tmp_path):
     a = {tuple(r) for r in spark.read.parquet(src).collect()}
     b = {tuple(r) for r in spark.read.parquet(dst).collect()}
     assert a == b
+
+
+def test_canonicalize_url_collapses_variants(spark):
+    """URL canonicalization: tracking params, fragments, case, port,
+    param order, and trailing slashes all collapse to one dedup key;
+    distinct pages stay distinct; malformed urls yield NULL."""
+    from prohap_spark.functions.text import canonicalize_url
+
+    variants = [
+        "https://Example.com/a/b?utm_source=x&id=1#frag",
+        "https://example.com/a/b/?id=1",
+        "HTTPS://EXAMPLE.COM/a/b?id=1&utm_campaign=y&fbclid=z",
+        "https://example.com:443/a/b?id=1",
+    ]
+    distinct = [
+        "https://example.com/a/b?id=2",      # different param value
+        "https://example.com/a/c?id=1",      # different path
+        "http://example.com/a/b?id=1",       # different scheme
+        "https://other.com/a/b?id=1",        # different host
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u in variants + distinct + ["not a url at all"]], "u string"
+    ).select("u", canonicalize_url("u").alias("c"))
+    rows = {r["u"]: r["c"] for r in df.collect()}
+    canon = {rows[u] for u in variants}
+    assert len(canon) == 1, canon
+    key = canon.pop()
+    assert key == "https://example.com/a/b?id=1"
+    others = {rows[u] for u in distinct}
+    assert len(others) == 4 and key not in others
+    assert rows["not a url at all"] is None
