@@ -190,7 +190,12 @@ def bloom_plan(n_keys: int, fp_target: float = 1e-3, max_k: int = 4) -> dict:
 
 
 def write_bloom_index(
-    dim: DataFrame, dim_key: str, path: str, k: int = 4, m_bits: int = 1 << 17
+    dim: DataFrame,
+    dim_key: str,
+    path: str,
+    k: int = 4,
+    m_bits: int | None = 1 << 17,
+    fp_target: float | None = None,
 ) -> dict:
     """Persist the runtime filter as a VALIDATED artifact — build once
     from the (expensive) dim scan, reuse across every subsequent fact
@@ -205,17 +210,28 @@ def write_bloom_index(
     Incremental growth: build a words table from the new batch alone
     (bloom_build) and bit_or it in (functions.sketches.bloom_merge);
     merged == rebuilt word-for-word (the semilattice), pinned in
-    pytest at the artifact level."""
+    pytest at the artifact level.
+
+    ``fp_target``: pass instead of sizing by hand — the key count is
+    measured (one bounded count job) and :func:`bloom_plan` picks
+    (k, m_bits); the planned sizing lands in meta.json like any other.
+    """
     import json
     import os
 
     from prohap_spark.operators.dedup import write_dedup_index
 
     keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
+    if fp_target is not None:
+        plan = bloom_plan(keys.count(), fp_target=fp_target)
+        k, m_bits = plan["k"], plan["m_bits"]
     bloom = bloom_build(keys, "__bk", k, m_bits)
     manifest = write_dedup_index(bloom, f"{path}/words")
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump({"k": k, "m_bits": m_bits, "dim_key": dim_key}, f)
+    manifest = dict(manifest)
+    manifest["k"] = k
+    manifest["m_bits"] = m_bits
     return manifest
 
 

@@ -23,6 +23,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def retention_matrix(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Cohort retention — the other product-analytics staple beside
+    the funnel: users are cohorted by their FIRST active bucket, and
+    each (cohort, age) cell counts how many of them were active
+    ``age`` buckets later. Returns (cohort long, age long,
+    n_users long) with age 0 = the cohort's own size.
+
+    Shape: one distinct to (user, bucket) grain, a min-aggregate for
+    the cohort, one equi-join back on the user key (broadcast when the
+    user dimension is small; co-partitioned otherwise — both sides
+    already hash on the user key), one count aggregate. No window over
+    the full event stream and nothing user-grain ever sorts globally."""
+    bucket_us = bucket_seconds * 1_000_000
+    ub = events.select(
+        F.col(user_col).alias("__u"),
+        F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("__b"),
+    ).distinct()
+    cohort = ub.groupBy("__u").agg(F.min("__b").alias("cohort"))
+    return (
+        ub.join(cohort, "__u")
+        .select("cohort", (F.col("__b") - F.col("cohort")).alias("age"))
+        .groupBy("cohort", "age")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def resample_locf(
     df: DataFrame,
     group_cols: list[str],

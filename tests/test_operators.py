@@ -3884,3 +3884,60 @@ def test_canonicalize_url_collapses_variants(spark):
     others = {rows[u] for u in distinct}
     assert len(others) == 4 and key not in others
     assert rows["not a url at all"] is None
+
+
+def test_retention_matrix_literal_fixture(spark):
+    """Cohort retention on a hand-derived fixture: cohort = first
+    active day, each cell counts users active at that age, age 0
+    equals cohort size."""
+    import datetime as dt
+
+    from prohap_spark.operators.resample import retention_matrix
+
+    def t(day):
+        return dt.datetime(2024, 1, day)
+
+    rows = [
+        # cohort day1: u1 active d1,d2,d4; u2 active d1,d2; two events
+        # same bucket must count once
+        ("u1", t(1)), ("u1", t(2)), ("u1", t(4)), ("u2", t(1)),
+        ("u2", t(1)), ("u2", t(2)),
+        # cohort day3: u3 active d3 only
+        ("u3", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp")
+    out = {
+        (r["cohort"], r["age"]): r["n_users"]
+        for r in retention_matrix(df, "user", "ts", 86400).collect()
+    }
+    d1 = min(c for c, _ in out)
+    assert out[(d1, 0)] == 2          # u1, u2
+    assert out[(d1, 1)] == 2          # both active day2
+    assert out[(d1, 3)] == 1          # only u1 on day4
+    assert (d1, 2) not in out         # nobody active day3 from cohort1
+    assert out[(d1 + 2, 0)] == 1      # u3's cohort
+    assert len(out) == 4
+
+
+def test_write_bloom_index_auto_plan(spark, tmp_path):
+    """fp_target sizing: the artifact's meta carries bloom_plan's
+    (k, m), and the planned filter meets its target empirically on
+    non-member probes."""
+    from prohap_spark.operators.bloom_join import (
+        bloom_plan,
+        bloom_prefilter_from_index,
+        write_bloom_index,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in range(2000)], "dkey long")
+    path = str(tmp_path / "autobloom")
+    manifest = write_bloom_index(dim, "dkey", path, fp_target=1e-2)
+    plan = bloom_plan(2000, fp_target=1e-2)
+    assert (manifest["k"], manifest["m_bits"]) == (plan["k"], plan["m_bits"])
+    probe = spark.createDataFrame(
+        [(k,) for k in range(10_000_000, 10_030_000)], "key long"
+    )
+    n_fp = bloom_prefilter_from_index(
+        spark, probe, "key", path, k=plan["k"], m_bits=plan["m_bits"]
+    ).count()
+    assert n_fp / 30_000 <= 3 * plan["predicted_fp"], n_fp
