@@ -523,6 +523,20 @@ _RESAMPLE_LOCF_SQL = """
     LEFT JOIN (VALUES ('view', 'cheap', 1), ('click', 'mid', 5),
                       ('purchase', 'high', 20)) d(event_type, tier, weight)
       ON e.event_type = d.event_type
+    UNION ALL
+    SELECT 'retention' AS leg, cohort AS i1, age AS i2, n_users AS i3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM (
+      WITH ub AS (
+        SELECT DISTINCT user_id AS u, epoch_us(ts) // 86400000000 AS b
+        FROM events
+      ),
+      ch AS (SELECT u, min(b) AS cohort FROM ub GROUP BY 1)
+      SELECT ch.cohort, ub.b - ch.cohort AS age,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM ub JOIN ch USING (u)
+      GROUP BY 1, 2
+    )
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,7 +595,19 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tier").alias("s1"),
         F.lit(None).cast("double").alias("d1"),
     )
-    return t.unionByName(d).unionByName(r).unionByName(e)
+    # retention leg (r11 tail): daily cohort matrix
+    # (operators/resample.py retention_matrix)
+    from prohap_spark.operators.resample import retention_matrix
+
+    rm = retention_matrix(ev, "user_id", "ts", 86400).select(
+        F.lit("retention").alias("leg"),
+        F.col("cohort").alias("i1"),
+        F.col("age").alias("i2"),
+        F.col("n_users").alias("i3"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+    return t.unionByName(d).unionByName(r).unionByName(e).unionByName(rm)
 
 
 @register(
