@@ -81,3 +81,37 @@ def compact_parquet(
         "dst_files": n_dst_files,
         "src_bytes": src_bytes,
     }
+
+
+def recluster_parquet(
+    spark,
+    src: str,
+    dst: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 16,
+) -> dict:
+    """OPTIMIZE-ZORDER as a maintenance op: rewrite ``src`` z-order
+    clustered on ``cols`` (operators/layout.py) with the SAME
+    never-in-place + row-count/checksum validation discipline as
+    :func:`compact_parquet` — layout changes must never be able to
+    change data. Returns the stats dict."""
+    from prohap_spark.operators.layout import write_zorder_clustered
+
+    df = spark.read.parquet(src)
+    n, checksum = _digest(df)
+    write_zorder_clustered(df, dst, cols, bits=bits, n_files=n_files)
+    n2, checksum2 = _digest(spark.read.parquet(dst))
+    if (n, checksum) != (n2, checksum2):
+        raise RuntimeError(
+            f"recluster validation failed for {src} -> {dst}: "
+            f"rows {n} -> {n2}, checksum {checksum} -> {checksum2}; "
+            "the source is untouched, the destination must be discarded"
+        )
+    n_dst_files = sum(
+        1
+        for root, _d, files in os.walk(dst)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return {"n_rows": n, "dst_files": n_dst_files}

@@ -3941,3 +3941,45 @@ def test_write_bloom_index_auto_plan(spark, tmp_path):
         spark, probe, "key", path, k=plan["k"], m_bits=plan["m_bits"]
     ).count()
     assert n_fp / 30_000 <= 3 * plan["predicted_fp"], n_fp
+
+
+def test_recluster_parquet_validated_zorder_rewrite(spark, tmp_path):
+    """recluster_parquet: the z-order rewrite preserves every row
+    (validated) AND delivers the layout property — per-file spans on
+    both clustered columns shrink vs the unclustered source."""
+    import numpy as np
+
+    from prohap_spark.operators.compact import recluster_parquet
+
+    rng = np.random.default_rng(23)
+    n = 15_000
+    src = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(
+            rng.integers(0, 50_000, n), rng.integers(0, 50_000, n)
+        )],
+        "x long, y long",
+    ).repartition(8).write.mode("overwrite").parquet(src)
+
+    dst = str(tmp_path / "zclustered")
+    stats = recluster_parquet(spark, src, dst, ["x", "y"], bits=8, n_files=16)
+    assert stats["n_rows"] == n
+    a = {tuple(r) for r in spark.read.parquet(src).collect()}
+    b = {tuple(r) for r in spark.read.parquet(dst).collect()}
+    assert a == b
+
+    def mean_span(path, col):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg((F.max(col) - F.min(col)).alias("s"))
+            .collect()
+        )
+        return sum(r["s"] for r in per) / len(per)
+
+    # unclustered: every file spans ~the full domain on both dims
+    assert mean_span(src, "x") >= 45_000
+    assert mean_span(src, "y") >= 45_000
+    # reclustered: both dims localized
+    assert mean_span(dst, "x") <= 30_000
+    assert mean_span(dst, "y") <= 30_000
