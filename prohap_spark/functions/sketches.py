@@ -665,7 +665,11 @@ def exact_quantile_twopass(
     only affects how much pass 2 prunes). Exactness is pinned against
     a single-pass sort in pytest. Returns group_cols + (q, exact_v,
     n_rows)."""
-    hist = qhist_build(df, group_cols, value_col, lo, hi, n_buckets)
+    # the histogram feeds the locator AND the covered-rank aggregate —
+    # lazy checkpoint so pass 1 runs once (<= n_buckets rows/group)
+    hist = qhist_build(df, group_cols, value_col, lo, hi, n_buckets).localCheckpoint(
+        eager=False
+    )
     located = qhist_quantiles(hist, group_cols, [q]).select(
         *group_cols, "bucket", "n_rows",
         F.ceil(F.lit(float(q)) * F.col("n_rows")).cast("long").alias("__target"),

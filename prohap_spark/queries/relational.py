@@ -532,7 +532,13 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     o = table(spark, sf_dir, "orders")
-    vals = o.select(F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v"))
+    # vals feeds the sketch build, the window-exact leg, AND the two
+    # twopass legs (each scanning it twice internally) — one lazy
+    # checkpoint, one orders scan (the multiplied-subplan rule; the
+    # r11-tail twopass extension pushed the unshared plan to 15 scans)
+    vals = o.select(
+        F.col("o_orderpriority").alias("g"), F.col("o_totalprice").alias("v")
+    ).localCheckpoint(eager=False)
     hist = qhist_build(vals, ["g"], "v", _QH_LO, _QH_HI, _QH_N)
     sk = qhist_quantiles(hist, ["g"], list(_QH_QS))
     targets = sk.select(
