@@ -540,12 +540,19 @@ _RESAMPLE_LOCF_SQL = """
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both §2.10 batch-checkable streaming-surface operators on one
+    """The §2.10 batch-checkable streaming-surface operators on one
     correctness board: tumbling 1 h window aggregation (tumbling leg —
     see stream_tumbling_window; the identical expression runs under
-    readStream + withWatermark in tests/test_streaming.py) and
+    readStream + withWatermark in tests/test_streaming.py),
     exactly-once watermark dedup (dedup leg — see
-    stream_dedup_watermark)."""
+    stream_dedup_watermark), daily LOCF gap fill (resample leg),
+    stream-static broadcast enrichment (enrich leg), and the daily
+    cohort matrix (retention leg).
+
+    Harness note: each leg calls its standalone operator, so the
+    events file is scanned once per leg (5x) — acceptable for a
+    gate-SF correctness union; the OPERATORS each scan once, which is
+    what the production plans and the per-operator plan pins assert."""
     t = stream_tumbling_window(spark, sf_dir).select(
         F.lit("tumbling").alias("leg"),
         F.col("window_start_us").alias("i1"),
