@@ -588,7 +588,10 @@ def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     board: the INT8 scalar-quantized path (sq leg — see sim_sq_ann)
     and the product-quantization ADC path (pq leg — see sim_pq_ann),
     each value-checked end-to-end against its full SQL replay
-    (quantization, candidate cut, exact rerank)."""
+    (quantization, candidate cut, exact rerank). Harness note: the
+    board unions the two standalone operators, so the embeddings file
+    is scanned once per leg-internal consumer — a gate-SF correctness
+    union; the per-operator plan pins assert the production shapes."""
     sq = sim_sq_ann(spark, sf_dir).select(
         F.lit("sq").alias("leg"), "qid", "cid", "cosine", "rank"
     )
