@@ -299,35 +299,97 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.toDF("qid", "cid", "cosine", "rank")
 
 
-# (Registered via sim_embedding_board since r11.)
-_CENTROID_ORACLE = f"""
-    WITH e AS (
-      SELECT vec_id, label, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS d
+# (Registered via sim_embedding_board since r11; ENGINE-EXACT since
+# r12 — the r11 driver red. The gate quantizes components to integer
+# 1e4-units so the per-dimension centroid sums and the per-vector
+# dot/norm² accumulations are exact BIGINTs, order-independent under
+# ANY cross-row aggregation order in either engine; the per-label
+# member count cancels out of the cosine, so the centroid never has
+# to exist as a float. The final score is ONE chain of
+# correctly-rounded IEEE ops (cast/sqrt/mul/div) on identical
+# integers — bit-identical across engines, hashed UNROUNDED. Arrays
+# are indexed explicitly (one unnest of a struct list built by
+# list_transform(range(...))) instead of the r11 oracle's
+# unnest+generate_subscripts zip, whose implicit alignment was the
+# gate's second environment-sensitive leg. Scale 1e4 (not the usual
+# 1e6): sum-of-squared-centroid-sums must stay below 2^53 for the
+# BIGINT->DOUBLE casts to be exact — at 1e4 that holds through
+# sf>=1 (4.5e16 at sf1 is exact in BIGINT and only the final cast
+# rounds; at the sf0.01 gate everything is < 2^53).)
+_CENTROID_EXACT_ORACLE = """
+    WITH ex AS (
+      SELECT vec_id, label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    d -> {'d': d,
+                          'xq': CAST(round(CAST(embedding[d] AS DOUBLE) * 10000) AS BIGINT)}))
+               AS e
       FROM embeddings
     ),
-    cent AS (
-      SELECT label, d, avg(CAST(x AS DOUBLE)) AS cx FROM e GROUP BY label, d
-    ),
+    ex2 AS (SELECT vec_id, label, e.d AS d, e.xq AS xq FROM ex),
+    cent AS (SELECT label, d, sum(xq) AS sd FROM ex2 GROUP BY label, d),
     joined AS (
       SELECT e.vec_id, e.label,
-             sum(CAST(e.x AS DOUBLE) * c.cx) AS dot,
-             sqrt(sum(CAST(e.x AS DOUBLE) * CAST(e.x AS DOUBLE))) AS vnorm,
-             sqrt(sum(c.cx * c.cx)) AS cnorm
-      FROM e JOIN cent c ON e.label = c.label AND e.d = c.d
+             sum(e.xq * c.sd) AS dot,
+             sum(e.xq * e.xq) AS ssx,
+             sum(c.sd * c.sd) AS ssc
+      FROM ex2 e JOIN cent c ON e.label = c.label AND e.d = c.d
       GROUP BY e.vec_id, e.label
     )
-    SELECT vec_id, label, round(dot / (vnorm * cnorm), 4) AS centroid_cosine
+    SELECT vec_id, label,
+           CAST(dot AS DOUBLE) /
+             (sqrt(CAST(ssx AS DOUBLE)) * sqrt(CAST(ssc AS DOUBLE)))
+             AS centroid_cosine
     FROM joined
     """
+
+
+def emb_centroid_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-EXACT gate variant of :func:`emb_centroid_cosine` (the
+    r12 fix for the r11 driver red): integer 1e4-unit components make
+    every cross-row aggregate an exact BIGINT — see the
+    _CENTROID_EXACT_ORACLE comment for the full argument. The member
+    count n cancels out of cosine(x, sum/n), so ranking against the
+    un-normalized per-dimension SUM column is exactly the cosine to
+    the centroid. cent is 640 rows (labels x dims) — broadcast."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.round(F.col("x").cast("double") * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("xq"),
+    )
+    cent = ex.groupBy("label", "d").agg(F.sum("xq").alias("sd"))
+    joined = (
+        ex.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xq") * F.col("sd")).alias("dot"),
+            F.sum(F.col("xq") * F.col("xq")).alias("ssx"),
+            F.sum(F.col("sd") * F.col("sd")).alias("ssc"),
+        )
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("ssx").cast("double")) * F.sqrt(F.col("ssc").cast("double")))
+        ).alias("centroid_cosine"),
+    )
 
 
 def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid + each vector's cosine to its centroid —
     exploded per-dimension aggregation (the clustering-adjacent
-    embedding analytics shape). Rounded to 4: the per-dimension avg and
-    dot are reassociated sums, so last-ulp divergence vs the oracle is
-    expected and tolerated at 1e-4."""
+    embedding analytics shape). Library/bench surface; the REGISTERED
+    gate is :func:`emb_centroid_cosine_exact`, because this float
+    variant's avg/dot are cross-row reassociated sums whose
+    aggregation order neither engine pins — exactly the class that
+    went driver-red in r11."""
     e = table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("d", "x")
@@ -353,7 +415,7 @@ def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_embedding_board",
     f"""
     WITH brute_leg AS ({_BRUTE_ORACLE}),
-    centroid_leg AS ({_CENTROID_ORACLE})
+    centroid_leg AS ({_CENTROID_EXACT_ORACLE})
     SELECT 'brute_topk' AS leg, CAST(qid AS BIGINT) AS qid,
            CAST(cid AS BIGINT) AS cid, CAST(NULL AS VARCHAR) AS label,
            cosine AS score, CAST(rank AS BIGINT) AS rank
@@ -372,9 +434,12 @@ def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid cosine, the clustering-adjacent shape) MERGED into one
     registered query (r11 slot-freeing board): two legs over the same
     embeddings table on a unified (leg, qid, cid, label, score, rank)
-    schema, off-leg columns NULL. Both callables above remain the
-    library/test surface — the merge changes registry accounting, not
-    any semantics."""
+    schema, off-leg columns NULL. Both float callables above remain
+    the library/test surface. r12: the centroid leg is the ENGINE-
+    EXACT :func:`emb_centroid_cosine_exact` — the r11 red was this
+    board's only cross-row float aggregation (the brute leg's
+    dot/norms are per-list sequential folds, deterministic in both
+    engines, green r8-r10 as a singleton)."""
     NB, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
     brute = sim_bruteforce_topk(spark, sf_dir).select(
         F.lit("brute_topk").alias("leg"),
@@ -384,7 +449,7 @@ def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
-    cent = emb_centroid_cosine(spark, sf_dir).select(
+    cent = emb_centroid_cosine_exact(spark, sf_dir).select(
         F.lit("centroid").alias("leg"),
         F.col("vec_id").cast("long").alias("qid"),
         NB.alias("cid"),
