@@ -9,47 +9,81 @@ knob per query is noted in its docstring.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from prohap_spark.queries.registry import register, table
 
 
+# r12 sweep of the rounded-reassociated-float class (the r11 verdict's
+# What's-wrong #2): the prices are 2-decimal values stored as doubles,
+# so sum/avg over them reassociate differently per engine/shuffle
+# order, and round(.,k) tolerates nothing at a hash gate. The gate now
+# recovers exact integer cents per row — floor(x*100 + 0.5) is the
+# SAME correctly-rounded IEEE chain (mul, add, floor) on identical
+# doubles in both engines — and every aggregate is an exact BIGINT sum
+# (order-independent). The hashed money/avg columns are single
+# divisions of those identical integers, bit-deterministic, unrounded.
+# sum(l_quantity) stays raw: l_quantity is integer-valued, so its
+# double partial sums are exact at any order. Overflow headroom: the
+# 1e-6-dollar sum_charge numerator is ~1.1e11/row -> BIGINT holds to
+# ~80M rows/group (sf~100); past that, widen to DECIMAL(38,0).
 @register(
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+           sum(l_quantity)                                   AS sum_qty,
+           sum(ep_c) / 100.0                                 AS sum_base_price,
+           sum(ep_c * (100 - d_c)) / 10000.0                 AS sum_disc_price,
+           sum(ep_c * (100 - d_c) * (100 + t_c)) / 1000000.0 AS sum_charge,
+           sum(l_quantity) / count(*)                        AS avg_qty,
+           sum(ep_c) / (100.0 * count(*))                    AS avg_price,
+           sum(d_c) / (100.0 * count(*))                     AS avg_disc,
+           count(*)                                          AS count_order
+    FROM (
+      SELECT *,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep_c,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT)      AS d_c,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT)           AS t_c
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    )
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship TPC-H-Q1-style summary: scan-side filter pushdown +
     partial/final hash aggregation on two low-cardinality keys.
-    At scale: nothing to tune — map-side combine keeps the shuffle tiny."""
+    At scale: nothing to tune — map-side combine keeps the shuffle
+    tiny. Money columns aggregate as exact integer cents (see the
+    class-sweep comment above the oracle)."""
     li = table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+
+    def cents(c: str) -> Column:
+        return F.floor(F.col(c) * F.lit(100.0) + F.lit(0.5))
+
+    src = (
         li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+        .withColumn("ep_c", cents("l_extendedprice"))
+        .withColumn("d_c", cents("l_discount"))
+        .withColumn("t_c", cents("l_tax"))
+    )
+    cnt = F.count(F.lit(1))
+    return src.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum("ep_c") / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(F.col("ep_c") * (F.lit(100) - F.col("d_c"))) / F.lit(10000.0)).alias(
+            "sum_disc_price"
+        ),
+        (
+            F.sum(
+                F.col("ep_c") * (F.lit(100) - F.col("d_c")) * (F.lit(100) + F.col("t_c"))
+            )
+            / F.lit(1000000.0)
+        ).alias("sum_charge"),
+        (F.sum("l_quantity") / cnt).alias("avg_qty"),
+        (F.sum("ep_c") / (F.lit(100.0) * cnt)).alias("avg_price"),
+        (F.sum("d_c") / (F.lit(100.0) * cnt)).alias("avg_disc"),
+        cnt.alias("count_order"),
     )
 
 

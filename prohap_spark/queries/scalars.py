@@ -152,7 +152,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH slides AS (SELECT unnest(range(0, 2)) AS k)
     SELECT epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 AS window_start_us,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events, slides
     WHERE epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 <= epoch_us(ts)
     GROUP BY 1
@@ -164,7 +164,12 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n",
@@ -349,7 +354,7 @@ def stream_live_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_stats",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           round(sum(value), 4) AS total_value,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value,
            epoch_us(max(ts)) AS last_ts_us
     FROM events GROUP BY user_id
     """,
@@ -362,9 +367,11 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the batch aggregate the oracle computes. The update-mode
     memory sink keeps every batch's emission; the final row per user is
     the one with the highest n_events (cumulative counts are strictly
-    increasing). total_value rounds at 4: the stream accumulates
-    per-batch partial sums, so last-ulp float divergence vs the
-    oracle's single-pass sum is expected."""
+    increasing). total_value is EXACT: the state kernel accumulates
+    integer cents (floor(v*100+0.5) — correctly-rounded IEEE ops on
+    identical doubles), so the cumulative emission equals the oracle's
+    sum bit-for-bit at any batch split; no rounding, no tolerance
+    (r12 sweep of the reassociated-float gate class)."""
     import os
 
     from pyspark.sql import Window
@@ -390,7 +397,7 @@ def stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "n_events",
-            F.round("total_value", 4).alias("total_value"),
+            "total_value",
             "last_ts_us",
         )
     )

@@ -350,7 +350,7 @@ _STREAM_TUMBLING_SQL = """
     SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
     FROM events
     GROUP BY 1, 2
     """
@@ -364,7 +364,12 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))) / F.lit(100.0)).alias(
+                "total_value"
+            ),
+        )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "event_type",
