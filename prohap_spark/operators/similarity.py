@@ -529,6 +529,98 @@ def train_centroids_by_label(df: DataFrame, label_col: str, vec_col: str) -> Dat
     )
 
 
+def train_centroid_sums_by_label(
+    df: DataFrame, label_col: str, vec_col: str, micro: float = 10000.0
+) -> DataFrame:
+    """ENGINE-EXACT twin of :func:`train_centroids_by_label`: instead
+    of float per-dimension means (cross-row reassociated sums — the
+    class behind the r11 sim_embedding_board driver red), each cell
+    carries the exact BIGINT per-dimension SUM of micro-quantized
+    components (round(x*micro), scale-0 round — engine-identical on
+    identical doubles). The member count cancels out of cosine(x,
+    sum/n), so downstream cosine assignment against ``svec`` needs no
+    division and stays an exact-integer computation. micro=1e4 keeps
+    sum-of-squared-sums under 2^53 through sf>=1 (see
+    emb_centroid_cosine_exact). Returns (cell_id, svec:
+    array<bigint>)."""
+    ex = df.select(
+        F.col(label_col).alias("cell_id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn(
+        "xq", F.round(F.col("x").cast("double") * F.lit(micro), 0).cast("long")
+    )
+    per_dim = ex.groupBy("cell_id", "d").agg(F.sum("xq").alias("sd"))
+    return (
+        per_dim.groupBy("cell_id")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "sd"))).alias("__s"))
+        .select(
+            "cell_id",
+            F.transform(F.col("__s"), lambda s: s["sd"]).alias("svec"),
+        )
+    )
+
+
+def assign_nearest_cell_q(
+    df: DataFrame,
+    centroid_sums: DataFrame,
+    id_col: str,
+    vec_col: str,
+    micro: float = 10000.0,
+) -> DataFrame:
+    """ENGINE-EXACT twin of :func:`assign_nearest_cell`: nearest-cell
+    assignment where the vector-vs-centroid cosine is computed entirely
+    from exact integers (micro-quantized components against
+    ``train_centroid_sums_by_label`` sums — per-list sequential folds,
+    no cross-row float aggregation, no rounding), so the argmax cell is
+    bit-identical in any engine. Same plan shape as the float variant:
+    broadcast crossJoin expanded in place, min_by partial-agg collapse,
+    one narrow-row shuffle. Returns the input columns plus (cell_id,
+    __vnorm)."""
+    cent = F.broadcast(
+        centroid_sums.withColumn(
+            "__cssc",
+            F.aggregate(
+                F.transform("svec", lambda v: v * v),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        )
+    )
+    s = (
+        df.withColumn("__vnorm", _norm(F.col(vec_col)))
+        .withColumn(
+            "__xq",
+            F.transform(
+                vec_col,
+                lambda x: F.round(x.cast("double") * F.lit(micro), 0).cast("long"),
+            ),
+        )
+        .withColumn(
+            "__ssx",
+            F.aggregate(
+                F.transform("__xq", lambda q: q * q),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        )
+    )
+    scored = s.crossJoin(cent).withColumn(
+        "__cellcos",
+        F.aggregate(
+            F.zip_with("__xq", "svec", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda a, v: a + v,
+        ).cast("double")
+        / (F.sqrt(F.col("__ssx").cast("double")) * F.sqrt(F.col("__cssc").cast("double"))),
+    )
+    carry = [c for c in df.columns if c != id_col] + ["__vnorm"]
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "cell_id", F.struct((-F.col("__cellcos")).alias("nc"), F.col("cell_id"))
+        ).alias("cell_id"),
+        *[F.first(c).alias(c) for c in carry],
+    )
+
+
 def train_centroids_kmeans(
     df: DataFrame,
     id_col: str,
@@ -1163,6 +1255,7 @@ def semantic_dedup_flags(
     score_decimals: int = 6,
     max_cell_size: int | None = None,
     share_scan: bool = True,
+    centroid_sums: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus by a
     coarse quantizer (nearest-centroid assignment — in production the
@@ -1201,8 +1294,19 @@ def semantic_dedup_flags(
     share_scan in this codebase — snapshot on first action,
     non-fault-tolerant local blocks; pass False on preemptible
     clusters (re-execution is then linear scans, never wide
-    shuffles)."""
-    a = assign_nearest_cell(df, centroids, id_col, vec_col).select(
+    shuffles).
+
+    ``centroid_sums``: when given (the ENGINE-EXACT gate path —
+    ``train_centroid_sums_by_label`` output), the assignment uses
+    :func:`assign_nearest_cell_q` (exact-integer cosines, bit-stable
+    in any engine) instead of the float ``centroids`` argmax; the
+    within-cell pairwise cosines stay per-list sequential folds, which
+    are already engine-deterministic."""
+    if centroid_sums is not None:
+        a = assign_nearest_cell_q(df, centroid_sums, id_col, vec_col)
+    else:
+        a = assign_nearest_cell(df, centroids, id_col, vec_col)
+    a = a.select(
         F.col(id_col).alias("__id"),
         "cell_id",
         F.col(vec_col).alias("__vec"),

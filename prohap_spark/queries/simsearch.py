@@ -668,34 +668,46 @@ def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_semantic",
-    # SemDeDup: label-mean centroids (the k-means stand-in shared with
-    # sim_ivf_ann), nearest-cell assignment, within-cell lower-id
-    # cosine >= 0.25 flags a duplicate
+    # SemDeDup: nearest-cell assignment, within-cell lower-id
+    # cosine >= 0.25 flags a duplicate. r12: the ASSIGNMENT is
+    # ENGINE-EXACT — per-cell integer 1e4-unit sums instead of float
+    # mean centroids (the member count cancels out of the cosine), so
+    # the argmax cell is bit-stable under any aggregation order in
+    # either engine; this was the same cross-row-float-avg class that
+    # made sim_embedding_board driver-red in r11. The within-cell
+    # pairwise cosines stay per-list sequential folds (already
+    # engine-deterministic). Arrays indexed explicitly — no
+    # unnest+generate_subscripts zip.
     f"""
-    WITH ed AS (
-      SELECT label, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS d
-      FROM embeddings
+    WITH ex2 AS (
+      SELECT vec_id, label, e.d AS d, e.xq AS xq FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      d -> {{'d': d,
+                             'xq': CAST(round(CAST(embedding[d] AS DOUBLE) * 10000) AS BIGINT)}}))
+                 AS e
+        FROM embeddings)
     ),
-    cent AS (
-      SELECT label AS cell_id, list(cx ORDER BY d) AS cvec
-      FROM (SELECT label, d, avg(CAST(x AS DOUBLE)) AS cx FROM ed GROUP BY label, d)
-      GROUP BY label
-    ),
-    cn AS (
-      SELECT cell_id, cvec, {_DUCK_NORM.format(a='cvec')} AS centnorm FROM cent
+    cent AS (SELECT label AS cell_id, d, sum(xq) AS sd FROM ex2 GROUP BY 1, 2),
+    sc AS (
+      SELECT e.vec_id, c.cell_id,
+             sum(e.xq * c.sd) AS dot,
+             sum(e.xq * e.xq) AS ssx,
+             sum(c.sd * c.sd) AS ssc
+      FROM ex2 e JOIN cent c ON e.d = c.d
+      GROUP BY 1, 2
     ),
     assign AS (
       SELECT cid, cell_id, cv, cvnorm FROM (
-        SELECT e.vec_id AS cid, n.cell_id, e.embedding AS cv,
-               {_DUCK_NORM.format(a='e.embedding')} AS cvnorm,
+        SELECT s.vec_id AS cid, s.cell_id, emb.embedding AS cv,
+               {_DUCK_NORM.format(a='emb.embedding')} AS cvnorm,
                row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY round({_DUCK_DOT.format(a='e.embedding', b='n.cvec')} /
-                                ({_DUCK_NORM.format(a='e.embedding')} * n.centnorm), 4) DESC,
-                          n.cell_id
+                 PARTITION BY s.vec_id
+                 ORDER BY CAST(s.dot AS DOUBLE) /
+                          (sqrt(CAST(s.ssx AS DOUBLE)) * sqrt(CAST(s.ssc AS DOUBLE))) DESC,
+                          s.cell_id
                ) AS rnk
-        FROM embeddings e, cn n
+        FROM sc s JOIN embeddings emb ON emb.vec_id = s.vec_id
       ) WHERE rnk = 1
     ),
     ok AS (
@@ -726,13 +738,18 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise pass entirely (the k² hot-cell guard; at sf0.01 that
     truncates the three largest of the ten cells, so the capped path
     is exercised, oracle-mirrored, and its members verifiably pass
-    through un-flagged)."""
-    from prohap_spark.operators.similarity import semantic_dedup_flags
+    through un-flagged). r12: assignment runs on the ENGINE-EXACT
+    integer-sums path (``centroid_sums``) — see the oracle comment."""
+    from prohap_spark.operators.similarity import (
+        semantic_dedup_flags,
+        train_centroid_sums_by_label,
+    )
 
     e = table(spark, sf_dir, "embeddings")
-    cent = train_centroids_by_label(e, "label", "embedding")
+    cs = train_centroid_sums_by_label(e, "label", "embedding")
     return semantic_dedup_flags(
-        e, cent, "vec_id", "embedding", threshold=0.25, max_cell_size=52
+        e, None, "vec_id", "embedding", threshold=0.25, max_cell_size=52,
+        centroid_sums=cs,
     )
 
 
