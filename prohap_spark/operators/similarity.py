@@ -1114,6 +1114,31 @@ def pq_adc_topk(
     lut_rows = qdots.withColumn(
         "lut_u", F.round(F.col("dot") * 1_000_000).cast("long")
     )
+    return _pq_pack_scan_rerank(
+        codes, lut_rows, queries, corpus, query_id, corpus_id, vec_col,
+        k, num_codes, rerank_k, score_decimals, rerank_vec_col,
+    )
+
+
+def _pq_pack_scan_rerank(
+    codes: DataFrame,
+    lut_rows: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    num_codes: int,
+    rerank_k: int,
+    score_decimals: int,
+    rerank_vec_col: str | None,
+) -> DataFrame:
+    """Shared tail of the PQ search path (float and engine-exact
+    variants): pack per-(query, s, code_id) ``lut_u`` rows into
+    positional LUT arrays, scan the codes column against the broadcast
+    LUTs with an exact bigint fold, cut to ``rerank_k``, rerank with
+    exact full-precision cosine."""
     # positional-LUT precondition enforced at runtime: each subspace
     # must carry EXACTLY the contiguous code_ids 0..num_codes-1 (sorted
     # structs → first/last element check covers contiguity given
@@ -1201,6 +1226,136 @@ def pq_adc_topk(
         .select(
             F.col("__qid").alias(query_id), F.col(corpus_id), "cosine", "rank"
         )
+    )
+
+
+# ---- ENGINE-EXACT PQ twins (r12) ------------------------------------
+# The float PQ path above trains the codebook with cross-row float
+# avg() and scores subspace dots with cross-row float sum() — both
+# reassociation-ordered, the exact class behind the r11
+# sim_embedding_board driver red. The _q twins below carry the
+# codebook as exact BIGINT per-dimension SUMS of micro-quantized
+# components (member count n rides along and cancels or divides out
+# through correctly-rounded IEEE ops on identical integers), so the
+# code assignment, the LUT, and the ADC ranking are bit-identical in
+# any engine under any aggregation order. Overflow headroom at
+# micro=1e6: subspace dotq <= 16·1e6·(n·1e6); the assign numerators
+# stay in BIGINT through n≈500 per code (sf0.1); widen micro down or
+# sums to DECIMAL(38,0) beyond that.
+
+
+def pq_train_codebook_sums(
+    df: DataFrame, label_col: str, vec_col: str, sub_dim: int,
+    micro: float = 1000000.0,
+) -> DataFrame:
+    """Exact-integer PQ codebook: per (code_id, s, d) the BIGINT sum
+    ``sd`` of round(x*micro) components plus the member count ``n``.
+    Returns the exploded per-dimension form (code_id, s, d, sd, n) —
+    small (labels × dims rows); callers broadcast."""
+    n_per = df.groupBy(F.col(label_col).alias("code_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ex = df.select(
+        F.col(label_col).alias("code_id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn(
+        "xq", F.round(F.col("x").cast("double") * F.lit(micro), 0).cast("long")
+    ).withColumn("s", (F.col("d") / sub_dim).cast("int"))
+    per_dim = ex.groupBy("code_id", "s", "d").agg(F.sum("xq").alias("sd"))
+    return per_dim.join(n_per, "code_id")
+
+
+def _pq_subdots_q(
+    side: DataFrame, id_col: str, vec_col: str, cb_sums: DataFrame, micro: float
+) -> DataFrame:
+    """Per (id, s, code_id): the EXACT BIGINT dot ``dotq`` of the
+    micro-quantized vector subspace against the codebook's integer
+    sums (broadcast per-dim join + integer partial-agg, the
+    _pq_subdots shape with no float anywhere)."""
+    cb_ex = F.broadcast(cb_sums.select("d", "s", "code_id", "sd", "n"))
+    ex = side.select(
+        F.col(id_col).alias("__id"), F.posexplode(vec_col).alias("d", "x")
+    ).withColumn(
+        "xq", F.round(F.col("x").cast("double") * F.lit(micro), 0).cast("long")
+    )
+    return (
+        ex.join(cb_ex, "d")
+        .groupBy("__id", "s", "code_id")
+        .agg(F.sum(F.col("xq") * F.col("sd")).alias("dotq"), F.first("n").alias("n"))
+    )
+
+
+def pq_encode_q(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cb_sums: DataFrame,
+    sub_dim: int,
+    micro: float = 1000000.0,
+) -> DataFrame:
+    """Engine-exact :func:`pq_encode`: the L2 assignment key
+    dot − ||c||²/2 evaluates as TWO divisions of exact integers —
+    dotq/(n·micro²) − ss2/(2n²·micro²) — each correctly rounded on
+    identical operands, so the per-subspace argmax (tie to the smaller
+    code_id) is bit-identical across engines with no rounding step."""
+    m2 = float(micro) * float(micro)
+    ss = cb_sums.groupBy("s", "code_id").agg(
+        F.sum(F.col("sd") * F.col("sd")).alias("ss2")
+    )
+    dots = _pq_subdots_q(df, id_col, vec_col, cb_sums, micro)
+    scored = dots.join(F.broadcast(ss), ["s", "code_id"]).withColumn(
+        "__as",
+        F.col("dotq").cast("double") / (F.col("n") * F.lit(m2))
+        - F.col("ss2").cast("double")
+        / (F.col("n") * F.col("n") * F.lit(2.0) * F.lit(m2)),
+    )
+    w = Window.partitionBy("__id", "s").orderBy(
+        F.col("__as").desc(), F.col("code_id").asc()
+    )
+    best = scored.withColumn("__r", F.row_number().over(w)).where(F.col("__r") == 1)
+    return (
+        best.groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code_id"))).alias("__c"))
+        .select(
+            F.col("__id").alias(id_col),
+            F.transform(F.col("__c"), lambda c: c["code_id"]).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk_q(
+    queries: DataFrame,
+    corpus: DataFrame,
+    cb_sums: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    k: int,
+    sub_dim: int,
+    num_codes: int,
+    rerank_k: int = 20,
+    score_decimals: int = 6,
+    rerank_vec_col: str | None = None,
+    micro: float = 1000000.0,
+) -> DataFrame:
+    """Engine-exact :func:`pq_adc_topk`: integer codebook sums
+    (``pq_train_codebook_sums``) drive an exact assignment
+    (:func:`pq_encode_q`) and an integer LUT — lut_u =
+    floor(dotq/(n·micro) + 0.5), the floor device: every op correctly
+    rounded on identical integers — so the bigint ADC fold and the
+    candidate cut are bit-stable in any engine. Same scan shape and
+    the same exact full-precision rerank as the float variant."""
+    codes = pq_encode_q(corpus, corpus_id, vec_col, cb_sums, sub_dim, micro)
+    qdots = _pq_subdots_q(queries, query_id, vec_col, cb_sums, micro)
+    lut_rows = qdots.withColumn(
+        "lut_u",
+        F.floor(
+            F.col("dotq").cast("double") / (F.col("n") * F.lit(float(micro)))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return _pq_pack_scan_rerank(
+        codes, lut_rows, queries, corpus, query_id, corpus_id, vec_col,
+        k, num_codes, rerank_k, score_decimals, rerank_vec_col,
     )
 
 

@@ -633,34 +633,158 @@ def sim_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ENGINE-EXACT PQ replay (r12): the float _PQ_ANN_SQL above trains the
+# codebook with cross-row avg() and scores subspace dots with
+# cross-row float sum() — the reassociation class that made
+# sim_embedding_board driver-red in r11, never to be hashed again.
+# This replay mirrors operators/similarity.py pq_*_q: integer 1e6-unit
+# codebook SUMS (+ member count n), exact BIGINT subspace dots, the
+# assignment key as two correctly-rounded divisions of identical
+# integers (dotq/(n·1e12) − ss2/(2n²·1e12), written with the SAME
+# association order on both sides), the LUT as the floor device
+# floor(dotq/(n·1e6) + 0.5), an exact bigint ADC fold, and the same
+# full-precision rerank. Arrays indexed explicitly — no
+# unnest+generate_subscripts zip.
+_PQ_ANN_EXACT_SQL = f"""
+    WITH en AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS nv
+      FROM (SELECT *, {_DUCK_NORM.format(a='embedding')} AS nrm FROM embeddings)
+    ),
+    exq AS (
+      SELECT vec_id, label, e.d AS d, CAST((e.d - 1) // 16 AS INT) AS s,
+             e.xq AS xq
+      FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(nv) + 1),
+                      d -> {{'d': d,
+                             'xq': CAST(round(nv[d] * 1000000) AS BIGINT)}})) AS e
+        FROM en)
+    ),
+    nn AS (SELECT label AS code_id, CAST(count(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY 1),
+    cb AS (SELECT label AS code_id, s, d, sum(xq) AS sd
+           FROM exq GROUP BY 1, 2, 3),
+    ss AS (SELECT s, code_id, sum(sd * sd) AS ss2 FROM cb GROUP BY 1, 2),
+    cdot AS (
+      SELECT v.vec_id AS cid, b.s, b.code_id, sum(v.xq * b.sd) AS dotq
+      FROM exq v JOIN cb b USING (d)
+      WHERE v.vec_id >= 10
+      GROUP BY 1, 2, 3
+    ),
+    assign AS (
+      SELECT cid, s, code_id FROM (
+        SELECT d.cid, d.s, d.code_id,
+               row_number() OVER (
+                 PARTITION BY d.cid, d.s
+                 ORDER BY CAST(d.dotq AS DOUBLE) / (n.n * 1000000000000.0)
+                          - CAST(s2.ss2 AS DOUBLE)
+                            / (n.n * n.n * 2.0 * 1000000000000.0) DESC,
+                          d.code_id
+               ) AS rnk
+        FROM cdot d JOIN nn n USING (code_id) JOIN ss s2 USING (s, code_id)
+      ) WHERE rnk = 1
+    ),
+    qdot AS (
+      SELECT v.vec_id AS qid, b.s, b.code_id,
+             CAST(floor(CAST(sum(v.xq * b.sd) AS DOUBLE)
+                        / (n.n * 1000000.0) + 0.5) AS BIGINT) AS lut_u
+      FROM exq v JOIN cb b USING (d) JOIN nn n ON n.code_id = b.code_id
+      WHERE v.vec_id < 10
+      GROUP BY v.vec_id, b.s, b.code_id, n.n
+    ),
+    adc AS (
+      SELECT l.qid, a.cid, sum(l.lut_u) AS adc_u
+      FROM assign a JOIN qdot l USING (s, code_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT qid, cid FROM (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY adc_u DESC, cid)
+                 AS rnk
+        FROM adc
+      ) WHERE rnk <= 50
+    ),
+    qr AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    cr AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
+    exact AS (
+      SELECT k.qid, k.cid,
+             round({_DUCK_DOT.format(a='q.qv', b='c.cv')} /
+                   ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 6) AS cosine
+      FROM cand k JOIN qr q ON q.qid = k.qid JOIN cr c ON c.cid = k.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+               AS rank
+      FROM exact
+    ) WHERE rank <= 5
+    """
+
+
+def sim_pq_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-EXACT gate variant of :func:`sim_pq_ann` — the
+    operators/similarity.py pq_*_q path (integer codebook sums, exact
+    assignment/LUT/ADC; see _PQ_ANN_EXACT_SQL). The float sim_pq_ann
+    stays the library surface."""
+    from prohap_spark.operators.similarity import (
+        _norm,
+        pq_adc_topk_q,
+        pq_train_codebook_sums,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    en = e.withColumn(
+        "nv",
+        F.transform("embedding", lambda x: x.cast("double") / _norm(F.col("embedding"))),
+    )
+    cb = pq_train_codebook_sums(en, "label", "nv", sub_dim=16)
+    q = en.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding", "nv"
+    )
+    c = en.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), "embedding", "nv"
+    )
+    return pq_adc_topk_q(
+        q, c, cb, "qid", "cid", "nv",
+        k=5, sub_dim=16, num_codes=10, rerank_k=50, rerank_vec_col="embedding",
+    )
+
+
 # sim_sq_ann and sim_pq_ann were MERGED into the one registered board
 # below in the r11 tail (the dedup_minhash_lsh_board slot-freeing
 # device, 8th use): identical (qid, cid, cosine, rank) output shapes,
 # so one query drives both quantized-ANN code paths under a leg tag
 # and frees the rotation slot the r12 front needs for a genuinely new
 # registration. The singleton callables above stay the library/pytest
-# surface (tests import them directly).
+# surface (tests import them directly). r12: the pq leg runs the
+# ENGINE-EXACT pq_*_q path (and its exact SQL replay) — the float
+# leg's codebook avg / subspace dot sums were cross-row reassociated
+# floats, the r11 red class.
 @register(
     "sim_quantized_ann_board",
     f"""
     SELECT 'sq' AS leg, qid, cid, cosine, rank FROM ({_SQ_ANN_SQL})
     UNION ALL
-    SELECT 'pq' AS leg, qid, cid, cosine, rank FROM ({_PQ_ANN_SQL})
+    SELECT 'pq' AS leg, qid, cid, cosine, rank FROM ({_PQ_ANN_EXACT_SQL})
     """,
 )
 def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both quantized two-stage ANN operators on one correctness
-    board: the INT8 scalar-quantized path (sq leg — see sim_sq_ann)
-    and the product-quantization ADC path (pq leg — see sim_pq_ann),
-    each value-checked end-to-end against its full SQL replay
-    (quantization, candidate cut, exact rerank). Harness note: the
-    board unions the two standalone operators, so the embeddings file
-    is scanned once per leg-internal consumer — a gate-SF correctness
-    union; the per-operator plan pins assert the production shapes."""
+    board: the INT8 scalar-quantized path (sq leg — see sim_sq_ann;
+    its dots/norms are per-list sequential folds, engine-deterministic
+    as-is) and the product-quantization ADC path (pq leg — the
+    ENGINE-EXACT sim_pq_ann_exact), each value-checked end-to-end
+    against its full SQL replay (quantization, candidate cut, exact
+    rerank). Harness note: the board unions the two standalone
+    operators, so the embeddings file is scanned once per leg-internal
+    consumer — a gate-SF correctness union; the per-operator plan pins
+    assert the production shapes."""
     sq = sim_sq_ann(spark, sf_dir).select(
         F.lit("sq").alias("leg"), "qid", "cid", "cosine", "rank"
     )
-    pq = sim_pq_ann(spark, sf_dir).select(
+    pq = sim_pq_ann_exact(spark, sf_dir).select(
         F.lit("pq").alias("leg"), "qid", "cid", "cosine", "rank"
     )
     return sq.unionByName(pq)
