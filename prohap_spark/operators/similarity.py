@@ -707,6 +707,8 @@ def ivf_ann_topk(
     score_decimals: int = 6,
     assign_decimals: int = 4,
     assigned_cells: DataFrame | None = None,
+    centroid_sums: DataFrame | None = None,
+    micro: float = 10000.0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate NN: every corpus vector is
     assigned to its nearest centroid cell once; a query probes only its
@@ -723,25 +725,71 @@ def ivf_ann_topk(
     across engines); final scores round to ``score_decimals`` as in
     ``cosine_topk``. Recall is bounded by nprobe: a true neighbor in an
     unprobed cell is missed. Returns (query_id, corpus_id, cosine,
-    rank)."""
-    cent = F.broadcast(
-        centroids.select(F.col("cell_id"), F.col("centroid")).withColumn(
-            "__centnorm", _norm(F.col("centroid"))
+    rank).
+
+    ``centroid_sums``: the ENGINE-EXACT path (r12) —
+    ``train_centroid_sums_by_label`` integer sums instead of float
+    centroids; assignment/probe cosines become exact-integer per-list
+    folds (bit-stable in any engine, no assign_decimals rounding
+    needed). ``centroids`` may then be None."""
+    if centroid_sums is not None:
+        cent = F.broadcast(
+            centroid_sums.select("cell_id", "svec").withColumn(
+                "__cssc",
+                F.aggregate(
+                    F.transform("svec", lambda v: v * v),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                ),
+            )
         )
-    )
+    else:
+        cent = F.broadcast(
+            centroids.select(F.col("cell_id"), F.col("centroid")).withColumn(
+                "__centnorm", _norm(F.col("centroid"))
+            )
+        )
 
     def nearest_cells(side: DataFrame, side_id: str, n: int) -> DataFrame:
         s = side.select(
             F.col(side_id).alias("__id"), F.col(vec_col).alias("__vec")
         ).withColumn("__norm", _norm(F.col("__vec")))
-        scored = s.crossJoin(cent).withColumn(
-            "__cellcos",
-            F.round(
-                _dot(F.col("__vec"), F.col("centroid"))
-                / (F.col("__norm") * F.col("__centnorm")),
-                assign_decimals,
-            ),
-        )
+        if centroid_sums is not None:
+            s = s.withColumn(
+                "__xq",
+                F.transform(
+                    "__vec",
+                    lambda x: F.round(x.cast("double") * F.lit(micro), 0).cast("long"),
+                ),
+            ).withColumn(
+                "__ssx",
+                F.aggregate(
+                    F.transform("__xq", lambda q: q * q),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                ),
+            )
+            scored = s.crossJoin(cent).withColumn(
+                "__cellcos",
+                F.aggregate(
+                    F.zip_with("__xq", "svec", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda a, v: a + v,
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("__ssx").cast("double"))
+                    * F.sqrt(F.col("__cssc").cast("double"))
+                ),
+            )
+        else:
+            scored = s.crossJoin(cent).withColumn(
+                "__cellcos",
+                F.round(
+                    _dot(F.col("__vec"), F.col("centroid"))
+                    / (F.col("__norm") * F.col("__centnorm")),
+                    assign_decimals,
+                ),
+            )
         w = Window.partitionBy("__id").orderBy(
             F.col("__cellcos").desc(), F.col("cell_id").asc()
         )
@@ -764,6 +812,16 @@ def ivf_ann_topk(
             F.col(vec_col).alias("__cvec"),
             F.col("__vnorm").alias("__cnorm"),
         )
+    elif centroid_sums is not None:
+        assigned = assign_nearest_cell_q(
+            corpus.select(
+                F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+            ),
+            centroid_sums,
+            "__cid",
+            "__cvec",
+            micro,
+        ).select("__cid", "cell_id", "__cvec", F.col("__vnorm").alias("__cnorm"))
     else:
         assigned = assign_nearest_cell(
             corpus.select(
@@ -810,6 +868,8 @@ def write_ivf_index(
     vec_col: str,
     path: str,
     assign_decimals: int = 4,
+    centroid_sums: DataFrame | None = None,
+    micro: float = 10000.0,
 ) -> dict:
     """Persist the IVF search structure as a VALIDATED artifact —
     index once, probe many (the deployment shape: the corpus-sized
@@ -824,28 +884,52 @@ def write_ivf_index(
     - ``centroids``: (cell_id, centroid).
 
     Plus a meta.json pinning (corpus_id, vec_col, assign_decimals) so
-    a reader can't probe with mismatched rounding. Returns the
-    manifests."""
+    a reader can't probe with mismatched rounding.
+
+    When ``centroid_sums`` is given (the ENGINE-EXACT r12 path), the
+    persisted quantizer is the integer-sums table itself — an exact,
+    bit-portable artifact (a float centroid table can drift by a ulp
+    when regenerated; a BIGINT sums table cannot) — and cells are
+    assigned via :func:`assign_nearest_cell_q`; meta records
+    exact=true + micro so the prober replays identically.
+
+    Returns the manifests."""
     import json
     import os
 
     from prohap_spark.operators.dedup import write_dedup_index
 
-    cells = assign_nearest_cell(
-        corpus.select(F.col(corpus_id), F.col(vec_col)),
-        centroids,
-        corpus_id,
-        vec_col,
-        assign_decimals,
-    )
+    if centroid_sums is not None:
+        cells = assign_nearest_cell_q(
+            corpus.select(F.col(corpus_id), F.col(vec_col)),
+            centroid_sums,
+            corpus_id,
+            vec_col,
+            micro,
+        )
+    else:
+        cells = assign_nearest_cell(
+            corpus.select(F.col(corpus_id), F.col(vec_col)),
+            centroids,
+            corpus_id,
+            vec_col,
+            assign_decimals,
+        )
     m_cells = write_dedup_index(cells, f"{path}/cells", partition_by=["cell_id"])
-    m_cent = write_dedup_index(
-        centroids.select("cell_id", "centroid"), f"{path}/centroids"
-    )
+    if centroid_sums is not None:
+        m_cent = write_dedup_index(
+            centroid_sums.select("cell_id", "svec"), f"{path}/centroids"
+        )
+    else:
+        m_cent = write_dedup_index(
+            centroids.select("cell_id", "centroid"), f"{path}/centroids"
+        )
     meta = {
         "corpus_id": corpus_id,
         "vec_col": vec_col,
         "assign_decimals": assign_decimals,
+        "exact": centroid_sums is not None,
+        "micro": micro,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -888,10 +972,11 @@ def ivf_ann_topk_from_index(
         )
     else:
         cells, centroids, meta = index_path_or_tables
+    exact = bool(meta.get("exact"))
     return ivf_ann_topk(
         queries,
         corpus=None,
-        centroids=centroids,
+        centroids=None if exact else centroids,
         query_id=query_id,
         corpus_id=meta["corpus_id"],
         vec_col=meta["vec_col"],
@@ -900,6 +985,8 @@ def ivf_ann_topk_from_index(
         score_decimals=score_decimals,
         assign_decimals=meta["assign_decimals"],
         assigned_cells=cells,
+        centroid_sums=centroids if exact else None,
+        micro=float(meta.get("micro", 10000.0)),
     )
 
 

@@ -176,8 +176,15 @@ def extract_haplotypes(
     denom = F.when(
         F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n_samples")
     ).otherwise(F.col("__n_males") + 2 * (F.col("__n_samples") - F.col("__n_males")))
+    # frequency as exact 1e-5 units via the floor device (r12): the A5
+    # duplicate merge sums frequencies, and sums of rounded 5-decimal
+    # DOUBLES reassociate differently per aggregation order — the
+    # float-gate class. floor(cnt*1e5/denom + 0.5)/1e5 is the same
+    # correctly-rounded IEEE chain in every engine.
     haplos = haplos.withColumn(
-        "frequency", F.round(F.col("occurrence_count") / denom, 5)
+        "frequency",
+        F.floor(F.col("occurrence_count") * F.lit(100000.0) / denom + F.lit(0.5))
+        / F.lit(100000.0),
     ).drop("__n_samples", "__n_males")
 
     # A4: per-(super)population frequency maps with per-group sex-aware
@@ -326,7 +333,12 @@ def annotate_haplotypes(
         F.any_value("start_lost").alias("start_lost"),
         F.any_value("splice_sites_affected").alias("splice_sites_affected"),
         F.sum("occurrence_count").alias("occurrence_count"),
-        F.round(F.sum("frequency"), 5).alias("frequency"),
+        # exact merge: recover the integer 1e-5 units (scale-0 round on
+        # identical doubles is engine-safe), sum as BIGINT, divide once
+        (
+            F.sum(F.round(F.col("frequency") * F.lit(100000.0), 0).cast("long"))
+            / F.lit(100000.0)
+        ).alias("frequency"),
         F.flatten(F.collect_list("samples")).alias("samples"),
         # A5 map merge: key-wise ADD across merged duplicates
         # (add_population_freqs, process_haplotypes.py:50-70)

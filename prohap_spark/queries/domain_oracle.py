@@ -267,10 +267,13 @@ sigs AS (
 ),
 haplos AS (
   SELECT s.transcript_id, s.signature, count(*) AS occurrence_count,
-         round(count(*) /
+         -- r12: exact 1e-5-unit frequency (the floor device): the A5
+         -- merge SUMS these, and sums of rounded 5-decimal doubles
+         -- reassociate — integer freq5 units make the merge exact
+         CAST(floor(count(*) * 100000.0 /
                (CASE WHEN {_PAR_SQL.format(c="t.t_chrom", p="t.t_start")}
                      THEN 2.0 * c.n
-                     ELSE 1.0 * c.m + 2 * (c.n - c.m) END), 5) AS frequency
+                     ELSE 1.0 * c.m + 2 * (c.n - c.m) END) + 0.5) AS BIGINT) AS freq5
   FROM sigs s
   JOIN tr t ON t.transcript_id = s.transcript_id
   CROSS JOIN cohort c
@@ -358,7 +361,7 @@ res AS (
 SELECT r.transcript_id, r.cdna_changes,
        min(p.protein) AS protein,
        CAST(sum(h.occurrence_count) AS BIGINT) AS occurrence_count,
-       round(sum(h.frequency), 5) AS frequency
+       sum(h.freq5) / 100000.0 AS frequency
 FROM res r
 JOIN haplos h USING (transcript_id, signature)
 JOIN prot p USING (transcript_id, signature)

@@ -212,7 +212,7 @@ sigs AS (
 ),
 haplos AS (
   SELECT tid, cdna_changes, count(*) AS occurrence_count,
-         round(count(*) / (SELECT denom FROM cohort), 5) AS frequency
+         floor(count(*) * 100000.0 / (SELECT denom FROM cohort) + 0.5) / 100000.0 AS frequency
   FROM sigs GROUP BY 1, 2
 ),
 hch AS (

@@ -205,7 +205,7 @@ def f9_array_mask_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_normalized_key_join",
     """
     SELECT c.c_custkey, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 2) AS total_spend
+           sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0 AS total_spend
     FROM customer c
     JOIN orders o ON CAST(string_split(c.c_name, '#')[2] AS BIGINT) = o.o_custkey
     GROUP BY c.c_custkey
@@ -224,7 +224,7 @@ def j2_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))) / F.lit(100.0)).alias("total_spend"),
         )
     )
 
@@ -233,7 +233,7 @@ def j2_normalized_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j3_star_dim_join",
     """
     SELECT r.r_name, n.n_name, count(*) AS n_customers,
-           round(avg(c.c_acctbal), 4) AS avg_bal
+           sum(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) / (100.0 * count(*)) AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -253,7 +253,10 @@ def j3_star_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)))
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("avg_bal"),
         )
     )
 

@@ -268,7 +268,8 @@ def c_scalar_board(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_api_q6",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -286,7 +287,8 @@ def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SQL there, not on the caller session
     return li.sparkSession.sql(
         """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
                count(*) AS n
         FROM lineitem_v
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'

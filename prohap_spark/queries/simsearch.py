@@ -221,48 +221,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by sim_ivf_ann AND sim_ivf_index_probe: the probe-from-index
 # path is pinned (pytest + the probe query's own hash gate) to produce
 # IDENTICAL values to the direct path, so one replay serves both.
+# r12: ENGINE-EXACT assignment/probes — the r11 form ranked cells by
+# round(cos, 4) against cross-row float-avg centroids (the
+# sim_embedding_board red class) and zipped arrays via
+# unnest+generate_subscripts. Cell ranking now uses exact integer
+# 1e4-unit sums (member count cancels out of the cosine); the final
+# within-cell scores stay per-list sequential folds (engine-
+# deterministic), rounded at 6 exactly as before.
 _IVF_ANN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
-    ed AS (
-      SELECT label, unnest(embedding) AS x,
-             generate_subscripts(embedding, 1) AS d
-      FROM embeddings
+    ex2 AS (
+      SELECT vec_id, label, e.d AS d, e.xq AS xq FROM (
+        SELECT vec_id, label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      d -> {{'d': d,
+                             'xq': CAST(round(CAST(embedding[d] AS DOUBLE) * 10000) AS BIGINT)}}))
+                 AS e
+        FROM embeddings)
     ),
-    cent AS (
-      SELECT label AS cell_id, list(cx ORDER BY d) AS cvec
-      FROM (SELECT label, d, avg(CAST(x AS DOUBLE)) AS cx FROM ed GROUP BY label, d)
-      GROUP BY label
-    ),
-    cn AS (
-      SELECT cell_id, cvec,
-             {_DUCK_NORM.format(a='cvec')} AS centnorm
-      FROM cent
+    cent AS (SELECT label AS cell_id, d, sum(xq) AS sd FROM ex2 GROUP BY 1, 2),
+    sc AS (
+      SELECT e.vec_id, c2.cell_id,
+             CAST(sum(e.xq * c2.sd) AS DOUBLE) /
+               (sqrt(CAST(sum(e.xq * e.xq) AS DOUBLE)) *
+                sqrt(CAST(sum(c2.sd * c2.sd) AS DOUBLE))) AS cellcos
+      FROM ex2 e JOIN cent c2 ON e.d = c2.d
+      GROUP BY 1, 2
     ),
     assign AS (
       SELECT cid, cell_id, cv, cvnorm FROM (
-        SELECT c.cid, n.cell_id, c.cv,
+        SELECT c.cid, s.cell_id, c.cv,
                {_DUCK_NORM.format(a='c.cv')} AS cvnorm,
                row_number() OVER (
                  PARTITION BY c.cid
-                 ORDER BY round({_DUCK_DOT.format(a='c.cv', b='n.cvec')} /
-                                ({_DUCK_NORM.format(a='c.cv')} * n.centnorm), 4) DESC,
-                          n.cell_id
+                 ORDER BY s.cellcos DESC, s.cell_id
                ) AS rnk
-        FROM c, cn n
+        FROM sc s JOIN c ON c.cid = s.vec_id
       ) WHERE rnk = 1
     ),
     probes AS (
       SELECT qid, cell_id, qv, qvnorm FROM (
-        SELECT q.qid, n.cell_id, q.qv,
+        SELECT q.qid, s.cell_id, q.qv,
                {_DUCK_NORM.format(a='q.qv')} AS qvnorm,
                row_number() OVER (
                  PARTITION BY q.qid
-                 ORDER BY round({_DUCK_DOT.format(a='q.qv', b='n.cvec')} /
-                                ({_DUCK_NORM.format(a='q.qv')} * n.centnorm), 4) DESC,
-                          n.cell_id
+                 ORDER BY s.cellcos DESC, s.cell_id
                ) AS rnk
-        FROM q, cn n
+        FROM sc s JOIN q ON q.qid = s.vec_id
       ) WHERE rnk <= 3
     ),
     scored AS (
@@ -276,8 +282,7 @@ _IVF_ANN_ORACLE = f"""
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
       FROM scored
     )
-    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-    """
+    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5"""
 
 
 @register("sim_ivf_ann", _IVF_ANN_ORACLE)
@@ -289,12 +294,15 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 4, scores to 6), so unlike the hyperplane-LSH ANN this
     approximate index is value-checked against the oracle. Recall vs
     the brute-force baseline is pinned in tests/test_operators.py."""
+    from prohap_spark.operators.similarity import train_centroid_sums_by_label
+
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
-    cent = train_centroids_by_label(e, "label", "embedding")
+    cs = train_centroid_sums_by_label(e, "label", "embedding")
     out = ivf_ann_topk(
-        q, c, cent, "vec_id", "vec_id", "embedding", k=5, nprobe=3
+        q, c, None, "vec_id", "vec_id", "embedding", k=5, nprobe=3,
+        centroid_sums=cs,
     )
     return out.toDF("qid", "cid", "cosine", "rank")
 
@@ -1147,7 +1155,7 @@ def sim_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from prohap_spark.operators.similarity import (
         ivf_ann_topk_from_index,
-        train_centroids_by_label,
+        train_centroid_sums_by_label,
         write_ivf_index,
     )
 
@@ -1158,7 +1166,7 @@ def sim_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"/tmp/prohap_ivf_index_{_IVF_IDX_BASE}/{tag}"
     if not os.path.exists(f"{path}/meta.json"):
         atexit.register(shutil.rmtree, path, True)
-        cent = train_centroids_by_label(e, "label", "embedding")
-        write_ivf_index(c, cent, "vec_id", "embedding", path)
+        cs = train_centroid_sums_by_label(e, "label", "embedding")
+        write_ivf_index(c, None, "vec_id", "embedding", path, centroid_sums=cs)
     out = ivf_ann_topk_from_index(q, path, "vec_id", k=5, nprobe=3)
     return out.toDF("qid", "cid", "cosine", "rank")

@@ -180,9 +180,11 @@ def w2_deterministic_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w5_running_offset",
     """
     SELECT l_orderkey, l_linenumber,
-           round(sum(l_quantity - l_discount * 10)
+           sum(CAST(l_quantity AS BIGINT) * 1000
+               - CAST(floor(l_discount * 100 + 0.5) AS BIGINT) * 100)
                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 4) AS offset_before
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             / 1000.0 AS offset_before
     FROM lineitem
     """,
 )
@@ -191,19 +193,25 @@ def w5_running_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the group (the sequence_length_diff re-basing,
     process_haplotypes.py:272-285). RANGE frame (not ROWS): the order
     key is non-unique in this data, and a RANGE frame is
-    tie-order-insensitive → deterministic."""
+    tie-order-insensitive → deterministic. r12: the summand is exact
+    integer milli-units (quantity is integer-valued; l_discount*10 is
+    cents*100) — DuckDB evaluates windowed sums with a segment tree,
+    which reassociates float addition differently than Spark's running
+    accumulation, so only integer frames hash stably."""
     li = table(spark, sf_dir, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
         .orderBy("l_linenumber")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
+    term = (
+        F.col("l_quantity").cast("long") * 1000
+        - F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)) * 100
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum(F.col("l_quantity") - F.col("l_discount") * 10).over(w), 4).alias(
-            "offset_before"
-        ),
+        (F.sum(term).over(w) / F.lit(1000.0)).alias("offset_before"),
     )
 
 
