@@ -34,7 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     "q1_pricing_summary",
-    "j1_interval_join_binned",
+    # j1_interval_join_binned merged into j1_interval_board in r12 —
+    # a direct builder below keeps its bench entry like-for-like
     "j3_star_dim_join",
     "j10_asof_join",
     "a2_signature_grouping",
@@ -178,6 +179,15 @@ def main() -> None:
 
     builders.append(("sim_bruteforce_topk", lambda: sim_bruteforce_topk(spark, sf_dir)))
     builders.append(("emb_centroid_cosine", lambda: emb_centroid_cosine(spark, sf_dir)))
+
+    # j1_interval_join_binned merged into j1_interval_board in r12;
+    # the direct builder keeps the bench entry like-for-like with
+    # BENCH_r01..r11 (same device as the legs above)
+    from prohap_spark.queries.windowed import j1_interval_join_binned
+
+    builders.append(
+        ("j1_interval_join_binned", lambda: j1_interval_join_binned(spark, sf_dir))
+    )
 
     # w1_islands_sessionize / stream_tumbling_window merged into
     # w1_islands_board / stream_batch_parity_board in the r11 tail;

@@ -53,7 +53,9 @@ def test_binned_interval_join_avoids_nested_loop(spark, qs):
     not the BroadcastNestedLoopJoin a naive range predicate produces."""
     from prohap_spark.plans import plan_report
 
-    rep = plan_report(qs["j1_interval_join_binned"](spark, SF))
+    from prohap_spark.queries.windowed import j1_interval_join_binned
+
+    rep = plan_report(j1_interval_join_binned(spark, SF))
     assert rep["bnl_joins"] == 0
     assert rep["broadcast_joins"] + rep["sortmerge_joins"] >= 1
 
