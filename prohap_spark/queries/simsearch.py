@@ -760,6 +760,115 @@ def sim_pq_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-probe LSH oracle (r12, VERDICT_r11 ask #6): the recall lever
+# the ANN story quotes — lsh_ann_topk(n_probes=2) — value-checked end
+# to end. The probe SEQUENCE is replayable because under
+# quantize_micro the per-plane margins are exact BIGINTs: DuckDB
+# re-derives the base bucket per (vector, table), orders planes by
+# (|margin|, plane) ascending, flips the first 2 bits on the QUERY
+# side only (Lv et al. 2007 — corpus keeps one bucket per table), and
+# replays candidates + the exact-integer cosine ranking. Same
+# hyperplanes (12 tables x 4 planes, seeds hp0..hp11) as sim_lsh_ann,
+# so the leg is a strict recall superset of that green gate.
+def _mplsh_oracle_sql(n_probes: int = 2) -> str:
+    planes = ",\n      ".join(
+        f"({t}, {p}, '{hyperplane_sign_string(f'hp{t}', p, 64)}')"
+        for t in range(12)
+        for p in range(4)
+    )
+    micro = "CAST(round(CAST({v}[i] AS DOUBLE) * 1000000) AS BIGINT)"
+    qm, cm, em = (
+        micro.format(v=v) for v in ("q.embedding", "c.embedding", "e.embedding")
+    )
+    signed = (
+        "list_sum(list_transform(range(1, len(e.embedding) + 1), "
+        f"i -> CASE WHEN substr(p.signs, i, 1) = '1' "
+        f"THEN {em} ELSE -{em} END))"
+    )
+    dot = (
+        "CAST(list_sum(list_transform(range(1, len(q.embedding) + 1), "
+        f"i -> {qm} * {cm})) AS DOUBLE)"
+    )
+    n2 = (
+        "sqrt(CAST(list_sum(list_transform(range(1, len({v}.embedding) + 1), "
+        "i -> {m} * {m})) AS DOUBLE))"
+    )
+    qn = n2.format(v="q", m=qm)
+    cn = n2.format(v="c", m=cm)
+    return f"""
+    WITH planes(t, plane, signs) AS (VALUES
+      {planes}
+    ),
+    sums AS (
+      SELECT e.vec_id, p.t, p.plane, {signed} AS s
+      FROM embeddings e, planes p
+    ),
+    base AS (
+      SELECT vec_id, t,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, ''
+                        ORDER BY plane) AS bucket
+      FROM sums GROUP BY vec_id, t
+    ),
+    -- query-side probe sequence: planes by ascending (|margin|, plane)
+    flips AS (
+      SELECT vec_id, t, plane,
+             row_number() OVER (PARTITION BY vec_id, t
+                                ORDER BY abs(s), plane) AS rk
+      FROM sums WHERE vec_id < 10
+    ),
+    qprobes AS (
+      SELECT b.vec_id, b.t,
+             substr(b.bucket, 1, f.plane)
+             || CASE WHEN substr(b.bucket, f.plane + 1, 1) = '1'
+                     THEN '0' ELSE '1' END
+             || substr(b.bucket, f.plane + 2) AS bucket
+      FROM flips f JOIN base b ON b.vec_id = f.vec_id AND b.t = f.t
+      WHERE f.rk <= {n_probes}
+    ),
+    qb AS (
+      SELECT vec_id, t, bucket FROM base WHERE vec_id < 10
+      UNION ALL
+      SELECT vec_id, t, bucket FROM qprobes
+    ),
+    cand AS (
+      SELECT DISTINCT q2.vec_id AS qid, c2.vec_id AS cid
+      FROM qb q2 JOIN base c2 ON q2.t = c2.t AND q2.bucket = c2.bucket
+      WHERE c2.vec_id >= 10
+    ),
+    scored AS (
+      SELECT cand.qid, cand.cid,
+             round({dot} / ({qn} * {cn}), 6) AS cosine
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.qid
+      JOIN embeddings c ON c.vec_id = cand.cid
+    )
+    SELECT qid, cid, cosine, rank FROM (
+      SELECT qid, cid, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane-LSH ANN (operators/similarity.py
+    hyperplane_probe_buckets + lsh_ann_topk n_probes=2): each query
+    additionally probes its 2 lowest-|margin| bit-flips per table, so
+    recall rises without growing the corpus index — the scale lever
+    for ANN at fixed index storage. ENGINE-EXACT gate (see
+    _mplsh_oracle_sql); recall monotonicity vs n_probes=0 is pinned in
+    tests/test_operators.py."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    out = lsh_ann_topk(
+        q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12,
+        score_decimals=6, quantize_micro=True, n_probes=2,
+    )
+    return out.toDF("qid", "cid", "cosine", "rank")
+
+
 # sim_sq_ann and sim_pq_ann were MERGED into the one registered board
 # below in the r11 tail (the dedup_minhash_lsh_board slot-freeing
 # device, 8th use): identical (qid, cid, cosine, rank) output shapes,
@@ -776,26 +885,33 @@ def sim_pq_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'sq' AS leg, qid, cid, cosine, rank FROM ({_SQ_ANN_SQL})
     UNION ALL
     SELECT 'pq' AS leg, qid, cid, cosine, rank FROM ({_PQ_ANN_EXACT_SQL})
+    UNION ALL
+    SELECT 'mp' AS leg, qid, cid, cosine, rank FROM ({_mplsh_oracle_sql()})
     """,
 )
 def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both quantized two-stage ANN operators on one correctness
-    board: the INT8 scalar-quantized path (sq leg — see sim_sq_ann;
-    its dots/norms are per-list sequential folds, engine-deterministic
-    as-is) and the product-quantization ADC path (pq leg — the
-    ENGINE-EXACT sim_pq_ann_exact), each value-checked end-to-end
-    against its full SQL replay (quantization, candidate cut, exact
-    rerank). Harness note: the board unions the two standalone
-    operators, so the embeddings file is scanned once per leg-internal
-    consumer — a gate-SF correctness union; the per-operator plan pins
-    assert the production shapes."""
+    """The compressed/probed ANN variants on one correctness board:
+    the INT8 scalar-quantized path (sq leg — see sim_sq_ann; its
+    dots/norms are per-list sequential folds, engine-deterministic
+    as-is), the product-quantization ADC path (pq leg — the
+    ENGINE-EXACT sim_pq_ann_exact), and (r12, VERDICT_r11 ask #6) the
+    multi-probe LSH path (mp leg — sim_multiprobe_lsh, the recall
+    lever at fixed index storage), each value-checked end-to-end
+    against its full SQL replay (quantization / probe sequence,
+    candidate cut, exact rerank). Harness note: the board unions the
+    standalone operators, so the embeddings file is scanned once per
+    leg-internal consumer — a gate-SF correctness union; the
+    per-operator plan pins assert the production shapes."""
     sq = sim_sq_ann(spark, sf_dir).select(
         F.lit("sq").alias("leg"), "qid", "cid", "cosine", "rank"
     )
     pq = sim_pq_ann_exact(spark, sf_dir).select(
         F.lit("pq").alias("leg"), "qid", "cid", "cosine", "rank"
     )
-    return sq.unionByName(pq)
+    mp = sim_multiprobe_lsh(spark, sf_dir).select(
+        F.lit("mp").alias("leg"), "qid", "cid", "cosine", "rank"
+    )
+    return sq.unionByName(pq).unionByName(mp)
 
 
 @register(
