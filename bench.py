@@ -87,6 +87,54 @@ HEADLINE = [
 # would move all the work outside the timed region).
 
 
+def _burn(deadline: float, out, idx: int) -> None:
+    # Fixed integer-arithmetic kernel; chunked so the clock is read
+    # ~every few ms, not every iteration.
+    n = 0
+    x = 1
+    while time.monotonic() < deadline:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        n += 10_000
+    out[idx] = n
+
+
+def _cpu_probe(n_workers: int = 16, duration_s: float = 1.5) -> dict:
+    """Raw host CPU throughput at measurement time (r11 verdict #8).
+
+    n_workers processes each run a fixed integer LCG kernel for
+    duration_s; the record is total iterations/sec. The number is
+    meaningful only relative to other runs of THIS function on
+    other days — it converts BENCH wall-times into box-speed units
+    so cross-round comparisons survive host contention. Runs after
+    the timed passes (never concurrent with them).
+    """
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+        out = ctx.Array("q", n_workers)
+        deadline = time.monotonic() + duration_s
+        procs = [
+            ctx.Process(target=_burn, args=(deadline, out, i))
+            for i in range(n_workers)
+        ]
+        t0 = time.monotonic()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join(timeout=duration_s + 10)
+        elapsed = time.monotonic() - t0
+        total = sum(out[:])
+        return {
+            "iters_per_s": int(total / max(elapsed, 1e-9)),
+            "workers": n_workers,
+            "duration_s": round(elapsed, 3),
+        }
+    except Exception as exc:  # never let the probe sink the record
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -308,6 +356,7 @@ def main() -> None:
 
     import statistics
 
+    cpu_probe = _cpu_probe()
     medians = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     # per-query map: MIN-of-passes (r9 verdict #6) — the per-query
     # noise floor, so round-over-round per-query diffs self-correct
@@ -338,6 +387,15 @@ def main() -> None:
         "sf": sf,
         "pass_totals": pass_totals,
         "min_total": min_total,
+        # Box-speed reference (r11 verdict #8): this host's raw CPU
+        # throughput swings up to 3.3x on identical code (measured:
+        # 80938 vs 271487 iters/10s same-session). The probe stamps
+        # the record with the box speed AT measurement time so a
+        # future reader can normalize min_total across rounds
+        # without re-running. Compare cpu_probe.iters_per_s
+        # round-over-round before calling any wall-time delta a
+        # regression: a 2x slower probe explains a 2x slower total.
+        "cpu_probe": cpu_probe,
     }
     if errors:
         out["errors"] = errors
