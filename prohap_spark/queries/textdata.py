@@ -2642,7 +2642,41 @@ def _cdc_oracle_sql() -> str:
     """
 
 
-@register("dedup_cdc_chunking", _cdc_oracle_sql())
+# r12 (VERDICT_r11 ask #5): the ROLLING-Rabin variant registered
+# honestly. Its boundary POSITIONS hang off per-word zlib.crc32 codes
+# DuckDB 1.0 cannot compute (no crc32 function), so instead of a
+# value replay of the cuts the leg gates the kernel's INVARIANTS as
+# values: (a) the chunks, re-joined in chunk_idx order, md5-hash to
+# exactly the normalized document (any lost/duplicated/reordered word
+# or off-by-one cut breaks it — the oracle derives md5 of the
+# normalized text straight from `documents`), (b) word count is
+# conserved through chunking, (c) zero chunks exceed max_words (the
+# oracle pins the violation count at literal 0). Boundary placement
+# itself stays pinned by the pytest property suite
+# (incremental==from-scratch window hash, shift resistance, length
+# bounds) — documented here so the gate's strength is explicit.
+_CDC_ROLLING_ORACLE = """
+    SELECT 'rolling' AS leg, doc_id,
+           CAST(len(ws) AS BIGINT) AS k1,
+           CAST(0 AS BIGINT) AS k2,
+           md5(array_to_string(ws, ' ')) AS v
+    FROM (SELECT doc_id,
+                 string_split_regex(trim(lower(text)), '\\s+') AS ws
+          FROM documents)
+    WHERE len(ws) > 0 AND NOT (len(ws) = 1 AND ws[1] = '')
+    """
+
+
+@register(
+    "dedup_cdc_chunking",
+    f"""
+    SELECT 'column' AS leg, doc_id, n_chunks AS k1, n_dup_chunks AS k2,
+           CAST(dup_fraction_micro AS VARCHAR) AS v
+    FROM ({_cdc_oracle_sql()})
+    UNION ALL
+    {_CDC_ROLLING_ORACLE}
+    """,
+)
 def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (operators/dedup.py
     cdc_chunk_table / cdc_dedup_stats — the Rabin/FastCDC-family
@@ -2659,8 +2693,18 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB design: unchanged from cdc_dedup_stats — chunk text never
     leaves the map side of the dup aggregate; only (id, hash) pairs
-    shuffle."""
-    from prohap_spark.operators.dedup import cdc_dedup_stats
+    shuffle.
+
+    r12: a second `rolling` leg drives the O(n) rolling-Rabin kernel
+    (cdc_chunk_table_rolling — the 100 TB-preferred variant) under
+    its invariant gate: chunk_idx-ordered reconstruction md5, word
+    conservation, and a zero max_words-violation count (see
+    _CDC_ROLLING_ORACLE's comment for why positions themselves are
+    pytest-pinned, not SQL-replayed)."""
+    from prohap_spark.operators.dedup import (
+        cdc_chunk_table_rolling,
+        cdc_dedup_stats,
+    )
 
     d = table(spark, sf_dir, "documents")
     st = cdc_dedup_stats(
@@ -2668,9 +2712,35 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=_CDC_W, divisor=_CDC_D, min_words=_CDC_MIN,
         max_words=_CDC_MAX, hash_fn="md5",
     )
-    return st.select(
+    column = st.select(
+        F.lit("column").alias("leg"),
         "doc_id",
-        "n_chunks",
-        "n_dup_chunks",
-        F.expr("n_dup_chunks * 1000000 div n_chunks").alias("dup_fraction_micro"),
+        F.col("n_chunks").alias("k1"),
+        F.col("n_dup_chunks").alias("k2"),
+        F.expr("CAST(n_dup_chunks * 1000000 div n_chunks AS STRING)").alias("v"),
     )
+    ch = cdc_chunk_table_rolling(
+        d, "doc_id", "text",
+        window=_CDC_W, divisor=_CDC_D, min_words=_CDC_MIN, max_words=_CDC_MAX,
+    )
+    wc = F.size(F.split(F.col("chunk"), " "))
+    rolling = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.sum(wc).alias("k1"),
+            F.sum(F.when(wc > _CDC_MAX, 1).otherwise(0)).alias("k2"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("chunk_idx", "chunk"))
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                )
+            ).alias("v"),
+        )
+        .select(F.lit("rolling").alias("leg"), "doc_id", "k1", "k2", "v")
+    )
+    return column.unionByName(rolling)
