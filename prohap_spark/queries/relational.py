@@ -636,6 +636,7 @@ def _sketch_algebra_oracle_sql() -> str:
         ) WHERE rnk <= 64
         GROUP BY g
       )"""
+    hku = _md5_window_sql("ku.v", 1, 15)
     return f"""
     WITH seta AS (SELECT 'x' AS g, o_custkey AS v FROM orders
                   WHERE o_orderpriority = '1-URGENT'),
@@ -644,7 +645,43 @@ def _sketch_algebra_oracle_sql() -> str:
     setu AS (SELECT * FROM seta UNION ALL SELECT * FROM setb),
     ea AS (SELECT hll_est AS e FROM ({hll_oracle_sql("seta", "g", "v")})),
     eb AS (SELECT hll_est AS e FROM ({hll_oracle_sql("setb", "g", "v")})),
-    eu AS (SELECT hll_est AS e FROM ({hll_oracle_sql("setu", "g", "v")}))
+    eu AS (SELECT hll_est AS e FROM ({hll_oracle_sql("setu", "g", "v")})),
+    -- kmv_intersect leg (r12): the theta-sketch overlap read.
+    -- Bottom-64 of A and B, union sketch = bottom-64 of the merged
+    -- hash sets (exactly the union's own sketch), matches counted
+    -- against membership in BOTH input sketches (not the raw sets —
+    -- the estimator reads sketch state only).
+    kseta AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+              WHERE o_orderpriority = '1-URGENT'),
+    ksetb AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+              WHERE o_orderpriority = '2-HIGH'),
+    ka AS (SELECT v, h FROM (
+             SELECT v, md5(v) AS h,
+                    row_number() OVER (ORDER BY md5(v)) AS rnk
+             FROM kseta) WHERE rnk <= 64),
+    kb AS (SELECT v, h FROM (
+             SELECT v, md5(v) AS h,
+                    row_number() OVER (ORDER BY md5(v)) AS rnk
+             FROM ksetb) WHERE rnk <= 64),
+    ku AS (SELECT v, h, rnk FROM (
+             SELECT v, h, row_number() OVER (ORDER BY h) AS rnk
+             FROM (SELECT DISTINCT v, md5(v) AS h FROM
+                   (SELECT v FROM kseta UNION ALL SELECT v FROM ksetb)))
+           WHERE rnk <= 64),
+    kint AS (
+      SELECT CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+             CAST(count(*) AS BIGINT) AS nu,
+             max(CASE WHEN ku.rnk = 64 THEN {hku} END) AS hk
+      FROM ku LEFT JOIN ka a ON ku.h = a.h LEFT JOIN kb b ON ku.h = b.h
+    ),
+    kres AS (
+      SELECT matches, nu,
+             CASE WHEN nu < 64 THEN nu
+                  ELSE CAST(round(63.0 * 1152921504606846976.0
+                       / CAST(hk AS DOUBLE)) AS BIGINT) END AS uest
+      FROM kint
+    )
     SELECT 'kmv_direct' AS leg, g AS key, est, aux,
            CAST(NULL AS VARCHAR) AS val
     FROM ({kmv_leg})
@@ -670,6 +707,17 @@ def _sketch_algebra_oracle_sql() -> str:
     SELECT 'hll' AS leg, 'est_intersect',
            greatest(ea.e + eb.e - eu.e, 0), NULL, NULL
     FROM ea, eb, eu
+    UNION ALL
+    SELECT 'kmv_intersect' AS leg, 'jaccard_num', matches, NULL, NULL FROM kres
+    UNION ALL
+    SELECT 'kmv_intersect' AS leg, 'union_est', uest, NULL, NULL FROM kres
+    UNION ALL
+    SELECT 'kmv_intersect' AS leg, 'intersect_est',
+           CASE WHEN nu < 64 THEN matches
+                ELSE CAST(round(CAST(matches AS DOUBLE)
+                     * CAST(uest AS DOUBLE) / 64.0) AS BIGINT) END,
+           NULL, NULL
+    FROM kres
     """
 
 
@@ -702,6 +750,7 @@ def sketch_algebra_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers,
         kmv_bottom_k,
         kmv_estimate,
+        kmv_intersect_estimate,
         kmv_merge,
     )
 
@@ -762,7 +811,28 @@ def sketch_algebra_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("aux"),
         F.lit(None).cast("string").alias("val"),
     )
-    return direct.unionByName(merged).unionByName(sample).unionByName(hll_leg)
+    # kmv_intersect leg (r12): the sharper theta-sketch overlap read
+    # beside the HLL inclusion–exclusion one — Jaccard estimated
+    # DIRECTLY from the union sketch's uniform sample (error scales
+    # with the overlap fraction, not with |A∪B|). Reads SKETCH state
+    # only: the same bottom-64 artifacts a 100 TB deployment persists.
+    ka = kmv_bottom_k(prio_set("1-URGENT"), ["g"], "v", k=64)
+    kb = kmv_bottom_k(prio_set("2-HIGH"), ["g"], "v", k=64)
+    ki = kmv_intersect_estimate(ka, kb, ["g"], k=64)
+    kmv_int_leg = ki.select(
+        F.expr(
+            "stack(3, 'jaccard_num', kmv_jaccard_num, 'union_est', "
+            "kmv_union_est, 'intersect_est', kmv_intersect_est) AS (key, est)"
+        )
+    ).select(
+        F.lit("kmv_intersect").alias("leg"), "key", "est",
+        F.lit(None).cast("long").alias("aux"),
+        F.lit(None).cast("string").alias("val"),
+    )
+    return (
+        direct.unionByName(merged).unionByName(sample)
+        .unionByName(hll_leg).unionByName(kmv_int_leg)
+    )
 
 
 @register(
