@@ -115,7 +115,20 @@ _FRONT = [
 _BACK = [
     # last green r10, dark r11 — the r13 rule-(c) front obligations
     # (rotation_audit.py prints them).
-    "so_set_ops", "agg_rollup", "agg_pivot", "agg_quantiles",
+    #
+    # r13 budget arithmetic (resolved ahead of time, r12 tail): the
+    # obligations stood at 51 — 50 r10-greens + table_maintenance_
+    # board's rule-(a) slot. Resolution: TWO rule-(c) pair-merges
+    # (stream_session_window + stream_sliding_window →
+    # stream_window_board in queries/scalars.py; agg_rollup +
+    # agg_pivot → agg_shape_board in queries/relational.py), each
+    # board carrying both members' obligation as ONE rule-(a) entry.
+    # The second freed slot funds table_stats_board (ANALYZE-style
+    # column statistics, queries/maintenance.py — new r12 surface).
+    # Net r13 front: 46 rule-(c) + 4 rule-(a) (maintenance, window,
+    # agg_shape, stats boards) = exactly 50; registry 149 (one slot
+    # of headroom under the 150 cap). No entry bumped or dropped.
+    "so_set_ops", "agg_quantiles",
     "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
     "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
     "text_quality", "text_langid", "text_bloom_decontam",
@@ -125,7 +138,6 @@ _BACK = [
     "dedup_incremental_near", "sampling_negative_pairs", "dedup_host_cap",
     "sim_lsh_ann", "sim_knn_classify", "hybrid_search_rrf",
     "sim_kmeans_ivf", "f12_liftover_artifact_filter",
-    "stream_session_window", "stream_sliding_window",
     "agg_approx_sketches", "multimodal_decode_features",
     "multimodal_resize_stats", "multimodal_jpeg_color_codec",
     "multimodal_gif_tiff_codec", "multimodal_audio_container",

@@ -162,3 +162,134 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("url").alias("leg"), "k", NL.alias("n"), NL.alias("h"), "s"
     )
     return compact.unionByName(recluster).unionByName(urls)
+
+
+def _stats_oracle_sql() -> str:
+    from prohap_spark.functions.sketches import hll_oracle_sql
+
+    return f"""
+    WITH agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(count(*) - count(l_orderkey) AS BIGINT) AS null_ok,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_ok,
+             CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+             CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+             CAST(count(*) - count(l_quantity) AS BIGINT) AS null_q,
+             CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
+             CAST(min(l_quantity) AS BIGINT) AS min_q,
+             CAST(max(l_quantity) AS BIGINT) AS max_q,
+             CAST(count(*) - count(l_returnflag) AS BIGINT) AS null_rf,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf,
+             min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
+             CAST(count(*) - count(l_shipdate) AS BIGINT) AS null_sd,
+             CAST(count(DISTINCT l_shipdate) AS BIGINT) AS ndv_sd,
+             epoch_us(min(l_shipdate)) AS min_sd,
+             epoch_us(max(l_shipdate)) AS max_sd
+      FROM lineitem
+    ),
+    lo AS (SELECT 'x' AS g, l_orderkey AS v FROM lineitem),
+    lrf AS (SELECT 'x' AS g, l_returnflag AS v FROM lineitem),
+    hok AS (SELECT hll_est FROM ({hll_oracle_sql("lo", "g", "v")})),
+    hrf AS (SELECT hll_est FROM ({hll_oracle_sql("lrf", "g", "v")}))
+    SELECT col, stat, ival, sval FROM (
+      SELECT '<table>' AS col, 'n' AS stat, n AS ival,
+             CAST(NULL AS VARCHAR) AS sval FROM agg
+      UNION ALL SELECT 'l_orderkey', 'n_null', null_ok, NULL FROM agg
+      UNION ALL SELECT 'l_orderkey', 'ndv', ndv_ok, NULL FROM agg
+      UNION ALL SELECT 'l_orderkey', 'min', min_ok, NULL FROM agg
+      UNION ALL SELECT 'l_orderkey', 'max', max_ok, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'n_null', null_q, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'ndv', ndv_q, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'min', min_q, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'max', max_q, NULL FROM agg
+      UNION ALL SELECT 'l_returnflag', 'n_null', null_rf, NULL FROM agg
+      UNION ALL SELECT 'l_returnflag', 'ndv', ndv_rf, NULL FROM agg
+      UNION ALL SELECT 'l_returnflag', 'min', CAST(NULL AS BIGINT), min_rf FROM agg
+      UNION ALL SELECT 'l_returnflag', 'max', CAST(NULL AS BIGINT), max_rf FROM agg
+      UNION ALL SELECT 'l_shipdate', 'n_null', null_sd, NULL FROM agg
+      UNION ALL SELECT 'l_shipdate', 'ndv', ndv_sd, NULL FROM agg
+      UNION ALL SELECT 'l_shipdate', 'min', min_sd, NULL FROM agg
+      UNION ALL SELECT 'l_shipdate', 'max', max_sd, NULL FROM agg
+      UNION ALL SELECT 'l_orderkey', 'ndv_hll', hll_est, NULL FROM hok
+      UNION ALL SELECT 'l_returnflag', 'ndv_hll', hll_est, NULL FROM hrf
+    )
+    """
+
+
+@register("table_stats_board", _stats_oracle_sql())
+def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics collection (r12 engine
+    surplus): per-column null counts, min/max, exact NDV, and the
+    deterministic-HLL NDV estimate over lineitem, emitted long-form
+    as (col, stat, ival, sval) — the statistics a cost-based planner
+    (join ordering, broadcast thresholds) and the layout layer (zone
+    maps, z-order dimension choice: operators/layout.py) consume.
+
+    100 TB design: the count/min/max/null stats are ONE scan with
+    map-side partial aggregation and no shuffle beyond the final
+    single-row reduce. The exact-NDV leg (count_distinct x3 -> one
+    Expand) is the gate-SF cross-check; the production NDV path at
+    scale is the ndv_hll legs — the mergeable <=64-row HLL register
+    artifact (functions/sketches.py hll_registers) that per-shard
+    stats jobs persist and merge losslessly, never rescanning. min/max
+    timestamps hash as epoch micros (UTC engine session), never as
+    formatted strings."""
+    from prohap_spark.functions.sketches import hll_distinct
+
+    li = table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    a = li.agg(
+        n.alias("n"),
+        (n - F.count("l_orderkey")).alias("null_ok"),
+        F.countDistinct("l_orderkey").alias("ndv_ok"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+        (n - F.count("l_quantity")).alias("null_q"),
+        F.countDistinct("l_quantity").alias("ndv_q"),
+        F.min("l_quantity").cast("long").alias("min_q"),
+        F.max("l_quantity").cast("long").alias("max_q"),
+        (n - F.count("l_returnflag")).alias("null_rf"),
+        F.countDistinct("l_returnflag").alias("ndv_rf"),
+        F.min("l_returnflag").alias("min_rf"),
+        F.max("l_returnflag").alias("max_rf"),
+        (n - F.count("l_shipdate")).alias("null_sd"),
+        F.countDistinct("l_shipdate").alias("ndv_sd"),
+        F.min(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("min_sd"),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).alias("max_sd"),
+    )
+    rows = a.select(
+        F.expr(
+            """stack(17,
+            '<table>',      'n',      n,       CAST(NULL AS STRING),
+            'l_orderkey',   'n_null', null_ok, CAST(NULL AS STRING),
+            'l_orderkey',   'ndv',    ndv_ok,  CAST(NULL AS STRING),
+            'l_orderkey',   'min',    min_ok,  CAST(NULL AS STRING),
+            'l_orderkey',   'max',    max_ok,  CAST(NULL AS STRING),
+            'l_quantity',   'n_null', null_q,  CAST(NULL AS STRING),
+            'l_quantity',   'ndv',    ndv_q,   CAST(NULL AS STRING),
+            'l_quantity',   'min',    min_q,   CAST(NULL AS STRING),
+            'l_quantity',   'max',    max_q,   CAST(NULL AS STRING),
+            'l_returnflag', 'n_null', null_rf, CAST(NULL AS STRING),
+            'l_returnflag', 'ndv',    ndv_rf,  CAST(NULL AS STRING),
+            'l_returnflag', 'min',    CAST(NULL AS BIGINT), min_rf,
+            'l_returnflag', 'max',    CAST(NULL AS BIGINT), max_rf,
+            'l_shipdate',   'n_null', null_sd, CAST(NULL AS STRING),
+            'l_shipdate',   'ndv',    ndv_sd,  CAST(NULL AS STRING),
+            'l_shipdate',   'min',    min_sd,  CAST(NULL AS STRING),
+            'l_shipdate',   'max',    max_sd,  CAST(NULL AS STRING)
+            ) AS (col, stat, ival, sval)"""
+        )
+    )
+
+    def hll_leg(colname: str) -> DataFrame:
+        regs = li.select(F.lit("x").alias("g"), F.col(colname).alias("v"))
+        return hll_distinct(regs, ["g"], "v").select(
+            F.lit(colname).alias("col"),
+            F.lit("ndv_hll").alias("stat"),
+            F.col("hll_est").alias("ival"),
+            F.lit(None).cast("string").alias("sval"),
+        )
+
+    return rows.unionByName(hll_leg("l_orderkey")).unionByName(
+        hll_leg("l_returnflag")
+    )

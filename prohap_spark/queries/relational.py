@@ -453,17 +453,21 @@ def so_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(only)
 
 
-@register(
-    "agg_rollup",
-    """
+# agg_rollup + agg_pivot MERGED into agg_shape_board (r12 — the
+# slot-freeing device; see queries/scalars.py's stream_window_board
+# note for the round's budget arithmetic). Singleton callables stay
+# the library surface; the pivot leg hashes in UNPIVOTED long form so
+# both legs share one column shape.
+_AGG_ROLLUP_SQL = """
     SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
            coalesce(l_linestatus, '<all>') AS l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-)
+    """
+
+
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.4 capability surplus: ROLLUP grouping sets."""
     li = table(spark, sf_dir, "lineitem")
@@ -479,15 +483,6 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_pivot",
-    """
-    SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F
-    FROM lineitem GROUP BY l_returnflag
-    """,
-)
 def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (wide conditional aggregation)."""
     li = table(spark, sf_dir, "lineitem")
@@ -501,6 +496,56 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
         )
     )
+
+
+@register(
+    "agg_shape_board",
+    f"""
+    SELECT 'rollup' AS leg, l_returnflag AS rf, l_linestatus AS ls,
+           sum_qty AS qty, n
+    FROM ({_AGG_ROLLUP_SQL})
+    UNION ALL
+    SELECT 'pivot' AS leg, l_returnflag AS rf, 'O' AS ls, qty_O AS qty,
+           CAST(NULL AS BIGINT) AS n
+    FROM (SELECT l_returnflag,
+                 round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity
+                           ELSE 0 END), 2) AS qty_O
+          FROM lineitem GROUP BY l_returnflag)
+    UNION ALL
+    SELECT 'pivot' AS leg, l_returnflag AS rf, 'F' AS ls, qty_F AS qty,
+           CAST(NULL AS BIGINT) AS n
+    FROM (SELECT l_returnflag,
+                 round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity
+                           ELSE 0 END), 2) AS qty_F
+          FROM lineitem GROUP BY l_returnflag)
+    """,
+)
+def agg_shape_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets + pivot (wide conditional aggregation) on
+    one correctness board (the r12 merge of agg_rollup + agg_pivot).
+    The pivot leg exercises the real .pivot() wide plan, then unpivots
+    via stack() so both legs hash under one column shape. l_quantity
+    is integer-valued, so the rounded double sums are exact at any
+    partial-aggregation order (the grep-audit note in
+    queries/__init__.py)."""
+    rollup = agg_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("leg"),
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_linestatus").alias("ls"),
+        F.col("sum_qty").alias("qty"),
+        "n",
+    )
+    pivot = agg_pivot(spark, sf_dir).select(
+        "l_returnflag",
+        F.expr("stack(2, 'O', qty_O, 'F', qty_F) AS (ls, qty)"),
+    ).select(
+        F.lit("pivot").alias("leg"),
+        F.col("l_returnflag").alias("rf"),
+        "ls",
+        "qty",
+        F.lit(None).cast("long").alias("n"),
+    )
+    return rollup.unionByName(pivot)
 
 
 @register(

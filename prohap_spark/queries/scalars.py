@@ -106,9 +106,15 @@ def f12_liftover_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.substring("text", 3, 5) != "alpha").select("doc_id")
 
 
-@register(
-    "stream_session_window",
-    """
+# stream_session_window + stream_sliding_window MERGED into
+# stream_window_board (r12 — the slot-freeing device, 12th use): both
+# were r10-green rule-(c) obligations for the r13 front, which was
+# one over budget (50 r10-greens + table_maintenance_board's rule-(a)
+# slot); the board carries both obligations as ONE rule-(a) entry and
+# the freed slot funds table_stats_board (queries/maintenance.py).
+# The singleton callables stay the library surface; the sliding leg's
+# gate also hardens from a double total_value to exact integer cents.
+_SESSION_WINDOW_SQL = """
     WITH g AS (
       SELECT user_id, ts,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -126,8 +132,9 @@ def f12_liftover_artifact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            epoch_us(max(ts)) + 3600000000 AS session_end_us,
            count(*) AS n_events
     FROM s GROUP BY user_id, sid
-    """,
-)
+    """
+
+
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 session windows, batch-checkable: F.session_window(ts, 1h)
     must equal the gaps-and-islands oracle (events closer than the gap
@@ -146,36 +153,76 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_sliding_window",
-    """
+_SLIDING_WINDOW_SQL = """
     WITH slides AS (SELECT unnest(range(0, 2)) AS k)
     SELECT epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 AS window_start_us,
            count(*) AS n,
-           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total_value
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
     FROM events, slides
     WHERE epoch_us(date_trunc('hour', ts - to_microseconds((k * 1800000000)::BIGINT))) + k * 1800000000 <= epoch_us(ts)
     GROUP BY 1
-    """,
-)
+    """
+
+
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 sliding window (1 h size, 30 min slide) in batch-checkable
-    form: each event lands in 2 overlapping windows."""
+    form: each event lands in 2 overlapping windows. Value column is
+    exact integer cents (r12 — no double reaches the board's hash)."""
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            (F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))) / F.lit(100.0)).alias(
-                "total_value"
-            ),
+            F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).alias("total_cents"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
             "n",
-            "total_value",
+            "total_cents",
         )
     )
+
+
+@register(
+    "stream_window_board",
+    f"""
+    SELECT 'session' AS leg, user_id AS uid, session_start_us AS start_us,
+           session_end_us AS end_us, n_events AS n,
+           CAST(NULL AS BIGINT) AS cents
+    FROM ({_SESSION_WINDOW_SQL})
+    UNION ALL
+    SELECT 'sliding' AS leg, CAST(NULL AS BIGINT) AS uid,
+           window_start_us AS start_us,
+           window_start_us + 3600000000 AS end_us, n,
+           total_cents AS cents
+    FROM ({_SLIDING_WINDOW_SQL})
+    """,
+)
+def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 session + sliding windows on one correctness board (the
+    r12 merge of stream_session_window + stream_sliding_window — see
+    the note above _SESSION_WINDOW_SQL). Both legs are the exact
+    batch-checkable twins of the readStream expressions in
+    prohap_spark/streaming/: F.session_window(ts, 1h) against the
+    gaps-and-islands oracle, F.window(ts, 1h, 30m) against the
+    explicit 2-slide replay, sliding totals as exact integer cents."""
+    sess = stream_session_window(spark, sf_dir).select(
+        F.lit("session").alias("leg"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("session_start_us").alias("start_us"),
+        F.col("session_end_us").alias("end_us"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    slid = stream_sliding_window(spark, sf_dir).select(
+        F.lit("sliding").alias("leg"),
+        F.lit(None).cast("long").alias("uid"),
+        F.col("window_start_us").alias("start_us"),
+        (F.col("window_start_us") + F.lit(3600000000).cast("long")).alias("end_us"),
+        "n",
+        F.col("total_cents").cast("long").alias("cents"),
+    )
+    return sess.unionByName(slid)
 
 
 def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
