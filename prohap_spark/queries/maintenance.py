@@ -236,7 +236,12 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatted strings."""
     from prohap_spark.functions.sketches import hll_distinct
 
-    li = table(spark, sf_dir, "lineitem")
+    # ONE scan feeds the stats agg and both HLL register builds (the
+    # multiplied-subplan rule); only the four profiled columns leave
+    # the scan (column pruning stays effective)
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    ).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     a = li.agg(
         n.alias("n"),
