@@ -527,7 +527,8 @@ def agg_shape_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     via stack() so both legs hash under one column shape. l_quantity
     is integer-valued, so the rounded double sums are exact at any
     partial-aggregation order (the grep-audit note in
-    queries/__init__.py)."""
+    queries/__init__.py). Harness note: one lineitem scan per leg — a
+    gate-SF correctness union of the two standalone operators."""
     rollup = agg_rollup(spark, sf_dir).select(
         F.lit("rollup").alias("leg"),
         F.col("l_returnflag").alias("rf"),

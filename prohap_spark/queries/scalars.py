@@ -205,7 +205,10 @@ def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-checkable twins of the readStream expressions in
     prohap_spark/streaming/: F.session_window(ts, 1h) against the
     gaps-and-islands oracle, F.window(ts, 1h, 30m) against the
-    explicit 2-slide replay, sliding totals as exact integer cents."""
+    explicit 2-slide replay, sliding totals as exact integer cents.
+    Harness note: the board unions the two standalone operators, so
+    events is scanned once per leg — a gate-SF correctness union; each
+    leg's production shape is the single-scan singleton above."""
     sess = stream_session_window(spark, sf_dir).select(
         F.lit("session").alias("leg"),
         F.col("user_id").cast("long").alias("uid"),
