@@ -212,18 +212,75 @@ def _stats_oracle_sql() -> str:
       UNION ALL SELECT 'l_shipdate', 'max', max_sd, NULL FROM agg
       UNION ALL SELECT 'l_orderkey', 'ndv_hll', hll_est, NULL FROM hok
       UNION ALL SELECT 'l_returnflag', 'ndv_hll', hll_est, NULL FROM hrf
+      UNION ALL SELECT '<check>', 'not_null(l_orderkey)',
+        (SELECT CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
+         FROM lineitem), NULL
+      UNION ALL SELECT '<check>', 'in_range(l_quantity,1,50)',
+        (SELECT CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+           AND (l_quantity < 1 OR l_quantity > 50)) AS BIGINT)
+         FROM lineitem), NULL
+      UNION ALL SELECT '<check>', 'accepted_values(l_returnflag)',
+        (SELECT CAST(count(*) FILTER (WHERE l_returnflag IS NOT NULL
+           AND l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+         FROM lineitem), NULL
+      UNION ALL SELECT '<check>', 'unique(l_orderkey,l_linenumber)',
+        (SELECT CAST(coalesce(sum(nn - 1), 0) AS BIGINT) FROM
+          (SELECT count(*) AS nn FROM lineitem
+           GROUP BY l_orderkey, l_linenumber) WHERE nn > 1), NULL
+      UNION ALL SELECT '<check>', 'fk(l_orderkey->o_orderkey)',
+        (SELECT CAST(count(*) AS BIGINT) FROM lineitem li
+         WHERE li.l_orderkey IS NOT NULL AND NOT EXISTS
+           (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)),
+        NULL
+      UNION ALL
+      SELECT '<diff>', s.status, coalesce(d.n, 0), NULL
+      FROM (VALUES ('added'), ('removed'), ('changed'), ('same')) s(status)
+      LEFT JOIN (
+        SELECT CASE WHEN ak IS NULL THEN 'added'
+                    WHEN bk IS NULL THEN 'removed'
+                    WHEN ap <> bp OR ac <> bc THEN 'changed'
+                    ELSE 'same' END AS status,
+               CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT a.k AS ak, b.k AS bk, a.p AS ap, a.c AS ac,
+                 b.p AS bp, b.c AS bc
+          FROM (SELECT o_orderkey AS k, o_orderpriority AS p,
+                       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                FROM orders) a
+          FULL OUTER JOIN (
+            SELECT k, p,
+                   CASE WHEN k % 101 = 7 THEN c + 100 ELSE c END AS c
+            FROM (SELECT o_orderkey AS k, o_orderpriority AS p,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM orders)
+            WHERE k % 97 <> 3
+            UNION ALL
+            SELECT k + 1000000000, p, c
+            FROM (SELECT o_orderkey AS k, o_orderpriority AS p,
+                         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+                  FROM orders)
+            WHERE k % 103 = 5
+          ) b ON a.k = b.k
+        ) GROUP BY 1
+      ) d ON d.status = s.status
     )
     """
 
 
 @register("table_stats_board", _stats_oracle_sql())
 def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style column statistics collection (r12 engine
-    surplus): per-column null counts, min/max, exact NDV, and the
-    deterministic-HLL NDV estimate over lineitem, emitted long-form
-    as (col, stat, ival, sval) — the statistics a cost-based planner
-    (join ordering, broadcast thresholds) and the layout layer (zone
-    maps, z-order dimension choice: operators/layout.py) consume.
+    """The table-health surface (r12 engine surplus), three leg
+    families in one long-form (col, stat, ival, sval) gate:
+    ANALYZE-style column statistics (per-column null counts, min/max,
+    exact NDV, the deterministic-HLL NDV estimate — what a cost-based
+    planner and the layout layer consume), declarative data-quality
+    CONSTRAINT checks (operators/validate.py: not-null / range /
+    accepted-values in one aggregate pass, unique-key and
+    foreign-key with their one keyed exchange each — the validation
+    gate a corpus passes before feeding a training job), and a
+    snapshot DIFF (table_diff: added/removed/changed/same counts
+    between two pipeline versions via per-row digests and one
+    full-outer join on the key).
 
     100 TB design: the count/min/max/null stats are ONE scan with
     map-side partial aggregation and no shuffle beyond the final
@@ -235,12 +292,21 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps hash as epoch micros (UTC engine session), never as
     formatted strings."""
     from prohap_spark.functions.sketches import hll_distinct
+    from prohap_spark.operators.validate import (
+        accepted_values,
+        check_rows,
+        fk_violations,
+        in_range,
+        not_null,
+        table_diff,
+        unique_violations,
+    )
 
-    # ONE scan feeds the stats agg and both HLL register builds (the
-    # multiplied-subplan rule); only the four profiled columns leave
-    # the scan (column pruning stays effective)
+    # ONE scan feeds the stats agg, both HLL register builds, and the
+    # constraint legs (the multiplied-subplan rule); only the profiled
+    # columns leave the scan (column pruning stays effective)
     li = table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
     ).localCheckpoint(eager=False)
     n = F.count(F.lit(1))
     a = li.agg(
@@ -295,6 +361,69 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("string").alias("sval"),
         )
 
-    return rows.unionByName(hll_leg("l_orderkey")).unionByName(
-        hll_leg("l_returnflag")
+    # constraint legs (operators/validate.py): row-level rules in ONE
+    # aggregate pass over the shared scan; unique/fk each pay their
+    # one keyed exchange. The unique(l_orderkey,l_linenumber) count is
+    # a REAL nonzero signal — that pair is documented non-unique in
+    # this dataset — so the gate hashes an actual violation total, not
+    # a wall of zeros.
+    NS = F.lit(None).cast("string")
+
+    def chk_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit("<check>").alias("col"),
+            F.col("constraint").alias("stat"),
+            F.col("violations").alias("ival"),
+            NS.alias("sval"),
+        )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    ).localCheckpoint(eager=False)
+    checks = chk_rows(
+        check_rows(
+            li,
+            [
+                not_null("l_orderkey"),
+                in_range("l_quantity", 1, 50),
+                accepted_values("l_returnflag", ["A", "N", "R"]),
+            ],
+        )
+    ).unionByName(
+        chk_rows(unique_violations(li, ["l_orderkey", "l_linenumber"]))
+    ).unionByName(
+        chk_rows(
+            fk_violations(li, "l_orderkey", o.withColumnRenamed(
+                "o_orderkey", "l_orderkey"), "l_orderkey",
+                name="fk(l_orderkey->o_orderkey)")
+        )
+    )
+
+    # diff leg: snapshot b = a deterministic mutation of orders
+    # (removed keys ≡3 mod 97, price bumped one dollar for keys ≡7
+    # mod 101, synthetic added keys ≡5 mod 103 offset by 1e9) — the
+    # four status counts replay exactly in SQL. Cents column, never a
+    # raw double, reaches the digest.
+    a = o.select(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p"), "c")
+    b = a.where(F.col("k") % 97 != 3).withColumn(
+        "c", F.when(F.col("k") % 101 == 7, F.col("c") + 100).otherwise(F.col("c"))
+    ).unionByName(
+        a.where(F.col("k") % 103 == 5).select(
+            (F.col("k") + F.lit(1000000000)).alias("k"), "p", "c"
+        )
+    )
+    diff = table_diff(a, b, ["k"], ["p", "c"]).select(
+        F.lit("<diff>").alias("col"),
+        F.col("status").alias("stat"),
+        F.col("n").alias("ival"),
+        NS.alias("sval"),
+    )
+
+    return (
+        rows.unionByName(hll_leg("l_orderkey"))
+        .unionByName(hll_leg("l_returnflag"))
+        .unionByName(checks)
+        .unionByName(diff)
     )
