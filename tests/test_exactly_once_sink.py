@@ -1,0 +1,103 @@
+"""streaming/sink.py: exactly-once delivery via the idempotent
+epoch-keyed foreachBatch writer."""
+
+import datetime as dt
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from prohap_spark.streaming.sink import (
+    COMMIT_MARKER,
+    committed_batch_ids,
+    idempotent_batch_writer,
+    read_committed,
+)
+
+
+def test_replayed_epoch_is_noop(spark, tmp_path):
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    w(df, 0)
+    first_mtime = os.path.getmtime(os.path.join(out, "batch_id=0", COMMIT_MARKER))
+    # Spark redelivers the same epoch after a recovery — must be a no-op
+    w(df, 0)
+    assert read_committed(spark, out).count() == 2
+    assert os.path.getmtime(
+        os.path.join(out, "batch_id=0", COMMIT_MARKER)
+    ) == first_mtime
+
+
+def test_torn_write_overwritten_and_invisible(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    # simulate the crash: parquet landed (twice over, as a torn retry
+    # might), marker never written
+    torn = os.path.join(out, "batch_id=7")
+    df.write.mode("overwrite").parquet(torn)
+    # a reader between crash and retry must not see the torn epoch
+    assert committed_batch_ids(out) == []
+    # the replayed delivery overwrites wholesale — no append-duplication
+    idempotent_batch_writer(out)(df, 7)
+    assert committed_batch_ids(out) == [7]
+    assert read_committed(spark, out).count() == 2
+
+
+def test_stream_restart_no_duplicates(spark, tmp_path):
+    """End-to-end: file-source stream → idempotent sink, stopped and
+    restarted from the same checkpoint after new files land. The
+    committed output must equal the batch read of the source exactly
+    (no duplicated epochs, no lost rows)."""
+    from prohap_spark.streaming.events import EVENT_SCHEMA, read_event_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    eid = 0
+
+    def write_file(n_rows):
+        nonlocal eid
+        rows = []
+        for _ in range(n_rows):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, 10, 0, eid), eid % 3, "click",
+                 float(eid), "{}")
+            )
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        q = (
+            read_event_stream(spark, src, max_files_per_trigger=1)
+            .select("event_id", "user_id", "value")
+            .writeStream.outputMode("append")
+            .foreachBatch(idempotent_batch_writer(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_file(4)
+    write_file(4)
+    run()
+    n_phase1 = len(committed_batch_ids(out))
+    assert n_phase1 >= 1
+
+    # crash/redeploy: new data, restart from the same checkpoint
+    write_file(4)
+    run()
+    assert len(committed_batch_ids(out)) > n_phase1
+
+    got = read_committed(spark, out)
+    assert got.count() == 12
+    # exactly-once: every source event delivered exactly once
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+    src_sum = spark.read.parquet(src).agg(F.sum("value")).collect()[0][0]
+    assert got.agg(F.sum("value")).collect()[0][0] == src_sum
