@@ -1,0 +1,153 @@
+"""Incremental table statistics: per-shard partial stats state that
+PERSISTS and MERGES losslessly — the production path behind
+queries/maintenance.py::table_stats_board's docstring claim. At
+100 TB nobody rescans the corpus to refresh ANALYZE output; each
+ingest/shard job emits a tiny partial-state artifact and the catalog
+folds them:
+
+- basic state: one row per column — (n, n_null, min/max in a typed
+  slot) — merged by sum/sum/min/max (all semilattice or additive, so
+  merge order and sharding are irrelevant);
+- NDV state: the HLL register table (functions/sketches.py) per
+  column — ≤64 rows/column regardless of shard size, merged by
+  per-register max (lossless: merged == single-pass build, pinned in
+  pytest at this module's level too).
+
+Both states build from ONE scan each (the NDV melt is a single
+explode → one register aggregate for ALL profiled columns, not a
+scan per column), and the artifact rides the validated-index
+discipline of operators/dedup.py (manifest: count + checksum +
+columns; torn writes fail loud on read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from prohap_spark.functions.sketches import (
+    hll_estimate_from_registers,
+    hll_merge,
+    hll_registers,
+)
+
+_META = "stats_meta.json"
+
+
+def column_stats_partials(
+    df: DataFrame, num_cols: list[str], str_cols: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Partial stats state for one shard. Returns (basic, regs):
+    basic = (col, n, n_null, min_d, max_d, min_s, max_s) — numeric
+    columns use the double slots, string columns the varchar slots;
+    regs = the per-column HLL register rows. One scan for basic, one
+    for regs (melt → single aggregate across ALL columns)."""
+    cols = list(num_cols) + list(str_cols)
+    assert cols, "profile at least one column"
+    n = F.count(F.lit(1))
+    aggs = [n.alias("__n")]
+    for c in cols:
+        aggs.append((n - F.count(c)).alias(f"__null_{c}"))
+    for c in num_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+    for c in str_cols:
+        aggs.append(F.min(c).alias(f"__mins_{c}"))
+        aggs.append(F.max(c).alias(f"__maxs_{c}"))
+    one = df.agg(*aggs)
+    ND, NS = "CAST(NULL AS DOUBLE)", "CAST(NULL AS STRING)"
+    tuples = []
+    for c in num_cols:
+        tuples.append(
+            f"'{c}', __null_{c}, __min_{c}, __max_{c}, {NS}, {NS}"
+        )
+    for c in str_cols:
+        tuples.append(f"'{c}', __null_{c}, {ND}, {ND}, __mins_{c}, __maxs_{c}")
+    basic = one.select(
+        F.col("__n").alias("n"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(tuples)}) "
+            "AS (col, n_null, min_d, max_d, min_s, max_s)"
+        ),
+    ).select("col", "n", "n_null", "min_d", "max_d", "min_s", "max_s")
+
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(c).cast("string").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.col", "e.v").where(F.col("v").isNotNull())
+    regs = hll_registers(melted, ["col"], "v")
+    return basic, regs
+
+
+def merge_stats(
+    *partials: tuple[DataFrame, DataFrame],
+) -> tuple[DataFrame, DataFrame]:
+    """Fold shard partial states: additive counts, semilattice
+    min/max, per-register max. Merging N shards equals one pass over
+    their concatenation — exactly, not approximately."""
+    basics = [b for b, _ in partials]
+    regs = [r for _, r in partials]
+    it = iter(basics)
+    b = next(it)
+    for t in it:
+        b = b.unionByName(t)
+    merged_basic = b.groupBy("col").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_null").cast("long").alias("n_null"),
+        F.min("min_d").alias("min_d"),
+        F.max("max_d").alias("max_d"),
+        F.min("min_s").alias("min_s"),
+        F.max("max_s").alias("max_s"),
+    )
+    return merged_basic, hll_merge(*regs)
+
+
+def finish_stats(basic: DataFrame, regs: DataFrame) -> DataFrame:
+    """Catalog view: basic state joined with the finished NDV
+    estimate — (col, n, n_null, min_d, max_d, min_s, max_s,
+    ndv_hll)."""
+    est = hll_estimate_from_registers(regs, ["col"]).select(
+        "col", F.col("hll_est").alias("ndv_hll")
+    )
+    return basic.join(est, "col", "left").select(
+        "col", "n", "n_null", "min_d", "max_d", "min_s", "max_s",
+        F.coalesce("ndv_hll", F.lit(0)).cast("long").alias("ndv_hll"),
+    )
+
+
+def write_stats_artifact(
+    path: str, basic: DataFrame, regs: DataFrame
+) -> dict:
+    """Persist both state tables under ``path`` with the validated-
+    index manifests (torn writes fail loud on read)."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    mb = write_dedup_index(basic, f"{path}/basic")
+    mr = write_dedup_index(regs, f"{path}/regs")
+    meta = {"basic": mb, "regs": mr}
+    with open(os.path.join(path, _META), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def read_stats_artifact(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Load a stats artifact, validating both manifests."""
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    return (
+        read_dedup_index(spark, f"{path}/basic"),
+        read_dedup_index(spark, f"{path}/regs"),
+    )
