@@ -212,6 +212,11 @@ def _stats_oracle_sql() -> str:
       UNION ALL SELECT 'l_shipdate', 'max', max_sd, NULL FROM agg
       UNION ALL SELECT 'l_orderkey', 'ndv_hll', hll_est, NULL FROM hok
       UNION ALL SELECT 'l_returnflag', 'ndv_hll', hll_est, NULL FROM hrf
+      -- the merged-shard path must land on the SAME estimates (HLL
+      -- register merge is lossless), so the oracle rows are the same
+      -- values under the _merged stat tag
+      UNION ALL SELECT 'l_orderkey', 'ndv_hll_merged', hll_est, NULL FROM hok
+      UNION ALL SELECT 'l_returnflag', 'ndv_hll_merged', hll_est, NULL FROM hrf
       UNION ALL SELECT '<check>', 'not_null(l_orderkey)',
         (SELECT CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
          FROM lineitem), NULL
@@ -421,9 +426,36 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         NS.alias("sval"),
     )
 
+    # ndv_hll_merged: the SAME estimates via the incremental path —
+    # two shard partials (operators/stats.py) folded with merge_stats,
+    # finished from the merged registers. The oracle pins them to the
+    # single-pass values, so register-merge losslessness is inside the
+    # driver hash, not just pytest.
+    from prohap_spark.operators.stats import (
+        column_stats_partials,
+        finish_stats,
+        merge_stats,
+    )
+
+    shards = [
+        column_stats_partials(
+            li.where(F.col("l_orderkey") % 2 == p),
+            ["l_orderkey"],
+            ["l_returnflag"],
+        )
+        for p in (0, 1)
+    ]
+    merged = finish_stats(*merge_stats(*shards)).select(
+        "col",
+        F.lit("ndv_hll_merged").alias("stat"),
+        F.col("ndv_hll").alias("ival"),
+        NS.alias("sval"),
+    )
+
     return (
         rows.unionByName(hll_leg("l_orderkey"))
         .unionByName(hll_leg("l_returnflag"))
+        .unionByName(merged)
         .unionByName(checks)
         .unionByName(diff)
     )
