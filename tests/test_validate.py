@@ -119,3 +119,66 @@ def test_check_rows_single_aggregate_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # one scan of the in-memory relation feeds everything
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_table_diff_randomized_vs_python_oracle(spark):
+    """Seeded-random soundness pin (the test_jaccard_property batching
+    device): 25 random snapshot-pair scenarios — varying key overlap,
+    null values in compare columns, empty-side regimes — ride ONE
+    Spark job each way via a scenario column folded into the key. The
+    global status counts must equal a pure-Python oracle's, and
+    diff(b, a) must be the involution (added<->removed swapped,
+    changed/same invariant)."""
+    import random
+
+    rng = random.Random(1207)
+    a_rows, b_rows = [], []
+    oracle = {"added": 0, "removed": 0, "changed": 0, "same": 0}
+    for sid in range(25):
+        n_keys = rng.randint(0, 12)
+        keys = rng.sample(range(100), n_keys)
+
+        def val():
+            return rng.choice(["x", "y", None])
+
+        a_map = {k: (val(), val()) for k in keys if rng.random() < 0.8}
+        b_map = {}
+        for k in keys:
+            r = rng.random()
+            if k in a_map and r < 0.5:
+                b_map[k] = a_map[k] if rng.random() < 0.5 else (val(), val())
+            elif k not in a_map and r < 0.6:
+                b_map[k] = (val(), val())
+        for k, (u, v) in a_map.items():
+            a_rows.append((sid, k, u, v))
+        for k, (u, v) in b_map.items():
+            b_rows.append((sid, k, u, v))
+        for k in set(a_map) | set(b_map):
+            if k not in a_map:
+                oracle["added"] += 1
+            elif k not in b_map:
+                oracle["removed"] += 1
+            elif a_map[k] != b_map[k]:
+                oracle["changed"] += 1
+            else:
+                oracle["same"] += 1
+
+    schema = "sid int, k int, u string, v string"
+    a = spark.createDataFrame(a_rows, schema)
+    b = spark.createDataFrame(b_rows, schema)
+    got = {
+        r["status"]: r["n"]
+        for r in table_diff(a, b, ["sid", "k"], ["u", "v"]).collect()
+    }
+    assert got == oracle
+
+    rev = {
+        r["status"]: r["n"]
+        for r in table_diff(b, a, ["sid", "k"], ["u", "v"]).collect()
+    }
+    assert rev == {
+        "added": oracle["removed"],
+        "removed": oracle["added"],
+        "changed": oracle["changed"],
+        "same": oracle["same"],
+    }
