@@ -76,3 +76,74 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
     paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
     return spark.read.parquet(*paths)
+
+
+def compact_epochs(
+    spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Fold all currently-committed epoch directories into ONE
+    compacted epoch — the sink-side answer to the small-files problem
+    a micro-batch stream manufactures by design (one directory per
+    epoch, often one tiny file each). Maintenance-window operation
+    like every rewrite in operators/compact.py: run it while the
+    stream is stopped.
+
+    Protocol (never-in-place, fail-loud):
+    1. read the committed epochs, count + checksum them
+       (operators/dedup.py digest idiom);
+    2. rewrite into ``batch_id=<max committed>`` via a staging
+       directory sized by :func:`compact_parquet`'s byte heuristic,
+       re-digest, REFUSE on mismatch (originals untouched);
+    3. only then drop the older epoch directories and commit the
+       marker.
+
+    Reusing the max committed id keeps :func:`read_committed` and the
+    writer's replay contract intact: epoch ids only grow, and a
+    post-restart re-delivery of that id finds the marker and no-ops
+    (delivering an epoch's rows is idempotent whether the directory
+    holds that epoch alone or the compacted prefix)."""
+    import shutil
+
+    from prohap_spark.operators.compact import _digest
+
+    ids = committed_batch_ids(out_dir)
+    if len(ids) < 2:
+        return {"compacted": 0, "epochs": ids}
+    keep = ids[-1]
+    src_paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
+    # NB: read the EXPLICIT epoch paths (read_committed's device), not
+    # out_dir — a directory read would partition-discover batch_id
+    # into a data column and the compacted epoch's schema would split
+    # from fresh epochs'
+    df = read_committed(spark, out_dir)
+    n, checksum = _digest(df)
+    src_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for p in src_paths
+        for root, _d, files in os.walk(p)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, (src_bytes + target_bytes - 1) // target_bytes)
+    staging = os.path.join(out_dir, f".staging_batch_id={keep}")
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(staging)
+    n2, checksum2 = _digest(spark.read.parquet(staging))
+    if (n, checksum) != (n2, checksum2):
+        raise RuntimeError(
+            f"epoch compaction validation failed under {out_dir}: "
+            f"rows {n} -> {n2}, checksum {checksum} -> {checksum2}; "
+            "the committed epochs are untouched, discard the staging dir"
+        )
+    # swap: drop originals, move staging into place, re-mark
+    for p in src_paths:
+        shutil.rmtree(p)
+    target = os.path.join(out_dir, f"batch_id={keep}")
+    os.rename(staging, target)
+    with open(os.path.join(target, COMMIT_MARKER), "w"):
+        pass
+    return {
+        "compacted": len(ids),
+        "into": keep,
+        "n_rows": n,
+        "src_bytes": src_bytes,
+    }

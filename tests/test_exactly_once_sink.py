@@ -101,3 +101,52 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
     assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
     src_sum = spark.read.parquet(src).agg(F.sum("value")).collect()[0][0]
     assert got.agg(F.sum("value")).collect()[0][0] == src_sum
+
+
+def test_compact_epochs_preserves_content_and_replay_contract(spark, tmp_path):
+    """compact_epochs folds committed epoch dirs into the max id:
+    content identical (digest-validated inside the op, re-checked
+    here), fresh epochs still union cleanly after (no partition-column
+    schema split), and a replayed delivery of the kept id still
+    no-ops on its marker."""
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "k int, v string"
+    )
+    w(mk(0, 5), 0)
+    w(mk(5, 9), 1)
+    w(mk(9, 12), 2)
+    before = sorted(tuple(r) for r in read_committed(spark, out).collect())
+
+    from prohap_spark.streaming.sink import compact_epochs
+
+    stats = compact_epochs(spark, out)
+    assert stats["compacted"] == 3 and stats["into"] == 2
+    assert committed_batch_ids(out) == [2]
+    after = sorted(tuple(r) for r in read_committed(spark, out).collect())
+    assert after == before
+
+    # a replayed epoch 2 (the kept id) must STILL no-op — the marker
+    # protects the compacted prefix from being overwritten back down
+    # to epoch 2's rows alone
+    w(mk(9, 12), 2)
+    assert sorted(tuple(r) for r in read_committed(spark, out).collect()) == before
+
+    # the stream keeps going: a fresh epoch unions with the compacted
+    # one under the SAME schema (no batch_id partition-column leak)
+    w(mk(12, 15), 3)
+    got = read_committed(spark, out)
+    assert got.columns == ["k", "v"]
+    assert got.count() == 15
+
+
+def test_compact_epochs_noop_below_two(spark, tmp_path):
+    out = str(tmp_path / "out")
+    idempotent_batch_writer(out)(
+        spark.createDataFrame([(1, "a")], "k int, v string"), 0
+    )
+    from prohap_spark.streaming.sink import compact_epochs
+
+    assert compact_epochs(spark, out)["compacted"] == 0
+    assert committed_batch_ids(out) == [0]
