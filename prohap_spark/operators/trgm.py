@@ -1,0 +1,134 @@
+"""Trigram posting index for substring-predicate acceleration — the
+pg_trgm device re-expressed as DataFrames. A ``contains(text,
+needle)`` predicate over a 100 TB corpus is otherwise a full scan of
+every byte; with a (gram, doc_id) posting table the scan shrinks to
+the docs containing EVERY trigram of the needle, then an exact
+verify on just those.
+
+Guarantee (what makes the index an optimization, not an
+approximation): a document containing ``needle`` contains all of
+needle's trigrams, so the candidate set has NO FALSE NEGATIVES —
+the exact verify only ever removes false positives (docs with the
+grams scattered). Needles shorter than 3 chars have no trigram and
+fall back to the scan honestly (returned as such, never silently).
+
+Scale design:
+- the index is ONE explode + distinct per corpus pass; posting rows
+  shuffle on the gram (well-spread key: |grams| >> |hot keys|), and
+  persist under the validated-index manifest
+  (operators/dedup.py::write_dedup_index) like the engine's other
+  artifacts;
+- a query touches |needle|-2 posting lists (an equi-join on a
+  LITERAL gram set — Catalyst turns it into an IN-filter pushed to
+  the posting scan), intersects them with one groupBy(doc_id)
+  count == n_grams, and verifies with contains() on the candidate
+  join only;
+- candidate volume is observable (:func:`like_search` can return
+  counts) — the same measure-don't-guess contract as the LSH/Bloom
+  operators.
+
+Reference parity note: the reference greps FASTA/TSV with Python
+``in`` per row (e.g. peptides_annotate_variation.py's containment
+scan); this is the indexed path such scans would take at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _grams_expr(col, n: int = 3):
+    """All n-char grams of a string column (lowercased), as an array;
+    strings shorter than n yield an empty array. The lowered text is
+    lambda-BOUND (functions/hof.py bind_once) so lower() runs once
+    per row, not once per gram — the split-in-lambda O(n²) class the
+    r11 cost model names."""
+    from prohap_spark.functions.hof import bind_once
+
+    return bind_once(
+        F.lower(col),
+        lambda lc: F.when(
+            F.length(lc) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lc) - (n - 1)),
+                lambda i: lc.substr(i, F.lit(n)),
+            )
+        ),
+    )
+
+
+def trigram_grams(needle: str, n: int = 3) -> list[str]:
+    s = needle.lower()
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def build_trigram_index(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(gram, id) posting table: one row per DISTINCT gram per
+    document. One explode + dropDuplicates — a single shuffle keyed
+    on (gram, id)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(_grams_expr(F.col(text_col), n)).alias("gram"),
+        )
+        .dropDuplicates(["gram", id_col])
+        .select("gram", id_col)
+    )
+
+
+def write_trigram_index(index: DataFrame, path: str) -> dict:
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    return write_dedup_index(index, path)
+
+
+def read_trigram_index(spark: SparkSession, path: str) -> DataFrame:
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    return read_dedup_index(spark, path)
+
+
+def like_candidates(
+    index: DataFrame, id_col: str, needle: str, n: int = 3
+) -> DataFrame | None:
+    """Candidate ids whose documents contain EVERY trigram of
+    ``needle`` (superset of the true matches). Returns None when the
+    needle is too short to have a trigram — the caller must fall back
+    to the scan; anything else would silently return the full corpus."""
+    grams = sorted(set(trigram_grams(needle, n)))
+    if not grams:
+        return None
+    hits = index.where(F.col("gram").isin(grams))
+    return (
+        hits.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__g"))
+        .where(F.col("__g") == len(grams))
+        .select(id_col)
+    )
+
+
+def like_search(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    needle: str,
+    n: int = 3,
+) -> DataFrame:
+    """ids of documents whose text contains ``needle``
+    (case-insensitive), via candidate intersect + exact verify.
+    Equal to the brute scan by the no-false-negative guarantee
+    (pinned randomized in pytest); short needles fall back to the
+    scan honestly."""
+    cand = like_candidates(index, id_col, needle, n)
+    verify = F.contains(F.lower(F.col(text_col)), F.lit(needle.lower()))
+    if cand is None:
+        return docs.where(verify).select(id_col)
+    return (
+        docs.join(cand, id_col, "left_semi")
+        .where(verify)
+        .select(id_col)
+    )

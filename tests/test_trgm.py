@@ -1,0 +1,99 @@
+"""operators/trgm.py: trigram posting index for substring search."""
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+from pyspark.sql import functions as F
+
+from prohap_spark.operators.trgm import (
+    build_trigram_index,
+    like_candidates,
+    like_search,
+    read_trigram_index,
+    trigram_grams,
+    write_trigram_index,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rng = random.Random(1212)
+    vocab = ["alpha", "beta", "gamma", "delta", "needle", "haystack", "xyz"]
+    rows = []
+    for i in range(80):
+        words = [rng.choice(vocab) for _ in range(rng.randint(1, 12))]
+        rows.append((i, " ".join(words)))
+    rows += [(100, "ne"), (101, ""), (102, "NEEDLE in CAPS")]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    return build_trigram_index(corpus, "doc_id", "text").cache()
+
+
+def _brute(corpus, needle):
+    return {
+        r["doc_id"]
+        for r in corpus.where(
+            F.contains(F.lower("text"), F.lit(needle.lower()))
+        ).collect()
+    }
+
+
+def test_grams_match_python(corpus, index):
+    got = {
+        (r["gram"], r["doc_id"])
+        for r in index.where(F.col("doc_id") == 102).collect()
+    }
+    want = {(g, 102) for g in set(trigram_grams("NEEDLE in CAPS"))}
+    assert got == want
+
+
+def test_search_equals_brute_force_randomized(spark, corpus, index):
+    rng = random.Random(7)
+    needles = [
+        "needle", "NEEDLE", "ta nee", "gamma d", "xyz", "a b",  # short->fallback
+        "zzz-not-there", "alpha alpha", "ck",
+    ] + ["".join(rng.choice("abgdex ") for _ in range(rng.randint(1, 8)))
+         for _ in range(10)]
+    for needle in needles:
+        got = {
+            r["doc_id"]
+            for r in like_search(
+                corpus, index, "doc_id", "text", needle
+            ).collect()
+        }
+        assert got == _brute(corpus, needle), needle
+
+
+def test_candidates_are_superset_and_prune(spark, corpus, index):
+    # no false negatives, and the index genuinely prunes for a
+    # selective needle
+    needle = "needle"
+    cand = {r["doc_id"] for r in like_candidates(index, "doc_id", needle).collect()}
+    truth = _brute(corpus, needle)
+    assert truth <= cand
+    assert len(cand) < corpus.count()
+
+
+def test_short_needle_falls_back_honestly(spark, corpus, index):
+    assert like_candidates(index, "doc_id", "ne") is None
+    got = {
+        r["doc_id"]
+        for r in like_search(corpus, index, "doc_id", "text", "ne").collect()
+    }
+    assert got == _brute(corpus, "ne")
+    assert 100 in got  # the 2-char doc itself matches
+
+
+def test_index_artifact_roundtrip(spark, corpus, index, tmp_path):
+    path = str(tmp_path / "trgm")
+    write_trigram_index(index, path)
+    back = read_trigram_index(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, index.collect())
+    )
