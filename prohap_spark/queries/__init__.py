@@ -128,6 +128,12 @@ _BACK = [
     # Net r13 front: 46 rule-(c) + 4 rule-(a) (maintenance, window,
     # agg_shape, stats boards) = exactly 50; registry 149 (one slot
     # of headroom under the 150 cap). No entry bumped or dropped.
+    #
+    # r12-tail addendum: a THIRD pair-merge (q4_order_priority +
+    # q22_idle_customers → q_subquery_board, queries/classic.py)
+    # funds text_trgm_search (the trigram LIKE-acceleration index,
+    # operators/trgm.py + queries/textdata.py). Final r13 front:
+    # 44 rule-(c) + 6 rule-(a) = exactly 50; registry 149.
     "so_set_ops", "agg_quantiles",
     "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
     "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
@@ -141,8 +147,8 @@ _BACK = [
     "agg_approx_sketches", "multimodal_decode_features",
     "multimodal_resize_stats", "multimodal_jpeg_color_codec",
     "multimodal_gif_tiff_codec", "multimodal_audio_container",
-    "q4_order_priority", "q13_customer_distribution",
-    "q18_large_volume_customer", "q22_idle_customers",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
     "q7_volume_shipping", "q21_suppliers_kept_waiting",
     "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
     "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",

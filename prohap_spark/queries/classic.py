@@ -1020,11 +1020,13 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_cents",
     )
 
-@register(
-    "q4_order_priority",
-    # EXISTS adaptation: the schema has no l_commitdate/l_receiptdate,
-    # so "late" means a line shipped >90 days after the order date
-    """
+# q4_order_priority + q22_idle_customers MERGED into q_subquery_board
+# (r12 tail — the slot-freeing device, 14th use; the freed slot funds
+# text_trgm_search, queries/textdata.py). Singleton callables stay
+# the library surface; the EXISTS adaptation note: the schema has no
+# l_commitdate/l_receiptdate, so "late" means a line shipped >90 days
+# after the order date.
+_Q4_SQL = """
     SELECT o.o_orderpriority, count(*) AS order_count
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
@@ -1035,8 +1037,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
       )
     GROUP BY o.o_orderpriority
-    """,
-)
+    """
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q4 shape: correlated EXISTS decorrelated into a LEFT SEMI
     join with a non-equi residual (shipdate > orderdate + 90 days) on
@@ -1146,14 +1149,12 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q22_idle_customers",
-    # no c_phone in this schema: country code := c_nationkey % 10; the
-    # above-average test is exact integer math (cents * n > total) so
-    # no double-rounding divergence can flip a row between engines.
-    # Every customer in this corpus has SOME order, so "idle" means no
-    # order on/after 1998-10-01 (the dataset's final quarter)
-    """
+# no c_phone in this schema: country code := c_nationkey % 10; the
+# above-average test is exact integer math (cents * n > total) so
+# no double-rounding divergence can flip a row between engines.
+# Every customer in this corpus has SOME order, so "idle" means no
+# order on/after 1998-10-01 (the dataset's final quarter)
+_Q22_SQL = """
     WITH pos AS (
       SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey, c_nationkey
       FROM customer WHERE c_acctbal > 0
@@ -1171,8 +1172,9 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate >= TIMESTAMP '1998-10-01'
       )
     GROUP BY p.c_nationkey % 10
-    """,
-)
+    """
+
+
 def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22 shape: scalar aggregate subquery (corpus average
     balance) + NOT EXISTS anti join. The average test is rewritten to
@@ -1203,6 +1205,42 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("totacctbal_cents"),
         )
     )
+
+
+@register(
+    "q_subquery_board",
+    f"""
+    SELECT 'q4' AS leg, o_orderpriority AS key, order_count AS n,
+           CAST(NULL AS BIGINT) AS cents
+    FROM ({_Q4_SQL})
+    UNION ALL
+    SELECT 'q22' AS leg, CAST(cntrycode AS VARCHAR) AS key, numcust AS n,
+           totacctbal_cents AS cents
+    FROM ({_Q22_SQL})
+    """,
+)
+def q_subquery_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two EXISTS-family TPC-H adaptations on one correctness
+    board (the r12-tail merge of q4_order_priority +
+    q22_idle_customers): correlated EXISTS → left-semi with non-equi
+    residual (q4 leg) and scalar-aggregate subquery + NOT EXISTS →
+    broadcast stats + left-anti (q22 leg), both hashed in exact
+    integer units. Harness note: each leg is the standalone operator
+    verbatim — a gate-SF correctness union; the plan pins live with
+    the singletons."""
+    q4 = q4_order_priority(spark, sf_dir).select(
+        F.lit("q4").alias("leg"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("order_count").alias("n"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    q22 = q22_idle_customers(spark, sf_dir).select(
+        F.lit("q22").alias("leg"),
+        F.col("cntrycode").cast("string").alias("key"),
+        F.col("numcust").alias("n"),
+        F.col("totacctbal_cents").alias("cents"),
+    )
+    return q4.unionByName(q22)
 
 
 @register(

@@ -2744,3 +2744,46 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("rolling").alias("leg"), "doc_id", "k1", "k2", "v")
     )
     return column.unionByName(rolling)
+
+
+# needle set spans the index's regimes: three phrase needles at ~5%
+# selectivity (the index prunes), one zero-hit needle (candidate set
+# empty — the join short-circuits), and one 2-char needle that has NO
+# trigram and exercises the documented honest fallback to the scan.
+_TRGM_NEEDLES = ["spark value", "slow filter", "merge batch", "zzzz", "qu"]
+
+
+@register(
+    "text_trgm_search",
+    """
+    SELECT n.needle, d.doc_id
+    FROM documents d
+    JOIN (VALUES ('spark value'), ('slow filter'), ('merge batch'),
+                 ('zzzz'), ('qu')) n(needle)
+      ON contains(lower(d.text), n.needle)
+    """,
+)
+def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-index substring search (operators/trgm.py, r12 — the
+    pg_trgm device): a (gram, doc_id) posting table built in one
+    explode pass turns `contains(text, needle)` from a full corpus
+    scan into an IN-filtered posting intersect (every trigram of the
+    needle must hit) plus an exact verify on the candidates alone.
+    No false negatives by construction, so the oracle is simply the
+    brute-force contains() answer — the index path must reproduce it
+    exactly, per needle. ONE shared index (localCheckpoint) serves
+    all five needle legs; randomized brute-force parity and the
+    fallback contract are pinned in tests/test_trgm.py."""
+    from prohap_spark.operators.trgm import build_trigram_index, like_search
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).localCheckpoint(eager=False)
+    idx = build_trigram_index(d, "doc_id", "text").localCheckpoint(eager=False)
+    out = None
+    for needle in _TRGM_NEEDLES:
+        leg = like_search(d, idx, "doc_id", "text", needle).select(
+            F.lit(needle).alias("needle"), "doc_id"
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
