@@ -97,3 +97,19 @@ def test_index_artifact_roundtrip(spark, corpus, index, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, index.collect())
     )
+
+
+def test_candidate_gram_filter_pushed_to_parquet_scan(spark, corpus, tmp_path):
+    """The scale claim in the module docstring: the literal gram set
+    reaches the posting-table PARQUET SCAN as a pushed In-filter —
+    a query touches |needle|-2 posting lists, never the whole index."""
+    path = str(tmp_path / "trgm_idx")
+    write_trigram_index(build_trigram_index(corpus, "doc_id", "text"), path)
+    idx = read_trigram_index(spark, path)
+    plan = (
+        like_candidates(idx, "doc_id", "needle")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan and "In(gram" in plan, plan[:2000]
