@@ -314,8 +314,10 @@ def test_q4_semi_join_not_bnl(spark, qs):
     equi-key (hash/SMJ) with the date residual as condition — never a
     nested loop — and push the order-date window to the orders scan."""
     from prohap_spark.plans import formatted_plan, plan_report, pushed_filters
+    from prohap_spark.queries.classic import q4_order_priority
 
-    df = qs["q4_order_priority"](spark, SF)
+    # singleton callable: registry row merged into q_subquery_board (r12)
+    df = q4_order_priority(spark, SF)
     rep = plan_report(df)
     assert rep["bnl_joins"] == 0
     assert "LeftSemi" in formatted_plan(df)
@@ -343,8 +345,10 @@ def test_q22_broadcast_stats_and_anti_join(spark, qs):
     and the NOT EXISTS must plan as a LeftAnti with the final-quarter
     date filter pushed to the orders scan."""
     from prohap_spark.plans import formatted_plan, pushed_filters
+    from prohap_spark.queries.classic import q22_idle_customers
 
-    df = qs["q22_idle_customers"](spark, SF)
+    # singleton callable: registry row merged into q_subquery_board (r12)
+    df = q22_idle_customers(spark, SF)
     plan = formatted_plan(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
