@@ -596,6 +596,14 @@ _RESAMPLE_LOCF_SQL = """
       FROM ub JOIN ch USING (u)
       GROUP BY 1, 2
     )
+    UNION ALL
+    -- sink leg: every event delivered exactly once through the
+    -- replayed idempotent sink == the plain batch aggregate
+    SELECT 'sink' AS leg, user_id AS i1, count(*) AS i2,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS i3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM events GROUP BY user_id
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,8 +613,10 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     readStream + withWatermark in tests/test_streaming.py),
     exactly-once watermark dedup (dedup leg — see
     stream_dedup_watermark), daily LOCF gap fill (resample leg),
-    stream-static broadcast enrichment (enrich leg), and the daily
-    cohort matrix (retention leg).
+    stream-static broadcast enrichment (enrich leg), the daily
+    cohort matrix (retention leg), and (r12) the exactly-once
+    idempotent SINK under a forced double-delivery of every epoch
+    (sink leg — streaming/sink.py; see the inline comment).
 
     Harness note: each leg calls its standalone operator, so the
     events file is scanned once per leg (5x) — acceptable for a
@@ -673,7 +683,73 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("s1"),
         F.lit(None).cast("double").alias("d1"),
     )
-    return t.unionByName(d).unionByName(r).unionByName(e).unionByName(rm)
+    # sink leg (r12): a REAL availableNow micro-batch run of the
+    # events through streaming/sink.py's exactly-once writer, with
+    # EVERY epoch delivered TWICE in-gate (the wrapping writer
+    # re-invokes immediately — Spark's post-recovery at-least-once
+    # contract, forced deterministically). read_committed then feeds
+    # the per-user aggregate the oracle computes straight from the
+    # batch table: one duplicated row anywhere and the counts/cents
+    # hash-red. Source tmp dir is _SUCCESS-guard cached per SF; out +
+    # checkpoint dirs are FRESH per call (a reused out dir would
+    # accumulate epochs across runs).
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from prohap_spark.streaming.events import read_event_stream
+    from prohap_spark.streaming.sink import (
+        idempotent_batch_writer,
+        read_committed,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    src = f"/tmp/prohap_sink_events_x4_{tag}"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+    base = tempfile.mkdtemp(prefix="prohap_sink_leg_")
+    atexit.register(shutil.rmtree, base, True)
+    out_dir, ckpt = f"{base}/out", f"{base}/ckpt"
+    write = idempotent_batch_writer(out_dir)
+
+    def replayed(df, epoch_id):
+        write(df, epoch_id)
+        write(df, epoch_id)  # the replay: must no-op on the marker
+
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .select("event_id", "user_id", "value")
+        .writeStream.outputMode("append")
+        .foreachBatch(replayed)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    sink = (
+        read_committed(spark, out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            F.lit("sink").alias("leg"),
+            F.col("user_id").alias("i1"),
+            F.col("n").alias("i2"),
+            F.col("cents").alias("i3"),
+            F.lit(None).cast("string").alias("s1"),
+            F.lit(None).cast("double").alias("d1"),
+        )
+    )
+    return (
+        t.unionByName(d).unionByName(r).unionByName(e).unionByName(rm)
+        .unionByName(sink)
+    )
 
 
 @register(
