@@ -387,3 +387,59 @@ def quality_probe_score_cols(w: list[int]) -> tuple["Column", "Column"]:
         F.lit(0).cast("long"),
     )
     return t_micro, dot
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC-AUC via the Mann–Whitney rank-sum — the quality-gate
+    metric a classifier-filtered corpus is accepted on — computed
+    distributed with EXACT INTEGERS until one final division.
+
+    Ties (mid-rank convention) stay integral by working in DOUBLED
+    rank units: for a tie group of size c whose first rank is r,
+    2·avg_rank = 2·r + c − 1. The per-group first rank is a running
+    sum over DISTINCT scores, so the plan is one groupBy(score)
+    shuffle (|distinct scores| rows — for fixed-point scores that is
+    orders of magnitude below |rows|) plus a window over that tiny
+    table; never a global sort of the corpus.
+
+    Returns one row: (n_pos, n_neg, auc_num2, auc) with
+    auc = auc_num2 / (2·n_pos·n_neg), auc_num2 =
+    2·Σ ranks(positives) − n_pos·(n_pos+1) — an exact integer, so
+    two runs (or two engines) can compare AUC without any float
+    tolerance. Degenerate inputs (no positives or no negatives)
+    return auc NULL rather than a fabricated 0/0."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(F.col(label_col).cast("long")).alias("__p"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = g.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(w), F.lit(0))
+    )
+    per = ranked.select(
+        F.col("__p"),
+        F.col("__c"),
+        # positives in this tie group each take 2·avg_rank =
+        # 2·(before+1) + c − 1
+        (F.col("__p") * (2 * (F.col("__before") + 1) + F.col("__c") - 1)).alias(
+            "__pos2"
+        ),
+    )
+    tot = per.agg(
+        F.sum("__p").cast("long").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).cast("long").alias("n_neg"),
+        F.sum("__pos2").cast("long").alias("__s2"),
+    )
+    num2 = F.col("__s2") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        num2.cast("long").alias("auc_num2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            num2.cast("double")
+            / (2.0 * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+        ).alias("auc"),
+    )
