@@ -1048,14 +1048,40 @@ def _quality_probe_oracle() -> str:
 
     k = len(QUALITY_PROBE_DUCK_FEATURES)
     dot = " + ".join(f"b.f{j} * w.w{j}" for j in range(k))
-    final = f"""SELECT doc_id, t_micro, score_micro,
-           score_micro >= {FEAT_SCALE // 2} AS pred_good,
-           abs(score_micro - t_micro) AS abs_err_micro
-    FROM (
-      SELECT b.doc_id, b.t AS t_micro,
+    scored_sql = f"""SELECT b.doc_id, b.t AS t_micro,
              (({dot}) // {1 << PRED_SHIFT}) AS score_micro
-      FROM base b CROSS JOIN w{QUALITY_PROBE_N_ITER} w
-    ) s"""
+      FROM base b CROSS JOIN w{QUALITY_PROBE_N_ITER} w"""
+    # AUC row (r12): the exact-integer Mann–Whitney rank-sum of the
+    # probe's scores against the weak label (operators/classifier.py
+    # auc_exact) — mid-rank ties in doubled units, replayed here as
+    # plain window arithmetic over the distinct-score groups
+    final = f"""SELECT doc_id, t_micro, score_micro, pred_good, abs_err_micro
+    FROM (
+      SELECT doc_id, t_micro, score_micro,
+             score_micro >= {FEAT_SCALE // 2} AS pred_good,
+             abs(score_micro - t_micro) AS abs_err_micro
+      FROM ({scored_sql}) s
+      UNION ALL
+      SELECT -1, n_pos, n_neg, NULL, s2 - n_pos * (n_pos + 1)
+      FROM (
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+               CAST(sum(p * (2 * (bef + 1) + c - 1)) AS BIGINT) AS s2
+        FROM (
+          SELECT p, c,
+                 coalesce(sum(c) OVER (ORDER BY sc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS bef
+          FROM (
+            SELECT score_micro AS sc, CAST(count(*) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN t_micro >= {FEAT_SCALE // 2}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p
+            FROM ({scored_sql}) s2
+            GROUP BY score_micro
+          )
+        )
+      )
+    )"""
     return linear_probe_oracle_sql(
         QUALITY_PROBE_DUCK_TABLE,
         QUALITY_PROBE_DUCK_FEATURES,
@@ -1110,7 +1136,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_shift=QUALITY_PROBE_LR_SHIFT,
     )
     t_micro, dot = quality_probe_score_cols(w)
-    return (
+    scored = (
         base.select("doc_id", t_micro.alias("t_micro"), dot.alias("__dot"))
         .withColumn("score_micro", F.expr(f"__dot div {1 << PRED_SHIFT}"))
         .select(
@@ -1120,7 +1146,31 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_micro") >= FEAT_SCALE // 2).alias("pred_good"),
             F.abs(F.col("score_micro") - F.col("t_micro")).alias("abs_err_micro"),
         )
+        .localCheckpoint(eager=False)  # feeds the rows AND the AUC leg
     )
+    # AUC row (r12): how well the probe RANKS weak-good documents —
+    # auc_exact's integer numerator hashes with zero float tolerance;
+    # shoehorned onto the board shape as
+    # (doc_id=-1, t_micro=n_pos, score_micro=n_neg, pred_good=NULL,
+    # abs_err_micro=auc_num2), the off-leg-columns-NULL device
+    from prohap_spark.operators.classifier import auc_exact
+
+    a = auc_exact(
+        scored.select(
+            F.col("score_micro").alias("s"),
+            (F.col("t_micro") >= FEAT_SCALE // 2).alias("y"),
+        ),
+        "s",
+        "y",
+    )
+    auc_row = a.select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.col("n_pos").alias("t_micro"),
+        F.col("n_neg").alias("score_micro"),
+        F.lit(None).cast("boolean").alias("pred_good"),
+        F.col("auc_num2").alias("abs_err_micro"),
+    )
+    return scored.unionByName(auc_row)
 
 
 @register(
