@@ -1,0 +1,113 @@
+"""FASTA as a Spark 4 Python Data Source — the engine's S5 reader
+re-expressed on the MODERN extension point (`pyspark.sql.datasource`,
+public API since Spark 4.0), so a user writes
+
+    spark.dataSource.register(FastaDataSource)
+    spark.read.format("fasta").load("/data/*.fa")
+
+and gets the same (tag, accession, description, sequence) frame the
+column-expression reader (sources/fasta.py::read_fasta) produces —
+parity is pinned in tests/test_fasta_datasource.py against the same
+files, both single and globbed.
+
+Why keep both paths: read_fasta is pure Catalyst (lineSep split +
+column expressions — whole-stage codegen, zero Python in the scan)
+and stays the default; the DataSource is the EXTENSIBILITY
+demonstration — per-file InputPartitions (a 10k-file corpus fans out
+to 10k parallel tasks with no driver-side text munging) and a
+schema() contract the planner can prune against. The parse itself is
+the same '>'-record / first-line-header / pipe-field convention the
+engine's sinks emit (sources/fasta.py write_fasta).
+
+Scale note: one InputPartition per FILE keeps memory bounded by the
+largest single file and needs no byte-offset splitting; genomics
+FASTA corpora ship as many per-chromosome/per-sample files (the
+reference's own layout), which is exactly this sharding. gz
+transparency comes from Python's gzip, matching the engine's S3
+(gz-transparent IO) row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+def _parse_fasta_text(text: str):
+    """Yield (tag, accession, description, sequence) per record —
+    the same field convention as sources/fasta.py::read_fasta
+    (pipe-delimited '>tag|acc|desc' headers from the engine's own
+    writer; 'generic' tag + first-word accession otherwise)."""
+    for rec in text.split(">"):
+        if not rec.strip():
+            continue
+        nl = rec.find("\n")
+        header, body = (rec, "") if nl < 0 else (rec[:nl], rec[nl + 1 :])
+        seq = "".join(body.split())
+        fields = header.split("|")
+        if len(fields) >= 3:
+            tag, acc = fields[0], fields[1]
+            desc = header.rsplit("|", 1)[-1]
+        else:
+            tag = "generic"
+            acc = header.split(" ", 1)[0]
+            desc = header.split(" ", 1)[1] if " " in header else ""
+        yield (tag, acc, desc, seq)
+
+
+class _FastaPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _FastaReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fasta datasource requires a path")
+
+    def partitions(self):
+        import glob as _glob
+        import os
+
+        def visible(f: str) -> bool:
+            return not os.path.basename(f).startswith(("_", "."))
+
+        files: list[str] = []
+        for m in sorted(_glob.glob(self.path)) or [self.path]:
+            if os.path.isdir(m):
+                # a Spark text-sink output dir (the engine's own
+                # write_fasta layout): take its visible part files
+                files.extend(
+                    f
+                    for f in sorted(_glob.glob(os.path.join(m, "*")))
+                    if os.path.isfile(f) and visible(f)
+                )
+            elif os.path.isfile(m) and visible(m):
+                files.append(m)
+        if not files:
+            raise FileNotFoundError(
+                f"fasta datasource: no files match {self.path}"
+            )
+        return [_FastaPartition(f) for f in files]
+
+    def read(self, partition: _FastaPartition):
+        import gzip
+
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rt") as f:
+            text = f.read()
+        yield from _parse_fasta_text(text)
+
+
+class FastaDataSource(DataSource):
+    """``spark.read.format("fasta").load(path)`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fasta"
+
+    def schema(self) -> str:
+        return "tag string, accession string, description string, sequence string"
+
+    def reader(self, schema) -> DataSourceReader:
+        return _FastaReader(self.options)

@@ -1,0 +1,93 @@
+"""sources/fasta_datasource.py: the Spark 4 Python Data Source path
+must agree with the Catalyst read_fasta path on the engine's own
+FASTA output, single-file and globbed, plain and gzipped."""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+from prohap_spark.sources.fasta import read_fasta, write_fasta
+from prohap_spark.sources.fasta_datasource import FastaDataSource
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(FastaDataSource)
+    return spark
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def fasta_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("fa")
+    rows = [
+        ("sp", "P1", "first protein", "MKV" * 10),
+        ("sp", "P2.3", "", "ACDEFGHIKLMNPQRSTVWY"),
+        ("enshap", "H7", "hap with desc", "MM"),
+    ]
+    df = spark.createDataFrame(
+        rows, "tag string, accession string, description string, sequence string"
+    )
+    write_fasta(
+        df, str(base / "a.fasta"),
+        tag_col="tag", accession_col="accession",
+        description_col="description", sequence_col="sequence",
+    )
+    write_fasta(
+        df.where("accession = 'P1'"), str(base / "b.fasta"),
+        tag_col="tag", accession_col="accession",
+        description_col="description", sequence_col="sequence",
+    )
+    return str(base)
+
+
+def test_datasource_matches_catalyst_reader(registered, fasta_dir):
+    spark = registered
+    for sub in ("a.fasta", "b.fasta"):
+        path = f"{fasta_dir}/{sub}"
+        got = spark.read.format("fasta").load(path)
+        want = read_fasta(spark, path)
+        assert got.columns == want.columns
+        assert _rows(got) == _rows(want)
+
+
+def test_datasource_glob_partitions_per_file(registered, fasta_dir):
+    spark = registered
+    got = spark.read.format("fasta").load(f"{fasta_dir}/*.fasta")
+    want = read_fasta(spark, f"{fasta_dir}/*.fasta")
+    assert _rows(got) == _rows(want)
+    # one input partition per file — the documented sharding
+    n_parts = (
+        spark.read.format("fasta").load(f"{fasta_dir}/*.fasta")
+        .rdd.getNumPartitions()
+    )
+    assert n_parts == 2
+
+
+def test_datasource_gz_transparent(registered, fasta_dir, tmp_path):
+    import gzip
+    import shutil
+
+    spark = registered
+    src = glob.glob(f"{fasta_dir}/a.fasta/part-*")[0] if os.path.isdir(
+        f"{fasta_dir}/a.fasta"
+    ) else f"{fasta_dir}/a.fasta"
+    gz = str(tmp_path / "a.fa.gz")
+    with open(src, "rb") as fi, gzip.open(gz, "wb") as fo:
+        shutil.copyfileobj(fi, fo)
+    got = spark.read.format("fasta").load(gz)
+    want = read_fasta(spark, src)
+    assert _rows(got) == _rows(want)
+
+
+def test_datasource_missing_path_fails_loud(registered, tmp_path):
+    spark = registered
+    with pytest.raises(Exception, match="(?i)no files|not exist|path"):
+        spark.read.format("fasta").load(str(tmp_path / "nope/*.fa")).collect()
