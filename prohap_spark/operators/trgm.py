@@ -132,3 +132,39 @@ def like_search(
         .where(verify)
         .select(id_col)
     )
+
+
+def append_trigram_index(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> dict:
+    """Incremental index maintenance: posting rows are PER-DOCUMENT
+    independent (no cross-document state), so ingesting a delta is
+    build-on-the-delta + union — no rescan of the indexed corpus,
+    O(|delta|) work per ingest (the exact_key_index /
+    lsh_band_index economics). Equality with a from-scratch rebuild
+    over base ∪ delta is pinned in pytest. NEVER in place: the merged
+    table lands in a staging dir through the validated-manifest
+    writer, then swaps — overwriting the path the merge is lazily
+    READING from would be the classic Spark self-overwrite corruption
+    ("cannot overwrite a path that is also being read from", or
+    worse, silence)."""
+    import os
+    import shutil
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    base = read_trigram_index(spark, path)
+    new = build_trigram_index(delta, id_col, text_col, n)
+    merged = base.unionByName(new).dropDuplicates(["gram", id_col])
+    staging = path.rstrip("/") + ".staging"
+    manifest = write_dedup_index(merged, staging)
+    backup = path.rstrip("/") + ".old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return manifest

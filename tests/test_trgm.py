@@ -113,3 +113,26 @@ def test_candidate_gram_filter_pushed_to_parquet_scan(spark, corpus, tmp_path):
         .toString()
     )
     assert "PushedFilters" in plan and "In(gram" in plan, plan[:2000]
+
+
+def test_append_equals_rebuild(spark, corpus, tmp_path):
+    from prohap_spark.operators.trgm import append_trigram_index
+
+    base = corpus.where("doc_id < 50")
+    delta = corpus.where("doc_id >= 50")
+    path = str(tmp_path / "inc")
+    write_trigram_index(build_trigram_index(base, "doc_id", "text"), path)
+    append_trigram_index(spark, path, delta, "doc_id", "text")
+    got = sorted(map(tuple, read_trigram_index(spark, path).collect()))
+    full = sorted(
+        map(tuple, build_trigram_index(corpus, "doc_id", "text").collect())
+    )
+    assert got == full
+    # and the maintained index answers searches identically
+    got_ids = {
+        r["doc_id"]
+        for r in like_search(
+            corpus, read_trigram_index(spark, path), "doc_id", "text", "needle"
+        ).collect()
+    }
+    assert got_ids == _brute(corpus, "needle")
