@@ -91,3 +91,62 @@ def test_datasource_missing_path_fails_loud(registered, tmp_path):
     spark = registered
     with pytest.raises(Exception, match="(?i)no files|not exist|path"):
         spark.read.format("fasta").load(str(tmp_path / "nope/*.fa")).collect()
+
+
+def test_streaming_fasta_exactly_once_pipeline(registered, tmp_path):
+    """End-to-end genomics ingest: FASTA landing dir → the
+    fasta_stream Python streaming source → the idempotent epoch sink.
+    Two availableNow runs with files arriving between them; the
+    committed output must equal a batch parse of everything exactly
+    once (restart consumes only the new files)."""
+    from prohap_spark.sources.fasta_datasource import (
+        FastaStreamDataSource,
+        _parse_fasta_text,
+    )
+    from prohap_spark.streaming.sink import (
+        idempotent_batch_writer,
+        read_committed,
+    )
+
+    spark = registered
+    spark.dataSource.register(FastaStreamDataSource)
+    land = tmp_path / "landing"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def drop_file(i, n_recs):
+        body = "".join(
+            f">sp|A{i}_{j}|rec {i}.{j}\nMKV\nLLT\n" for j in range(n_recs)
+        )
+        (land / f"batch{i:03d}.fasta").write_text(body)
+
+    def run():
+        q = (
+            spark.readStream.format("fasta_stream").load(str(land))
+            .writeStream.outputMode("append")
+            .foreachBatch(idempotent_batch_writer(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drop_file(0, 3)
+    drop_file(1, 2)
+    run()
+    n1 = read_committed(spark, out).count()
+    assert n1 == 5
+
+    drop_file(2, 4)  # arrives "later"; restart from checkpoint
+    run()
+    got = read_committed(spark, out)
+    assert got.count() == 9  # 5 + 4, nothing re-ingested
+    accs = sorted(r["accession"] for r in got.collect())
+    want = sorted(
+        rec[1]
+        for i, n in ((0, 3), (1, 2), (2, 4))
+        for rec in _parse_fasta_text((land / f"batch{i:03d}.fasta").read_text())
+    )
+    assert accs == want
+    assert got.where("sequence <> 'MKVLLT'").count() == 0
