@@ -91,12 +91,23 @@ class _FastaReader(DataSourceReader):
         return [_FastaPartition(f) for f in files]
 
     def read(self, partition: _FastaPartition):
+        # Arrow RecordBatch output — the API's documented fast path
+        # (one columnar batch per file instead of per-row python
+        # tuples through the pickler)
         import gzip
+
+        import pyarrow as pa
 
         opener = gzip.open if partition.path.endswith(".gz") else open
         with opener(partition.path, "rt") as f:
             text = f.read()
-        yield from _parse_fasta_text(text)
+        cols = {"tag": [], "accession": [], "description": [], "sequence": []}
+        for tag, acc, desc, seq in _parse_fasta_text(text):
+            cols["tag"].append(tag)
+            cols["accession"].append(acc)
+            cols["description"].append(desc)
+            cols["sequence"].append(seq)
+        yield pa.RecordBatch.from_pydict(cols)
 
 
 class FastaDataSource(DataSource):
