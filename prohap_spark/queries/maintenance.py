@@ -217,6 +217,17 @@ def _stats_oracle_sql() -> str:
       -- values under the _merged stat tag
       UNION ALL SELECT 'l_orderkey', 'ndv_hll_merged', hll_est, NULL FROM hok
       UNION ALL SELECT 'l_returnflag', 'ndv_hll_merged', hll_est, NULL FROM hrf
+      -- equi-width histogram: the third classic ANALYZE output
+      -- beside min/max and NDV (selectivity estimation's input).
+      -- 10 buckets over l_quantity's domain [1, 50]; exact integer
+      -- bucket ids (values are whole numbers, edges are integers)
+      UNION ALL
+      SELECT 'l_quantity',
+             'hist_' || lpad(CAST(b AS VARCHAR), 2, '0'),
+             CAST(count(*) AS BIGINT), NULL
+      FROM (SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS BIGINT) AS b
+            FROM lineitem WHERE l_quantity IS NOT NULL)
+      GROUP BY b
       UNION ALL SELECT '<check>', 'not_null(l_orderkey)',
         (SELECT CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
          FROM lineitem), NULL
@@ -357,6 +368,27 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # equi-width histogram over l_quantity (10 buckets, width 5 on
+    # [1, 50] — exact integer bucket ids since values and edges are
+    # whole numbers); rides the shared pruned scan
+    hist = (
+        li.where(F.col("l_quantity").isNotNull())
+        .select(
+            F.least(F.floor((F.col("l_quantity") - 1) / 5), F.lit(9))
+            .cast("long")
+            .alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ival"))
+        .select(
+            F.lit("l_quantity").alias("col"),
+            F.concat(F.lit("hist_"), F.lpad(F.col("b").cast("string"), 2, "0"))
+            .alias("stat"),
+            "ival",
+            F.lit(None).cast("string").alias("sval"),
+        )
+    )
+
     def hll_leg(colname: str) -> DataFrame:
         regs = li.select(F.lit("x").alias("g"), F.col(colname).alias("v"))
         return hll_distinct(regs, ["g"], "v").select(
@@ -456,6 +488,7 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.unionByName(hll_leg("l_orderkey"))
         .unionByName(hll_leg("l_returnflag"))
         .unionByName(merged)
+        .unionByName(hist)
         .unionByName(checks)
         .unionByName(diff)
     )
