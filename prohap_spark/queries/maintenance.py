@@ -288,8 +288,9 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The table-health surface (r12 engine surplus), three leg
     families in one long-form (col, stat, ival, sval) gate:
     ANALYZE-style column statistics (per-column null counts, min/max,
-    exact NDV, the deterministic-HLL NDV estimate — what a cost-based
-    planner and the layout layer consume), declarative data-quality
+    exact NDV, the deterministic-HLL NDV estimate — direct AND via
+    the merged-shard artifact path — plus an equi-width histogram:
+    everything a cost-based planner and the layout layer consume), declarative data-quality
     CONSTRAINT checks (operators/validate.py: not-null / range /
     accepted-values in one aggregate pass, unique-key and
     foreign-key with their one keyed exchange each — the validation
