@@ -1,0 +1,86 @@
+"""operators/zonemap.py: explicit file-skipping zone maps."""
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+from pyspark.sql import functions as F
+
+from prohap_spark.operators.zonemap import (
+    build_zone_map,
+    prune_files,
+    read_pruned,
+    read_zone_map,
+    write_zone_map,
+)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, tmp_path_factory):
+    """A range-clustered table: 16 files, each covering a narrow key
+    span — the layout zone maps reward."""
+    path = str(tmp_path_factory.mktemp("zm") / "t")
+    df = spark.range(0, 16000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),
+    )
+    df.repartitionByRange(16, "k").write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_zone_map_prunes_and_matches_full_scan(spark, clustered):
+    zm = build_zone_map(spark, clustered, ["k"]).cache()
+    n_files = zm.count()
+    assert n_files == 16
+    # narrow range: few files survive, results identical to full scan
+    lo, hi = 4000, 4999
+    files = prune_files(zm, "k", lo, hi)
+    assert 0 < len(files) <= 3
+    got = sorted(
+        r["k"] for r in read_pruned(spark, zm, "k", lo, hi).collect()
+    )
+    want = sorted(
+        r["k"]
+        for r in spark.read.parquet(clustered)
+        .where(f"k >= {lo} AND k <= {hi}")
+        .collect()
+    )
+    assert got == want
+
+
+def test_zone_map_randomized_never_loses_rows(spark, clustered):
+    zm = build_zone_map(spark, clustered, ["k", "v"]).cache()
+    full = spark.read.parquet(clustered).cache()
+    rng = random.Random(9)
+    for _ in range(8):
+        col = rng.choice(["k", "v"])
+        a = rng.randint(-10, 16010)
+        b = a + rng.randint(0, 5000)
+        lo, hi = (a, b) if rng.random() < 0.8 else (None, b)
+        got = read_pruned(spark, zm, col, lo, hi).count()
+        cond = []
+        if lo is not None:
+            cond.append(f"{col} >= {lo}")
+        if hi is not None:
+            cond.append(f"{col} <= {hi}")
+        want = full.where(" AND ".join(cond)).count()
+        assert got == want, (col, lo, hi)
+    # the unclustered column prunes nothing (v spans every file) —
+    # the honest negative: zone maps only pay on clustered dims
+    assert len(prune_files(zm, "v", 5, 10)) == 16
+
+
+def test_zone_map_empty_survivors_and_artifact_roundtrip(
+    spark, clustered, tmp_path
+):
+    zm = build_zone_map(spark, clustered, ["k"])
+    assert prune_files(zm, "k", 100000, 200000) == []
+    empty = read_pruned(spark, zm, "k", 100000, 200000)
+    assert empty.count() == 0 and "k" in empty.columns
+
+    path = str(tmp_path / "zm_idx")
+    write_zone_map(zm, path)
+    back = read_zone_map(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, zm.collect()))
