@@ -151,3 +151,51 @@ def read_stats_artifact(
         read_dedup_index(spark, f"{path}/basic"),
         read_dedup_index(spark, f"{path}/regs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# planner reads: pure driver-side functions over the (tiny) stats
+# artifacts — selectivity and join-cardinality estimation, the two
+# numbers a cost-based decision (broadcast vs shuffle, filter-first
+# vs join-first, zone-map-prune vs scan) actually consumes. Stats are
+# kilobytes by design, so these are plain functions, not jobs.
+# ---------------------------------------------------------------------------
+
+
+def range_selectivity(
+    hist_counts: list[int], domain_lo: float, domain_hi: float,
+    lo: float | None, hi: float | None,
+) -> float:
+    """Estimated fraction of rows with value in [lo, hi] from an
+    equi-width histogram over [domain_lo, domain_hi] (the
+    table_stats_board hist legs), uniform-within-bucket assumption —
+    the textbook estimator. None bounds are unbounded."""
+    total = sum(hist_counts)
+    if total == 0:
+        return 0.0
+    nb = len(hist_counts)
+    width = (domain_hi - domain_lo) / nb
+    lo = domain_lo if lo is None else max(lo, domain_lo)
+    hi = domain_hi if hi is None else min(hi, domain_hi)
+    if hi <= lo:
+        return 0.0
+    acc = 0.0
+    for i, c in enumerate(hist_counts):
+        b_lo = domain_lo + i * width
+        b_hi = b_lo + width
+        overlap = max(0.0, min(hi, b_hi) - max(lo, b_lo))
+        if overlap > 0:
+            acc += c * (overlap / width)
+    return acc / total
+
+
+def join_cardinality(n_a: int, ndv_a: int, n_b: int, ndv_b: int) -> float:
+    """System-R equi-join estimate under the containment assumption:
+    |A ⋈ B| ≈ n_a · n_b / max(ndv_a, ndv_b). Exact for clean FK
+    joins (ndv_child_keys == ndv_parent); feed it the ndv_hll legs
+    and it prices a join before any shuffle — the stats-based twin of
+    functions/sketches.py::cms_join_size_estimate (which reads
+    frequency sketches instead and also sees skew)."""
+    if ndv_a <= 0 or ndv_b <= 0:
+        return 0.0
+    return n_a * n_b / max(ndv_a, ndv_b)

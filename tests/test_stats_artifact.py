@@ -111,3 +111,44 @@ def test_artifact_roundtrip_and_torn_read(spark, lineitem, tmp_path):
     ):
         b3, r3 = read_stats_artifact(spark, path)
         r3.collect()
+
+
+def test_range_selectivity_vs_actual(spark, lineitem):
+    from prohap_spark.operators.stats import range_selectivity
+
+    hist = {
+        r["b"]: r["c"]
+        for r in lineitem.where("l_quantity IS NOT NULL")
+        .selectExpr("CAST(least(floor((l_quantity - 1) / 5), 9) AS INT) AS b")
+        .groupBy("b").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    counts = [hist.get(i, 0) for i in range(10)]
+    n = sum(counts)
+    for lo, hi in [(1, 10), (20, 30), (45, 50), (None, 25), (30, None)]:
+        est = range_selectivity(counts, 1.0, 51.0, lo, hi)
+        cond = []
+        if lo is not None:
+            cond.append(f"l_quantity >= {lo}")
+        if hi is not None:
+            cond.append(f"l_quantity <= {hi}")
+        actual = lineitem.where(" AND ".join(cond)).count() / n
+        # uniform-within-bucket on integer data: a bucket's worth of
+        # slack either way
+        assert abs(est - actual) < 0.12, (lo, hi, est, actual)
+    assert range_selectivity(counts, 1.0, 51.0, 60, 70) == 0.0
+    assert abs(range_selectivity(counts, 1.0, 51.0, None, None) - 1.0) < 1e-9
+
+
+def test_join_cardinality_fk_exact(spark):
+    from prohap_spark.operators.stats import join_cardinality
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_l, n_o = li.count(), o.count()
+    ndv_l = li.select("l_orderkey").distinct().count()
+    ndv_o = o.select("o_orderkey").distinct().count()
+    est = join_cardinality(n_l, ndv_l, n_o, ndv_o)
+    actual = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    # clean FK join: the containment estimate is near-exact (every
+    # lineitem key exists in orders; ndv_child <= ndv_parent)
+    assert abs(est - actual) / actual < 0.02, (est, actual)
