@@ -51,6 +51,14 @@ QUERIES = [
     "text_bm25_topk",
     "dedup_jaccard_pairs",
     "u4_peptide_classes",
+    "j6_explode_equijoin",
+    "w5_running_offset",
+    "so_set_ops",
+    "hybrid_search_rrf",
+    "sim_lsh_ann",
+    "text_token_counts",
+    "text_langid",
+    "f1_regex_threshold",
 ]
 
 # the drift-sensitive structural keys (see module docstring)
