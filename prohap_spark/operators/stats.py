@@ -199,3 +199,28 @@ def join_cardinality(n_a: int, ndv_a: int, n_b: int, ndv_b: int) -> float:
     if ndv_a <= 0 or ndv_b <= 0:
         return 0.0
     return n_a * n_b / max(ndv_a, ndv_b)
+
+
+def suggest_zorder_dims(
+    finished: DataFrame, candidates: list[str], k: int = 2
+) -> list[str]:
+    """Pick the ``k`` z-order dimensions from a :func:`finish_stats`
+    frame: highest NDV first (ties broken by name for determinism).
+    Rationale: Morton interleaving only buys multi-column pruning on
+    dimensions with enough distinct values to quantize meaningfully —
+    a 3-value flag column wastes its interleave bits (the
+    operators/layout.py quantizer would collapse it to a constant
+    prefix). Columns with NDV <= 1 are excluded outright. This is the
+    stats->layout planner read the README's governance bullet names;
+    the chosen dims feed write_zorder_clustered unchanged."""
+    rows = {
+        r["col"]: r["ndv_hll"]
+        for r in finished.where(F.col("col").isin(candidates)).select(
+            "col", "ndv_hll"
+        ).collect()
+    }
+    ranked = sorted(
+        ((ndv, c) for c, ndv in rows.items() if ndv and ndv > 1),
+        key=lambda t: (-t[0], t[1]),
+    )
+    return [c for _, c in ranked[:k]]

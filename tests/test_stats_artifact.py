@@ -152,3 +152,18 @@ def test_join_cardinality_fk_exact(spark):
     # clean FK join: the containment estimate is near-exact (every
     # lineitem key exists in orders; ndv_child <= ndv_parent)
     assert abs(est - actual) / actual < 0.02, (est, actual)
+
+
+def test_suggest_zorder_dims(spark, lineitem):
+    from prohap_spark.operators.stats import (
+        column_stats_partials,
+        finish_stats,
+        suggest_zorder_dims,
+    )
+
+    fin = finish_stats(*column_stats_partials(lineitem, NUM, STR))
+    # l_orderkey (thousands of keys) must outrank l_quantity (50
+    # values), and the 3-value flag never qualifies ahead of either
+    dims = suggest_zorder_dims(fin, ["l_orderkey", "l_quantity", "l_returnflag"], k=2)
+    assert dims == ["l_orderkey", "l_quantity"]
+    assert suggest_zorder_dims(fin, ["l_returnflag"], k=2) == ["l_returnflag"]
