@@ -228,6 +228,42 @@ def _stats_oracle_sql() -> str:
       FROM (SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS BIGINT) AS b
             FROM lineitem WHERE l_quantity IS NOT NULL)
       GROUP BY b
+      -- selectivity-estimator gate rows: the textbook equi-width
+      -- estimate (uniform within bucket) AND the exact fraction, both
+      -- in integer micro-units (integer bucket edges x integer query
+      -- bounds -> integer overlaps; one integer division each), so
+      -- the ESTIMATOR itself is cross-engine bit-exact and its error
+      -- vs actual sits in hashed data
+      UNION ALL
+      SELECT 'l_quantity', 'sel_est_8_27_micro',
+        (SELECT CAST(sum(cnt * greatest(0, least(27, b * 5 + 6)
+                 - greatest(8, b * 5 + 1))) * 1000000
+                 // (5 * sum(cnt)) AS BIGINT)
+         FROM (SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS BIGINT)
+                 AS b, count(*) AS cnt
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)),
+        NULL
+      UNION ALL
+      SELECT 'l_quantity', 'sel_act_8_27_micro',
+        (SELECT CAST(count(*) FILTER (WHERE l_quantity >= 8
+                 AND l_quantity <= 27) * 1000000
+                 // count(*) AS BIGINT)
+         FROM lineitem WHERE l_quantity IS NOT NULL), NULL
+      UNION ALL
+      SELECT 'l_quantity', 'sel_est_1_14_micro',
+        (SELECT CAST(sum(cnt * greatest(0, least(14, b * 5 + 6)
+                 - greatest(1, b * 5 + 1))) * 1000000
+                 // (5 * sum(cnt)) AS BIGINT)
+         FROM (SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS BIGINT)
+                 AS b, count(*) AS cnt
+               FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1)),
+        NULL
+      UNION ALL
+      SELECT 'l_quantity', 'sel_act_1_14_micro',
+        (SELECT CAST(count(*) FILTER (WHERE l_quantity >= 1
+                 AND l_quantity <= 14) * 1000000
+                 // count(*) AS BIGINT)
+         FROM lineitem WHERE l_quantity IS NOT NULL), NULL
       UNION ALL SELECT '<check>', 'not_null(l_orderkey)',
         (SELECT CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT)
          FROM lineitem), NULL
@@ -372,7 +408,7 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equi-width histogram over l_quantity (10 buckets, width 5 on
     # [1, 50] — exact integer bucket ids since values and edges are
     # whole numbers); rides the shared pruned scan
-    hist = (
+    hist_b = (
         li.where(F.col("l_quantity").isNotNull())
         .select(
             F.least(F.floor((F.col("l_quantity") - 1) / 5), F.lit(9))
@@ -380,15 +416,53 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("b")
         )
         .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ival"))
-        .select(
-            F.lit("l_quantity").alias("col"),
-            F.concat(F.lit("hist_"), F.lpad(F.col("b").cast("string"), 2, "0"))
-            .alias("stat"),
-            "ival",
-            F.lit(None).cast("string").alias("sval"),
-        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # feeds hist rows + sel estimates
     )
+    hist = hist_b.select(
+        F.lit("l_quantity").alias("col"),
+        F.concat(F.lit("hist_"), F.lpad(F.col("b").cast("string"), 2, "0"))
+        .alias("stat"),
+        F.col("cnt").alias("ival"),
+        F.lit(None).cast("string").alias("sval"),
+    )
+
+    # selectivity-estimator gate rows (see the oracle's comment): the
+    # estimate from the 10-bucket histogram and the exact fraction,
+    # both exact-integer micro-units — estimator under the hash
+    def sel_rows(lo: int, hi: int) -> DataFrame:
+        ns = F.lit(None).cast("string")
+        est = hist_b.agg(
+            F.expr(
+                f"CAST(sum(cnt * greatest(0, least({hi}, b * 5 + 6) "
+                f"- greatest({lo}, b * 5 + 1))) * 1000000 "
+                "div (5 * sum(cnt)) AS LONG)"
+            ).alias("ival")
+        ).select(
+            F.lit("l_quantity").alias("col"),
+            F.lit(f"sel_est_{lo}_{hi}_micro").alias("stat"),
+            "ival",
+            ns.alias("sval"),
+        )
+        act = (
+            li.where(F.col("l_quantity").isNotNull())
+            .agg(
+                F.expr(
+                    f"CAST(sum(CASE WHEN l_quantity >= {lo} AND "
+                    f"l_quantity <= {hi} THEN 1 ELSE 0 END) * 1000000 "
+                    "div count(*) AS LONG)"
+                ).alias("ival")
+            )
+            .select(
+                F.lit("l_quantity").alias("col"),
+                F.lit(f"sel_act_{lo}_{hi}_micro").alias("stat"),
+                "ival",
+                ns.alias("sval"),
+            )
+        )
+        return est.unionByName(act)
+
+    sel = sel_rows(8, 27).unionByName(sel_rows(1, 14))
 
     def hll_leg(colname: str) -> DataFrame:
         regs = li.select(F.lit("x").alias("g"), F.col(colname).alias("v"))
@@ -490,6 +564,7 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(hll_leg("l_returnflag"))
         .unionByName(merged)
         .unionByName(hist)
+        .unionByName(sel)
         .unionByName(checks)
         .unionByName(diff)
     )
