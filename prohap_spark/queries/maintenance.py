@@ -90,6 +90,48 @@ def _recluster_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps under the gate (operators/zonemap.py, r12): lineitem
+    is laid out DETERMINISTICALLY (fid = l_orderkey div 4000,
+    partitionBy — file spans then derive from the data, never from
+    sampled range boundaries or part-file names), build_zone_map reads
+    the per-file stats back, and the leg emits per-fid spans packed as
+    min·1e7+max (keys < 1e7 at every test SF) plus one pruning-model
+    row: the fids surviving prune_files for l_orderkey ∈ [8000,
+    19999] — count and fid-sum hashed, exactly replayable from the
+    fid arithmetic alone."""
+    from prohap_spark.operators.zonemap import build_zone_map, prune_files
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/prohap_maint_{_MAINT_BASE}/{tag}"
+    src = f"{base}/li_fid"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        atexit.register(shutil.rmtree, base, True)
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        li.withColumn(
+            "fid", F.expr("l_orderkey div 4000")
+        ).write.partitionBy("fid").mode("overwrite").parquet(src)
+    zm = build_zone_map(spark, src, ["l_orderkey"]).localCheckpoint(eager=False)
+    fid = F.regexp_extract("file", r"fid=(\d+)", 1).cast("long")
+    spans = (
+        zm.groupBy(fid.alias("k"))
+        .agg(
+            F.sum("n_rows").alias("n"),
+            (F.min("min_l_orderkey") * 10000000 + F.max("max_l_orderkey"))
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    surviving = zm.sparkSession.createDataFrame(
+        [(f,) for f in prune_files(zm, "l_orderkey", 8000, 19999)],
+        "file string",
+    ).select(fid.alias("k")).distinct()
+    prune_row = surviving.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("k").cast("long").alias("h")
+    ).select(F.lit(-1).cast("long").alias("k"), "n", "h")
+    return spans.unionByName(prune_row)
+
+
 def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five constructed URL case families through canonicalize_url."""
     from prohap_spark.functions.text import canonicalize_url
@@ -142,6 +184,21 @@ def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'url' AS leg, k, CAST(NULL AS BIGINT) AS n,
            CAST(NULL AS BIGINT) AS h, s
     FROM urls
+    UNION ALL
+    SELECT 'zonemap' AS leg, fid AS k, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_orderkey) * 10000000 + max(l_orderkey) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
+    GROUP BY fid
+    UNION ALL
+    SELECT 'zonemap' AS leg, CAST(-1 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(fid) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      SELECT fid, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+      FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
+      GROUP BY fid
+    ) WHERE mn <= 19999 AND mx >= 8000
     """,
 )
 def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,7 +218,13 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls = _url_leg(spark, sf_dir).select(
         F.lit("url").alias("leg"), "k", NL.alias("n"), NL.alias("h"), "s"
     )
-    return compact.unionByName(recluster).unionByName(urls)
+    zonemap = _zonemap_leg(spark, sf_dir).select(
+        F.lit("zonemap").alias("leg"), "k", "n", "h", NS.alias("s")
+    )
+    return (
+        compact.unionByName(recluster).unionByName(urls)
+        .unionByName(zonemap)
+    )
 
 
 def _stats_oracle_sql() -> str:
