@@ -67,6 +67,39 @@ def main() -> None:
             "fallback": cand is None,
         }))
 
+    # the sf tables' ~40-word vocabulary makes the numbers above a
+    # WORST CASE (few distinct trigrams -> fat posting lists). Second
+    # measurement: a seeded diverse-vocabulary corpus (20k synthetic
+    # word types) approximating natural text's trigram diversity.
+    import random
+
+    rng = random.Random(1212)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    vocab = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(3, 10)))
+        for _ in range(20000)
+    ]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(30, 120))))
+        for i in range(5000)
+    ]
+    dd = spark.createDataFrame(rows, "doc_id long, text string").localCheckpoint()
+    idx2 = build_trigram_index(dd, "doc_id", "text").localCheckpoint(eager=False)
+    # needles: one word planted in a known fraction of docs
+    planted = vocab[0]
+    for needle in (planted, vocab[1] + " " + vocab[2], "qzx"):
+        cand = like_candidates(idx2, "doc_id", needle)
+        n_cand = 5000 if cand is None else cand.count()
+        n_true = like_search(dd, idx2, "doc_id", "text", needle).count()
+        print(json.dumps({
+            "corpus": "diverse20k",
+            "needle_kind": "word" if needle == planted else
+                           ("phrase" if " " in needle else "rare-gram"),
+            "candidates": n_cand,
+            "true_matches": n_true,
+            "prune_factor": round(5000 / max(n_cand, 1), 1),
+        }))
+
     spark.stop()
 
 
