@@ -41,7 +41,7 @@ HEADLINE = [
     "a2_signature_grouping",
     "w5_running_offset",
     "topk_per_group",
-    "text_quality",
+    "text_quality_board",
     "text_fingerprint_dedup",
     # the peptide chain (explode + containment join + canonical-first
     # resolution + class grid, J6/J9/J11/U4) — kernel-adjacent path

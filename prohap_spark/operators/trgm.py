@@ -152,7 +152,18 @@ def append_trigram_index(
     writer, then swaps — overwriting the path the merge is lazily
     READING from would be the classic Spark self-overwrite corruption
     ("cannot overwrite a path that is also being read from", or
-    worse, silence)."""
+    worse, silence).
+
+    Swap protocol (r12 ADVICE: reentrant + always-readable): a stale
+    ``.old`` dir from a prior crash is cleared FIRST (os.rename onto
+    an existing dir raises), and the two renames run under a
+    try/finally that restores the backup if the staging rename fails
+    — the index at ``path`` is readable before and after every
+    outcome except the sub-millisecond window between the two renames,
+    which the finally-restore closes on failure. Like the streaming
+    sink's marker protocol, the driver-local os.rename/shutil calls
+    make this op LOCAL-FILESYSTEM-ONLY; on HDFS/object stores route
+    the same three steps through the Hadoop FileSystem API."""
     import os
     import shutil
 
@@ -162,9 +173,17 @@ def append_trigram_index(
     new = build_trigram_index(delta, id_col, text_col, n)
     merged = base.unionByName(new).dropDuplicates(["gram", id_col])
     staging = path.rstrip("/") + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)  # torn staging from a prior crash
     manifest = write_dedup_index(merged, staging)
     backup = path.rstrip("/") + ".old"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)  # stale backup from a prior crash
     os.rename(path, backup)
-    os.rename(staging, path)
+    try:
+        os.rename(staging, path)
+    except BaseException:
+        os.rename(backup, path)  # restore: index stays readable
+        raise
     shutil.rmtree(backup)
     return manifest

@@ -69,10 +69,19 @@ def matches_regex(col: str, pattern: str) -> tuple[str, Column]:
 def check_rows(df: DataFrame, checks: list[tuple[str, Column]]) -> DataFrame:
     """Evaluate row-level constraints in ONE aggregate pass. Returns
     (constraint string, violations bigint, total bigint, ok boolean),
-    one row per constraint."""
+    one row per constraint. A NULL-valued predicate counts as a
+    VIOLATION (SQL three-valued logic would otherwise let `~NULL ->
+    otherwise(0)` pass it silently — the built-in helpers guard their
+    own nulls, but the public API accepts arbitrary (name, Column)
+    predicates), and an empty table reports 0 violations / ok=true
+    rather than NULL (r12 ADVICE)."""
     total = F.count(F.lit(1))
     aggs = [total.alias("__total")] + [
-        F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+        F.coalesce(
+            F.sum(F.when(F.coalesce(ok, F.lit(False)), 0).otherwise(1)), F.lit(0)
+        )
+        .cast("long")
+        .alias(f"__v{i}")
         for i, (_, ok) in enumerate(checks)
     ]
     one = df.agg(*aggs)

@@ -22,6 +22,7 @@ from prohap_spark.queries import minus_strand  # noqa: F401
 from prohap_spark.queries import indel_haplo  # noqa: F401
 from prohap_spark.queries import start_codon  # noqa: F401
 from prohap_spark.queries import sink_board  # noqa: F401
+from prohap_spark.queries import canary  # noqa: F401
 from prohap_spark.queries import junction  # noqa: F401
 from prohap_spark.queries import force_rf  # noqa: F401
 from prohap_spark.queries import junction_haplo  # noqa: F401
@@ -43,33 +44,28 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # 150 = 3x50). tools/rotation_audit.py verifies this mechanically
 # against the CORRECTNESS_r*.json files.
 #
-# Round-12 state. Obligations were 51 against the 50 budget — the
-# first overflow since r8: (b) sim_embedding_board (the r11 driver
-# red — a flapping float-rounding gate, made ENGINE-EXACT this round,
-# see queries/simsearch.py) + (a) the 7 r11-tail registrations never
-# driver-checked + (c) the 43 r9-greens going dark. Resolution per
-# the documented precedence (b > a > c), visibly: the two rule-(c)
-# J1 flavors j1_interval_join_binned + j1b_interval_overlap_join
-# MERGED into j1_interval_board (the slot-freeing device, 11th use;
-# queries/windowed.py) — the board carries both members' rule-(c)
-# obligation and fronts NOW as a rule-(a) registration, bringing the
-# front to exactly 1 + 8 + 41 = 50. No entry was bumped or silently
-# dropped. The freed registry slot funds table_maintenance_board
-# (compact/recluster/canonicalize_url — the r11 verdict's ask #4,
-# queries/maintenance.py), which lands MID-registry in the audit's
-# new_waiting lane and fronts r13. Registry stays AT the 150 cap.
-#
-# Also this round (the float-gate class sweep, r11 verdict #1-#3):
-# every oracle that hashed a rounded reassociated float aggregate was
-# rebuilt on exact integer units (cents/milli/freq5/micro devices) —
-# affected non-front entries (j2, j3, w5, sql_api_q6, the prohap
-# frequency chain + its 4 domain oracles, sim_ivf_ann/index_probe,
-# stream_sliding_window) carry r11 green stamps on the OLD gate text;
-# the new gates pass the local harness (tools/check.py) and re-verify
-# on their normal r13/r14 rotation schedule. The only remaining
-# round(sum(...)) oracles aggregate integer-valued l_quantity, whose
-# double partial sums are exact at any order (grep-auditable:
-# agg_rollup, agg_pivot, j13_bloom_semi_join).
+# Round-13 state. Obligations were 51 against the 50 budget: (b)
+# sim_embedding_board (red in r12 for the second round — the hashed
+# projection is now INTEGER-ONLY, see queries/simsearch.py: the
+# centroid leg hashes its exact BIGINT accumulators, the brute leg
+# moved to the sim_lsh_ann quantize-micro integer gate; no derived
+# IEEE double reaches the value hash) + (a) the 6 r12-tail boards
+# never driver-checked (table_maintenance_board, stream_window_board,
+# agg_shape_board, table_stats_board, q_subquery_board,
+# text_trgm_search) + (c) the 44 r10-greens going dark. Resolution
+# per the documented precedence (b > a > c), visibly: the two
+# rule-(c) per-document text singletons text_quality + text_langid
+# MERGED into text_quality_board (the slot-freeing device, 14th use;
+# queries/textdata.py — one documents scan instead of two, hashed
+# ratios upgraded to integer micro-units per the r12 verdict's
+# integer-projection rule) — the board carries both members' rule-(c)
+# obligation and fronts NOW, bringing the front to exactly
+# 1 + 6 + 1 + 42 = 50. No entry was bumped or silently dropped. The
+# freed registry slot funds float_env_canary (queries/canary.py —
+# the r12 verdict's ask #2: per-row single-primitive float probes so
+# a driver-build divergence names its own root cause), which lands
+# MID-registry in the audit's new_waiting lane and fronts r14.
+# Registry: 149 (one slot of headroom under the 150 cap).
 #
 # Overflow precedence (first exercised r8, exercised again this
 # round): if a round's obligations exceed the 50 budget, priority is
@@ -80,19 +76,48 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # option — the audit's exit code enforces that the resolution is
 # visible.
 _FRONT = [
-    # rule-(b): the r11 red — centroid leg now ENGINE-EXACT (integer
-    # 1e4-unit sums; unrounded IEEE-deterministic score):
+    # rule-(b): the r11+r12 red — hashed projection now INTEGER-ONLY
+    # (BIGINT accumulators; no derived IEEE double in the hash):
     "sim_embedding_board",
-    # rule-(a): the 7 r11-tail registrations, never driver-checked
-    # (all pass the local harness; the judge re-ran them 8/8):
+    # rule-(a): the 6 r12-tail boards, never driver-checked (all pass
+    # the local harness; the r12 judge re-ran them 6/6):
+    "table_maintenance_board", "stream_window_board", "agg_shape_board",
+    "table_stats_board", "q_subquery_board", "text_trgm_search",
+    # rule-(a): the r13 merge board (carries text_quality +
+    # text_langid's rule-(c) obligation — the overflow resolution):
+    "text_quality_board",
+    # rule-(c): the 42 remaining r10-greens — dark r11 and r12, the
+    # window forces them now:
+    "so_set_ops", "agg_quantiles",
+    "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
+    "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
+    "text_bloom_decontam",
+    "text_heavy_hitters_cms", "sampling_temperature_mix",
+    "text_intradoc_dedup", "text_substring_dedup", "pack_best_fit",
+    "text_ngram_topk", "dedup_incremental_ingest", "text_chunk_overlap",
+    "dedup_incremental_near", "sampling_negative_pairs", "dedup_host_cap",
+    "sim_lsh_ann", "sim_knn_classify", "hybrid_search_rrf",
+    "sim_kmeans_ivf", "f12_liftover_artifact_filter",
+    "agg_approx_sketches", "multimodal_decode_features",
+    "multimodal_resize_stats", "multimodal_jpeg_color_codec",
+    "multimodal_gif_tiff_codec", "multimodal_audio_container",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q7_volume_shipping", "q21_suppliers_kept_waiting",
+    "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
+    "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
+    "s13_jsonl_roundtrip",
+]
+_BACK = [
+    # last green r12 — the r15 rule-(c) obligations (they may go dark
+    # r13 AND r14 without violating the three-round window). The r14
+    # front will be the ~44 r11-greens (mid-registry) + the
+    # new_waiting float_env_canary + dedup_cdc_chunking and
+    # text_quality_classifier (gates changed after their r11 greens,
+    # r14 by schedule); rotation_audit.py prints the exact list.
     "agg_quantile_sketch", "sketch_algebra_board", "j13_bloom_semi_join",
     "layout_zorder_cluster", "w1_islands_board", "stream_batch_parity_board",
-    "sim_quantized_ann_board",
-    # rule-(a): the r12 merge board (carries j1+j1b's rule-(c)
-    # obligation — the overflow resolution):
-    "j1_interval_board",
-    # rule-(c): the 41 surviving r9-greens — dark r10 and r11, the
-    # window forces them now:
+    "sim_quantized_ann_board", "j1_interval_board",
     "dedup_minhash_lsh_board", "dedup_simhash_board",
     "multimodal_audio_window_codec", "text_quality_classifier",
     "q1_pricing_summary", "er_fuzzy_blocked_join",
@@ -111,48 +136,6 @@ _FRONT = [
     "domain_provar_indel_oracle", "j8_gene_header_annotation",
     "u4_full_class_grid", "domain_provar_threeexon_oracle",
     "domain_prohap_threeexon_oracle",
-]
-_BACK = [
-    # last green r10, dark r11 — the r13 rule-(c) front obligations
-    # (rotation_audit.py prints them).
-    #
-    # r13 budget arithmetic (resolved ahead of time, r12 tail): the
-    # obligations stood at 51 — 50 r10-greens + table_maintenance_
-    # board's rule-(a) slot. Resolution: TWO rule-(c) pair-merges
-    # (stream_session_window + stream_sliding_window →
-    # stream_window_board in queries/scalars.py; agg_rollup +
-    # agg_pivot → agg_shape_board in queries/relational.py), each
-    # board carrying both members' obligation as ONE rule-(a) entry.
-    # The second freed slot funds table_stats_board (ANALYZE-style
-    # column statistics, queries/maintenance.py — new r12 surface).
-    # Net r13 front: 46 rule-(c) + 4 rule-(a) (maintenance, window,
-    # agg_shape, stats boards) = exactly 50; registry 149 (one slot
-    # of headroom under the 150 cap). No entry bumped or dropped.
-    #
-    # r12-tail addendum: a THIRD pair-merge (q4_order_priority +
-    # q22_idle_customers → q_subquery_board, queries/classic.py)
-    # funds text_trgm_search (the trigram LIKE-acceleration index,
-    # operators/trgm.py + queries/textdata.py). Final r13 front:
-    # 44 rule-(c) + 6 rule-(a) = exactly 50; registry 149.
-    "so_set_ops", "agg_quantiles",
-    "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
-    "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
-    "text_quality", "text_langid", "text_bloom_decontam",
-    "text_heavy_hitters_cms", "sampling_temperature_mix",
-    "text_intradoc_dedup", "text_substring_dedup", "pack_best_fit",
-    "text_ngram_topk", "dedup_incremental_ingest", "text_chunk_overlap",
-    "dedup_incremental_near", "sampling_negative_pairs", "dedup_host_cap",
-    "sim_lsh_ann", "sim_knn_classify", "hybrid_search_rrf",
-    "sim_kmeans_ivf", "f12_liftover_artifact_filter",
-    "agg_approx_sketches", "multimodal_decode_features",
-    "multimodal_resize_stats", "multimodal_jpeg_color_codec",
-    "multimodal_gif_tiff_codec", "multimodal_audio_container",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
-    "q7_volume_shipping", "q21_suppliers_kept_waiting",
-    "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
-    "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
-    "s13_jsonl_roundtrip",
 ]
 
 

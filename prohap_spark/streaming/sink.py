@@ -17,8 +17,14 @@ runs) is an IDEMPOTENT batch writer keyed by ``epoch_id``:
 at-least-once delivery x idempotent apply = exactly-once observed.
 
 100 TB notes: the epoch directory doubles as a partition (readers
-prune on batch_id); on HDFS the marker-after-rename step is atomic,
-on object stores the same recipe rides the committer protocol.
+prune on batch_id). THIS implementation's commit-protocol plumbing
+(os.path.exists / open(marker) / os.listdir / os.rename) is
+LOCAL-FILESYSTEM-ONLY — pointing it at hdfs:// or s3a:// URIs would
+silently never see markers and re-deliver epochs. The DESIGN ports
+directly (it is the standard exactly-once-to-object-store recipe):
+on HDFS route the marker/list/rename calls through the Hadoop
+FileSystem API, where marker-after-rename is atomic; on object
+stores the same recipe rides the committer protocol.
 Downstreams that need MERGE semantics instead of partition-append
 compose this with operators/merge.py::scd2_merge inside the same
 ``foreachBatch`` — idempotence then comes from the merge key, and
@@ -53,10 +59,69 @@ def idempotent_batch_writer(out_dir: str):
     return write
 
 
+def recover_compaction(out_dir: str) -> str | None:
+    """Roll a crashed :func:`compact_epochs` swap forward or back so
+    readers always see a complete committed set. Crash taxonomy (the
+    swap's steps are: validate staging → mkdir trash → rename each
+    original into trash → rename staging to batch_id=<keep> → write
+    marker → delete trash):
+
+    - staging present, NO trash: the crash predates any rename of an
+      original (staging may even be a torn write — validation happens
+      before the trash mkdir). Roll BACK: drop staging; the committed
+      epochs were never touched.
+    - trash present: every original rename happened under a VALIDATED
+      staging, so the compacted data is known-good. Roll FORWARD:
+      move any still-unmoved originals into trash, rename staging into
+      place if it still exists, (re)write the marker, drop the trash.
+    - trash present but neither staging nor the target exist (cannot
+      happen under the protocol order, kept for defense): roll BACK by
+      restoring the originals out of the trash.
+
+    Returns "rolled_forward" / "rolled_back" / None (nothing to do).
+    Called automatically by :func:`committed_batch_ids`, so any
+    read/startup path self-heals before listing epochs."""
+    import shutil
+
+    if not os.path.isdir(out_dir):
+        return None
+    names = os.listdir(out_dir)
+    staging = [n for n in names if n.startswith(".staging_batch_id=")]
+    trash = [n for n in names if n.startswith(".trash_compact_")]
+    if not trash:
+        if not staging:
+            return None
+        for n in staging:
+            shutil.rmtree(os.path.join(out_dir, n))
+        return "rolled_back"
+    tdir = os.path.join(out_dir, trash[0])
+    keep = int(trash[0].rsplit("_", 1)[1])
+    target = os.path.join(out_dir, f"batch_id={keep}")
+    sdir = os.path.join(out_dir, f".staging_batch_id={keep}")
+    if os.path.isdir(sdir):
+        for n in os.listdir(out_dir):
+            if n.startswith("batch_id="):
+                os.rename(os.path.join(out_dir, n), os.path.join(tdir, n))
+        os.rename(sdir, target)
+    if os.path.isdir(target):
+        marker = os.path.join(target, COMMIT_MARKER)
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass
+        shutil.rmtree(tdir)
+        return "rolled_forward"
+    for n in os.listdir(tdir):
+        os.rename(os.path.join(tdir, n), os.path.join(out_dir, n))
+    os.rmdir(tdir)
+    return "rolled_back"
+
+
 def committed_batch_ids(out_dir: str) -> list[int]:
-    """Epoch ids with a commit marker, ascending."""
+    """Epoch ids with a commit marker, ascending. Self-heals a crashed
+    compaction swap first (:func:`recover_compaction`)."""
     if not os.path.isdir(out_dir):
         return []
+    recover_compaction(out_dir)
     out = []
     for name in os.listdir(out_dir):
         if name.startswith("batch_id=") and os.path.exists(
@@ -94,8 +159,11 @@ def compact_epochs(
     2. rewrite into ``batch_id=<max committed>`` via a staging
        directory sized by :func:`compact_parquet`'s byte heuristic,
        re-digest, REFUSE on mismatch (originals untouched);
-    3. only then drop the older epoch directories and commit the
-       marker.
+    3. only then swap: originals renamed into a ``.trash_compact_<id>``
+       dir, staging renamed into place, marker written, trash dropped
+       — every step is a same-filesystem rename, and a crash at ANY
+       point is rolled forward/back by :func:`recover_compaction` on
+       the next read.
 
     Reusing the max committed id keeps :func:`read_committed` and the
     writer's replay contract intact: epoch ids only grow, and a
@@ -134,13 +202,22 @@ def compact_epochs(
             f"rows {n} -> {n2}, checksum {checksum} -> {checksum2}; "
             "the committed epochs are untouched, discard the staging dir"
         )
-    # swap: drop originals, move staging into place, re-mark
+    # swap (r12 ADVICE: recoverable, never a window with the data only
+    # in a hidden dir): rename originals into a trash dir (cheap
+    # renames — same filesystem), rename staging into place, write the
+    # marker, THEN delete the trash. A crash anywhere in this window
+    # leaves either the originals (trash restorable) or the validated
+    # compacted epoch; recover_compaction() rolls it forward/back on
+    # the next read (committed_batch_ids calls it).
+    trash = os.path.join(out_dir, f".trash_compact_{keep}")
+    os.makedirs(trash)
     for p in src_paths:
-        shutil.rmtree(p)
+        os.rename(p, os.path.join(trash, os.path.basename(p)))
     target = os.path.join(out_dir, f"batch_id={keep}")
     os.rename(staging, target)
     with open(os.path.join(target, COMMIT_MARKER), "w"):
         pass
+    shutil.rmtree(trash)
     return {
         "compacted": len(ids),
         "into": keep,

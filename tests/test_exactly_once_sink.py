@@ -150,3 +150,99 @@ def test_compact_epochs_noop_below_two(spark, tmp_path):
 
     assert compact_epochs(spark, out)["compacted"] == 0
     assert committed_batch_ids(out) == [0]
+
+
+def _mk(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi)], "k int, v string"
+    )
+
+
+def test_recover_compaction_rolls_forward(spark, tmp_path):
+    """Crash AFTER the originals moved to trash but BEFORE the staging
+    rename: the next read self-heals by finishing the swap (the
+    staging dir was digest-validated before any original was touched),
+    and the full row set is visible — never zero committed epochs."""
+    import shutil
+
+    from prohap_spark.streaming.sink import recover_compaction
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    before = sorted(tuple(r) for r in read_committed(spark, out).collect())
+
+    # simulate the crash window by hand: validated staging + trash
+    staging = os.path.join(out, ".staging_batch_id=1")
+    spark.read.parquet(
+        os.path.join(out, "batch_id=0"), os.path.join(out, "batch_id=1")
+    ).coalesce(1).write.parquet(staging)
+    trash = os.path.join(out, ".trash_compact_1")
+    os.makedirs(trash)
+    os.rename(os.path.join(out, "batch_id=0"), os.path.join(trash, "batch_id=0"))
+    # crash here: batch_id=1 original NOT yet moved, staging not renamed
+
+    # committed_batch_ids self-heals (calls recover_compaction)
+    assert committed_batch_ids(out) == [1]
+    assert sorted(tuple(r) for r in read_committed(spark, out).collect()) == before
+    assert not os.path.exists(trash)
+    assert not os.path.exists(staging)
+    # idempotent: nothing left to recover
+    assert recover_compaction(out) is None
+    shutil.rmtree(out)
+
+
+def test_recover_compaction_rolls_back_torn_staging(spark, tmp_path):
+    """Crash BEFORE any original was touched (no trash dir): the
+    staging dir may be a torn write, so recovery drops it and the
+    originals stay authoritative."""
+    from prohap_spark.streaming.sink import recover_compaction
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    before = sorted(tuple(r) for r in read_committed(spark, out).collect())
+
+    staging = os.path.join(out, ".staging_batch_id=1")
+    os.makedirs(staging)
+    with open(os.path.join(staging, "part-torn.parquet"), "wb") as f:
+        f.write(b"\x00torn")
+
+    assert recover_compaction(out) == "rolled_back"
+    assert not os.path.exists(staging)
+    assert committed_batch_ids(out) == [0, 1]
+    assert sorted(tuple(r) for r in read_committed(spark, out).collect()) == before
+
+
+def test_recover_compaction_completes_marker_and_trash(spark, tmp_path):
+    """Crash AFTER the staging rename but BEFORE the marker/trash
+    cleanup: recovery (re)writes the marker and drops the trash."""
+    import shutil
+
+    from prohap_spark.streaming.sink import recover_compaction
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    before = sorted(tuple(r) for r in read_committed(spark, out).collect())
+
+    staging = os.path.join(out, ".staging_batch_id=1")
+    spark.read.parquet(
+        os.path.join(out, "batch_id=0"), os.path.join(out, "batch_id=1")
+    ).coalesce(1).write.parquet(staging)
+    trash = os.path.join(out, ".trash_compact_1")
+    os.makedirs(trash)
+    for n in ("batch_id=0", "batch_id=1"):
+        os.rename(os.path.join(out, n), os.path.join(trash, n))
+    os.rename(staging, os.path.join(out, "batch_id=1"))
+    # crash here: no marker yet, trash still present
+    os.remove(os.path.join(out, "batch_id=1", "_SUCCESS"))
+
+    assert recover_compaction(out) == "rolled_forward"
+    assert committed_batch_ids(out) == [1]
+    assert sorted(tuple(r) for r in read_committed(spark, out).collect()) == before
+    assert not os.path.exists(trash)
+    shutil.rmtree(out)

@@ -435,7 +435,7 @@ def test_whole_stage_codegen_covers_jvm_hot_paths(spark, qs):
     to interpreted eval — the 10x regression class this pin guards."""
     from prohap_spark.plans import codegen_stage_count
 
-    for name in ("q1_pricing_summary", "text_quality", "w5_running_offset"):
+    for name in ("q1_pricing_summary", "text_quality_board", "w5_running_offset"):
         df = qs[name](spark, SF)
         # collect(), not a noop write: the write path spawns its OWN
         # query execution and leaves df's plan unfinalized (the same

@@ -229,3 +229,25 @@ def test_auc_exact_matches_python_and_edges(spark):
             assert abs(r["auc"] - want) < 1e-12, (pairs, r)
             # the integer numerator is the exact doubled rank-sum
             assert r["auc_num2"] == round(want * 2 * r["n_pos"] * r["n_neg"])
+
+
+def test_check_rows_null_predicate_counts_as_violation(spark):
+    """An arbitrary user predicate that evaluates to NULL (three-valued
+    logic) must count as a violation, not slip through ~NULL ->
+    otherwise(0) as a pass (r12 ADVICE)."""
+    df = spark.createDataFrame([(1, None), (2, 5), (3, -1)], "id int, x int")
+    rows = {
+        r["constraint"]: (r["violations"], r["ok"])
+        for r in check_rows(df, [("x_positive", F.col("x") > 0)]).collect()
+    }
+    # x=None -> NULL predicate (violation), x=5 -> pass, x=-1 -> fail
+    assert rows["x_positive"] == (2, False)
+
+
+def test_check_rows_empty_table_reports_zero(spark):
+    """An empty table must report 0 violations / ok=true, not NULL
+    (sum() over zero rows is NULL without the coalesce)."""
+    df = spark.createDataFrame([], "id int, s string")
+    rows = check_rows(df, [not_null("s"), ("custom", F.col("id") > 0)]).collect()
+    for r in rows:
+        assert r["violations"] == 0 and r["total"] == 0 and r["ok"] is True

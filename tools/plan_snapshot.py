@@ -57,7 +57,7 @@ QUERIES = [
     "hybrid_search_rrf",
     "sim_lsh_ann",
     "text_token_counts",
-    "text_langid",
+    "text_quality_board",
     "f1_regex_threshold",
 ]
 
