@@ -23,6 +23,30 @@ _DUCK_DOT = (
 )
 _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+# ---------------------------------------------------------------------------
+# Float-in-the-hash policy (r13, after the sim_embedding_board reds):
+# NO unrounded derived double may appear in a registered gate's hashed
+# projection, and every gate TOUCHED from r13 on upgrades hashed
+# round-6 floats to integer projections (BIGINT accumulators or
+# micro-units; floats may still ORDER rank windows — an order-only
+# float diverges across engine builds only if it flips a comparison,
+# not if it differs by one bit). Swept so far: sim_embedding_board
+# (both legs), sim_ivf_ann + sim_ivf_index_probe, sim_lsh_ann,
+# hybrid_search_rrf, text_quality_board.
+# DOCUMENTED EXEMPTIONS (hashed round-6 doubles, left until their
+# next touch): dedup_embedding_cosine, dedup_semantic, the
+# sim_quantized_ann_board legs (_SQ_ANN_SQL/_PQ_ANN_SQL/
+# _PQ_ANN_EXACT_SQL/_mplsh_oracle_sql), text_bm25_topk. All are
+# driver-GREEN on the r12 record ON THESE EXACT GATE TEXTS —
+# dedup_embedding_cosine in particular hashes the identical float-fold
+# arithmetic the r12 verdict used to ISOLATE the red to the unrounded
+# class — so their green history is evidence about the driver's build
+# that a rewrite would erase. The float_env_canary board
+# (queries/canary.py) hashes the round-6 primitive every round as the
+# early-warning line; if it or any exempt gate reds, the sweep applies
+# on that gate's rule-(b) re-front.
+# ---------------------------------------------------------------------------
+
 
 def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5: broadcast the query set, JVM-side
@@ -65,16 +89,19 @@ def _lsh_ann_oracle_sql() -> str:
         f"i -> CASE WHEN substr(p.signs, i, 1) = '1' "
         f"THEN {em} ELSE -{em} END))"
     )
-    dot = (
+    doti = (
         "CAST(list_sum(list_transform(range(1, len(q.embedding) + 1), "
-        f"i -> {qm} * {cm})) AS DOUBLE)"
+        f"i -> {qm} * {cm})) AS BIGINT)"
     )
-    n2 = (
-        "sqrt(CAST(list_sum(list_transform(range(1, len({v}.embedding) + 1), "
-        "i -> {m} * {m})) AS DOUBLE))"
+    n2i = (
+        "CAST(list_sum(list_transform(range(1, len({v}.embedding) + 1), "
+        "i -> {m} * {m})) AS BIGINT)"
     )
-    qn = n2.format(v="q", m=qm)
-    cn = n2.format(v="c", m=cm)
+    qn2i = n2i.format(v="q", m=qm)
+    cn2i = n2i.format(v="c", m=cm)
+    dot = f"CAST({doti} AS DOUBLE)"
+    qn = f"sqrt(CAST({qn2i} AS DOUBLE))"
+    cn = f"sqrt(CAST({cn2i} AS DOUBLE))"
     return f"""
     WITH planes(t, plane, signs) AS (VALUES
       {planes}
@@ -95,13 +122,14 @@ def _lsh_ann_oracle_sql() -> str:
     ),
     scored AS (
       SELECT cand.qid, cand.cid,
+             {doti} AS dot, {qn2i} AS ssx, {cn2i} AS ssc,
              round({dot} / ({qn} * {cn}), 6) AS cosine
       FROM cand
       JOIN embeddings q ON q.vec_id = cand.qid
       JOIN embeddings c ON c.vec_id = cand.cid
     )
-    SELECT qid, cid, cosine, rank FROM (
-      SELECT qid, cid, cosine,
+    SELECT qid, cid, dot, ssx, ssc, rank FROM (
+      SELECT qid, cid, dot, ssx, ssc,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
                AS rank
       FROM scored
@@ -122,15 +150,20 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the ranking orders by the (bit-identical) cosine rounded to 6
     with a cid tiebreak — the candidate structure AND the top-5
     replay exactly in DuckDB. score_decimals is passed explicitly:
-    the public operator defaults to raw full-precision scores."""
+    the public operator defaults to raw full-precision scores.
+    r13: the hashed projection is INTEGER-ONLY (dot/ssx/ssc BIGINTs
+    via :func:`_attach_micro_scores`; the round-6 cosine orders the
+    rank window and never reaches the value hash) — the
+    sim_embedding_board discipline applied ahead of this gate's own
+    rotation."""
     e = table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
     out = lsh_ann_topk(
         q, c, "vec_id", "vec_id", "embedding", k=5, n_planes=4, n_tables=12,
         score_decimals=6, quantize_micro=True,
-    )
-    return out.toDF("qid", "cid", "cosine", "rank")
+    ).toDF("qid", "cid", "cosine", "rank")
+    return _attach_micro_scores(out, e)
 
 
 # the SAME md5-derived hyperplanes as the Spark bucket expression,
@@ -208,6 +241,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1e4-unit sums (member count cancels out of the cosine); the final
 # within-cell scores stay per-list sequential folds (engine-
 # deterministic), rounded at 6 exactly as before.
+# r13 (the verdict's integer-projection sweep, ahead of this gate's
+# r14 rotation): the hashed projection is INTEGER-ONLY — the ranked
+# top-5 joins back to the embeddings and hashes exact micro-unit
+# (1e6) BIGINT dot/ssx/ssc per pair instead of the round-6 cosine.
+# The round-6 float-fold cosine survives only inside the rank
+# window's ORDER BY (order-only use, sim_lsh_ann's driver-green
+# recipe); candidate identity + rank + integer scores fully determine
+# the result.
 _IVF_ANN_ORACLE = f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
     c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id >= 10),
@@ -262,7 +303,59 @@ _IVF_ANN_ORACLE = f"""
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
       FROM scored
     )
-    SELECT qid, cid, cosine, rank FROM ranked WHERE rank <= 5"""
+    SELECT r.qid, r.cid,
+           CAST(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+                i -> CAST(round(CAST(eq.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                   * CAST(round(CAST(ec.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(eq.embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS ssx,
+           CAST(list_sum(list_transform(ec.embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)))
+             AS BIGINT) AS ssc,
+           r.rank
+    FROM ranked r
+    JOIN embeddings eq ON eq.vec_id = r.qid
+    JOIN embeddings ec ON ec.vec_id = r.cid
+    WHERE r.rank <= 5"""
+
+
+def _attach_micro_scores(pairs: DataFrame, e: DataFrame) -> DataFrame:
+    """Replace a ranked ANN pair list's float cosine with exact
+    integer micro-unit (1e6) score columns: join (qid, cid, rank) back
+    to the embeddings (both sides tiny after top-k — broadcast) and
+    compute BIGINT dot/ssx/ssc per pair. The r13 integer-projection
+    device: the operator's cosine decided the RANKING, these integers
+    are what the gate HASHES."""
+    from prohap_spark.operators.similarity import _micro_component
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    qv = e.select(
+        F.col("vec_id").alias("qid"),
+        F.transform("embedding", _micro_component).alias("__qv"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", _micro_component).alias("__cv"),
+    )
+    return (
+        pairs.select("qid", "cid", "rank")
+        .join(F.broadcast(qv), "qid")
+        .join(F.broadcast(cv), "cid")
+        .select(
+            "qid",
+            "cid",
+            isum(F.zip_with("__qv", "__cv", lambda x, y: x * y)).alias("dot"),
+            isum(F.transform("__qv", lambda x: x * x)).alias("ssx"),
+            isum(F.transform("__cv", lambda x: x * x)).alias("ssc"),
+            "rank",
+        )
+    )
 
 
 @register("sim_ivf_ann", _IVF_ANN_ORACLE)
@@ -271,9 +364,12 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained-quantizer table a k-means job would emit), corpus assigned
     to its nearest cell once, queries probe their 3 nearest cells and
     brute-force within them. Fully deterministic (assignment cosines
-    rounded to 4, scores to 6), so unlike the hyperplane-LSH ANN this
-    approximate index is value-checked against the oracle. Recall vs
-    the brute-force baseline is pinned in tests/test_operators.py."""
+    exact-integer, scores rounded to 6 for the ranking), so unlike the
+    hyperplane-LSH ANN this approximate index is value-checked against
+    the oracle — since r13 on INTEGER projections only
+    (:func:`_attach_micro_scores`; the cosine orders, never reaches
+    the hash). Recall vs the brute-force baseline is pinned in
+    tests/test_operators.py."""
     from prohap_spark.operators.similarity import train_centroid_sums_by_label
 
     e = table(spark, sf_dir, "embeddings")
@@ -283,8 +379,8 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivf_ann_topk(
         q, c, None, "vec_id", "vec_id", "embedding", k=5, nprobe=3,
         centroid_sums=cs,
-    )
-    return out.toDF("qid", "cid", "cosine", "rank")
+    ).toDF("qid", "cid", "cosine", "rank")
+    return _attach_micro_scores(out, e)
 
 
 # (Registered via sim_embedding_board since r11; ENGINE-EXACT since
@@ -1239,13 +1335,14 @@ def _hybrid_oracle_sql() -> str:
       SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
              CAST(rank_lex AS INT) AS rank_lex,
              CAST(rank_dense AS INT) AS rank_dense,
-             round(coalesce(1.0 / (60 + rank_lex), 0)
-                   + coalesce(1.0 / (60 + rank_dense), 0), 6) AS rrf
+             CAST(round((coalesce(1.0 / (60 + rank_lex), 0)
+                   + coalesce(1.0 / (60 + rank_dense), 0)) * 1000000) AS BIGINT)
+               AS rrf_micro
       FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id
     )
-    SELECT doc_id, rank_lex, rank_dense, rrf
+    SELECT doc_id, rank_lex, rank_dense, rrf_micro
     FROM fused
-    ORDER BY rrf DESC, doc_id
+    ORDER BY rrf_micro DESC, doc_id
     LIMIT 10
     """
 
@@ -1257,9 +1354,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense cosine top-20 (embedding of vec_id 0 as the query vector,
     doc_id ≡ vec_id): the standard two-tower search composition. Both
     legs round scores to 6 dp BEFORE ranking and tiebreak on id, so
-    ranks — and therefore the fused floats, computed from integer
-    ranks in a fixed expression order — are bit-identical across
-    engines. Each leg's top-k is a TakeOrdered over a broadcast-stats
+    ranks — and therefore the fused scores, computed from integer
+    ranks in a fixed expression order and hashed as integer
+    micro-units since r13 — are bit-identical across engines. Each leg's top-k is a TakeOrdered over a broadcast-stats
     scoring pass; the fusion joins two ≤20-row frames — nothing
     corpus-sized shuffles."""
     from pyspark.sql import Window
@@ -1299,14 +1396,25 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "rank_lex",
             "rank_dense",
+            # r13 integer projection: the fused score is hashed as
+            # micro-units (one shared round boundary), not as a
+            # rounded double whose final representation each engine
+            # reconstructs its own way (round(x,6) must MANUFACTURE a
+            # double near the decimal value — an extra per-engine
+            # rounding step the integer form does not have)
             F.round(
-                F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
-                + F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0)),
-                6,
-            ).alias("rrf"),
+                (
+                    F.coalesce(1.0 / (60 + F.col("rank_lex")), F.lit(0.0))
+                    + F.coalesce(1.0 / (60 + F.col("rank_dense")), F.lit(0.0))
+                )
+                * F.lit(1000000.0),
+                0,
+            )
+            .cast("long")
+            .alias("rrf_micro"),
         )
     )
-    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(10)
 
 
 @register(
@@ -1379,5 +1487,7 @@ def sim_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         atexit.register(shutil.rmtree, path, True)
         cs = train_centroid_sums_by_label(e, "label", "embedding")
         write_ivf_index(c, None, "vec_id", "embedding", path, centroid_sums=cs)
-    out = ivf_ann_topk_from_index(q, path, "vec_id", k=5, nprobe=3)
-    return out.toDF("qid", "cid", "cosine", "rank")
+    out = ivf_ann_topk_from_index(q, path, "vec_id", k=5, nprobe=3).toDF(
+        "qid", "cid", "cosine", "rank"
+    )
+    return _attach_micro_scores(out, e)
