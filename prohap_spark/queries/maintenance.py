@@ -348,6 +348,12 @@ def _stats_oracle_sql() -> str:
            (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)),
         NULL
       UNION ALL
+      SELECT '<plan>', 'zorder_dims', CAST(NULL AS BIGINT),
+        (SELECT string_agg(c, ',' ORDER BY ndv DESC, c)
+         FROM (SELECT 'l_orderkey' AS c, hll_est AS ndv FROM hok
+               UNION ALL SELECT 'l_returnflag', hll_est FROM hrf)
+         WHERE ndv > 1)
+      UNION ALL
       SELECT '<diff>', s.status, coalesce(d.n, 0), NULL
       FROM (VALUES ('added'), ('removed'), ('changed'), ('same')) s(status)
       LEFT JOIN (
@@ -615,11 +621,28 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in (0, 1)
     ]
-    merged = finish_stats(*merge_stats(*shards)).select(
+    finished = finish_stats(*merge_stats(*shards)).localCheckpoint(eager=False)
+    merged = finished.select(
         "col",
         F.lit("ndv_hll_merged").alias("stat"),
         F.col("ndv_hll").alias("ival"),
         NS.alias("sval"),
+    )
+
+    # <plan> leg (r13, the r12 verdict's ask #5): the stats->layout
+    # planner read — suggest_zorder_dims ranks the z-order candidates
+    # by the very ndv_hll values this board hashes (NDV<=1 columns
+    # excluded, ties by name). The chosen dimension LIST is hashed,
+    # so a ranking or exclusion bug in the planner goes hash-red; the
+    # oracle replays the rule from its own HLL estimates.
+    from prohap_spark.operators.stats import suggest_zorder_dims
+
+    dims = suggest_zorder_dims(finished, ["l_orderkey", "l_returnflag"], k=2)
+    plan_row = spark.range(1).select(
+        F.lit("<plan>").alias("col"),
+        F.lit("zorder_dims").alias("stat"),
+        F.lit(None).cast("long").alias("ival"),
+        F.lit(",".join(dims)).alias("sval"),
     )
 
     return (
@@ -630,4 +653,5 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(sel)
         .unionByName(checks)
         .unionByName(diff)
+        .unionByName(plan_row)
     )

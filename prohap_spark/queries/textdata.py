@@ -2828,10 +2828,15 @@ _TRGM_NEEDLES = ["spark value", "slow filter", "merge batch", "zzzz", "qu"]
 @register(
     "text_trgm_search",
     """
-    SELECT n.needle, d.doc_id
+    SELECT 'full' AS src, n.needle, d.doc_id
     FROM documents d
     JOIN (VALUES ('spark value'), ('slow filter'), ('merge batch'),
                  ('zzzz'), ('qu')) n(needle)
+      ON contains(lower(d.text), n.needle)
+    UNION ALL
+    SELECT 'delta_ingest' AS src, n.needle, d.doc_id
+    FROM documents d
+    JOIN (VALUES ('spark value'), ('zzzz')) n(needle)
       ON contains(lower(d.text), n.needle)
     """,
 )
@@ -2845,8 +2850,24 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force contains() answer — the index path must reproduce it
     exactly, per needle. ONE shared index (localCheckpoint) serves
     all five needle legs; randomized brute-force parity and the
-    fallback contract are pinned in tests/test_trgm.py."""
-    from prohap_spark.operators.trgm import build_trigram_index, like_search
+    fallback contract are pinned in tests/test_trgm.py.
+
+    r13 `delta_ingest` leg (the r12 verdict's ask #5 — the
+    incremental-maintenance path onto a driver row): the corpus is
+    split 80/20, the 80% indexed to disk (write_trigram_index), the
+    20% ingested with append_trigram_index (O(|delta|) work — no
+    corpus rescan), and two needles searched through the RE-READ
+    merged on-disk index. The leg hashes the same brute contains()
+    answer over the FULL corpus, so a dropped posting, a torn swap,
+    or a dedup bug in the merge goes hash-red. Index dir is
+    pid-scoped + atexit-cleaned (the maintenance.py idiom)."""
+    from prohap_spark.operators.trgm import (
+        append_trigram_index,
+        build_trigram_index,
+        like_search,
+        read_trigram_index,
+        write_trigram_index,
+    )
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "text"
@@ -2855,7 +2876,28 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = None
     for needle in _TRGM_NEEDLES:
         leg = like_search(d, idx, "doc_id", "text", needle).select(
-            F.lit(needle).alias("needle"), "doc_id"
+            F.lit("full").alias("src"), F.lit(needle).alias("needle"), "doc_id"
         )
         out = leg if out is None else out.unionByName(leg)
+
+    import atexit
+    import os
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = f"/tmp/prohap_trgm_idx_{os.getpid()}/{tag}"
+    if not os.path.exists(os.path.join(path, "_dedup_index_manifest.json")):
+        atexit.register(shutil.rmtree, os.path.dirname(path), True)
+        base = d.where(F.col("doc_id") % 5 != 0)
+        delta = d.where(F.col("doc_id") % 5 == 0)
+        write_trigram_index(build_trigram_index(base, "doc_id", "text"), path)
+        append_trigram_index(spark, path, delta, "doc_id", "text")
+    merged = read_trigram_index(spark, path)
+    for needle in ("spark value", "zzzz"):
+        leg = like_search(d, merged, "doc_id", "text", needle).select(
+            F.lit("delta_ingest").alias("src"),
+            F.lit(needle).alias("needle"),
+            "doc_id",
+        )
+        out = out.unionByName(leg)
     return out

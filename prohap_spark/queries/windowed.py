@@ -604,6 +604,16 @@ _RESAMPLE_LOCF_SQL = """
              AS i3,
            CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM events GROUP BY user_id
+    UNION ALL
+    -- sink_compacted leg (r13): the SAME aggregate re-read after
+    -- compact_epochs folded the per-epoch dirs into one — a dropped
+    -- or duplicated row anywhere in the digest-validated rewrite or
+    -- the trash-dir swap goes hash-red
+    SELECT 'sink_compacted' AS leg, user_id AS i1, count(*) AS i2,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS i3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM events GROUP BY user_id
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,27 +744,42 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    sink = (
-        read_committed(spark, out_dir)
-        .groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
-            .cast("long")
-            .alias("cents"),
+    def _sink_agg(leg: str):
+        return (
+            read_committed(spark, out_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)))
+                .cast("long")
+                .alias("cents"),
+            )
+            .select(
+                F.lit(leg).alias("leg"),
+                F.col("user_id").alias("i1"),
+                F.col("n").alias("i2"),
+                F.col("cents").alias("i3"),
+                F.lit(None).cast("string").alias("s1"),
+                F.lit(None).cast("double").alias("d1"),
+            )
         )
-        .select(
-            F.lit("sink").alias("leg"),
-            F.col("user_id").alias("i1"),
-            F.col("n").alias("i2"),
-            F.col("cents").alias("i3"),
-            F.lit(None).cast("string").alias("s1"),
-            F.lit(None).cast("double").alias("d1"),
-        )
-    )
+
+    # the pre-compaction aggregate must be MATERIALIZED before
+    # compact_epochs rewrites the directories it lazily reads from
+    sink = _sink_agg("sink").localCheckpoint(eager=True)
+    # sink_compacted leg (r13, the r12 verdict's ask #5): fold the
+    # per-epoch dirs (one per source file under maxFilesPerTrigger=1)
+    # into ONE compacted epoch through the digest-validated rewrite +
+    # recoverable trash-dir swap, then re-aggregate from the
+    # post-compaction committed read. Identical values to the sink
+    # leg == nothing dropped or duplicated by the maintenance op.
+    from prohap_spark.streaming.sink import compact_epochs
+
+    compact_epochs(spark, out_dir)
+    sinkc = _sink_agg("sink_compacted")
     return (
         t.unionByName(d).unionByName(r).unionByName(e).unionByName(rm)
-        .unionByName(sink)
+        .unionByName(sink).unionByName(sinkc)
     )
 
 
