@@ -25,6 +25,12 @@ Contracts:
   pinned randomized in pytest.
 - :func:`read_pruned` re-applies the predicate after the file cut
   (pruning is file-granular, not row-exact).
+- :func:`build_bloom_skip` / :func:`prune_files_bloom` /
+  :func:`read_pruned_eq` (r13) are the EQUALITY-predicate twin:
+  per-file Bloom words for point lookups on high-NDV unclustered
+  columns, where min/max intervals prune nothing. No false negatives
+  by the Bloom contract; false positives cost a wasted file read,
+  never a wrong row.
 """
 
 from __future__ import annotations
@@ -71,6 +77,105 @@ def prune_files(zone_map: DataFrame, col: str, lo, hi) -> list[str]:
             F.col(f"min_{col}").isNull() | (F.col(f"min_{col}") <= F.lit(hi))
         )
     return [r["file"] for r in zone_map.where(keep).select("file").collect()]
+
+
+def build_bloom_skip(
+    spark: SparkSession, path: str, col: str, k: int = 3, m_bits: int = 4096
+) -> DataFrame:
+    """Per-file Bloom filter words for EQUALITY-predicate file
+    skipping: (file, word_idx int, word long) — one scan, one
+    map-side-combinable bit_or aggregate (functions/sketches.py's
+    62-bit engine-portable words). The complement to min/max zone
+    maps: a point lookup on a high-NDV column SCATTERED across files
+    (no clustering) prunes nothing by interval — every file's
+    [min, max] covers the key — but its Bloom bits miss in every file
+    that never saw the key, cutting the read to ~n_match + fp·n_files
+    files. Delta calls this a bloom filter index; Iceberg puts the
+    same words in its file metadata. NULLs are skipped (equality never
+    matches NULL). Artifact size: ceil(m_bits/62) words per file —
+    at m=4096, 67 BIGINTs per file, a driver-tiny table even at
+    millions of files."""
+    from prohap_spark.functions.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_hash_positions,
+    )
+
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    pos = df.where(F.col(col).isNotNull()).select(
+        "file",
+        F.explode(bloom_hash_positions(F.col(col), k, m_bits)).alias("__pos"),
+    )
+    return (
+        pos.select(
+            "file",
+            F.expr(f"CAST((__pos div {BLOOM_WORD_BITS}) AS INT)").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.expr("bit_or(__mask)").alias("word"))
+    )
+
+
+def prune_files_bloom(
+    bloom_map: DataFrame, value, k: int = 3, m_bits: int = 4096
+) -> list[str]:
+    """Files whose Bloom filter has ALL ``k`` bits of ``value`` set.
+    Conservative by the Bloom contract: a file CONTAINING the value
+    always survives (no false negatives); a false-positive file costs
+    one wasted footer/scan, never a wrong row (read_pruned_eq
+    re-applies the predicate row-exact). Driver-side decision from
+    the tiny words table — the same ahead-of-the-scan economics as
+    :func:`prune_files`."""
+    from prohap_spark.functions.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_hash_positions,
+    )
+
+    spark = bloom_map.sparkSession
+    pos = spark.range(1).select(
+        F.explode(bloom_hash_positions(F.lit(value), k, m_bits)).alias("p")
+    ).collect()
+    need: dict[int, int] = {}
+    for r in pos:
+        w, b = divmod(int(r["p"]), BLOOM_WORD_BITS)
+        need[w] = need.get(w, 0) | (1 << b)
+    cond = None
+    for w, m in need.items():
+        c = (F.col("word_idx") == w) & (
+            F.col("word").bitwiseAND(F.lit(m)) == F.lit(m)
+        )
+        cond = c if cond is None else cond | c
+    hits = (
+        bloom_map.where(cond)
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") == len(need))
+    )
+    return [r["file"] for r in hits.select("file").collect()]
+
+
+def read_pruned_eq(
+    spark: SparkSession,
+    bloom_map: DataFrame,
+    col: str,
+    value,
+    k: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """The Bloom-pruned point lookup: explicit-path read of the
+    surviving files, equality re-applied row-exact (pruning is
+    file-granular and fp-tolerant). Empty survivor set returns an
+    empty frame with the table's schema from any one file."""
+    files = prune_files_bloom(bloom_map, value, k, m_bits)
+    if not files:
+        any_file = [r["file"] for r in bloom_map.select("file").limit(1).collect()]
+        if not any_file:
+            raise ValueError("empty bloom skip map")
+        return spark.read.parquet(any_file[0]).where(F.lit(False))
+    return spark.read.parquet(*files).where(F.col(col) == F.lit(value))
 
 
 def read_pruned(

@@ -90,6 +90,26 @@ def _recluster_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _li_fid_src(spark: SparkSession, sf_dir: str) -> str:
+    """The deterministic fid layout shared by the zonemap and
+    bloomskip legs: fid = l_orderkey div 4000, repartition ON fid so
+    each fid directory holds exactly ONE part file (the zonemap spans
+    don't care, but the bloomskip leg needs file ≡ fid for its
+    per-fid oracle replay to BE the per-file filter)."""
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/prohap_maint_{_MAINT_BASE}/{tag}"
+    src = f"{base}/li_fid"
+    if not os.path.exists(f"{src}/_SUCCESS"):
+        atexit.register(shutil.rmtree, base, True)
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        li.withColumn(
+            "fid", F.expr("l_orderkey div 4000")
+        ).repartition("fid").write.partitionBy("fid").mode(
+            "overwrite"
+        ).parquet(src)
+    return src
+
+
 def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone maps under the gate (operators/zonemap.py, r12): lineitem
     is laid out DETERMINISTICALLY (fid = l_orderkey div 4000,
@@ -102,15 +122,7 @@ def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fid arithmetic alone."""
     from prohap_spark.operators.zonemap import build_zone_map, prune_files
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    base = f"/tmp/prohap_maint_{_MAINT_BASE}/{tag}"
-    src = f"{base}/li_fid"
-    if not os.path.exists(f"{src}/_SUCCESS"):
-        atexit.register(shutil.rmtree, base, True)
-        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-        li.withColumn(
-            "fid", F.expr("l_orderkey div 4000")
-        ).write.partitionBy("fid").mode("overwrite").parquet(src)
+    src = _li_fid_src(spark, sf_dir)
     zm = build_zone_map(spark, src, ["l_orderkey"]).localCheckpoint(eager=False)
     fid = F.regexp_extract("file", r"fid=(\d+)", 1).cast("long")
     spans = (
@@ -132,6 +144,45 @@ def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.unionByName(prune_row)
 
 
+def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom file skipping under the gate (operators/zonemap.py
+    build_bloom_skip / prune_files_bloom, r13): per-file Bloom words
+    over the SAME deterministic fid layout as the zonemap leg (one
+    part file per fid), probed through the REAL prune path with two
+    keys — max(l_orderkey), which the conservative contract must keep
+    in its true fid, and max+12345, absent by construction, whose
+    survivor set is pure false positives. Both survivor sets (count +
+    fid-sum) are hashed; the oracle replays the md5-window Bloom
+    construction and probe per fid, so a hash/word/threshold bug in
+    either direction goes hash-red — including an fp-set change,
+    which would mean the hash functions diverged."""
+    from prohap_spark.operators.zonemap import (
+        build_bloom_skip,
+        prune_files_bloom,
+    )
+
+    src = _li_fid_src(spark, sf_dir)
+    bm = build_bloom_skip(spark, src, "l_orderkey", k=3, m_bits=4096)
+    bm = bm.localCheckpoint(eager=False)
+    mx = (
+        table(spark, sf_dir, "lineitem")
+        .agg(F.max("l_orderkey").alias("m"))
+        .collect()[0]["m"]
+    )
+    import re as _re
+
+    rows = []
+    for pid, v in ((0, int(mx)), (1, int(mx) + 12345)):
+        fids = sorted(
+            {
+                int(_re.search(r"fid=(\d+)", f).group(1))
+                for f in prune_files_bloom(bm, v, k=3, m_bits=4096)
+            }
+        )
+        rows.append((pid, len(fids), sum(fids)))
+    return spark.createDataFrame(rows, "k long, n long, h long")
+
+
 def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five constructed URL case families through canonicalize_url."""
     from prohap_spark.functions.text import canonicalize_url
@@ -149,6 +200,24 @@ def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         F.col("doc_id").alias("k"), canonicalize_url(url).alias("s")
     )
+
+
+# bloomskip-leg oracle pieces: the md5-window Bloom positions
+# (functions/sketches.py) replayed verbatim — same k=3 draws, same
+# m=4096 table, same 62-bit words as build_bloom_skip
+from prohap_spark.functions.sketches import (  # noqa: E402
+    BLOOM_WORD_BITS as _BS_WB,
+    _md5_window_sql as _bs_win,
+)
+
+_BS_K, _BS_M = 3, 4096
+_BS_POS_LI = ", ".join(
+    f"{_bs_win('l_orderkey', 1 + 5 * j, 5)} % {_BS_M}" for j in range(_BS_K)
+)
+_BS_POS_V = ", ".join(
+    f"{_bs_win('v', 1 + 5 * j, 5)} % {_BS_M}" for j in range(_BS_K)
+)
+_BS_MASK = f"(CAST(1 AS BIGINT) << CAST(p % {_BS_WB} AS INT))"
 
 
 @register(
@@ -199,6 +268,40 @@ def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
       GROUP BY fid
     ) WHERE mn <= 19999 AND mx >= 8000
+    UNION ALL
+    SELECT 'bloomskip' AS leg, q.pid AS k,
+           CAST(count(q.fid) AS BIGINT) AS n,
+           CAST(coalesce(sum(q.fid), 0) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      WITH bs AS (
+        SELECT fid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS word
+        FROM (SELECT l_orderkey // 4000 AS fid,
+                     unnest([{_BS_POS_LI}]) AS p
+              FROM lineitem)
+        GROUP BY 1, 2
+      ),
+      bprobe AS (
+        SELECT 0 AS pid, CAST(max(l_orderkey) AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 1, CAST(max(l_orderkey) + 12345 AS BIGINT) FROM lineitem
+      ),
+      bneed AS (
+        SELECT pid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS m
+        FROM (SELECT pid, unnest([{_BS_POS_V}]) AS p FROM bprobe)
+        GROUP BY 1, 2
+      ),
+      bneedn AS (SELECT pid, count(*) AS req FROM bneed GROUP BY 1),
+      bsurv AS (
+        SELECT n.pid, b.fid, count(*) AS got
+        FROM bneed n JOIN bs b ON n.wi = b.wi AND (b.word & n.m) = n.m
+        GROUP BY 1, 2
+      )
+      SELECT r.pid, s.fid
+      FROM bneedn r
+      LEFT JOIN bsurv s ON s.pid = r.pid AND s.got = r.req
+    ) q
+    GROUP BY q.pid
     """,
 )
 def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -221,9 +324,12 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     zonemap = _zonemap_leg(spark, sf_dir).select(
         F.lit("zonemap").alias("leg"), "k", "n", "h", NS.alias("s")
     )
+    bloomskip = _bloomskip_leg(spark, sf_dir).select(
+        F.lit("bloomskip").alias("leg"), "k", "n", "h", NS.alias("s")
+    )
     return (
         compact.unionByName(recluster).unionByName(urls)
-        .unionByName(zonemap)
+        .unionByName(zonemap).unionByName(bloomskip)
     )
 
 

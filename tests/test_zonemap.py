@@ -84,3 +84,65 @@ def test_zone_map_empty_survivors_and_artifact_roundtrip(
     write_zone_map(zm, path)
     back = read_zone_map(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, zm.collect()))
+
+
+@pytest.fixture(scope="module")
+def scattered(spark, tmp_path_factory):
+    """An UNCLUSTERED table: 16 files, high-NDV key scattered across
+    all of them — the layout where min/max zone maps prune nothing
+    and Bloom skipping earns its keep."""
+    path = str(tmp_path_factory.mktemp("bs") / "t")
+    df = spark.range(0, 16000).select(
+        # bit-mix so neighboring keys land in different files
+        F.xxhash64(F.col("id")).alias("shuf"),
+        F.col("id").alias("k"),
+    )
+    df.repartitionByRange(16, "shuf").drop("shuf").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def test_bloom_skip_never_loses_rows_and_prunes(spark, scattered):
+    from prohap_spark.operators.zonemap import (
+        build_bloom_skip,
+        prune_files_bloom,
+        read_pruned_eq,
+    )
+
+    bm = build_bloom_skip(spark, scattered, "k", k=3, m_bits=4096).cache()
+    # min/max pruning is USELESS here (every file spans ~the whole
+    # domain) — the scenario the bloom skip exists for
+    zm = build_zone_map(spark, scattered, ["k"]).cache()
+    assert len(prune_files(zm, "k", 7777, 7777)) == 16
+
+    rng = random.Random(13)
+    total_survivors = 0
+    for _ in range(12):
+        key = rng.randrange(0, 16000)
+        files = prune_files_bloom(bm, key, k=3, m_bits=4096)
+        total_survivors += len(files)
+        got = [r["k"] for r in read_pruned_eq(spark, bm, "k", key).collect()]
+        # never loses the matching row (conservative contract)...
+        assert got == [key]
+    # ...and the point lookup reads FAR fewer than 16 files on average
+    # (k=3, m=4096, ~1000 keys/file -> fp per file ~ (1-e^-0.73)^3)
+    assert total_survivors < 12 * 8
+
+
+def test_bloom_skip_absent_key_and_empty_survivors(spark, scattered):
+    from prohap_spark.operators.zonemap import (
+        build_bloom_skip,
+        prune_files_bloom,
+        read_pruned_eq,
+    )
+
+    bm = build_bloom_skip(spark, scattered, "k", k=3, m_bits=4096).cache()
+    # absent keys: whatever files false-positive, the row-exact
+    # re-filter returns zero rows; empty survivor sets keep the schema
+    for key in (111111, 222222, 333333):
+        files = prune_files_bloom(bm, key, k=3, m_bits=4096)
+        out = read_pruned_eq(spark, bm, "k", key)
+        assert out.count() == 0
+        assert out.columns == ["k"]
+        assert len(files) <= 16
