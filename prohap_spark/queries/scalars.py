@@ -196,6 +196,17 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            window_start_us + 3600000000 AS end_us, n,
            total_cents AS cents
     FROM ({_SLIDING_WINDOW_SQL})
+    UNION ALL
+    SELECT 'outer_join' AS leg, c.user_id AS uid,
+           epoch_us(c.ts) AS start_us, CAST(NULL AS BIGINT) AS end_us,
+           c.event_id AS n, v.event_id AS cents
+    FROM (SELECT user_id, ts, event_id FROM events
+          WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND v.ts <= c.ts
+     AND v.ts >= c.ts - INTERVAL 1 HOUR
     """,
 )
 def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +236,24 @@ def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.col("total_cents").cast("long").alias("cents"),
     )
-    return sess.unionByName(slid)
+    # outer_join leg (r13): the stream-stream LEFT-OUTER interval
+    # self-join (streaming/events.py click_view_attribution_outer) in
+    # its batch-checkable form — unattributed clicks emit NULL-view
+    # rows the inner-join leg of stream_click_attribution drops; the
+    # watermark-eviction streaming run is parity-pinned in
+    # tests/test_streaming.py.
+    from prohap_spark.streaming.events import click_view_attribution_outer
+
+    ev = table(spark, sf_dir, "events")
+    outer = click_view_attribution_outer(ev, lookback="1 hour").select(
+        F.lit("outer_join").alias("leg"),
+        F.col("user_id").cast("long").alias("uid"),
+        F.col("click_ts_us").alias("start_us"),
+        F.lit(None).cast("long").alias("end_us"),
+        F.col("click_id").cast("long").alias("n"),
+        F.col("view_id").cast("long").alias("cents"),
+    )
+    return sess.unionByName(slid).unionByName(outer)
 
 
 def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,6 +253,48 @@ def click_view_attribution(
     )
 
 
+def click_view_attribution_outer(
+    events: DataFrame, lookback: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """STREAM-STREAM **left-outer** interval self-join (r13): every
+    'click' matched to the same user's 'view' events within the
+    preceding ``lookback`` — and clicks with NO qualifying view emit a
+    NULL-view row, the unattributed-traffic report an inner join
+    silently drops. The genuinely stateful case: under readStream an
+    unmatched click cannot emit until the VIEW side's watermark has
+    passed the end of its lookback window (only then is "no view will
+    ever arrive" provable), so Spark holds click state until
+    `view_ts watermark > click_ts` and emits the NULL row on eviction
+    — outer-join results trickle out watermark-late by design. In
+    batch the identical expression is a plain left outer join with a
+    range refine. Parity between the two runs is pinned in
+    tests/test_streaming.py."""
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        views = views.withWatermark("view_ts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return clicks.join(views, cond, "leftOuter").select(
+        "user_id",
+        "click_id",
+        "view_id",
+        F.unix_micros("click_ts").alias("click_ts_us"),
+    )
+
+
 def enrich_with_static_dim(
     events: DataFrame, dim: DataFrame, on: str = "event_type"
 ) -> DataFrame:

@@ -1637,3 +1637,57 @@ def test_stream_static_enrichment_batch_parity(spark, events_dir):
     want = {(r["event_id"], r["tier"], r["weight"]) for r in batch.collect()}
     assert got == want and len(got) > 0
     assert any(t is None for (_, t, _) in got)  # unmatched rows kept
+
+
+def test_click_attribution_outer_batch_equals_stream(spark, tmp_path):
+    """Stream-stream LEFT-OUTER interval join parity: unmatched clicks
+    must emit their NULL-view row once the view-side watermark proves
+    no qualifying view can still arrive. A far-future sentinel pair
+    (user -1) lands in a LATER file/batch, pushing both watermarks
+    ~8 h past every real event so the no-data eviction batch flushes
+    ALL real unmatched click state before the query stops."""
+    import datetime as dt
+
+    from prohap_spark.queries.registry import events_table
+    from prohap_spark.streaming.events import (
+        click_view_attribution_outer,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    d = str(tmp_path / "ev_outer")
+    ev = events_table(spark, "/root/testdata/sf0.001").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    far = max_ts + dt.timedelta(hours=10)
+    sentinel = spark.createDataFrame(
+        [
+            (-1, far, -1, "click", 0.0, None),
+            (-2, far, -1, "view", 0.0, None),
+        ],
+        ev.schema,
+    )
+    # separate append AFTER the first file -> later mtime -> later batch
+    sentinel.coalesce(1).write.mode("append").parquet(d)
+
+    batch = click_view_attribution_outer(spark.read.parquet(d)).where(
+        F.col("user_id") != -1
+    )
+    stream = click_view_attribution_outer(
+        read_event_stream(spark, d, max_files_per_trigger=1)
+    )
+    run_to_memory_sink(stream, "attrib_outer_out")
+    got = {
+        (r["user_id"], r["click_id"], r["view_id"])
+        for r in spark.sql(
+            "SELECT * FROM attrib_outer_out WHERE user_id != -1"
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["click_id"], r["view_id"]) for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+    # the leg's whole point: some clicks ARE unattributed
+    assert any(v is None for _, _, v in want)
