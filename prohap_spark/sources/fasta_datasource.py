@@ -29,7 +29,13 @@ transparency comes from Python's gzip, matching the engine's S3
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def _parse_fasta_text(text: str):
@@ -123,6 +129,10 @@ class FastaDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _FastaReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        # df.write.format("fasta").save(dir) — see _FastaWriter below
+        return _FastaWriter(self.options, overwrite)
+
 
 class _FastaStreamReader:
     """SimpleDataSourceStreamReader for a FASTA landing directory:
@@ -198,3 +208,78 @@ class FastaStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _FastaStreamReader(self.options)
+
+
+class _FastaCommit(WriterCommitMessage):
+    def __init__(self, staged: str, n_records: int):
+        self.staged = staged
+        self.n_records = n_records
+
+
+class _FastaWriter(DataSourceWriter):
+    """Staged-commit FASTA writer (r13 — the WRITE half of the Spark 4
+    Python Data Source demo): each task writes its partition to a
+    hidden ``_staging`` file and returns the path as its commit
+    message; the DRIVER's commit() renames every staged part into
+    place and drops a ``_SUCCESS`` marker only then — the standard
+    two-phase output commit, so a failed job leaves either the old
+    directory (overwrite deferred to commit) or staged invisibles,
+    never a torn mix. abort() deletes the staged parts. Emits the SAME
+    record text as sources/fasta.py::write_fasta ('>tag|acc|desc' +
+    60-col wrapped sequence), pinned by the roundtrip pytest. Like
+    the streaming sink, the os.rename/open plumbing is
+    LOCAL-FILESYSTEM-ONLY; on HDFS/object stores the same protocol
+    rides the Hadoop committer."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fasta writer requires a path")
+        self.overwrite = overwrite
+        self.wrap = int(options.get("wrap", "60"))
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.fa")
+        n = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                seq = row["sequence"] or ""
+                wrapped = "\n".join(
+                    seq[i : i + self.wrap] for i in range(0, max(len(seq), 1), self.wrap)
+                )
+                f.write(
+                    f">{row['tag']}|{row['accession']}|"
+                    f"{row['description'] or ''}\n{wrapped}\n"
+                )
+                n += 1
+        return _FastaCommit(staged=fname, n_records=n)
+
+    def commit(self, messages) -> None:
+        import glob as _glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "*.fa")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            os.rename(m.staged, os.path.join(self.path, f"part-{i:05d}.fa"))
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -150,3 +150,40 @@ def test_streaming_fasta_exactly_once_pipeline(registered, tmp_path):
     )
     assert accs == want
     assert got.where("sequence <> 'MKVLLT'").count() == 0
+
+
+def test_fasta_datasource_writer_roundtrip(spark, tmp_path):
+    """WRITE half of the Data Source demo: df.write.format('fasta')
+    through the staged two-phase commit, read back through BOTH read
+    paths — content identical to the source frame, _SUCCESS present,
+    no staging leftovers."""
+    import os
+
+    from prohap_spark.sources.fasta import read_fasta
+    from prohap_spark.sources.fasta_datasource import FastaDataSource
+
+    spark.dataSource.register(FastaDataSource)
+    src = spark.createDataFrame(
+        [
+            ("sp", f"ACC{i}", f"protein {i}", "MKTAYIAKQRQISFVKSHFSRQLEERLGLIEVQ" * 3)
+            for i in range(50)
+        ],
+        "tag string, accession string, description string, sequence string",
+    )
+    out = str(tmp_path / "fa_out")
+    os.makedirs(out)
+    src.repartition(4).write.format("fasta").mode("overwrite").save(out)
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    want = sorted(tuple(r) for r in src.collect())
+    via_ds = sorted(
+        tuple(r) for r in spark.read.format("fasta").load(f"{out}/*.fa").collect()
+    )
+    via_catalyst = sorted(tuple(r) for r in read_fasta(spark, f"{out}/*.fa").collect())
+    assert via_ds == want
+    assert via_catalyst == want
+
+    # overwrite replaces, never appends
+    src.limit(10).write.format("fasta").mode("overwrite").save(out)
+    assert spark.read.format("fasta").load(f"{out}/*.fa").count() == 10
