@@ -115,3 +115,57 @@ def recluster_parquet(
         if f.endswith(".parquet")
     )
     return {"n_rows": n, "dst_files": n_dst_files}
+
+
+def vacuum_index(spark, path: str) -> dict:
+    """VACUUM for a manifest-validated index directory (r13 — the
+    retention half of the fail-loud artifact story): delete every
+    visible data file that is NOT in the manifest's committed file
+    set. A crashed or zombie writer that appends stragglers into the
+    directory makes read_dedup_index REFUSE the whole index (count/
+    checksum drift — correct, but the index is now unreadable);
+    vacuum restores it to exactly the manifest, after which the read
+    validates again. Refuses to touch the directory when the manifest
+    is absent or any COMMITTED file is missing (that is data loss, not
+    pollution — deleting more cannot fix it). Delta's VACUUM plays
+    this role against its transaction log; the manifest is this
+    engine's log. Validation read at the end fails loud if the swept
+    directory still doesn't match. Local-filesystem plumbing, like the
+    other maintenance ops."""
+    import glob as _glob
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import _INDEX_MANIFEST, read_dedup_index
+
+    mpath = os.path.join(path, _INDEX_MANIFEST)
+    try:
+        with open(mpath) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"vacuum_index: no manifest at {mpath} — refusing to guess "
+            "which files are committed"
+        )
+    committed = manifest.get("files")
+    if committed is None:
+        raise ValueError(
+            "vacuum_index: manifest predates file tracking — rewrite the "
+            "index (write_dedup_index) before vacuuming"
+        )
+    visible = {
+        os.path.relpath(f, path)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    }
+    missing = sorted(set(committed) - visible)
+    if missing:
+        raise ValueError(
+            f"vacuum_index: {len(missing)} committed file(s) missing "
+            f"(e.g. {missing[0]}) — the index is torn, not polluted; "
+            "vacuum cannot repair data loss"
+        )
+    orphans = sorted(visible - set(committed))
+    for rel in orphans:
+        os.remove(os.path.join(path, rel))
+    read_dedup_index(spark, path)  # fail-loud revalidation
+    return {"orphans_removed": len(orphans), "kept": len(committed)}

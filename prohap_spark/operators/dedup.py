@@ -1313,7 +1313,23 @@ def write_dedup_index(
     w.parquet(path)
     back = index.sparkSession.read.parquet(path)
     n, x, cols = _index_stats(back)
-    manifest = {"n_rows": n, "checksum_xor_crc32": x, "columns": cols}
+    # r13: the manifest also pins the DATA FILE SET (relative paths),
+    # so vacuum_index (operators/compact.py) can distinguish the
+    # committed files from stragglers a crashed/zombie job appended —
+    # the retention half of the fail-loud story: read refuses the
+    # polluted directory, vacuum restores it to exactly the manifest.
+    import glob as _glob
+
+    files = sorted(
+        os.path.relpath(f, path)
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    manifest = {
+        "n_rows": n,
+        "checksum_xor_crc32": x,
+        "columns": cols,
+        "files": files,
+    }
     with open(os.path.join(path, _INDEX_MANIFEST), "w") as f:
         json.dump(manifest, f)
     return manifest

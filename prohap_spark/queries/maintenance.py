@@ -183,6 +183,57 @@ def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "k long, n long, h long")
 
 
+def _vacuum_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vacuum_index under the gate (operators/compact.py, r13): write
+    a replayable fingerprint index (doc_id, md5(text)) through the
+    manifest writer, POLLUTE it by copying one committed part file to
+    an unmanifested name (the crashed-zombie-writer scenario — the
+    read now double-counts and must REFUSE), vacuum, and hash: the
+    refusal bit (1 iff the polluted read raised), the orphan count
+    the sweep removed, and the post-vacuum content digest. The oracle
+    replays the digest from documents and pins refusal=1, orphans=1 —
+    honest because both are computed from actual behavior, not
+    asserted constants."""
+    from prohap_spark.operators.compact import vacuum_index
+    from prohap_spark.operators.dedup import read_dedup_index, write_dedup_index
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = f"/tmp/prohap_maint_{_MAINT_BASE}/{tag}"
+    idx_path = f"{base}/fp_index"
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    if not os.path.exists(f"{idx_path}/_SUCCESS"):
+        atexit.register(shutil.rmtree, base, True)
+        write_dedup_index(d, idx_path)
+    straggler = f"{idx_path}/part-zzz-straggler.parquet"
+    if not os.path.exists(straggler):
+        # (re)pollute on EVERY call, so repeat runs in one process see
+        # the same refuse->vacuum->validate arc, not a clean dir
+        import glob as _glob
+
+        part = sorted(_glob.glob(f"{idx_path}/part-*.parquet"))[0]
+        shutil.copy(part, straggler)
+    try:
+        read_dedup_index(spark, idx_path)
+        refused = 0
+    except ValueError:
+        refused = 1
+    stats = vacuum_index(spark, idx_path)
+    digest = read_dedup_index(spark, idx_path).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_md5_8(F.concat_ws("|", F.col("doc_id").cast("string"), "fp"))).alias(
+            "h"
+        ),
+    )
+    meta = spark.createDataFrame(
+        [(0, refused, stats["orphans_removed"])], "k long, n long, h long"
+    )
+    return meta.unionByName(
+        digest.select(F.lit(1).alias("k"), "n", "h")
+    )
+
+
 def _url_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five constructed URL case families through canonicalize_url."""
     from prohap_spark.functions.text import canonicalize_url
@@ -302,6 +353,15 @@ _BS_MASK = f"(CAST(1 AS BIGINT) << CAST(p % {_BS_WB} AS INT))"
       LEFT JOIN bsurv s ON s.pid = r.pid AND s.got = r.req
     ) q
     GROUP BY q.pid
+    UNION ALL
+    SELECT 'vacuum' AS leg, CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS h, CAST(NULL AS VARCHAR) AS s
+    UNION ALL
+    SELECT 'vacuum' AS leg, CAST(1 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum({_DUCK_MD5_8.format(x="doc_id || '|' || md5(text)")}) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM documents
     """,
 )
 def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,9 +387,12 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloomskip = _bloomskip_leg(spark, sf_dir).select(
         F.lit("bloomskip").alias("leg"), "k", "n", "h", NS.alias("s")
     )
+    vacuum = _vacuum_leg(spark, sf_dir).select(
+        F.lit("vacuum").alias("leg"), "k", "n", "h", NS.alias("s")
+    )
     return (
         compact.unionByName(recluster).unionByName(urls)
-        .unionByName(zonemap).unionByName(bloomskip)
+        .unionByName(zonemap).unionByName(bloomskip).unionByName(vacuum)
     )
 
 

@@ -3983,3 +3983,68 @@ def test_recluster_parquet_validated_zorder_rewrite(spark, tmp_path):
     # reclustered: both dims localized
     assert mean_span(dst, "x") <= 30_000
     assert mean_span(dst, "y") <= 30_000
+
+
+def test_vacuum_index_sweeps_orphans_and_refuses_data_loss(spark, tmp_path):
+    """operators/compact.py vacuum_index: stragglers make the
+    manifest-validated read refuse; vacuum removes exactly the
+    unmanifested files and the read validates again; a MISSING
+    committed file (data loss) makes vacuum itself refuse."""
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.compact import vacuum_index
+    from prohap_spark.operators.dedup import read_dedup_index, write_dedup_index
+
+    idx = str(tmp_path / "idx")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("fp")
+    )
+    m = write_dedup_index(df, idx)
+    assert m["files"] and all(f.endswith(".parquet") for f in m["files"])
+
+    # pollute: copy a committed part to an unmanifested name
+    part = os.path.join(idx, m["files"][0])
+    shutil.copy(part, os.path.join(idx, "part-zzz-straggler.parquet"))
+    with pytest.raises(ValueError):
+        read_dedup_index(spark, idx)
+
+    stats = vacuum_index(spark, idx)
+    assert stats == {"orphans_removed": 1, "kept": len(m["files"])}
+    assert read_dedup_index(spark, idx).count() == 500
+    # idempotent: nothing left to sweep
+    assert vacuum_index(spark, idx)["orphans_removed"] == 0
+
+    # data loss: vacuum refuses, it cannot repair a torn index
+    os.remove(part)
+    with pytest.raises(ValueError, match="torn"):
+        vacuum_index(spark, idx)
+
+
+def test_vacuum_index_partitioned_layout(spark, tmp_path):
+    """File tracking and the sweep work under partitionBy layouts
+    (relative paths include the partition dirs)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.compact import vacuum_index
+    from prohap_spark.operators.dedup import read_dedup_index, write_dedup_index
+
+    idx = str(tmp_path / "idxp")
+    df = spark.range(0, 300).select(
+        (F.col("id") % 4).alias("cell"), F.col("id").alias("k")
+    )
+    m = write_dedup_index(df, idx, partition_by=["cell"])
+    assert any("/" in f or os.sep in f for f in m["files"])
+    victim_dir = os.path.dirname(os.path.join(idx, m["files"][0]))
+    shutil.copy(
+        os.path.join(idx, m["files"][0]),
+        os.path.join(victim_dir, "part-zzz-straggler.parquet"),
+    )
+    assert vacuum_index(spark, idx)["orphans_removed"] == 1
+    assert read_dedup_index(spark, idx).count() == 300
