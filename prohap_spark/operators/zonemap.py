@@ -201,3 +201,68 @@ def read_pruned(
             raise ValueError("empty zone map")
         return spark.read.parquet(any_file[0]).where(F.lit(False))
     return spark.read.parquet(*files).where(pred)
+
+
+def append_zone_map(
+    spark: SparkSession, path: str, zone_map: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Incremental zone-map maintenance (r13): per-file stats are
+    FILE-independent, so ingesting new files never rescans the mapped
+    corpus — scan ONLY the files absent from the existing map and
+    union their rows in (the append_trigram_index /
+    column_stats_partials economics applied to the skipping layer).
+    Equality with a from-scratch rebuild is pinned in pytest. At
+    100 TB this is the difference between a stats refresh that reads
+    kilobytes-per-new-file and one that reads the table."""
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    known = [r["file"] for r in zone_map.select("file").distinct().collect()]
+    fresh = df.where(~F.col("file").isin(known))
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return zone_map.unionByName(fresh.groupBy("file").agg(*aggs))
+
+
+def append_bloom_skip(
+    spark: SparkSession,
+    path: str,
+    bloom_map: DataFrame,
+    col: str,
+    k: int = 3,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Incremental Bloom-skip maintenance: same economics as
+    :func:`append_zone_map` — per-file words are file-independent, so
+    only files missing from the existing map are scanned and hashed.
+    ``(k, m_bits)`` must match the existing map (the words are
+    meaningless under different parameters); append == rebuild is
+    pinned in pytest."""
+    from prohap_spark.functions.sketches import (
+        BLOOM_WORD_BITS,
+        bloom_hash_positions,
+    )
+
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    known = [r["file"] for r in bloom_map.select("file").distinct().collect()]
+    pos = (
+        df.where(~F.col("file").isin(known))
+        .where(F.col(col).isNotNull())
+        .select(
+            "file",
+            F.explode(bloom_hash_positions(F.col(col), k, m_bits)).alias("__pos"),
+        )
+    )
+    fresh = (
+        pos.select(
+            "file",
+            F.expr(f"CAST((__pos div {BLOOM_WORD_BITS}) AS INT)").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(__pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("__mask"),
+        )
+        .groupBy("file", "word_idx")
+        .agg(F.expr("bit_or(__mask)").alias("word"))
+    )
+    return bloom_map.unionByName(fresh)

@@ -146,3 +146,37 @@ def test_bloom_skip_absent_key_and_empty_survivors(spark, scattered):
         assert out.count() == 0
         assert out.columns == ["k"]
         assert len(files) <= 16
+
+
+def test_append_zone_map_and_bloom_equal_rebuild(spark, tmp_path):
+    """Incremental maintenance == rebuild, for BOTH skipping artifacts:
+    after new files land, appending scans only the fresh files yet
+    produces exactly the rows a from-scratch build would."""
+    from prohap_spark.operators.zonemap import (
+        append_bloom_skip,
+        append_zone_map,
+        build_bloom_skip,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 8000).select(F.col("id").alias("k"))
+    base.repartitionByRange(8, "k").write.mode("overwrite").parquet(path)
+    zm0 = build_zone_map(spark, path, ["k"]).cache()
+    bm0 = build_bloom_skip(spark, path, "k").cache()
+    zm0.count(), bm0.count()  # materialize BEFORE the new files land
+
+    delta = spark.range(8000, 12000).select(F.col("id").alias("k"))
+    delta.repartitionByRange(4, "k").write.mode("append").parquet(path)
+
+    zm1 = append_zone_map(spark, path, zm0, ["k"])
+    bm1 = append_bloom_skip(spark, path, bm0, "k")
+    want_zm = sorted(tuple(r) for r in build_zone_map(spark, path, ["k"]).collect())
+    want_bm = sorted(tuple(r) for r in build_bloom_skip(spark, path, "k").collect())
+    assert sorted(tuple(r) for r in zm1.collect()) == want_zm
+    assert sorted(tuple(r) for r in bm1.collect()) == want_bm
+    # and the appended artifacts actually answer queries
+    from prohap_spark.operators.zonemap import prune_files_bloom
+
+    assert len(prune_files(zm1, "k", 9000, 9100)) <= 2
+    got = prune_files_bloom(bm1, 9050)
+    assert any("part" in f for f in got)
