@@ -155,7 +155,12 @@ def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fid-sum) are hashed; the oracle replays the md5-window Bloom
     construction and probe per fid, so a hash/word/threshold bug in
     either direction goes hash-red — including an fp-set change,
-    which would mean the hash functions diverged."""
+    which would mean the hash functions diverged. m=4096 deliberately
+    sits BELOW bloom_plan's answer for this key density (the j13
+    discipline): the gate exercises the saturated-filter regime where
+    fp survivors are plentiful and must STILL replay exactly;
+    tools/bloomskip_scale_probe.py carries the planner-sized
+    prune-rate evidence (1.25/64 files at m=65536)."""
     from prohap_spark.operators.zonemap import (
         build_bloom_skip,
         prune_files_bloom,
