@@ -23,6 +23,34 @@ _DUCK_DOT = (
 )
 _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
 
+_MICRO_DOT_SQL = (
+    "CAST(list_sum(list_transform(range(1, len(eq.embedding) + 1), "
+    "i -> CAST(round(CAST(eq.embedding[i] AS DOUBLE) * 1000000) AS BIGINT) "
+    "* CAST(round(CAST(ec.embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)"
+)
+_MICRO_SS_SQL = (
+    "CAST(list_sum(list_transform({v}.embedding, "
+    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) "
+    "* CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT)"
+)
+
+
+def _micro_joinback_sql(inner: str, leg: str) -> str:
+    """Wrap a ranked (qid, cid, ..., rank) leg oracle so its HASHED
+    projection is integer micro-unit dot/ssx/ssc (the DuckDB twin of
+    :func:`_attach_micro_scores`): the leg's own float scores decided
+    the ranking, these exact BIGINTs are what the gate hashes."""
+    return f"""
+    SELECT '{leg}' AS leg, r.qid, r.cid,
+           {_MICRO_DOT_SQL} AS dot,
+           {_MICRO_SS_SQL.format(v='eq')} AS ssx,
+           {_MICRO_SS_SQL.format(v='ec')} AS ssc,
+           r.rank
+    FROM ({inner}) r
+    JOIN embeddings eq ON eq.vec_id = r.qid
+    JOIN embeddings ec ON ec.vec_id = r.cid"""
+
+
 # ---------------------------------------------------------------------------
 # Float-in-the-hash policy (r13, after the sim_embedding_board reds):
 # NO unrounded derived double may appear in a registered gate's hashed
@@ -30,21 +58,21 @@ _DUCK_NORM = "sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x 
 # round-6 floats to integer projections (BIGINT accumulators or
 # micro-units; floats may still ORDER rank windows — an order-only
 # float diverges across engine builds only if it flips a comparison,
-# not if it differs by one bit). Swept so far: sim_embedding_board
-# (both legs), sim_ivf_ann + sim_ivf_index_probe, sim_lsh_ann,
-# hybrid_search_rrf, text_quality_board.
-# DOCUMENTED EXEMPTIONS (hashed round-6 doubles, left until their
-# next touch): dedup_embedding_cosine, dedup_semantic, the
-# sim_quantized_ann_board legs (_SQ_ANN_SQL/_PQ_ANN_SQL/
-# _PQ_ANN_EXACT_SQL/_mplsh_oracle_sql), text_bm25_topk. All are
-# driver-GREEN on the r12 record ON THESE EXACT GATE TEXTS —
-# dedup_embedding_cosine in particular hashes the identical float-fold
-# arithmetic the r12 verdict used to ISOLATE the red to the unrounded
-# class — so their green history is evidence about the driver's build
-# that a rewrite would erase. The float_env_canary board
-# (queries/canary.py) hashes the round-6 primitive every round as the
-# early-warning line; if it or any exempt gate reds, the sweep applies
-# on that gate's rule-(b) re-front.
+# not if it differs by one bit). Swept: sim_embedding_board (both
+# legs), sim_ivf_ann + sim_ivf_index_probe, sim_lsh_ann,
+# hybrid_search_rrf, text_quality_board, the three
+# sim_quantized_ann_board legs (join-back device), dedup_semantic and
+# text_bm25_topk (micro-unit extraction of the operator's rounded
+# score).
+# THE ONE DOCUMENTED EXEMPTION: dedup_embedding_cosine keeps its
+# hashed round-6 float-fold cosine — it is the r12 verdict's
+# ISOLATION DATAPOINT (driver-green on the identical arithmetic that
+# was red in the unrounded centroid leg), so its green history is
+# evidence about the driver's build that a rewrite would erase. The
+# float_env_canary board (queries/canary.py) hashes the round-6
+# primitive every round as the early-warning line; if it or the
+# exempt gate reds, the sweep applies on that gate's rule-(b)
+# re-front.
 # ---------------------------------------------------------------------------
 
 
@@ -1073,11 +1101,11 @@ def sim_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_quantized_ann_board",
     f"""
-    SELECT 'sq' AS leg, qid, cid, cosine, rank FROM ({_SQ_ANN_SQL})
+    {_micro_joinback_sql(_SQ_ANN_SQL, 'sq')}
     UNION ALL
-    SELECT 'pq' AS leg, qid, cid, cosine, rank FROM ({_PQ_ANN_EXACT_SQL})
+    {_micro_joinback_sql(_PQ_ANN_EXACT_SQL, 'pq')}
     UNION ALL
-    SELECT 'mp' AS leg, qid, cid, cosine, rank FROM ({_mplsh_oracle_sql()})
+    {_micro_joinback_sql(_mplsh_oracle_sql(), 'mp')}
     """,
 )
 def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1089,19 +1117,27 @@ def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe LSH path (mp leg — sim_multiprobe_lsh, the recall
     lever at fixed index storage), each value-checked end-to-end
     against its full SQL replay (quantization / probe sequence,
-    candidate cut, exact rerank). Harness note: the board unions the
-    standalone operators, so the embeddings file is scanned once per
-    leg-internal consumer — a gate-SF correctness union; the
-    per-operator plan pins assert the production shapes."""
-    sq = sim_sq_ann(spark, sf_dir).select(
-        F.lit("sq").alias("leg"), "qid", "cid", "cosine", "rank"
-    )
-    pq = sim_pq_ann_exact(spark, sf_dir).select(
-        F.lit("pq").alias("leg"), "qid", "cid", "cosine", "rank"
-    )
-    mp = sim_multiprobe_lsh(spark, sf_dir).select(
-        F.lit("mp").alias("leg"), "qid", "cid", "cosine", "rank"
-    )
+    candidate cut, exact rerank). r13: the board's HASHED projection
+    is INTEGER-ONLY — each leg's ranked pairs join back to the
+    embeddings for exact micro-unit BIGINT dot/ssx/ssc
+    (:func:`_attach_micro_scores` / :func:`_micro_joinback_sql`); the
+    legs' round-6 rerank cosines survive only inside their rank
+    windows' ORDER BY, closing the last hashed float-fold doubles in
+    this module's registered surface (policy comment at top).
+    Harness note: the board unions the standalone operators, so the
+    embeddings file is scanned once per leg-internal consumer — a
+    gate-SF correctness union; the per-operator plan pins assert the
+    production shapes."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = _attach_micro_scores(
+        sim_sq_ann(spark, sf_dir), e
+    ).select(F.lit("sq").alias("leg"), "qid", "cid", "dot", "ssx", "ssc", "rank")
+    pq = _attach_micro_scores(
+        sim_pq_ann_exact(spark, sf_dir), e
+    ).select(F.lit("pq").alias("leg"), "qid", "cid", "dot", "ssx", "ssc", "rank")
+    mp = _attach_micro_scores(
+        sim_multiprobe_lsh(spark, sf_dir), e
+    ).select(F.lit("mp").alias("leg"), "qid", "cid", "dot", "ssx", "ssc", "rank")
     return sq.unionByName(pq).unionByName(mp)
 
 
@@ -1162,8 +1198,9 @@ def sim_quantized_ann_board(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r.cid, r.cell_id
     )
     SELECT a.cid AS vec_id, a.cell_id,
-           coalesce(p.best_cos, -2.0) >= 0.25 AS is_dup,
-           p.best_cos
+           coalesce(CAST(round(p.best_cos * 1000000) AS BIGINT), -2000000)
+             >= 250000 AS is_dup,
+           CAST(round(p.best_cos * 1000000) AS BIGINT) AS best_cos_micro
     FROM assign a LEFT JOIN pairs p ON a.cid = p.vec_id
     """,
 )
@@ -1178,7 +1215,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncates the three largest of the ten cells, so the capped path
     is exercised, oracle-mirrored, and its members verifiably pass
     through un-flagged). r12: assignment runs on the ENGINE-EXACT
-    integer-sums path (``centroid_sums``) — see the oracle comment."""
+    integer-sums path (``centroid_sums``) — see the oracle comment.
+    r13 integer projection: the hashed best-pair score is micro-units
+    (BIGINT extracted from the operator's round-6 value — both
+    engines map the same rounded decimal to the same integer without
+    ALSO having to agree on its double representation), and is_dup is
+    recomputed as the integer threshold micro >= 250000."""
     from prohap_spark.operators.similarity import (
         semantic_dedup_flags,
         train_centroid_sums_by_label,
@@ -1186,9 +1228,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     cs = train_centroid_sums_by_label(e, "label", "embedding")
-    return semantic_dedup_flags(
+    out = semantic_dedup_flags(
         e, None, "vec_id", "embedding", threshold=0.25, max_cell_size=52,
         centroid_sums=cs,
+    )
+    micro = F.round(F.col("best_cos") * F.lit(1000000.0), 0).cast("long")
+    return out.select(
+        "vec_id",
+        "cell_id",
+        (F.coalesce(micro, F.lit(-2000000)) >= F.lit(250000)).alias("is_dup"),
+        micro.alias("best_cos_micro"),
     )
 
 
@@ -1365,7 +1414,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lex = text_bm25_topk(spark, sf_dir).withColumn(
         "rank_lex",
-        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+        F.row_number().over(Window.orderBy(F.col("bm25_micro").desc(), "doc_id")),
     ).select("doc_id", F.col("rank_lex").cast("int").alias("rank_lex"))
 
     e = table(spark, sf_dir, "embeddings")

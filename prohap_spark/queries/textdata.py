@@ -579,9 +579,9 @@ def _duck_bm25_term(i: int, term: str) -> str:
       FROM stats0
     )
     SELECT doc_id,
-           round({" + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))}, 6) AS bm25
+           CAST(round(({" + ".join(_duck_bm25_term(i, t) for i, t in enumerate(_BM25_TERMS))}) * 1000000) AS BIGINT) AS bm25_micro
     FROM d, stats
-    ORDER BY bm25 DESC, doc_id
+    ORDER BY bm25_micro DESC, doc_id
     LIMIT 20
     """,
 )
@@ -637,8 +637,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         score = term if score is None else score + term
     return (
-        scored.select("doc_id", F.round(score, 6).alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
+        # r13 integer projection: the hashed score is micro-units
+        # (round(x*1e6) as BIGINT — same rounding boundaries as the
+        # previous round(x,6) double, minus the per-engine "manufacture
+        # the nearest double" representation step); ordering by the
+        # integer is ordering by the rounded score
+        scored.select(
+            "doc_id",
+            F.round(score * F.lit(1000000.0), 0).cast("long").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
         .limit(20)
     )
 
