@@ -415,6 +415,8 @@ def _stats_oracle_sql() -> str:
              CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv_q,
              CAST(min(l_quantity) AS BIGINT) AS min_q,
              CAST(max(l_quantity) AS BIGINT) AS max_q,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum2_q,
              CAST(count(*) - count(l_returnflag) AS BIGINT) AS null_rf,
              CAST(count(DISTINCT l_returnflag) AS BIGINT) AS ndv_rf,
              min(l_returnflag) AS min_rf, max(l_returnflag) AS max_rf,
@@ -439,6 +441,8 @@ def _stats_oracle_sql() -> str:
       UNION ALL SELECT 'l_quantity', 'ndv', ndv_q, NULL FROM agg
       UNION ALL SELECT 'l_quantity', 'min', min_q, NULL FROM agg
       UNION ALL SELECT 'l_quantity', 'max', max_q, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'sum', sum_q, NULL FROM agg
+      UNION ALL SELECT 'l_quantity', 'sum2', sum2_q, NULL FROM agg
       UNION ALL SELECT 'l_returnflag', 'n_null', null_rf, NULL FROM agg
       UNION ALL SELECT 'l_returnflag', 'ndv', ndv_rf, NULL FROM agg
       UNION ALL SELECT 'l_returnflag', 'min', CAST(NULL AS BIGINT), min_rf FROM agg
@@ -615,6 +619,12 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_quantity").alias("ndv_q"),
         F.min("l_quantity").cast("long").alias("min_q"),
         F.max("l_quantity").cast("long").alias("max_q"),
+        # exact integer moments (l_quantity is whole-valued): sum and
+        # sum-of-squares as BIGINTs — mean/variance/stddev become
+        # library projections of hashed-exact state, the same
+        # no-derived-double discipline as every r13 gate
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_q"),
+        F.sum(F.col("l_quantity").cast("long") * F.col("l_quantity").cast("long")).alias("sum2_q"),
         (n - F.count("l_returnflag")).alias("null_rf"),
         F.countDistinct("l_returnflag").alias("ndv_rf"),
         F.min("l_returnflag").alias("min_rf"),
@@ -626,7 +636,7 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = a.select(
         F.expr(
-            """stack(17,
+            """stack(19,
             '<table>',      'n',      n,       CAST(NULL AS STRING),
             'l_orderkey',   'n_null', null_ok, CAST(NULL AS STRING),
             'l_orderkey',   'ndv',    ndv_ok,  CAST(NULL AS STRING),
@@ -636,6 +646,8 @@ def table_stats_board(spark: SparkSession, sf_dir: str) -> DataFrame:
             'l_quantity',   'ndv',    ndv_q,   CAST(NULL AS STRING),
             'l_quantity',   'min',    min_q,   CAST(NULL AS STRING),
             'l_quantity',   'max',    max_q,   CAST(NULL AS STRING),
+            'l_quantity',   'sum',    sum_q,   CAST(NULL AS STRING),
+            'l_quantity',   'sum2',   sum2_q,  CAST(NULL AS STRING),
             'l_returnflag', 'n_null', null_rf, CAST(NULL AS STRING),
             'l_returnflag', 'ndv',    ndv_rf,  CAST(NULL AS STRING),
             'l_returnflag', 'min',    CAST(NULL AS BIGINT), min_rf,
