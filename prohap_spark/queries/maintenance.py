@@ -370,12 +370,15 @@ _BS_MASK = f"(CAST(1 AS BIGINT) << CAST(p % {_BS_WB} AS INT))"
     """,
 )
 def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """compact_parquet + recluster_parquet + canonicalize_url on one
-    board (see the module docstring for the gate design): the
-    compact/recluster legs digest the REWRITTEN directories against
-    the oracle's digest of the source tables — content preservation is
-    the op's whole contract — and the url leg checks the canonical
-    key against a constructed expectation per case family."""
+    """The table-maintenance lifecycle on one board: compact_parquet +
+    recluster_parquet (content-digest gates — the rewrites' whole
+    contract is "content unchanged"), canonicalize_url case families,
+    zone maps (r12-tail: spans + prune survivors from the
+    deterministic fid layout), Bloom file skipping (r13: present +
+    absent point-lookup survivor sets through the real prune path),
+    and vacuum (r13: the refuse→sweep→validate arc on a polluted
+    manifest-validated index). See each _*_leg docstring and the
+    module docstring for the gate design."""
     NL, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
     compact = _compact_leg(spark, sf_dir).select(
         F.lit("compact").alias("leg"), "k", "n", "h", NS.alias("s")
