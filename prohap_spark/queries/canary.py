@@ -46,6 +46,29 @@ doubles, the other column NULL):
   17-significant-digit fetch/normalization path (each engine's
   float→Python conversion feeds repr() in the harness).
 
+r13-tail extension — ENGINE-SEMANTICS rows (val_s VARCHAR), because a
+driver-build divergence need not be floating-point: every gate leans
+on a handful of string/temporal primitives whose cross-engine
+agreement is assumed, never probed. One row per primitive, all
+verified agreeing locally (Spark 4.1.2 vs DuckDB 1.0.0):
+
+- md5_empty — the digest idiom's degenerate input.
+- sort_binary — array sort order over ['b','A','a','Z','0']: every
+  string_agg(ORDER BY)/sort_array gate assumes BINARY collation
+  ('0,A,Z,a,b'); a locale-collated build would re-order silently.
+- substr_1based — 1-based substring indexing (the md5-window fold's
+  core assumption).
+- split_empty_tokens — splitting 'a  b' on ' ' keeps the interior
+  empty token in BOTH engines ('a||b'); the tokenization gates'
+  string_split/F.split equivalence rests on it.
+- regexp_global — regexp_replace is global-by-default in Spark and
+  explicit-'g' in DuckDB; the PII/token gates assume both strip ALL
+  matches ('a1b2c3' -> '123').
+- int_to_string — negative BIGINT casts to VARCHAR without a sign
+  surprise ('x-42y'); lpad zero-fill ('007').
+- date_diff_days — DATE subtraction in days (TZ-free on purpose:
+  timestamps route through each session's zone, dates don't).
+
 Registered r13 mid-registry (new_waiting lane — fronts r14 per
 rotation rule (a); the r13 front was already at its 50 budget with
 the rule-(b) red + 6 rule-(a) boards + 44 rule-(c) obligations)."""
@@ -59,13 +82,17 @@ from prohap_spark.queries.registry import register
 _P53 = 9007199254740992  # 2^53
 
 
-def _row(spark: SparkSession, probe: str, val_i=None, val_d=None) -> DataFrame:
+def _row(
+    spark: SparkSession, probe: str, val_i=None, val_d=None, val_s=None
+) -> DataFrame:
     ni = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
     return spark.range(1).select(
         F.lit(probe).alias("probe"),
         (val_i if val_i is not None else ni).cast("long").alias("val_i"),
         (val_d if val_d is not None else nd).cast("double").alias("val_d"),
+        (val_s if val_s is not None else ns).cast("string").alias("val_s"),
     )
 
 
@@ -74,35 +101,51 @@ def _row(spark: SparkSession, probe: str, val_i=None, val_d=None) -> DataFrame:
     f"""
     WITH s AS (SELECT CAST(unnest([{_P53 + 1}, 2]) AS BIGINT) AS v)
     SELECT 'cast_2p53_p1' AS probe, CAST(NULL AS BIGINT) AS val_i,
-           CAST(CAST({_P53 + 1} AS BIGINT) AS DOUBLE) AS val_d
+           CAST(CAST({_P53 + 1} AS BIGINT) AS DOUBLE) AS val_d,
+           CAST(NULL AS VARCHAR) AS val_s
     UNION ALL SELECT 'cast_2p53_p3', NULL,
-           CAST(CAST({_P53 + 3} AS BIGINT) AS DOUBLE)
+           CAST(CAST({_P53 + 3} AS BIGINT) AS DOUBLE), NULL
     UNION ALL SELECT 'hugeint_sum_cast', NULL,
-           (SELECT CAST(sum(v) AS DOUBLE) FROM s)
+           (SELECT CAST(sum(v) AS DOUBLE) FROM s), NULL
     UNION ALL SELECT 'round_half_pos',
-           CAST(round(CAST(4.5 AS DOUBLE), 0) AS BIGINT), NULL
+           CAST(round(CAST(4.5 AS DOUBLE), 0) AS BIGINT), NULL, NULL
     UNION ALL SELECT 'round_half_neg',
-           CAST(round(CAST(-4.5 AS DOUBLE), 0) AS BIGINT), NULL
+           CAST(round(CAST(-4.5 AS DOUBLE), 0) AS BIGINT), NULL, NULL
     UNION ALL SELECT 'micro_half_odd',
            CAST(round(CAST(99 AS DOUBLE) / CAST(128 AS DOUBLE)
-                      * CAST(1000000 AS DOUBLE), 0) AS BIGINT), NULL
+                      * CAST(1000000 AS DOUBLE), 0) AS BIGINT), NULL, NULL
     UNION ALL SELECT 'sqrt_exact', NULL,
-           sqrt(CAST(CAST(8400000000 AS BIGINT) AS DOUBLE))
+           sqrt(CAST(CAST(8400000000 AS BIGINT) AS DOUBLE)), NULL
     UNION ALL SELECT 'div_chain', NULL,
            CAST(CAST(410000000 AS BIGINT) AS DOUBLE) /
              (sqrt(CAST(CAST(100000000 AS BIGINT) AS DOUBLE)) *
-              sqrt(CAST(CAST(8400000000 AS BIGINT) AS DOUBLE)))
+              sqrt(CAST(CAST(8400000000 AS BIGINT) AS DOUBLE))), NULL
     UNION ALL SELECT 'seq_fold_sum', NULL,
            list_reduce(
              list_transform(range(1, 65),
                             i -> CAST(1 AS DOUBLE) / CAST(i AS DOUBLE)),
-             (a, b) -> a + b)
+             (a, b) -> a + b), NULL
     UNION ALL SELECT 'float32_widen', NULL,
-           CAST(CAST(0.1 AS REAL) AS DOUBLE)
+           CAST(CAST(0.1 AS REAL) AS DOUBLE), NULL
     UNION ALL SELECT 'round6_inexact', NULL,
-           round(CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE), 6)
+           round(CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE), 6), NULL
     UNION ALL SELECT 'repr_17sig', NULL,
-           CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE)
+           CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE), NULL
+    UNION ALL SELECT 'md5_empty', NULL, NULL, md5('')
+    UNION ALL SELECT 'sort_binary', NULL, NULL,
+           array_to_string(list_sort(['b','A','a','Z','0']), ',')
+    UNION ALL SELECT 'substr_1based', NULL, NULL, substr('hello', 2, 3)
+    UNION ALL SELECT 'split_empty_tokens', NULL, NULL,
+           array_to_string(string_split('a  b', ' '), '|')
+    UNION ALL SELECT 'regexp_global', NULL, NULL,
+           regexp_replace('a1b2c3', '[^0-9]', '', 'g')
+    UNION ALL SELECT 'int_to_string', NULL, NULL,
+           concat('x', CAST(CAST(-42 AS BIGINT) AS VARCHAR), 'y')
+    UNION ALL SELECT 'lpad_zero', NULL, NULL,
+           lpad(CAST(7 AS VARCHAR), 3, '0')
+    UNION ALL SELECT 'date_diff_days',
+           CAST(DATE '2024-02-29' - DATE '2000-01-01' AS BIGINT),
+           NULL, NULL
     """,
 )
 def float_env_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,6 +163,7 @@ def float_env_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("hugeint_sum_cast").alias("probe"),
             F.lit(None).cast("long").alias("val_i"),
             "val_d",
+            F.lit(None).cast("string").alias("val_s"),
         )
     )
     d = F.lit(1.0)
@@ -166,6 +210,39 @@ def float_env_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             "repr_17sig",
             val_d=F.lit(0.1).cast("double") + F.lit(0.2).cast("double"),
+        ),
+        _row(spark, "md5_empty", val_s=F.md5(F.lit(""))),
+        _row(
+            spark,
+            "sort_binary",
+            val_s=F.array_join(
+                F.sort_array(F.array(*[F.lit(x) for x in ["b", "A", "a", "Z", "0"]])),
+                ",",
+            ),
+        ),
+        _row(spark, "substr_1based", val_s=F.substring(F.lit("hello"), 2, 3)),
+        _row(
+            spark,
+            "split_empty_tokens",
+            val_s=F.array_join(F.split(F.lit("a  b"), " "), "|"),
+        ),
+        _row(
+            spark,
+            "regexp_global",
+            val_s=F.regexp_replace(F.lit("a1b2c3"), "[^0-9]", ""),
+        ),
+        _row(
+            spark,
+            "int_to_string",
+            val_s=F.concat(
+                F.lit("x"), F.lit(-42).cast("long").cast("string"), F.lit("y")
+            ),
+        ),
+        _row(spark, "lpad_zero", val_s=F.lpad(F.lit(7).cast("string"), 3, "0")),
+        _row(
+            spark,
+            "date_diff_days",
+            val_i=F.datediff(F.lit("2024-02-29").cast("date"), F.lit("2000-01-01").cast("date")),
         ),
     ]
     out = rows[0]
