@@ -207,6 +207,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.user_id = v.user_id
      AND v.ts <= c.ts
      AND v.ts >= c.ts - INTERVAL 1 HOUR
+    UNION ALL
+    SELECT 'transcript' AS leg, user_id AS uid, day AS start_us,
+           CAST(NULL AS BIGINT) AS end_us, count(*) AS n,
+           CAST(list_reduce(list_transform(range(1, 9),
+                i -> CAST(strpos('0123456789abcdef',
+                     substr(md5(string_agg(item, ' '
+                            ORDER BY ts_us, event_id)), i, 1)) - 1 AS BIGINT)),
+                (a, b) -> a * 16 + b) AS BIGINT) AS cents
+    FROM (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                 epoch_us(ts) AS ts_us, event_id,
+                 event_type || '@' || CAST(epoch_us(ts) AS VARCHAR) AS item
+          FROM events)
+    GROUP BY user_id, day
     """,
 )
 def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +266,61 @@ def stream_window_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_id").cast("long").alias("n"),
         F.col("view_id").cast("long").alias("cents"),
     )
-    return sess.unionByName(slid).unionByName(outer)
+    # transcript leg (r13): SFT-style transcript assembly — event logs
+    # become one ordered per-(user, day) training document. The digest
+    # hashes the WHOLE assembled string under a deterministic total
+    # order ((ts_us, event_id) — unique), so a misordered, dropped, or
+    # duplicated turn anywhere hash-reds; DuckDB replays it with
+    # string_agg(ORDER BY). One shuffle on the grouping key; the
+    # document text never leaves its group (collect_list is per-group,
+    # the 100 TB shape for corpus assembly from interaction logs).
+    evd = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.concat(
+            F.col("event_type"), F.lit("@"), F.unix_micros("ts").cast("string")
+        ).alias("item"),
+    )
+    transcript = (
+        evd.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(
+                                        F.struct("ts_us", "event_id", "item")
+                                    )
+                                ),
+                                lambda s: s["item"],
+                            ),
+                            " ",
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            F.lit("transcript").alias("leg"),
+            F.col("user_id").cast("long").alias("uid"),
+            F.col("day").alias("start_us"),
+            F.lit(None).cast("long").alias("end_us"),
+            "n",
+            "cents",
+        )
+    )
+    return sess.unionByName(slid).unionByName(outer).unionByName(transcript)
 
 
 def c_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
