@@ -59,6 +59,10 @@ QUERIES = [
     "text_token_counts",
     "text_quality_board",
     "f1_regex_threshold",
+    # r13: the integer-projection join-back shape (2 extra broadcast
+    # joins, never a shuffle) and the 4-leg streaming board
+    "sim_ivf_ann",
+    "stream_window_board",
 ]
 
 # the drift-sensitive structural keys (see module docstring)
