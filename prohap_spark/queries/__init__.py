@@ -63,9 +63,19 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # 1 + 6 + 1 + 42 = 50. No entry was bumped or silently dropped. The
 # freed registry slot funds float_env_canary (queries/canary.py —
 # the r12 verdict's ask #2: per-row single-primitive float probes so
-# a driver-build divergence names its own root cause), which lands
-# MID-registry in the audit's new_waiting lane and fronts r14.
-# Registry: 149 (one slot of headroom under the 150 cap).
+# a driver-build divergence names its own root cause; extended
+# r13-tail with engine-SEMANTICS rows), which lands MID-registry in
+# the audit's new_waiting lane and fronts r14.
+#
+# r13-tail addendum: a SECOND merge this round — the r11-green
+# singletons q3_shipping_priority + q5_local_supplier_volume →
+# q_join_board (queries/classic.py, 15th slot-freeing use) — funds
+# text_preference_pairs (queries/textdata.py: DPO-style max-margin
+# (chosen, rejected, margin) pair assembly, integer-only hash).
+# Pre-balanced r14 front: 47 r11-green singletons + 3 new_waiting
+# rule-(a) entries (q_join_board, float_env_canary,
+# text_preference_pairs) = exactly 50. Registry: 149 (one slot of
+# headroom under the 150 cap).
 #
 # Overflow precedence (first exercised r8, exercised again this
 # round): if a round's obligations exceed the 50 budget, priority is
@@ -111,10 +121,9 @@ _FRONT = [
 _BACK = [
     # last green r12 — the r15 rule-(c) obligations (they may go dark
     # r13 AND r14 without violating the three-round window). The r14
-    # front will be the ~44 r11-greens (mid-registry) + the
-    # new_waiting float_env_canary + dedup_cdc_chunking and
-    # text_quality_classifier (gates changed after their r11 greens,
-    # r14 by schedule); rotation_audit.py prints the exact list.
+    # front = 47 r11-green singletons (mid-registry; q3/q5 folded into
+    # q_join_board) + the 3 new_waiting rule-(a) entries — exactly 50;
+    # rotation_audit.py prints the exact list.
     "agg_quantile_sketch", "sketch_algebra_board", "j13_bloom_semi_join",
     "layout_zorder_cluster", "w1_islands_board", "stream_batch_parity_board",
     "sim_quantized_ann_board", "j1_interval_board",

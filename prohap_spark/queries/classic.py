@@ -9,22 +9,6 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from prohap_spark.queries.registry import register, table
 
 
-@register(
-    "q3_shipping_priority",
-    """
-    SELECT l.l_orderkey,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-           epoch_us(o.o_orderdate) AS orderdate_us,
-           o.o_orderpriority
-    FROM customer c
-    JOIN orders o ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '1998-03-15'
-      AND l.l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
-    """,
-)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3 shape: selective dim filter → 3-way join → aggregate.
     Catalyst pushes both date predicates to the scans and broadcasts
@@ -51,21 +35,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q5_local_supplier_volume",
-    """
-    SELECT n.n_name,
-           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-    FROM customer c
-    JOIN orders o   ON c.c_custkey = o.o_custkey
-    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    JOIN region r   ON n.n_regionkey = r.r_regionkey
-    WHERE r.r_name = 'ASIA'
-    GROUP BY n.n_name
-    """,
-)
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q5 shape: 6-way join with a cross-table equality
     (supplier nation == customer nation) — join-reordering food."""
@@ -85,6 +54,63 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(cents).alias("revenue_cents"))
     )
+
+
+@register(
+    "q_join_board",
+    """
+    SELECT 'q3' AS leg, l.l_orderkey AS k,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           o.o_orderpriority AS s
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    UNION ALL
+    SELECT 'q5' AS leg, CAST(NULL AS BIGINT) AS k,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(NULL AS BIGINT) AS orderdate_us,
+           n.n_name AS s
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN supplier sp ON l.l_suppkey = sp.s_suppkey AND sp.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-join board — the r11-green singletons
+    ``q3_shipping_priority`` (selective dim filter -> 3-way join ->
+    aggregate) and ``q5_local_supplier_volume`` (6-way join with a
+    cross-table equality) MERGED into one registered query (r13
+    slot-freeing device, 15th use — the freed r14 front slot funds
+    text_preference_pairs' rule-(a) debut alongside the canary) on a
+    unified (leg, k, revenue_cents, orderdate_us, s) schema, off-leg
+    columns NULL. The singleton callables above stay the library /
+    bench / plan-pin surface; revenue stays exact integer cents."""
+    NL, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
+    a = q3_shipping_priority(spark, sf_dir).select(
+        F.lit("q3").alias("leg"),
+        F.col("l_orderkey").cast("long").alias("k"),
+        "revenue_cents",
+        "orderdate_us",
+        F.col("o_orderpriority").alias("s"),
+    )
+    b = q5_local_supplier_volume(spark, sf_dir).select(
+        F.lit("q5").alias("leg"),
+        NL.alias("k"),
+        "revenue_cents",
+        NL.alias("orderdate_us"),
+        F.col("n_name").alias("s"),
+    )
+    return a.unionByName(b)
 
 
 def _agg_exact_distinct_sql() -> str:

@@ -144,6 +144,101 @@ def text_quality_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PREF_QUALITY_MICRO = """CAST(round((
+             (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+           + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
+           + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
+           ) / 4.0 * 1000000) AS BIGINT)"""
+
+
+@register(
+    "text_preference_pairs",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id % 37 AS pid, doc_id, {_PREF_QUALITY_MICRO} AS q
+      FROM t
+    ),
+    ranked AS (
+      SELECT pid, doc_id, q,
+             row_number() OVER (PARTITION BY pid ORDER BY q DESC, doc_id) AS r,
+             count(*) OVER (PARTITION BY pid) AS n
+      FROM scored
+    )
+    SELECT b.pid, b.doc_id AS chosen, w.doc_id AS rejected,
+           b.q - w.q AS margin_micro,
+           CAST(b.r AS BIGINT) AS pair_rank
+    FROM ranked b
+    JOIN ranked w ON w.pid = b.pid AND w.r = b.n + 1 - b.r
+    WHERE b.r * 2 <= b.n AND b.q > w.q
+    """,
+)
+def text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF reward-data prep op:
+    within each prompt group (doc_id % 37, the synthetic prompt id),
+    rank candidate documents by the integer quality score and pair
+    the best with the worst, second-best with second-worst, … — the
+    standard max-margin pairing that turns a scored candidate pool
+    into (chosen, rejected, margin) training rows. Ties are NOT
+    preferences (b.q > w.q filters them), and every hashed column is
+    an integer (ids, micro-unit margin, pair rank). Scale shape: one
+    shuffle on the prompt id; ranks and counts ride one window pass;
+    the self-join matches exactly one partner per row (rank is unique
+    within the group), so the pairing is a 1:1 equi-join on
+    (pid, partner_rank) — never quadratic in candidates. Registered
+    r13-tail into the slot freed by the q3+q5 merge (q_join_board);
+    fronts r14 with the canary."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.col("doc_id") % 37).alias("pid"),
+        "doc_id",
+        F.round(quality_score_expr("text") * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("q"),
+    )
+    w = Window.partitionBy("pid")
+    ranked = scored.select(
+        "pid",
+        "doc_id",
+        "q",
+        F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id")).alias("r"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    best = ranked.where(F.col("r") * 2 <= F.col("n")).select(
+        "pid",
+        F.col("doc_id").alias("chosen"),
+        F.col("q").alias("__qc"),
+        F.col("r").alias("pair_rank"),
+        (F.col("n") + 1 - F.col("r")).alias("__partner"),
+    )
+    worst = ranked.select(
+        "pid",
+        F.col("r").alias("__partner"),
+        F.col("doc_id").alias("rejected"),
+        F.col("q").alias("__qw"),
+    )
+    return (
+        best.join(worst, ["pid", "__partner"])
+        .where(F.col("__qc") > F.col("__qw"))
+        .select(
+            "pid",
+            "chosen",
+            "rejected",
+            (F.col("__qc") - F.col("__qw")).alias("margin_micro"),
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+        )
+    )
+
+
 @register(
     "text_fingerprint_dedup",
     f"""
