@@ -4048,3 +4048,23 @@ def test_vacuum_index_partitioned_layout(spark, tmp_path):
     )
     assert vacuum_index(spark, idx)["orphans_removed"] == 1
     assert read_dedup_index(spark, idx).count() == 300
+
+
+def test_preference_pairs_properties(spark):
+    """text_preference_pairs: max-margin pairing invariants — every
+    doc appears at most once per side, chosen strictly out-scores
+    rejected, pair ranks are the better half, and no doc is paired
+    with itself."""
+    from prohap_spark.queries.textdata import text_preference_pairs
+
+    rows = text_preference_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    chosen = [r["chosen"] for r in rows]
+    rejected = [r["rejected"] for r in rows]
+    assert len(chosen) == len(set(chosen))
+    assert len(rejected) == len(set(rejected))
+    assert not (set(chosen) & set(rejected))
+    for r in rows:
+        assert r["margin_micro"] > 0
+        assert r["chosen"] != r["rejected"]
+        assert r["chosen"] % 37 == r["pid"] and r["rejected"] % 37 == r["pid"]
