@@ -206,13 +206,17 @@ def text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
     )
     w = Window.partitionBy("pid")
+    # share-scan: both sides of the rank-partner self-join read this
+    # frame — localCheckpoint pins ONE documents scan + ONE window
+    # pass instead of two of each (the quality expression is the
+    # expensive part at corpus scale)
     ranked = scored.select(
         "pid",
         "doc_id",
         "q",
         F.row_number().over(w.orderBy(F.col("q").desc(), "doc_id")).alias("r"),
         F.count(F.lit(1)).over(w).alias("n"),
-    )
+    ).localCheckpoint(eager=False)
     best = ranked.where(F.col("r") * 2 <= F.col("n")).select(
         "pid",
         F.col("doc_id").alias("chosen"),
