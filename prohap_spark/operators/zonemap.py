@@ -119,6 +119,21 @@ def build_bloom_skip(
     )
 
 
+def write_bloom_skip(bloom_map: DataFrame, path: str) -> dict:
+    """Persist the per-file Bloom words under the validated-index
+    manifest, like :func:`write_zone_map` — the artifact a stats/
+    layout job ships so point-lookup planning never rebuilds it."""
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    return write_dedup_index(bloom_map, path)
+
+
+def read_bloom_skip(spark: SparkSession, path: str) -> DataFrame:
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    return read_dedup_index(spark, path)
+
+
 def prune_files_bloom(
     bloom_map: DataFrame, value, k: int = 3, m_bits: int = 4096
 ) -> list[str]:

@@ -180,3 +180,24 @@ def test_append_zone_map_and_bloom_equal_rebuild(spark, tmp_path):
     assert len(prune_files(zm1, "k", 9000, 9100)) <= 2
     got = prune_files_bloom(bm1, 9050)
     assert any("part" in f for f in got)
+
+
+def test_bloom_skip_artifact_roundtrip(spark, scattered, tmp_path):
+    """Persisted Bloom-skip artifact: write under the validated
+    manifest, read back loud, prune identically to the in-memory map."""
+    from prohap_spark.operators.zonemap import (
+        build_bloom_skip,
+        prune_files_bloom,
+        read_bloom_skip,
+        write_bloom_skip,
+    )
+
+    bm = build_bloom_skip(spark, scattered, "k", k=3, m_bits=4096)
+    path = str(tmp_path / "bsidx")
+    m = write_bloom_skip(bm, path)
+    assert m["n_rows"] > 0
+    back = read_bloom_skip(spark, path)
+    for key in (7, 4242, 999999):
+        assert sorted(prune_files_bloom(back, key)) == sorted(
+            prune_files_bloom(bm, key)
+        )
