@@ -144,9 +144,17 @@ def append_trigram_index(
 ) -> dict:
     """Incremental index maintenance: posting rows are PER-DOCUMENT
     independent (no cross-document state), so ingesting a delta is
-    build-on-the-delta + union — no rescan of the indexed corpus,
-    O(|delta|) work per ingest (the exact_key_index /
-    lsh_band_index economics). Equality with a from-scratch rebuild
+    build-on-the-delta + union — the corpus TEXT is never re-shingled
+    (the CPU-heavy part is O(|delta|)), but the merged posting table
+    is still REWRITTEN wholesale, so the I/O is O(|index|).
+    tools/trgm_append_probe.py measures this honestly: at 16x base
+    size append ≈ rebuild in wall time on this box (posting-table I/O
+    dominates at gate scale). The true 100 TB shape is SEGMENTED
+    ingest — write each delta as its own manifest-validated segment
+    and union segments at read time, compacting on a maintenance
+    schedule exactly like streaming/sink.py's epochs — which trades
+    this function's single-artifact simplicity for O(|delta|) ingest
+    I/O. Equality with a from-scratch rebuild
     over base ∪ delta is pinned in pytest. NEVER in place: the merged
     table lands in a staging dir through the validated-manifest
     writer, then swaps — overwriting the path the merge is lazily
