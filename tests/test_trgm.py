@@ -136,3 +136,69 @@ def test_append_equals_rebuild(spark, corpus, tmp_path):
         ).collect()
     }
     assert got_ids == _brute(corpus, "needle")
+
+
+def test_segmented_ingest_equals_rebuild_and_compacts(spark, tmp_path):
+    """Segmented ingest (r13): two delta segments + base must answer
+    like_search identically to a from-scratch rebuild over the full
+    corpus; compaction folds everything into one flat artifact with
+    the same answers; vacuum_index never mistakes a segment for an
+    orphan (dot-dirs are invisible to its glob)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.compact import vacuum_index
+    from prohap_spark.operators.trgm import (
+        append_trigram_segment,
+        build_trigram_index,
+        compact_trigram_segments,
+        like_search,
+        read_trigram_index,
+        read_trigram_segments,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha bravo{i % 7} charlie delta{i % 5} spark value") for i in range(300)],
+        "doc_id int, text string",
+    )
+    base = docs.where(F.col("doc_id") % 3 == 0)
+    d1 = docs.where(F.col("doc_id") % 3 == 1)
+    d2 = docs.where(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "seg_idx")
+    write_trigram_index(build_trigram_index(base, "doc_id", "text"), path)
+    m1 = append_trigram_segment(spark, path, d1, "doc_id", "text")
+    m2 = append_trigram_segment(spark, path, d2, "doc_id", "text")
+    assert m1["segment"].endswith(".seg_00000")
+    assert m2["segment"].endswith(".seg_00001")
+
+    merged = read_trigram_segments(spark, path)
+    full = build_trigram_index(docs, "doc_id", "text")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    for needle in ("spark value", "bravo3", "zzzz"):
+        got = sorted(
+            r["doc_id"]
+            for r in like_search(docs, merged, "doc_id", "text", needle).collect()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in docs.where(
+                F.contains(F.lower("text"), F.lit(needle))
+            ).select("doc_id").collect()
+        )
+        assert got == want
+
+    # vacuum on the segmented dir: segments are NOT orphans
+    assert vacuum_index(spark, path)["orphans_removed"] == 0
+    assert os.path.isdir(m1["segment"]) and os.path.isdir(m2["segment"])
+
+    # compaction folds segments into the flat artifact, same answers
+    stats = compact_trigram_segments(spark, path)
+    assert stats["segments_folded"] == 2
+    assert not os.path.isdir(m1["segment"])
+    flat = read_trigram_index(spark, path)
+    assert sorted(map(tuple, flat.collect())) == sorted(map(tuple, full.collect()))
+    # idempotent: nothing left to fold
+    assert compact_trigram_segments(spark, path)["segments_folded"] == 0

@@ -76,10 +76,24 @@ def main():
                 f"{base_dir}/idx_rebuild_x{mult}",
             )
             rebuild_wall = time.monotonic() - t0
+
+            # the segmented path (r13): ingest writes ONLY the delta's
+            # postings as a new segment — wall must stay flat in base
+            from prohap_spark.operators.trgm import append_trigram_segment
+
+            seg_base = f"{base_dir}/idx_seg_x{mult}"
+            write_trigram_index(
+                build_trigram_index(corpus, "doc_id", "text"), seg_base
+            )
+            t0 = time.monotonic()
+            append_trigram_segment(spark, seg_base, delta, "doc_id", "text")
+            segment_wall = time.monotonic() - t0
+
             results[f"x{mult}"] = {
                 "n_base_docs": n_base,
                 "build_s": round(build_wall, 2),
-                "append_500_s": round(append_wall, 2),
+                "append_flat_500_s": round(append_wall, 2),
+                "append_segment_500_s": round(segment_wall, 2),
                 "rebuild_s": round(rebuild_wall, 2),
             }
         print(json.dumps({"sf_dir": SF_DIR, "delta_docs": 500, **results}))
