@@ -40,6 +40,24 @@ from pyspark.sql import DataFrame, SparkSession
 COMMIT_MARKER = "_COMMITTED"
 
 
+def _lock_is_live(lock_path: str) -> bool:
+    """True iff the compaction lock names a pid still alive on this
+    host (same-host check — consistent with the module's documented
+    local-filesystem-only scope)."""
+    try:
+        with open(lock_path) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return False
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 def idempotent_batch_writer(out_dir: str):
     """A ``foreachBatch`` callable delivering each epoch exactly once
     into ``out_dir/batch_id=<epoch>`` (see module docstring). Safe
@@ -66,14 +84,23 @@ def recover_compaction(out_dir: str) -> str | None:
     original into trash → rename staging to batch_id=<keep> → write
     marker → delete trash):
 
+    - a LIVE compaction lock (``.compact_lock_<id>`` whose recorded
+      pid is alive on this host): do NOTHING — the staging/trash dirs
+      belong to a compaction that is still running, and yanking its
+      staging dir out from under it (the r13 ADVICE race) would abort
+      a healthy maintenance op. Stale locks (dead pid) are swept.
     - staging present, NO trash: the crash predates any rename of an
       original (staging may even be a torn write — validation happens
       before the trash mkdir). Roll BACK: drop staging; the committed
       epochs were never touched.
     - trash present: every original rename happened under a VALIDATED
       staging, so the compacted data is known-good. Roll FORWARD:
-      move any still-unmoved originals into trash, rename staging into
-      place if it still exists, (re)write the marker, drop the trash.
+      move any still-unmoved ORIGINALS (batch_id <= the compaction's
+      keep id — epoch ids only grow, so anything newer was committed
+      AFTER the crash by a restarted stream and must survive; the r13
+      ADVICE data-loss bug moved every batch_id=* dir) into trash,
+      rename staging into place if it still exists, (re)write the
+      marker, drop the trash.
     - trash present but neither staging nor the target exist (cannot
       happen under the protocol order, kept for defense): roll BACK by
       restoring the originals out of the trash.
@@ -86,6 +113,12 @@ def recover_compaction(out_dir: str) -> str | None:
     if not os.path.isdir(out_dir):
         return None
     names = os.listdir(out_dir)
+    for n in names:
+        if n.startswith(".compact_lock_"):
+            lock = os.path.join(out_dir, n)
+            if _lock_is_live(lock):
+                return None  # compaction in progress — hands off
+            os.remove(lock)  # stale (dead pid / unreadable): sweep
     staging = [n for n in names if n.startswith(".staging_batch_id=")]
     trash = [n for n in names if n.startswith(".trash_compact_")]
     if not trash:
@@ -100,7 +133,7 @@ def recover_compaction(out_dir: str) -> str | None:
     sdir = os.path.join(out_dir, f".staging_batch_id={keep}")
     if os.path.isdir(sdir):
         for n in os.listdir(out_dir):
-            if n.startswith("batch_id="):
+            if n.startswith("batch_id=") and int(n.split("=", 1)[1]) <= keep:
                 os.rename(os.path.join(out_dir, n), os.path.join(tdir, n))
         os.rename(sdir, target)
     if os.path.isdir(target):
@@ -179,45 +212,60 @@ def compact_epochs(
         return {"compacted": 0, "epochs": ids}
     keep = ids[-1]
     src_paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
-    # NB: read the EXPLICIT epoch paths (read_committed's device), not
-    # out_dir — a directory read would partition-discover batch_id
-    # into a data column and the compacted epoch's schema would split
-    # from fresh epochs'
-    df = read_committed(spark, out_dir)
-    n, checksum = _digest(df)
-    src_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for p in src_paths
-        for root, _d, files in os.walk(p)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    n_out = max(1, (src_bytes + target_bytes - 1) // target_bytes)
-    staging = os.path.join(out_dir, f".staging_batch_id={keep}")
-    df.repartition(int(n_out)).write.mode("overwrite").parquet(staging)
-    n2, checksum2 = _digest(spark.read.parquet(staging))
-    if (n, checksum) != (n2, checksum2):
-        raise RuntimeError(
-            f"epoch compaction validation failed under {out_dir}: "
-            f"rows {n} -> {n2}, checksum {checksum} -> {checksum2}; "
-            "the committed epochs are untouched, discard the staging dir"
+    # r14 (ADVICE): hold a pid lock for the whole staging-write +
+    # validate + swap window so a CONCURRENT committed_batch_ids call
+    # (recover_compaction) cannot mistake the live staging dir for a
+    # crashed one and rmtree it mid-write. A crash leaves a stale lock
+    # (dead pid) that the next recovery sweeps before rolling
+    # forward/back as before.
+    lock = os.path.join(out_dir, f".compact_lock_{keep}")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        # NB: read the EXPLICIT epoch paths captured in src_paths (not
+        # out_dir, which would partition-discover batch_id into a data
+        # column; and not read_committed, which re-lists — an epoch
+        # committed between the id snapshot and the read would be
+        # folded into the compacted target while its own directory
+        # survives the swap, duplicating its rows)
+        df = spark.read.parquet(*src_paths)
+        n, checksum = _digest(df)
+        src_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for p in src_paths
+            for root, _d, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
         )
-    # swap (r12 ADVICE: recoverable, never a window with the data only
-    # in a hidden dir): rename originals into a trash dir (cheap
-    # renames — same filesystem), rename staging into place, write the
-    # marker, THEN delete the trash. A crash anywhere in this window
-    # leaves either the originals (trash restorable) or the validated
-    # compacted epoch; recover_compaction() rolls it forward/back on
-    # the next read (committed_batch_ids calls it).
-    trash = os.path.join(out_dir, f".trash_compact_{keep}")
-    os.makedirs(trash)
-    for p in src_paths:
-        os.rename(p, os.path.join(trash, os.path.basename(p)))
-    target = os.path.join(out_dir, f"batch_id={keep}")
-    os.rename(staging, target)
-    with open(os.path.join(target, COMMIT_MARKER), "w"):
-        pass
-    shutil.rmtree(trash)
+        n_out = max(1, (src_bytes + target_bytes - 1) // target_bytes)
+        staging = os.path.join(out_dir, f".staging_batch_id={keep}")
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(staging)
+        n2, checksum2 = _digest(spark.read.parquet(staging))
+        if (n, checksum) != (n2, checksum2):
+            raise RuntimeError(
+                f"epoch compaction validation failed under {out_dir}: "
+                f"rows {n} -> {n2}, checksum {checksum} -> {checksum2}; "
+                "the committed epochs are untouched, discard the staging dir"
+            )
+        # swap (r12 ADVICE: recoverable, never a window with the data
+        # only in a hidden dir): rename originals into a trash dir
+        # (cheap renames — same filesystem), rename staging into place,
+        # write the marker, THEN delete the trash. A crash anywhere in
+        # this window leaves either the originals (trash restorable) or
+        # the validated compacted epoch; recover_compaction() rolls it
+        # forward/back on the next read (committed_batch_ids calls it).
+        trash = os.path.join(out_dir, f".trash_compact_{keep}")
+        os.makedirs(trash)
+        for p in src_paths:
+            os.rename(p, os.path.join(trash, os.path.basename(p)))
+        target = os.path.join(out_dir, f"batch_id={keep}")
+        os.rename(staging, target)
+        with open(os.path.join(target, COMMIT_MARKER), "w"):
+            pass
+        shutil.rmtree(trash)
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
     return {
         "compacted": len(ids),
         "into": keep,

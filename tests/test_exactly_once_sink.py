@@ -246,3 +246,77 @@ def test_recover_compaction_completes_marker_and_trash(spark, tmp_path):
     assert sorted(tuple(r) for r in read_committed(spark, out).collect()) == before
     assert not os.path.exists(trash)
     shutil.rmtree(out)
+
+
+def test_recover_compaction_preserves_post_crash_epochs(spark, tmp_path):
+    """r14 (ADVICE, high): a restarted stream appends NEW epochs after
+    a compaction crashed mid-swap. Roll-forward must fold only the
+    compaction's own originals (batch_id <= keep) into the trash — an
+    epoch committed after the crash must survive recovery with every
+    row intact, not ride into the trash and be deleted."""
+    from prohap_spark.streaming.sink import recover_compaction
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+
+    # crash window: validated staging + trash, originals partly moved
+    staging = os.path.join(out, ".staging_batch_id=1")
+    spark.read.parquet(
+        os.path.join(out, "batch_id=0"), os.path.join(out, "batch_id=1")
+    ).coalesce(1).write.parquet(staging)
+    trash = os.path.join(out, ".trash_compact_1")
+    os.makedirs(trash)
+    os.rename(os.path.join(out, "batch_id=0"), os.path.join(trash, "batch_id=0"))
+
+    # the restarted stream delivers a NEW epoch before any read heals
+    w(_mk(spark, 9, 12), 2)
+
+    assert recover_compaction(out) == "rolled_forward"
+    assert committed_batch_ids(out) == [1, 2]
+    got = sorted(r.k for r in read_committed(spark, out).collect())
+    assert got == list(range(12))  # epoch 2's rows survived
+
+
+def test_recover_compaction_respects_live_lock(spark, tmp_path):
+    """r14 (ADVICE): while a compaction holds a live pid lock, a
+    concurrent read's recovery must not touch its staging dir; once
+    the lock is stale (dead pid), recovery sweeps it and proceeds."""
+    from prohap_spark.streaming.sink import recover_compaction
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+
+    staging = os.path.join(out, ".staging_batch_id=1")
+    os.makedirs(staging)
+    lock = os.path.join(out, ".compact_lock_1")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))  # our own pid: alive
+
+    assert recover_compaction(out) is None  # hands off
+    assert os.path.isdir(staging)
+    assert committed_batch_ids(out) == [0, 1]  # reads still work
+
+    with open(lock, "w") as f:
+        f.write("999999999")  # dead pid: stale lock
+    assert recover_compaction(out) == "rolled_back"
+    assert not os.path.exists(lock)
+    assert not os.path.exists(staging)
+
+
+def test_compact_epochs_cleans_lock(spark, tmp_path):
+    """compact_epochs leaves no lock behind on success, and the
+    compacted output still reads back in full."""
+    from prohap_spark.streaming.sink import compact_epochs
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    stats = compact_epochs(spark, out)
+    assert stats["compacted"] == 2
+    assert not any(n.startswith(".compact_lock_") for n in os.listdir(out))
+    assert sorted(r.k for r in read_committed(spark, out).collect()) == list(range(9))
