@@ -221,10 +221,14 @@ class _FastaWriter(DataSourceWriter):
     Python Data Source demo): each task writes its partition to a
     hidden ``_staging`` file and returns the path as its commit
     message; the DRIVER's commit() renames every staged part into
-    place and drops a ``_SUCCESS`` marker only then — the standard
-    two-phase output commit, so a failed job leaves either the old
-    directory (overwrite deferred to commit) or staged invisibles,
-    never a torn mix. abort() deletes the staged parts. Emits the SAME
+    place (uuid-unique final names — append mode appends, never
+    clobbers), deletes superseded old parts LAST in overwrite mode,
+    and drops a ``_SUCCESS`` marker only after the swap — the
+    standard two-phase output commit. A failed JOB leaves the old
+    directory plus staged invisibles; a crash inside commit() itself
+    can leave both generations glob-visible until the next commit, so
+    readers needing commit atomicity gate on ``_SUCCESS``.
+    abort() deletes the staged parts. Emits the SAME
     record text as sources/fasta.py::write_fasta ('>tag|acc|desc' +
     60-col wrapped sequence), pinned by the roundtrip pytest. Like
     the streaming sink, the os.rename/open plumbing is
@@ -264,13 +268,29 @@ class _FastaWriter(DataSourceWriter):
         import os
         import shutil
 
-        if self.overwrite:
-            for old in _glob.glob(os.path.join(self.path, "*.fa")):
-                os.remove(old)
+        # r14 (ADVICE): final part names keep the staged uuid, so a
+        # second save can NEVER silently overwrite an earlier save's
+        # parts — append mode (overwrite=False) genuinely appends, and
+        # repeat overwrite saves can't collide mid-swap. Order: rename
+        # the new generation IN first, delete superseded files LAST —
+        # a crash mid-commit leaves the old generation intact plus
+        # some new parts (both visible to a raw glob until the next
+        # commit), never a directory with neither; _SUCCESS lands only
+        # after the swap completes, so readers that need commit
+        # atomicity gate on it.
+        fresh = []
         for i, m in enumerate(messages):
             if m is None:
                 continue
-            os.rename(m.staged, os.path.join(self.path, f"part-{i:05d}.fa"))
+            uid = os.path.basename(m.staged)[len("part-"):-len(".fa")]
+            final = os.path.join(self.path, f"part-{i:05d}-{uid}.fa")
+            os.rename(m.staged, final)
+            fresh.append(final)
+        if self.overwrite:
+            keep = set(fresh)
+            for old in _glob.glob(os.path.join(self.path, "*.fa")):
+                if old not in keep:
+                    os.remove(old)
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass

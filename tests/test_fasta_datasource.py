@@ -187,3 +187,39 @@ def test_fasta_datasource_writer_roundtrip(spark, tmp_path):
     # overwrite replaces, never appends
     src.limit(10).write.format("fasta").mode("overwrite").save(out)
     assert spark.read.format("fasta").load(f"{out}/*.fa").count() == 10
+
+
+def test_fasta_datasource_writer_append_never_clobbers(spark, tmp_path):
+    """r14 (ADVICE, medium): append mode must ADD parts, not silently
+    overwrite an earlier save's part files (the old fixed
+    part-{i:05d}.fa names collided across saves). Final names keep
+    the staged uuid, so two appends and an overwrite-then-append all
+    coexist correctly."""
+    import os
+
+    from prohap_spark.sources.fasta_datasource import FastaDataSource
+
+    spark.dataSource.register(FastaDataSource)
+
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [("sp", f"A{i}", f"p {i}", "MKTAYIAKQRQISFVKSHFSRQ") for i in range(lo, hi)],
+            "tag string, accession string, description string, sequence string",
+        )
+
+    out = str(tmp_path / "fa_append")
+    os.makedirs(out)
+    mk(0, 10).repartition(2).write.format("fasta").mode("append").save(out)
+    mk(10, 25).repartition(2).write.format("fasta").mode("append").save(out)
+    got = sorted(
+        r.accession for r in spark.read.format("fasta").load(f"{out}/*.fa").collect()
+    )
+    assert got == sorted(f"A{i}" for i in range(25))  # nothing clobbered
+
+    # overwrite still replaces the union, and a subsequent append adds
+    mk(0, 5).write.format("fasta").mode("overwrite").save(out)
+    mk(5, 8).write.format("fasta").mode("append").save(out)
+    got = sorted(
+        r.accession for r in spark.read.format("fasta").load(f"{out}/*.fa").collect()
+    )
+    assert got == sorted(f"A{i}" for i in range(8))
