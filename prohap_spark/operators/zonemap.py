@@ -228,10 +228,16 @@ def append_zone_map(
     column_stats_partials economics applied to the skipping layer).
     Equality with a from-scratch rebuild is pinned in pytest. At
     100 TB this is the difference between a stats refresh that reads
-    kilobytes-per-new-file and one that reads the table."""
+    kilobytes-per-new-file and one that reads the table. r14
+    (ADVICE): the known-file filter is a broadcast LEFT ANTI join
+    against the map's own file column — never a collected isin
+    literal, whose plan size grows with file count and dies at the
+    advertised millions-of-files scale. No broadcast hint: at small
+    map sizes AQE broadcasts it anyway, and at millions of files a
+    forced broadcast of the path list would be its own blow-up."""
     df = spark.read.parquet(path).withColumn("file", F.input_file_name())
-    known = [r["file"] for r in zone_map.select("file").distinct().collect()]
-    fresh = df.where(~F.col("file").isin(known))
+    known = zone_map.select("file").distinct()
+    fresh = df.join(known, "file", "left_anti")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))
@@ -259,9 +265,11 @@ def append_bloom_skip(
     )
 
     df = spark.read.parquet(path).withColumn("file", F.input_file_name())
-    known = [r["file"] for r in bloom_map.select("file").distinct().collect()]
+    # left-anti against the map's file column, not a collected isin
+    # list (see append_zone_map)
+    known = bloom_map.select("file").distinct()
     pos = (
-        df.where(~F.col("file").isin(known))
+        df.join(known, "file", "left_anti")
         .where(F.col(col).isNotNull())
         .select(
             "file",
