@@ -144,12 +144,29 @@ def text_quality_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PREF_QUALITY_MICRO = """CAST(round((
-             (CASE WHEN len(ws) BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
-           + (CASE WHEN len(ws) > 0 AND (list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
-           + least((CASE WHEN len(ws) > 0 THEN len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) * 1.0 / len(ws) ELSE 0 END) * 5.0, 1.0)
-           + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0 END) * 5.0, 1.0))
-           ) / 4.0 * 1000000) AS BIGINT)"""
+# r14 (VERDICT r13 ask #5, before this gate's first driver check):
+# the quality score is EXACT fixed-point, not round(ratio*1e6). With
+# integer counts n (words), c (chars), sum_len, s (stopword hits),
+# p (punct) the score (A+B+C+D)/4 is the exact rational qnum/qden:
+#   A = [10 <= n <= 5000]               (integer predicate)
+#   B = [n>0 and 2n <= sum_len <= 12n]  (the mean-word-length band,
+#                                        cross-multiplied — no div)
+#   C = min(5s, n)/n'                   D = (c - min(5p, c))/c'
+#   qnum = (A+B)·n'·c' + min(5s,n)·c' + (c-min(5p,c))·n',
+#   qden = 4·n'·c'   (n' = max(n,1), c' = max(c,1))
+# and the hashed/ranked key is q = (qnum·1e6) div qden — one integer
+# truncating division of exact BIGINTs (Spark `div` == DuckDB `//`
+# on positives), so NO double is manufactured anywhere: not in the
+# hash, not in the rank order, not in the tie filter. Envelope:
+# qnum·1e6 <= 4·n·c·1e6 — exact int64 through megabyte-scale docs.
+_PREF_QUALITY_FIXED = """(
+             ( (CASE WHEN n BETWEEN 10 AND 5000 THEN 1 ELSE 0 END
+              + CASE WHEN n > 0 AND sum_len >= 2*n AND sum_len <= 12*n THEN 1 ELSE 0 END)
+               * greatest(n, 1) * greatest(c, 1)
+             + (CASE WHEN n > 0 THEN least(5*s, n) ELSE 0 END) * greatest(c, 1)
+             + (CASE WHEN c > 0 THEN c - least(5*p, c) ELSE 1 END) * greatest(n, 1)
+             ) * 1000000
+           ) // (4 * greatest(n, 1) * greatest(c, 1))"""
 
 
 @register(
@@ -158,13 +175,20 @@ _PREF_QUALITY_MICRO = """CAST(round((
     WITH t AS (
       SELECT doc_id,
              string_split(lower(trim(text)), ' ') AS ws,
-             length(text) AS n_chars,
-             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+             CAST(length(text) AS BIGINT) AS c,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS p
       FROM documents
     ),
-    scored AS (
-      SELECT doc_id % 37 AS pid, doc_id, {_PREF_QUALITY_MICRO} AS q
+    m AS (
+      SELECT doc_id, c, p,
+             CAST(len(ws) AS BIGINT) AS n,
+             CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS s
       FROM t
+    ),
+    scored AS (
+      SELECT doc_id % 37 AS pid, doc_id, {_PREF_QUALITY_FIXED} AS q
+      FROM m
     ),
     ranked AS (
       SELECT pid, doc_id, q,
@@ -188,7 +212,12 @@ def text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard max-margin pairing that turns a scored candidate pool
     into (chosen, rejected, margin) training rows. Ties are NOT
     preferences (b.q > w.q filters them), and every hashed column is
-    an integer (ids, micro-unit margin, pair rank). Scale shape: one
+    an integer (ids, fixed-point margin, pair rank). r14: the score
+    is the EXACT fixed-point rational (qnum·1e6) div qden — see the
+    _PREF_QUALITY_FIXED comment — so no engine manufactures a double
+    anywhere in the gate (hash, rank order, or tie filter); the float
+    :func:`prohap_spark.functions.text.quality_score_expr` remains
+    the library scorer. Scale shape: one
     shuffle on the prompt id; ranks and counts ride one window pass;
     the self-join matches exactly one partner per row (rank is unique
     within the group), so the pairing is a 1:1 equi-join on
@@ -198,12 +227,48 @@ def text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    scored = d.select(
-        (F.col("doc_id") % 37).alias("pid"),
+    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    m = d.select(
         "doc_id",
-        F.round(quality_score_expr("text") * F.lit(1000000.0), 0)
+        F.size(ws).cast("long").alias("n"),
+        F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).alias(
+            "sum_len"
+        ),
+        F.size(F.filter(ws, lambda w: w.isin("the", "a", "of", "and", "to", "in", "is")))
         .cast("long")
-        .alias("q"),
+        .alias("s"),
+        F.length("text").cast("long").alias("c"),
+        F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("long").alias("p"),
+    )
+    n1 = F.greatest(F.col("n"), F.lit(1).cast("long"))
+    c1 = F.greatest(F.col("c"), F.lit(1).cast("long"))
+    a_ok = F.when((F.col("n") >= 10) & (F.col("n") <= 5000), 1).otherwise(0).cast("long")
+    b_ok = (
+        F.when(
+            (F.col("n") > 0)
+            & (F.col("sum_len") >= 2 * F.col("n"))
+            & (F.col("sum_len") <= 12 * F.col("n")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    c_num = F.when(F.col("n") > 0, F.least(5 * F.col("s"), F.col("n"))).otherwise(
+        F.lit(0).cast("long")
+    )
+    d_num = F.when(F.col("c") > 0, F.col("c") - F.least(5 * F.col("p"), F.col("c"))).otherwise(
+        F.lit(1).cast("long")
+    )
+    scored = (
+        m.select(
+            (F.col("doc_id") % 37).alias("pid"),
+            "doc_id",
+            ((a_ok + b_ok) * n1 * c1 + c_num * c1 + d_num * n1).alias("qnum"),
+            (F.lit(4).cast("long") * n1 * c1).alias("qden"),
+        )
+        # exact fixed-point: one integer truncating division (== DuckDB
+        # // on positives) — never a double
+        .select("pid", "doc_id", F.expr("(qnum * 1000000) div qden").alias("q"))
     )
     w = Window.partitionBy("pid")
     # share-scan: both sides of the rank-partner self-join read this
@@ -2945,6 +3010,11 @@ _TRGM_NEEDLES = ["spark value", "slow filter", "merge batch", "zzzz", "qu"]
     FROM documents d
     JOIN (VALUES ('spark value'), ('zzzz')) n(needle)
       ON contains(lower(d.text), n.needle)
+    UNION ALL
+    SELECT 'seg_ingest' AS src, n.needle, d.doc_id
+    FROM documents d
+    JOIN (VALUES ('merge batch'), ('zzzz')) n(needle)
+      ON contains(lower(d.text), n.needle)
     """,
 )
 def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2967,12 +3037,24 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged on-disk index. The leg hashes the same brute contains()
     answer over the FULL corpus, so a dropped posting, a torn swap,
     or a dedup bug in the merge goes hash-red. Index dir is
-    pid-scoped + atexit-cleaned (the maintenance.py idiom)."""
+    pid-scoped + atexit-cleaned (the maintenance.py idiom).
+
+    r14 `seg_ingest` leg (the r13 verdict's ask #7 — driver evidence
+    for the SEGMENTED ingest path, the measured-O(|delta|)-I/O shape
+    that is the designed 100 TB default): same 80/20 split, but the
+    delta lands as its own manifest-validated ``.seg_0`` segment
+    (append_trigram_segment — nothing existing rewritten) and the
+    search runs through read_trigram_segments' base∪segments
+    (gram, id)-dedup view. The leg hashes the brute contains() answer
+    over the FULL corpus, so the union/dedup merge semantics get
+    their own DuckDB replay."""
     from prohap_spark.operators.trgm import (
         append_trigram_index,
+        append_trigram_segment,
         build_trigram_index,
         like_search,
         read_trigram_index,
+        read_trigram_segments,
         write_trigram_index,
     )
 
@@ -3003,6 +3085,22 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     for needle in ("spark value", "zzzz"):
         leg = like_search(d, merged, "doc_id", "text", needle).select(
             F.lit("delta_ingest").alias("src"),
+            F.lit(needle).alias("needle"),
+            "doc_id",
+        )
+        out = out.unionByName(leg)
+
+    seg_path = f"/tmp/prohap_trgm_seg_{os.getpid()}/{tag}"
+    if not os.path.exists(os.path.join(seg_path, "_dedup_index_manifest.json")):
+        atexit.register(shutil.rmtree, os.path.dirname(seg_path), True)
+        base = d.where(F.col("doc_id") % 5 != 0)
+        delta = d.where(F.col("doc_id") % 5 == 0)
+        write_trigram_index(build_trigram_index(base, "doc_id", "text"), seg_path)
+        append_trigram_segment(spark, seg_path, delta, "doc_id", "text")
+    seg_view = read_trigram_segments(spark, seg_path)
+    for needle in ("merge batch", "zzzz"):
+        leg = like_search(d, seg_view, "doc_id", "text", needle).select(
+            F.lit("seg_ingest").alias("src"),
             F.lit(needle).alias("needle"),
             "doc_id",
         )
