@@ -990,6 +990,182 @@ def ivf_ann_topk_from_index(
     )
 
 
+def write_lsh_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    quantize_micro: bool = True,
+) -> dict:
+    """Persist the hyperplane-LSH search structure as a VALIDATED
+    artifact (r14 — the :func:`write_ivf_index` deployment shape
+    applied to the LSH family, which previously re-bucketed the whole
+    corpus on every query). Two parquet tables under ``path``, each
+    with the manifest discipline of operators/dedup.py (torn/partial
+    writes fail loud on read):
+
+    - ``postings``: (bucket, corpus_id), PARTITIONED BY bucket — one
+      row per (table, vector), bucket keys prefixed ``t:`` exactly as
+      :func:`lsh_ann_topk` builds them. A probe collects its (tiny:
+      n_queries x n_tables) bucket set driver-side and reads ONLY
+      those partitions off disk — the inverted-file pruning the IVF
+      index gets from cell_id dirs. Vectors are NOT duplicated here
+      (postings are id+key only), so the n_tables-fold row blowup
+      costs bytes-per-posting, not bytes-per-vector.
+    - ``vectors``: (corpus_id, vec) — one row per vector, joined back
+      for exact scoring of the deduped candidates.
+
+    Plus a meta.json pinning (corpus_id, vec_col, n_planes, n_tables,
+    quantize_micro) so a reader can't probe with mismatched planes.
+    Seeds are the fixed ``hp{t}`` scheme shared with every LSH gate.
+    Returns the manifests."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                hyperplane_bucket_expr(
+                    vec_col, n_planes, seed=f"hp{t}", quantize_micro=quantize_micro
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    postings = corpus.select(
+        F.col(corpus_id), F.explode(buckets).alias("bucket")
+    ).select("bucket", corpus_id)
+    m_post = write_dedup_index(postings, f"{path}/postings", partition_by=["bucket"])
+    m_vec = write_dedup_index(
+        corpus.select(F.col(corpus_id), F.col(vec_col)), f"{path}/vectors"
+    )
+    meta = {
+        "corpus_id": corpus_id,
+        "vec_col": vec_col,
+        "n_planes": n_planes,
+        "n_tables": n_tables,
+        "quantize_micro": quantize_micro,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"postings": m_post, "vectors": m_vec, "meta": meta}
+
+
+def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
+    """Load a persisted LSH index, validating both tables against
+    their manifests (loud ValueError on drift — a silently truncated
+    posting table would just lower recall). Returns
+    (postings, vectors, meta)."""
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    postings = read_dedup_index(spark, f"{path}/postings")
+    vectors = read_dedup_index(spark, f"{path}/vectors")
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return postings, vectors, meta
+
+
+def lsh_ann_topk_from_index(
+    queries: DataFrame,
+    index_path_or_tables,
+    query_id: str,
+    k: int,
+    score_decimals: int | None = 6,
+) -> DataFrame:
+    """Probe a persisted LSH index: identical results to
+    :func:`lsh_ann_topk` over the original corpus (pinned in pytest),
+    without re-bucketing the corpus. The query side's bucket keys are
+    collected driver-side (bounded: n_queries x n_tables strings) and
+    pushed as a partition-pruning filter on the postings table, so
+    the disk read touches only the probed buckets; candidates dedupe
+    on (query, corpus) and score against the ``vectors`` table with
+    the index's recorded arithmetic (exact integer micro path when
+    meta.quantize_micro). Accepts a path (validated load) or the
+    (postings, vectors, meta) triple from :func:`read_lsh_index`."""
+    if isinstance(index_path_or_tables, str):
+        postings, vectors, meta = read_lsh_index(
+            queries.sparkSession, index_path_or_tables
+        )
+    else:
+        postings, vectors, meta = index_path_or_tables
+    corpus_id, vec_col = meta["corpus_id"], meta["vec_col"]
+    qmicro = bool(meta["quantize_micro"])
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                hyperplane_bucket_expr(
+                    vec_col, meta["n_planes"], seed=f"hp{t}", quantize_micro=qmicro
+                ),
+            )
+            for t in range(meta["n_tables"])
+        ]
+    )
+    qb = queries.select(
+        F.col(query_id).alias("__qid"), F.explode(buckets).alias("bucket")
+    )
+    probe_buckets = [r["bucket"] for r in qb.select("bucket").distinct().collect()]
+    cand = (
+        postings.where(F.col("bucket").isin(probe_buckets))
+        .join(F.broadcast(qb), "bucket")
+        .select("__qid", F.col(corpus_id).alias("__cid"))
+        .distinct()
+    )
+    if qmicro:
+        def mvec(col: Column) -> Column:
+            return F.transform(col, _micro_component)
+
+        def isum(arr: Column) -> Column:
+            return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+        qv = queries.select(
+            F.col(query_id).alias("__qid"), mvec(F.col(vec_col)).alias("__qvec")
+        ).withColumn("__qn2", isum(F.transform(F.col("__qvec"), lambda x: x * x)))
+        cv = vectors.select(
+            F.col(corpus_id).alias("__cid"), mvec(F.col(vec_col)).alias("__cvec")
+        ).withColumn("__cn2", isum(F.transform(F.col("__cvec"), lambda x: x * x)))
+        cos = isum(
+            F.zip_with(F.col("__qvec"), F.col("__cvec"), lambda x, y: x * y)
+        ).cast("double") / (
+            F.sqrt(F.col("__qn2").cast("double"))
+            * F.sqrt(F.col("__cn2").cast("double"))
+        )
+    else:
+        qv = queries.select(
+            F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
+        ).withColumn("__qnorm", _norm(F.col("__qvec")))
+        cv = vectors.select(
+            F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+        ).withColumn("__cnorm", _norm(F.col("__cvec")))
+        cos = _dot(F.col("__qvec"), F.col("__cvec")) / (
+            F.col("__qnorm") * F.col("__cnorm")
+        )
+    if score_decimals is not None:
+        cos = F.round(cos, score_decimals)
+    scored = cand.join(cv, "__cid").join(F.broadcast(qv), "__qid").withColumn(
+        "cosine", cos
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def sq_quantize(df: DataFrame, vec_col: str, q_col: str = "__sq") -> DataFrame:
     """Symmetric int8 scalar quantization of a float-vector column:
     per-vector scale = max|v| / 127, q_i = round(v_i / scale). The

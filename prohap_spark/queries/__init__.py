@@ -44,38 +44,28 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # 150 = 3x50). tools/rotation_audit.py verifies this mechanically
 # against the CORRECTNESS_r*.json files.
 #
-# Round-13 state. Obligations were 51 against the 50 budget: (b)
-# sim_embedding_board (red in r12 for the second round — the hashed
-# projection is now INTEGER-ONLY, see queries/simsearch.py: the
-# centroid leg hashes its exact BIGINT accumulators, the brute leg
-# moved to the sim_lsh_ann quantize-micro integer gate; no derived
-# IEEE double reaches the value hash) + (a) the 6 r12-tail boards
-# never driver-checked (table_maintenance_board, stream_window_board,
-# agg_shape_board, table_stats_board, q_subquery_board,
-# text_trgm_search) + (c) the 44 r10-greens going dark. Resolution
-# per the documented precedence (b > a > c), visibly: the two
-# rule-(c) per-document text singletons text_quality + text_langid
-# MERGED into text_quality_board (the slot-freeing device, 14th use;
-# queries/textdata.py — one documents scan instead of two, hashed
-# ratios upgraded to integer micro-units per the r12 verdict's
-# integer-projection rule) — the board carries both members' rule-(c)
+# Round-14 state. Obligations were 51 against the 50 budget: (b)
+# sim_embedding_board (red r11/r12/r13 — r14 removes its last two
+# unique surfaces per VERDICT r13: the struct-in-lambda oracle
+# dialect is retired for _ex2_sql's unnest+generate_subscripts
+# idiom, and the brute leg hashes the FULL all-pairs integer scored
+# table so no double influences even row selection) + (a) the 3
+# r13-tail registrations never driver-checked (q_join_board,
+# float_env_canary, text_preference_pairs) + (c) the 47 r11-greens
+# going dark. Resolution per the documented precedence (b > a > c),
+# visibly: the two rule-(c) IVF singletons sim_ivf_ann +
+# sim_ivf_index_probe MERGED into sim_ivf_board (the slot-freeing
+# device, 16th use; queries/simsearch.py — they already shared one
+# oracle, and the board additionally pins direct-path == index-path
+# value equality) — the board carries both members' rule-(c)
 # obligation and fronts NOW, bringing the front to exactly
-# 1 + 6 + 1 + 42 = 50. No entry was bumped or silently dropped. The
-# freed registry slot funds float_env_canary (queries/canary.py —
-# the r12 verdict's ask #2: per-row single-primitive float probes so
-# a driver-build divergence names its own root cause; extended
-# r13-tail with engine-SEMANTICS rows), which lands MID-registry in
-# the audit's new_waiting lane and fronts r14.
+# 1 + 3 + 1 + 45 = 50. No entry was bumped or silently dropped.
+# Registry: 148 (two slots of headroom under the 150 cap).
 #
-# r13-tail addendum: a SECOND merge this round — the r11-green
-# singletons q3_shipping_priority + q5_local_supplier_volume →
-# q_join_board (queries/classic.py, 15th slot-freeing use) — funds
-# text_preference_pairs (queries/textdata.py: DPO-style max-margin
-# (chosen, rejected, margin) pair assembly, integer-only hash).
-# Pre-balanced r14 front: 47 r11-green singletons + 3 new_waiting
-# rule-(a) entries (q_join_board, float_env_canary,
-# text_preference_pairs) = exactly 50. Registry: 149 (one slot of
-# headroom under the 150 cap).
+# (Round-13 for the record: obligations were 51; text_quality +
+# text_langid merged into text_quality_board — 14th use — and
+# q3_shipping_priority + q5_local_supplier_volume into q_join_board
+# — 15th — funding float_env_canary and text_preference_pairs.)
 #
 # Overflow precedence (first exercised r8, exercised again this
 # round): if a round's obligations exceed the 50 budget, priority is
@@ -86,44 +76,42 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # option — the audit's exit code enforces that the resolution is
 # visible.
 _FRONT = [
-    # rule-(b): the r11+r12 red — hashed projection now INTEGER-ONLY
-    # (BIGINT accumulators; no derived IEEE double in the hash):
+    # rule-(b): the r11/r12/r13 red — r14 retires the struct-dialect
+    # oracle AND the float-ordered row selection (see simsearch.py):
     "sim_embedding_board",
-    # rule-(a): the 6 r12-tail boards, never driver-checked (all pass
-    # the local harness; the r12 judge re-ran them 6/6):
-    "table_maintenance_board", "stream_window_board", "agg_shape_board",
-    "table_stats_board", "q_subquery_board", "text_trgm_search",
-    # rule-(a): the r13 merge board (carries text_quality +
-    # text_langid's rule-(c) obligation — the overflow resolution):
-    "text_quality_board",
-    # rule-(c): the 42 remaining r10-greens — dark r11 and r12, the
+    # rule-(a): the 3 r13-tail registrations, never driver-checked:
+    "q_join_board", "float_env_canary", "text_preference_pairs",
+    # rule-(a): the r14 merge board (carries sim_ivf_ann +
+    # sim_ivf_index_probe's rule-(c) obligation — the overflow
+    # resolution):
+    "sim_ivf_board",
+    # rule-(c): the 45 remaining r11-greens — dark r12 and r13, the
     # window forces them now:
-    "so_set_ops", "agg_quantiles",
-    "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
-    "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
-    "text_bloom_decontam",
-    "text_heavy_hitters_cms", "sampling_temperature_mix",
-    "text_intradoc_dedup", "text_substring_dedup", "pack_best_fit",
-    "text_ngram_topk", "dedup_incremental_ingest", "text_chunk_overlap",
-    "dedup_incremental_near", "sampling_negative_pairs", "dedup_host_cap",
-    "sim_lsh_ann", "sim_knn_classify", "hybrid_search_rrf",
-    "sim_kmeans_ivf", "f12_liftover_artifact_filter",
-    "agg_approx_sketches", "multimodal_decode_features",
-    "multimodal_resize_stats", "multimodal_jpeg_color_codec",
-    "multimodal_gif_tiff_codec", "multimodal_audio_container",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
-    "q7_volume_shipping", "q21_suppliers_kept_waiting",
-    "graph_triangle_count", "graph_pagerank", "multimodal_video_frames",
-    "s5_fasta_roundtrip", "s1_vcf_roundtrip", "s4_gtf_roundtrip",
-    "s13_jsonl_roundtrip",
+    "a11_synthesize_missing_groups", "a2_signature_grouping",
+    "a3_conditional_denominator", "a4_group_frequency_maps",
+    "a7_priority_dedup", "agg_cube_grouping", "agg_exact_distinct",
+    "c15_map_merge_explode", "c_scalar_board", "dedup_cdc_chunking",
+    "dedup_exact_docs", "domain_prohap_indel_oracle",
+    "domain_prohap_junction_oracle", "domain_prohap_snp_oracle",
+    "domain_provar_forcerf_oracle", "domain_provar_junction_oracle",
+    "domain_provar_snp_oracle", "domain_provar_start_oracle",
+    "f10_sample_subset_prohap", "f1_regex_threshold",
+    "f2_allele_validity", "f4_isin_filter",
+    "f5_group_conditional_filter", "f8_count_threshold_prohap",
+    "f9_array_mask_filter", "j11_anti_join",
+    "j12_bucketed_colocated_join", "j2_normalized_key_join",
+    "j3_star_dim_join", "j4_semi_join", "j6_explode_equijoin",
+    "multimodal_bmp_png_codec", "s10_partitioned_prune",
+    "s14_s15_shim_board", "s1_scan_pushdown_projection",
+    "s7_tsv_gz_roundtrip", "sql_api_q6", "stream_live_session_windows",
+    "stream_sketch_board", "text_bpe_train", "text_fingerprint_dedup",
+    "text_info_board", "w3_array_sort_analytics", "w5_running_offset",
+    "w_lead_lag",
 ]
 _BACK = [
     # last green r12 — the r15 rule-(c) obligations (they may go dark
-    # r13 AND r14 without violating the three-round window). The r14
-    # front = 47 r11-green singletons (mid-registry; q3/q5 folded into
-    # q_join_board) + the 3 new_waiting rule-(a) entries — exactly 50;
-    # rotation_audit.py prints the exact list.
+    # r13 AND r14 without violating the three-round window); the
+    # 49 r13-greens land mid-registry and become the r16 front.
     "agg_quantile_sketch", "sketch_algebra_board", "j13_bloom_semi_join",
     "layout_zorder_cluster", "w1_islands_board", "stream_batch_parity_board",
     "sim_quantized_ann_board", "j1_interval_board",

@@ -322,12 +322,11 @@ def test_ivf_ann_recall(spark):
     embeddings cell membership is weakly informative, so the bound is
     deliberately loose — it guards the plumbing (assignment, probing,
     in-cell ranking), not the embedding geometry."""
-    from prohap_spark.queries import queries
+    from prohap_spark.queries.simsearch import sim_ivf_ann
 
-    q = queries()
     sf = "/root/testdata/sf0.001"
     brute = {(r["qid"], r["cid"]) for r in _brute_topk(spark, sf).collect()}
-    ivf = q["sim_ivf_ann"](spark, sf).collect()
+    ivf = sim_ivf_ann(spark, sf).collect()
     hits = {(r["qid"], r["cid"]) for r in ivf}
     assert len(brute) > 0
     assert len(brute & hits) / len(brute) >= 0.25
@@ -4068,3 +4067,66 @@ def test_preference_pairs_properties(spark):
         assert r["margin_micro"] > 0
         assert r["chosen"] != r["rejected"]
         assert r["chosen"] % 37 == r["pid"] and r["rejected"] % 37 == r["pid"]
+
+
+def test_lsh_index_persist_probe_identity_and_layout(spark, tmp_path):
+    """The persisted LSH artifact (r14): probing the written index
+    must return EXACTLY what lsh_ann_topk computes over the original
+    corpus (same candidates, cosines, ranks — the index is a
+    materialization of the bucketing, not an approximation of it),
+    the postings table must be laid out partitioned by bucket (the
+    probe's partition-pruning claim), and a tampered postings
+    manifest must fail LOUD on read."""
+    import os
+
+    import pytest as _pytest
+
+    from prohap_spark.operators.similarity import (
+        lsh_ann_topk,
+        lsh_ann_topk_from_index,
+        write_lsh_index,
+    )
+
+    import random as _random
+
+    rng = _random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.where(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    path = str(tmp_path / "lsh")
+    manifests = write_lsh_index(
+        corpus, "vec_id", "embedding", path,
+        n_planes=3, n_tables=6, quantize_micro=True,
+    )
+    assert manifests["postings"]["n_rows"] == 300 * 6  # one row per (table, vec)
+    assert any(d.startswith("bucket=") for d in os.listdir(f"{path}/postings"))
+
+    direct = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk(
+            queries, corpus, "qid", "vec_id", "embedding",
+            k=5, n_planes=3, n_tables=6, score_decimals=6, quantize_micro=True,
+        ).collect()
+    }
+    via_index = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk_from_index(
+            queries, path, "qid", k=5, score_decimals=6
+        ).collect()
+    }
+    assert via_index == direct and len(direct) > 0
+
+    # torn/tampered index fails loud, never silently loses recall
+    import json
+
+    mpath = os.path.join(path, "postings", "_dedup_index_manifest.json")
+    m = json.load(open(mpath))
+    m["n_rows"] += 1
+    json.dump(m, open(mpath, "w"))
+    with _pytest.raises(ValueError):
+        lsh_ann_topk_from_index(queries, path, "qid", k=5).collect()

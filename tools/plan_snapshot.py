@@ -61,7 +61,7 @@ QUERIES = [
     "f1_regex_threshold",
     # r13: the integer-projection join-back shape (2 extra broadcast
     # joins, never a shuffle) and the 4-leg streaming board
-    "sim_ivf_ann",
+    "sim_ivf_board",
     "stream_window_board",
 ]
 
