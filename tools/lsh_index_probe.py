@@ -12,7 +12,7 @@ x 4 planes — the registered gate's parameters), then
 - assert A == B values (the materialization contract, also pinned in
   pytest + the shared-oracle driver gate).
 
-Prints ONE JSON line. Honest expectations: at sf0.1 (5k vectors) the
+Prints ONE JSON line. Honest expectations: at sf0.1 (~2k vectors) the
 corpus re-bucketing is cheap, so wall times mostly measure fixed
 Spark overhead — the PRUNING RATIO is the scale claim (buckets read
 scales with n_queries x n_tables, not with corpus size), the walls
@@ -42,9 +42,9 @@ def main() -> None:
         write_lsh_index,
     )
     from prohap_spark.queries.registry import table
-    from prohap_spark.session import get_session
+    from prohap_spark.session import get_spark
 
-    spark = get_session()
+    spark = get_spark()
     e = table(spark, SF_DIR, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
