@@ -71,7 +71,25 @@ verified agreeing locally (Spark 4.1.2 vs DuckDB 1.0.0):
 
 Registered r13 mid-registry (new_waiting lane — fronts r14 per
 rotation rule (a); the r13 front was already at its 50 budget with
-the rule-(b) red + 6 rule-(a) boards + 44 rule-(c) obligations)."""
+the rule-(b) red + 6 rule-(a) boards + 44 rule-(c) obligations).
+
+r14-tail extension — ORACLE-DIALECT rows, because the r13 verdict's
+sharpest lead on the three-round sim_embedding_board red is a DuckDB
+dialect (the struct-literal-in-lambda explode), not arithmetic. The
+r14 board fix retires that dialect everywhere; these rows probe it
+(and its replacements) in isolation on the driver's build, so a
+recurrence gets named:
+
+- struct_lambda_explode — sum(d·xq) over
+  `unnest(list_transform(range(1,4), d -> {'d': d, 'xq': d*10}))`
+  (=140): the retired dialect itself. If the driver's DuckDB
+  misbinds/reorders lambda-built struct fields, this row reds and
+  the r11-r13 mystery is solved by name.
+- gensub_zip — sum(d·x) over `generate_subscripts + unnest` (=50):
+  the replacement idiom every rewritten ANN oracle now rides.
+- int_div_trunc — (12345678901·1e6) div 37 (=333666997324324):
+  Spark `div` == DuckDB `//` on positive BIGINTs, the
+  text_preference_pairs fixed-point key's one load-bearing op."""
 
 from __future__ import annotations
 
@@ -145,6 +163,19 @@ def _row(
            lpad(CAST(7 AS VARCHAR), 3, '0')
     UNION ALL SELECT 'date_diff_days',
            CAST(DATE '2024-02-29' - DATE '2000-01-01' AS BIGINT),
+           NULL, NULL
+    UNION ALL SELECT 'struct_lambda_explode',
+           (SELECT CAST(sum(e.d * e.xq) AS BIGINT) FROM (
+              SELECT unnest(list_transform(range(1, 4),
+                            d -> {{'d': d, 'xq': d * 10}})) AS e)),
+           NULL, NULL
+    UNION ALL SELECT 'gensub_zip',
+           (SELECT CAST(sum(d * x) AS BIGINT) FROM (
+              SELECT generate_subscripts([7,8,9], 1) AS d,
+                     unnest([7,8,9]) AS x)),
+           NULL, NULL
+    UNION ALL SELECT 'int_div_trunc',
+           CAST((CAST(12345678901 AS BIGINT) * 1000000) // 37 AS BIGINT),
            NULL, NULL
     """,
 )
@@ -243,6 +274,36 @@ def float_env_canary(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             "date_diff_days",
             val_i=F.datediff(F.lit("2024-02-29").cast("date"), F.lit("2000-01-01").cast("date")),
+        ),
+        # r14 dialect rows: Spark computes the same VALUE through its
+        # own fold machinery — the probe is whether the driver's
+        # DuckDB build evaluates the named dialect to the same number
+        _row(
+            spark,
+            "struct_lambda_explode",
+            val_i=F.aggregate(
+                F.sequence(F.lit(1), F.lit(3)),
+                F.lit(0).cast("long"),
+                lambda a, i: a + (i * i * 10).cast("long"),
+            ),
+        ),
+        _row(
+            spark,
+            "gensub_zip",
+            val_i=F.aggregate(
+                F.zip_with(
+                    F.sequence(F.lit(1), F.lit(3)),
+                    F.array(F.lit(7), F.lit(8), F.lit(9)),
+                    lambda d, x: (d * x).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            ),
+        ),
+        _row(
+            spark,
+            "int_div_trunc",
+            val_i=F.expr("(12345678901L * 1000000L) div 37L"),
         ),
     ]
     out = rows[0]
