@@ -110,20 +110,14 @@ def _li_fid_src(spark: SparkSession, sf_dir: str) -> str:
     return src
 
 
-def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Zone maps under the gate (operators/zonemap.py, r12): lineitem
-    is laid out DETERMINISTICALLY (fid = l_orderkey div 4000,
-    partitionBy — file spans then derive from the data, never from
-    sampled range boundaries or part-file names), build_zone_map reads
-    the per-file stats back, and the leg emits per-fid spans packed as
-    min·1e7+max (keys < 1e7 at every test SF) plus one pruning-model
-    row: the fids surviving prune_files for l_orderkey ∈ [8000,
-    19999] — count and fid-sum hashed, exactly replayable from the
-    fid arithmetic alone."""
-    from prohap_spark.operators.zonemap import build_zone_map, prune_files
+def _zm_projection(zm: DataFrame) -> DataFrame:
+    """Shared zonemap-leg projection: per-fid spans packed as
+    min·1e7+max plus the prune-survivor row for l_orderkey ∈
+    [8000, 19999] — used by both the from-scratch and the appended
+    map so append == rebuild is driver-replayed, not just
+    pytest-pinned."""
+    from prohap_spark.operators.zonemap import prune_files
 
-    src = _li_fid_src(spark, sf_dir)
-    zm = build_zone_map(spark, src, ["l_orderkey"]).localCheckpoint(eager=False)
     fid = F.regexp_extract("file", r"fid=(\d+)", 1).cast("long")
     spans = (
         zm.groupBy(fid.alias("k"))
@@ -144,6 +138,44 @@ def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.unionByName(prune_row)
 
 
+def _zonemap_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps under the gate (operators/zonemap.py, r12): lineitem
+    is laid out DETERMINISTICALLY (fid = l_orderkey div 4000,
+    partitionBy — file spans then derive from the data, never from
+    sampled range boundaries or part-file names), build_zone_map reads
+    the per-file stats back, and the leg emits per-fid spans packed as
+    min·1e7+max (keys < 1e7 at every test SF) plus one pruning-model
+    row: the fids surviving prune_files for l_orderkey ∈ [8000,
+    19999] — count and fid-sum hashed, exactly replayable from the
+    fid arithmetic alone."""
+    from prohap_spark.operators.zonemap import build_zone_map
+
+    src = _li_fid_src(spark, sf_dir)
+    zm = build_zone_map(spark, src, ["l_orderkey"]).localCheckpoint(eager=False)
+    return _zm_projection(zm)
+
+
+def _zonemap_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append_zone_map under the gate (r14 — the incremental
+    maintenance path onto a driver row): the existing artifact is the
+    PARTIAL map holding only the even-fid files; append_zone_map scans
+    ONLY the files absent from it (the left-anti fresh-file selection)
+    and unions their stats in. The appended map must reproduce the
+    from-scratch map's spans AND prune survivors exactly — the oracle
+    is the same fid-arithmetic replay under the zonemap_append
+    label, so a dropped file, a double-counted file, or an anti-join
+    bug goes hash-red."""
+    from prohap_spark.operators.zonemap import append_zone_map, build_zone_map
+
+    src = _li_fid_src(spark, sf_dir)
+    fid = F.regexp_extract("file", r"fid=(\d+)", 1).cast("long")
+    partial = build_zone_map(spark, src, ["l_orderkey"]).where(fid % 2 == 0)
+    zm = append_zone_map(spark, src, partial, ["l_orderkey"]).localCheckpoint(
+        eager=False
+    )
+    return _zm_projection(zm)
+
+
 def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom file skipping under the gate (operators/zonemap.py
     build_bloom_skip / prune_files_bloom, r13): per-file Bloom words
@@ -161,14 +193,19 @@ def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp survivors are plentiful and must STILL replay exactly;
     tools/bloomskip_scale_probe.py carries the planner-sized
     prune-rate evidence (1.25/64 files at m=65536)."""
-    from prohap_spark.operators.zonemap import (
-        build_bloom_skip,
-        prune_files_bloom,
-    )
+    from prohap_spark.operators.zonemap import build_bloom_skip
 
     src = _li_fid_src(spark, sf_dir)
     bm = build_bloom_skip(spark, src, "l_orderkey", k=3, m_bits=4096)
-    bm = bm.localCheckpoint(eager=False)
+    return _bs_probe(spark, sf_dir, bm.localCheckpoint(eager=False))
+
+
+def _bs_probe(spark: SparkSession, sf_dir: str, bm: DataFrame) -> DataFrame:
+    """Shared bloomskip probe: survivor (count, fid-sum) for the
+    present key max(l_orderkey) and the absent key max+12345 — used by
+    both the from-scratch and the appended Bloom map."""
+    from prohap_spark.operators.zonemap import prune_files_bloom
+
     mx = (
         table(spark, sf_dir, "lineitem")
         .agg(F.max("l_orderkey").alias("m"))
@@ -186,6 +223,24 @@ def _bloomskip_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows.append((pid, len(fids), sum(fids)))
     return spark.createDataFrame(rows, "k long, n long, h long")
+
+
+def _bloomskip_append_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """append_bloom_skip under the gate (r14, the zonemap_append
+    twin): the partial artifact holds only the even-fid files' Bloom
+    words; the append scans only the absent files and unions their
+    words in. Probing the appended map with the same present/absent
+    keys must reproduce the from-scratch survivor sets exactly —
+    same oracle replay, bloomskip_append label."""
+    from prohap_spark.operators.zonemap import append_bloom_skip, build_bloom_skip
+
+    src = _li_fid_src(spark, sf_dir)
+    fid = F.regexp_extract("file", r"fid=(\d+)", 1).cast("long")
+    partial = build_bloom_skip(spark, src, "l_orderkey", k=3, m_bits=4096).where(
+        fid % 2 == 0
+    )
+    bm = append_bloom_skip(spark, src, partial, "l_orderkey", k=3, m_bits=4096)
+    return _bs_probe(spark, sf_dir, bm.localCheckpoint(eager=False))
 
 
 def _vacuum_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,6 +331,64 @@ _BS_POS_V = ", ".join(
 _BS_MASK = f"(CAST(1 AS BIGINT) << CAST(p % {_BS_WB} AS INT))"
 
 
+# the zonemap / bloomskip oracle blocks are emitted under TWO leg
+# labels each (from-scratch and the r14 append path) — same replay,
+# because append == rebuild IS the appended legs' contract
+def _zm_oracle(leg: str) -> str:
+    return f"""
+    SELECT '{leg}' AS leg, fid AS k, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_orderkey) * 10000000 + max(l_orderkey) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
+    GROUP BY fid
+    UNION ALL
+    SELECT '{leg}' AS leg, CAST(-1 AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n, CAST(sum(fid) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      SELECT fid, min(l_orderkey) AS mn, max(l_orderkey) AS mx
+      FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
+      GROUP BY fid
+    ) WHERE mn <= 19999 AND mx >= 8000"""
+
+
+def _bs_oracle(leg: str) -> str:
+    return f"""
+    SELECT '{leg}' AS leg, q.pid AS k,
+           CAST(count(q.fid) AS BIGINT) AS n,
+           CAST(coalesce(sum(q.fid), 0) AS BIGINT) AS h,
+           CAST(NULL AS VARCHAR) AS s
+    FROM (
+      WITH bs AS (
+        SELECT fid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS word
+        FROM (SELECT l_orderkey // 4000 AS fid,
+                     unnest([{_BS_POS_LI}]) AS p
+              FROM lineitem)
+        GROUP BY 1, 2
+      ),
+      bprobe AS (
+        SELECT 0 AS pid, CAST(max(l_orderkey) AS BIGINT) AS v FROM lineitem
+        UNION ALL
+        SELECT 1, CAST(max(l_orderkey) + 12345 AS BIGINT) FROM lineitem
+      ),
+      bneed AS (
+        SELECT pid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS m
+        FROM (SELECT pid, unnest([{_BS_POS_V}]) AS p FROM bprobe)
+        GROUP BY 1, 2
+      ),
+      bneedn AS (SELECT pid, count(*) AS req FROM bneed GROUP BY 1),
+      bsurv AS (
+        SELECT n.pid, b.fid, count(*) AS got
+        FROM bneed n JOIN bs b ON n.wi = b.wi AND (b.word & n.m) = n.m
+        GROUP BY 1, 2
+      )
+      SELECT r.pid, s.fid
+      FROM bneedn r
+      LEFT JOIN bsurv s ON s.pid = r.pid AND s.got = r.req
+    ) q
+    GROUP BY q.pid"""
+
+
 @register(
     "table_maintenance_board",
     f"""
@@ -310,54 +423,13 @@ _BS_MASK = f"(CAST(1 AS BIGINT) << CAST(p % {_BS_WB} AS INT))"
            CAST(NULL AS BIGINT) AS h, s
     FROM urls
     UNION ALL
-    SELECT 'zonemap' AS leg, fid AS k, CAST(count(*) AS BIGINT) AS n,
-           CAST(min(l_orderkey) * 10000000 + max(l_orderkey) AS BIGINT) AS h,
-           CAST(NULL AS VARCHAR) AS s
-    FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
-    GROUP BY fid
+    {_zm_oracle('zonemap')}
     UNION ALL
-    SELECT 'zonemap' AS leg, CAST(-1 AS BIGINT) AS k,
-           CAST(count(*) AS BIGINT) AS n, CAST(sum(fid) AS BIGINT) AS h,
-           CAST(NULL AS VARCHAR) AS s
-    FROM (
-      SELECT fid, min(l_orderkey) AS mn, max(l_orderkey) AS mx
-      FROM (SELECT l_orderkey, l_orderkey // 4000 AS fid FROM lineitem)
-      GROUP BY fid
-    ) WHERE mn <= 19999 AND mx >= 8000
+    {_zm_oracle('zonemap_append')}
     UNION ALL
-    SELECT 'bloomskip' AS leg, q.pid AS k,
-           CAST(count(q.fid) AS BIGINT) AS n,
-           CAST(coalesce(sum(q.fid), 0) AS BIGINT) AS h,
-           CAST(NULL AS VARCHAR) AS s
-    FROM (
-      WITH bs AS (
-        SELECT fid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS word
-        FROM (SELECT l_orderkey // 4000 AS fid,
-                     unnest([{_BS_POS_LI}]) AS p
-              FROM lineitem)
-        GROUP BY 1, 2
-      ),
-      bprobe AS (
-        SELECT 0 AS pid, CAST(max(l_orderkey) AS BIGINT) AS v FROM lineitem
-        UNION ALL
-        SELECT 1, CAST(max(l_orderkey) + 12345 AS BIGINT) FROM lineitem
-      ),
-      bneed AS (
-        SELECT pid, p // {_BS_WB} AS wi, bit_or({_BS_MASK}) AS m
-        FROM (SELECT pid, unnest([{_BS_POS_V}]) AS p FROM bprobe)
-        GROUP BY 1, 2
-      ),
-      bneedn AS (SELECT pid, count(*) AS req FROM bneed GROUP BY 1),
-      bsurv AS (
-        SELECT n.pid, b.fid, count(*) AS got
-        FROM bneed n JOIN bs b ON n.wi = b.wi AND (b.word & n.m) = n.m
-        GROUP BY 1, 2
-      )
-      SELECT r.pid, s.fid
-      FROM bneedn r
-      LEFT JOIN bsurv s ON s.pid = r.pid AND s.got = r.req
-    ) q
-    GROUP BY q.pid
+    {_bs_oracle('bloomskip')}
+    UNION ALL
+    {_bs_oracle('bloomskip_append')}
     UNION ALL
     SELECT 'vacuum' AS leg, CAST(0 AS BIGINT) AS k, CAST(1 AS BIGINT) AS n,
            CAST(1 AS BIGINT) AS h, CAST(NULL AS VARCHAR) AS s
@@ -376,9 +448,14 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone maps (r12-tail: spans + prune survivors from the
     deterministic fid layout), Bloom file skipping (r13: present +
     absent point-lookup survivor sets through the real prune path),
-    and vacuum (r13: the refuse→sweep→validate arc on a polluted
-    manifest-validated index). See each _*_leg docstring and the
-    module docstring for the gate design."""
+    their r14 INCREMENTAL-APPEND twins (zonemap_append /
+    bloomskip_append: the artifact starts as the even-fid partial map,
+    the append's left-anti fresh-file scan fills it, and the result
+    must replay the SAME from-scratch oracle — append == rebuild on a
+    driver row, not just a pytest pin), and vacuum (r13: the
+    refuse→sweep→validate arc on a polluted manifest-validated
+    index). See each _*_leg docstring and the module docstring for
+    the gate design."""
     NL, NS = F.lit(None).cast("long"), F.lit(None).cast("string")
     compact = _compact_leg(spark, sf_dir).select(
         F.lit("compact").alias("leg"), "k", "n", "h", NS.alias("s")
@@ -392,15 +469,23 @@ def table_maintenance_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     zonemap = _zonemap_leg(spark, sf_dir).select(
         F.lit("zonemap").alias("leg"), "k", "n", "h", NS.alias("s")
     )
+    zonemap_append = _zonemap_append_leg(spark, sf_dir).select(
+        F.lit("zonemap_append").alias("leg"), "k", "n", "h", NS.alias("s")
+    )
     bloomskip = _bloomskip_leg(spark, sf_dir).select(
         F.lit("bloomskip").alias("leg"), "k", "n", "h", NS.alias("s")
+    )
+    bloomskip_append = _bloomskip_append_leg(spark, sf_dir).select(
+        F.lit("bloomskip_append").alias("leg"), "k", "n", "h", NS.alias("s")
     )
     vacuum = _vacuum_leg(spark, sf_dir).select(
         F.lit("vacuum").alias("leg"), "k", "n", "h", NS.alias("s")
     )
     return (
         compact.unionByName(recluster).unionByName(urls)
-        .unionByName(zonemap).unionByName(bloomskip).unionByName(vacuum)
+        .unionByName(zonemap).unionByName(zonemap_append)
+        .unionByName(bloomskip).unionByName(bloomskip_append)
+        .unionByName(vacuum)
     )
 
 

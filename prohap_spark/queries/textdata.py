@@ -3015,6 +3015,11 @@ _TRGM_NEEDLES = ["spark value", "slow filter", "merge batch", "zzzz", "qu"]
     FROM documents d
     JOIN (VALUES ('merge batch'), ('zzzz')) n(needle)
       ON contains(lower(d.text), n.needle)
+    UNION ALL
+    SELECT 'seg_compacted' AS src, n.needle, d.doc_id
+    FROM documents d
+    JOIN (VALUES ('slow filter'), ('zzzz')) n(needle)
+      ON contains(lower(d.text), n.needle)
     """,
 )
 def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3039,19 +3044,25 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     or a dedup bug in the merge goes hash-red. Index dir is
     pid-scoped + atexit-cleaned (the maintenance.py idiom).
 
-    r14 `seg_ingest` leg (the r13 verdict's ask #7 — driver evidence
-    for the SEGMENTED ingest path, the measured-O(|delta|)-I/O shape
-    that is the designed 100 TB default): same 80/20 split, but the
-    delta lands as its own manifest-validated ``.seg_0`` segment
-    (append_trigram_segment — nothing existing rewritten) and the
-    search runs through read_trigram_segments' base∪segments
-    (gram, id)-dedup view. The leg hashes the brute contains() answer
-    over the FULL corpus, so the union/dedup merge semantics get
-    their own DuckDB replay."""
+    r14 `seg_ingest` + `seg_compacted` legs (the r13 verdict's ask #7
+    — driver evidence for the SEGMENTED ingest path, the
+    measured-O(|delta|)-I/O shape that is the designed 100 TB
+    default): same 80/20 split, but the delta lands as TWO
+    manifest-validated ``.seg_*`` segments (append_trigram_segment —
+    nothing existing rewritten) and the seg_ingest search runs
+    through read_trigram_segments' base∪segments (gram, id)-dedup
+    view; then compact_trigram_segments folds everything back into
+    one flat artifact under the reentrant swap and the seg_compacted
+    search runs off the flat re-read. All three arcs (multi-segment
+    union, dedup, compaction swap) hash the brute contains() answer
+    over the FULL corpus, so each gets its own DuckDB replay.
+    Idempotent across in-process re-calls: a compacted index with no
+    segments reads identically through both paths."""
     from prohap_spark.operators.trgm import (
         append_trigram_index,
         append_trigram_segment,
         build_trigram_index,
+        compact_trigram_segments,
         like_search,
         read_trigram_index,
         read_trigram_segments,
@@ -3094,13 +3105,33 @@ def text_trgm_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(seg_path, "_dedup_index_manifest.json")):
         atexit.register(shutil.rmtree, os.path.dirname(seg_path), True)
         base = d.where(F.col("doc_id") % 5 != 0)
-        delta = d.where(F.col("doc_id") % 5 == 0)
         write_trigram_index(build_trigram_index(base, "doc_id", "text"), seg_path)
-        append_trigram_segment(spark, seg_path, delta, "doc_id", "text")
+        # two deltas -> two segments: the union path is multi-segment
+        append_trigram_segment(
+            spark, seg_path, d.where(F.col("doc_id") % 10 == 0), "doc_id", "text"
+        )
+        append_trigram_segment(
+            spark, seg_path, d.where(F.col("doc_id") % 10 == 5), "doc_id", "text"
+        )
     seg_view = read_trigram_segments(spark, seg_path)
     for needle in ("merge batch", "zzzz"):
+        # EAGER checkpoint: the compaction below deletes the segment
+        # dirs this lazy plan scans, so the seg-view answer must be
+        # materialized before the fold (tiny: candidate-verified hits)
         leg = like_search(d, seg_view, "doc_id", "text", needle).select(
             F.lit("seg_ingest").alias("src"),
+            F.lit(needle).alias("needle"),
+            "doc_id",
+        ).localCheckpoint(eager=True)
+        out = out.unionByName(leg)
+
+    # maintenance arc: fold the segments back into one flat artifact
+    # (no-op on an already-compacted index) and search the re-read
+    compact_trigram_segments(spark, seg_path, "doc_id")
+    flat = read_trigram_index(spark, seg_path)
+    for needle in ("slow filter", "zzzz"):
+        leg = like_search(d, flat, "doc_id", "text", needle).select(
+            F.lit("seg_compacted").alias("src"),
             F.lit(needle).alias("needle"),
             "doc_id",
         )

@@ -176,6 +176,28 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def read_committed_asof(
+    spark: SparkSession, out_dir: str, as_of: int
+) -> DataFrame:
+    """Time-travel read: the committed prefix with batch_id <= as_of —
+    epoch ids only grow (the writer's contract, preserved by
+    compact_epochs reusing the max id), so a committed epoch set is an
+    append-only log and any historical snapshot is just a prefix
+    filter over the directory listing. Raises like read_committed when
+    the prefix is empty (as_of predates the first commit). NB after a
+    compaction, epochs folded into the compacted id are only readable
+    at as_of >= that id — compaction trades sub-prefix granularity for
+    the small-files win, exactly like snapshot-expiry in table
+    formats."""
+    ids = [i for i in committed_batch_ids(out_dir) if i <= as_of]
+    if not ids:
+        raise FileNotFoundError(
+            f"no committed batches <= {as_of} under {out_dir}"
+        )
+    paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
+    return spark.read.parquet(*paths)
+
+
 def compact_epochs(
     spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:

@@ -320,3 +320,45 @@ def test_compact_epochs_cleans_lock(spark, tmp_path):
     assert stats["compacted"] == 2
     assert not any(n.startswith(".compact_lock_") for n in os.listdir(out))
     assert sorted(r.k for r in read_committed(spark, out).collect()) == list(range(9))
+
+
+def test_read_committed_asof_prefix_snapshots(spark, tmp_path):
+    """read_committed_asof: every as_of returns exactly the committed
+    prefix (epoch ids only grow, so snapshots are prefix filters);
+    pre-history raises; a torn (uncommitted) epoch is invisible to
+    every snapshot; post-compaction the folded prefix reads at the
+    compacted id."""
+    import pytest as _pytest
+
+    from prohap_spark.streaming.sink import compact_epochs, read_committed_asof
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    w(_mk(spark, 9, 12), 2)
+    # a torn epoch 3 (no marker) must not appear in any snapshot
+    _mk(spark, 12, 20).write.mode("overwrite").parquet(
+        os.path.join(out, "batch_id=3")
+    )
+
+    assert sorted(r.k for r in read_committed_asof(spark, out, 0).collect()) == list(
+        range(5)
+    )
+    assert sorted(r.k for r in read_committed_asof(spark, out, 1).collect()) == list(
+        range(9)
+    )
+    for hi in (2, 3, 99):
+        got = sorted(r.k for r in read_committed_asof(spark, out, hi).collect())
+        assert got == list(range(12))
+    with _pytest.raises(FileNotFoundError):
+        read_committed_asof(spark, out, -1)
+
+    # compaction folds 0..2 into batch_id=2: the full snapshot is
+    # unchanged, sub-prefix granularity is (documentedly) gone
+    compact_epochs(spark, out)
+    assert sorted(r.k for r in read_committed_asof(spark, out, 2).collect()) == list(
+        range(12)
+    )
+    with _pytest.raises(FileNotFoundError):
+        read_committed_asof(spark, out, 1)
