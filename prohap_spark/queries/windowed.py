@@ -614,6 +614,27 @@ _RESAMPLE_LOCF_SQL = """
              AS i3,
            CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM events GROUP BY user_id
+    UNION ALL
+    -- sink_deleted leg (r14): deletion vectors — delete_keys lands
+    -- the event_id % 7 == 0 key set WITHOUT touching data epochs and
+    -- read_current subtracts it with one anti-join; the aggregate
+    -- must equal the batch table minus those keys
+    SELECT 'sink_deleted' AS leg, user_id AS i1, count(*) AS i2,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS i3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM events WHERE event_id % 7 <> 0 GROUP BY user_id
+    UNION ALL
+    -- sink_materialized leg (r14): the SAME aggregate after
+    -- materialize_deletes physically rewrote the epochs (digest-
+    -- validated staging + trash swap) and swept the delete sets — a
+    -- row resurrected, dropped, or double-deleted by the rewrite
+    -- goes hash-red
+    SELECT 'sink_materialized' AS leg, user_id AS i1, count(*) AS i2,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS i3,
+           CAST(NULL AS VARCHAR) AS s1, CAST(NULL AS DOUBLE) AS d1
+    FROM events WHERE event_id % 7 <> 0 GROUP BY user_id
     """,
 )
 def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,9 +645,13 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once watermark dedup (dedup leg — see
     stream_dedup_watermark), daily LOCF gap fill (resample leg),
     stream-static broadcast enrichment (enrich leg), the daily
-    cohort matrix (retention leg), and (r12) the exactly-once
+    cohort matrix (retention leg), (r12) the exactly-once
     idempotent SINK under a forced double-delivery of every epoch
-    (sink leg — streaming/sink.py; see the inline comment).
+    (sink leg — streaming/sink.py; see the inline comment), (r13) the
+    epoch-compaction maintenance op (sink_compacted leg), and (r14)
+    the deletion-vector arc: read-time key subtraction
+    (sink_deleted leg) then physical materialization
+    (sink_materialized leg) — see the inline comments.
 
     Harness note: each leg calls its standalone operator, so the
     events file is scanned once per leg (5x) — acceptable for a
@@ -744,9 +769,9 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.processAllAvailable()
     q.stop()
-    def _sink_agg(leg: str):
+    def _sink_agg(leg: str, reader=read_committed):
         return (
-            read_committed(spark, out_dir)
+            reader(spark, out_dir)
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n"),
@@ -776,10 +801,38 @@ def stream_batch_parity_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prohap_spark.streaming.sink import compact_epochs
 
     compact_epochs(spark, out_dir)
-    sinkc = _sink_agg("sink_compacted")
+    # eager: materialize_deletes below rewrites the directory this
+    # lazy plan scans (same discipline as the pre-compaction sink leg)
+    sinkc = _sink_agg("sink_compacted").localCheckpoint(eager=True)
+    # sink_deleted + sink_materialized legs (r14): the deletion-vector
+    # arc. delete_keys lands the event_id % 7 == 0 key set as its own
+    # committed delete set (no data epoch touched — O(keys) I/O, the
+    # 100 TB point); read_current subtracts it with one anti-join;
+    # then materialize_deletes folds the vector in physically
+    # (digest-validated rewrite + recoverable swap, delete dirs swept
+    # last) and the post-materialize committed read must reproduce the
+    # SAME aggregate — vector-subtract == physical-rewrite on driver
+    # rows.
+    from prohap_spark.streaming.sink import (
+        delete_keys,
+        materialize_deletes,
+        read_current,
+    )
+
+    delete_keys(
+        spark,
+        out_dir,
+        read_committed(spark, out_dir)
+        .select("event_id")
+        .where(F.col("event_id") % 7 == 0),
+    )
+    sinkd = _sink_agg("sink_deleted", read_current).localCheckpoint(eager=True)
+    materialize_deletes(spark, out_dir)
+    sinkm = _sink_agg("sink_materialized")
     return (
         t.unionByName(d).unionByName(r).unionByName(e).unionByName(rm)
         .unionByName(sink).unionByName(sinkc)
+        .unionByName(sinkd).unionByName(sinkm)
     )
 
 

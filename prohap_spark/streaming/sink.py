@@ -198,6 +198,193 @@ def read_committed_asof(
     return spark.read.parquet(*paths)
 
 
+def delete_keys(
+    spark: SparkSession,
+    out_dir: str,
+    keys_df: DataFrame,
+    delete_id: int | None = None,
+) -> int:
+    """Row-level delete as a DELETION VECTOR, not a rewrite: the key
+    set lands in its own ``delete_id=<n>`` directory (single-column
+    parquet + ``_DELETE_META.json`` naming the key column + the same
+    ``_COMMITTED`` marker protocol as data epochs), and
+    :func:`read_current` subtracts the union of committed delete sets
+    with one anti-join. Nothing already written moves — a delete of k
+    keys costs O(k) I/O regardless of table size, which is the whole
+    point at 100 TB (the Delta/Iceberg deletion-vector trade:
+    read-time subtraction now, physical rewrite deferred to
+    :func:`materialize_deletes` in a maintenance window).
+
+    Same idempotent-replay contract as the epoch writer: pass an
+    explicit ``delete_id`` from a ``foreachBatch`` context and a
+    replayed delivery finds the marker and no-ops; omit it for
+    interactive use and the next free id is allocated. A torn delete
+    (parquet present, marker absent) is invisible to every reader.
+    Returns the delete id."""
+    import json
+
+    if len(keys_df.columns) != 1:
+        raise ValueError(
+            f"delete_keys wants a single key column, got {keys_df.columns}"
+        )
+    key = keys_df.columns[0]
+    os.makedirs(out_dir, exist_ok=True)
+    if delete_id is None:
+        existing = committed_delete_ids(out_dir)
+        delete_id = (existing[-1] + 1) if existing else 0
+    target = os.path.join(out_dir, f"delete_id={delete_id}")
+    marker = os.path.join(target, COMMIT_MARKER)
+    if os.path.exists(marker):
+        return delete_id  # replayed delete already fully delivered
+    keys_df.distinct().write.mode("overwrite").parquet(target)
+    with open(os.path.join(target, "_DELETE_META.json"), "w") as f:
+        json.dump({"key": key}, f)
+    with open(marker, "w"):
+        pass
+    return delete_id
+
+
+def committed_delete_ids(out_dir: str) -> list[int]:
+    """Delete-set ids with a commit marker, ascending."""
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for name in os.listdir(out_dir):
+        if name.startswith("delete_id=") and os.path.exists(
+            os.path.join(out_dir, name, COMMIT_MARKER)
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def _delete_sets(spark: SparkSession, out_dir: str):
+    """(key_column, unioned distinct key DataFrame) over every
+    committed delete set, or (None, None) when there are none. All
+    sets must agree on the key column — a mixed-key table is a usage
+    error and fails loudly."""
+    import json
+
+    ids = committed_delete_ids(out_dir)
+    if not ids:
+        return None, None
+    keys = set()
+    paths = []
+    for i in ids:
+        d = os.path.join(out_dir, f"delete_id={i}")
+        with open(os.path.join(d, "_DELETE_META.json")) as f:
+            keys.add(json.load(f)["key"])
+        paths.append(d)
+    if len(keys) != 1:
+        raise ValueError(
+            f"committed delete sets under {out_dir} disagree on the "
+            f"key column: {sorted(keys)}"
+        )
+    return keys.pop(), spark.read.parquet(*paths).distinct()
+
+
+def read_current(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The CURRENT table: committed epochs minus committed delete
+    sets — one left-anti join on the delete key. Delete sets are
+    normally tiny relative to the data (AQE broadcasts them by
+    itself; at 100 TB this is the read-time half of the
+    deletion-vector trade — the subtraction rides every query until
+    :func:`materialize_deletes` folds it in). History stays intact:
+    :func:`read_committed` / :func:`read_committed_asof` keep
+    returning the raw epoch log."""
+    data = read_committed(spark, out_dir)
+    key, dels = _delete_sets(spark, out_dir)
+    if key is None:
+        return data
+    if key not in data.columns:
+        raise ValueError(
+            f"delete key '{key}' is not a column of the committed "
+            f"data ({data.columns})"
+        )
+    return data.join(dels, on=key, how="left_anti")
+
+
+def materialize_deletes(
+    spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Fold the deletion vectors into the data: rewrite the committed
+    epochs as :func:`read_current` (digest-validated, staging +
+    trash-dir swap — the :func:`compact_epochs` protocol verbatim,
+    sharing its pid lock so a concurrent reader's recovery keeps
+    hands off), then drop the delete sets. Maintenance-window
+    operation, amortizing the per-query anti-join away.
+
+    Crash safety rides the existing recovery: the swap uses the same
+    ``.staging_batch_id=`` / ``.trash_compact_`` names, so
+    :func:`recover_compaction` rolls it forward or back untouched.
+    Delete directories are removed only AFTER the swap's marker
+    lands; a crash in between leaves delete sets whose keys are
+    already physically gone — the anti-join then subtracts nothing
+    (idempotent), and the next materialize sweeps them."""
+    import shutil
+
+    from prohap_spark.operators.compact import _digest
+
+    ids = committed_batch_ids(out_dir)
+    dids = committed_delete_ids(out_dir)
+    if not ids or not dids:
+        return {"materialized": 0, "epochs": ids, "delete_sets": dids}
+    keep = ids[-1]
+    src_paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
+    lock = os.path.join(out_dir, f".compact_lock_{keep}")
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        # explicit snapshot paths, like compact_epochs: an epoch or
+        # delete committed mid-materialize must not be half-applied
+        data = spark.read.parquet(*src_paths)
+        key, dels = _delete_sets(spark, out_dir)
+        df = data.join(dels, on=key, how="left_anti")
+        n, checksum = _digest(df)
+        src_bytes = sum(
+            os.path.getsize(os.path.join(root, f))
+            for p in src_paths
+            for root, _d, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, (src_bytes + target_bytes - 1) // target_bytes)
+        staging = os.path.join(out_dir, f".staging_batch_id={keep}")
+        df.repartition(int(n_out)).write.mode("overwrite").parquet(staging)
+        n2, checksum2 = _digest(spark.read.parquet(staging))
+        if (n, checksum) != (n2, checksum2):
+            raise RuntimeError(
+                f"delete materialization validation failed under "
+                f"{out_dir}: rows {n} -> {n2}, checksum {checksum} -> "
+                f"{checksum2}; committed epochs and delete sets are "
+                "untouched, discard the staging dir"
+            )
+        trash = os.path.join(out_dir, f".trash_compact_{keep}")
+        os.makedirs(trash)
+        for p in src_paths:
+            os.rename(p, os.path.join(trash, os.path.basename(p)))
+        target = os.path.join(out_dir, f"batch_id={keep}")
+        os.rename(staging, target)
+        with open(os.path.join(target, COMMIT_MARKER), "w"):
+            pass
+        # delete sets last — leftover sets after a crash here are
+        # idempotent no-ops against the rewritten data (see docstring)
+        for i in dids:
+            os.rename(
+                os.path.join(out_dir, f"delete_id={i}"),
+                os.path.join(trash, f"delete_id={i}"),
+            )
+        shutil.rmtree(trash)
+    finally:
+        if os.path.exists(lock):
+            os.remove(lock)
+    return {
+        "materialized": len(dids),
+        "epochs_rewritten": len(ids),
+        "into": keep,
+        "n_rows": n,
+    }
+
+
 def compact_epochs(
     spark: SparkSession, out_dir: str, target_bytes: int = 128 * 1024 * 1024
 ) -> dict:

@@ -362,3 +362,101 @@ def test_read_committed_asof_prefix_snapshots(spark, tmp_path):
     )
     with _pytest.raises(FileNotFoundError):
         read_committed_asof(spark, out, 1)
+
+
+def test_delete_keys_read_current(spark, tmp_path):
+    """Deletion vectors: delete_keys lands key sets without touching
+    data epochs; read_current subtracts them; read_committed (the
+    history view) is unchanged; a torn delete set is invisible; a
+    replayed delete_id is a no-op."""
+    import pytest as _pytest
+
+    from prohap_spark.streaming.sink import (
+        committed_delete_ids,
+        delete_keys,
+        read_current,
+    )
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 12), 1)
+
+    did = delete_keys(spark, out, spark.createDataFrame([(2,), (11,)], "k int"))
+    assert did == 0
+    assert committed_delete_ids(out) == [0]
+    cur = sorted(r.k for r in read_current(spark, out).collect())
+    assert cur == [0, 1, 3, 4, 5, 6, 7, 8, 9, 10]
+    # history view unchanged
+    assert read_committed(spark, out).count() == 12
+
+    # torn delete set (no marker) is invisible
+    spark.createDataFrame([(0,)], "k int").write.mode("overwrite").parquet(
+        os.path.join(out, "delete_id=9")
+    )
+    assert committed_delete_ids(out) == [0]
+    assert 0 in {r.k for r in read_current(spark, out).collect()}
+
+    # replayed delete_id no-ops: different keys, same id -> ignored
+    delete_keys(spark, out, spark.createDataFrame([(3,)], "k int"), delete_id=0)
+    assert 3 in {r.k for r in read_current(spark, out).collect()}
+
+    # a second delete set composes
+    delete_keys(spark, out, spark.createDataFrame([(0,), (2,)], "k int"))
+    assert sorted(r.k for r in read_current(spark, out).collect()) == [
+        1, 3, 4, 5, 6, 7, 8, 9, 10,
+    ]
+
+    # validation: multi-column key set refused
+    with _pytest.raises(ValueError):
+        delete_keys(spark, out, _mk(spark, 0, 1))
+    # validation: key column absent from the data
+    delete_keys(spark, out, spark.createDataFrame([(1,)], "zz int"))
+    with _pytest.raises(ValueError):
+        read_current(spark, out).collect()
+
+
+def test_materialize_deletes(spark, tmp_path):
+    """materialize_deletes folds the vectors in: physical rows gone,
+    delete dirs swept, read_committed == read_current afterwards;
+    idempotent when nothing is pending; leftover delete sets from a
+    crash-after-marker window subtract nothing (idempotent replay)."""
+    from prohap_spark.streaming.sink import (
+        committed_delete_ids,
+        delete_keys,
+        materialize_deletes,
+        read_current,
+    )
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 12), 1)
+    delete_keys(spark, out, spark.createDataFrame([(2,), (7,)], "k int"))
+
+    stats = materialize_deletes(spark, out)
+    assert stats["materialized"] == 1 and stats["n_rows"] == 10
+    assert committed_delete_ids(out) == []
+    assert committed_batch_ids(out) == [1]
+    survivors = [0, 1, 3, 4, 5, 6, 8, 9, 10, 11]
+    assert sorted(r.k for r in read_committed(spark, out).collect()) == survivors
+    assert sorted(r.k for r in read_current(spark, out).collect()) == survivors
+
+    # nothing pending -> no-op
+    assert materialize_deletes(spark, out)["materialized"] == 0
+
+    # crash-after-marker simulation: a delete set whose keys are
+    # already physically gone must subtract nothing
+    delete_keys(spark, out, spark.createDataFrame([(2,), (7,)], "k int"))
+    assert sorted(r.k for r in read_current(spark, out).collect()) == survivors
+    # and the next materialize sweeps it
+    materialize_deletes(spark, out)
+    assert committed_delete_ids(out) == []
+    assert sorted(r.k for r in read_committed(spark, out).collect()) == survivors
+
+    # the log keeps moving after materialization: new epoch + delete
+    w(_mk(spark, 12, 15), 2)
+    delete_keys(spark, out, spark.createDataFrame([(13,)], "k int"))
+    assert sorted(r.k for r in read_current(spark, out).collect()) == (
+        survivors + [12, 14]
+    )
