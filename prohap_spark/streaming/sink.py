@@ -164,16 +164,28 @@ def committed_batch_ids(out_dir: str) -> list[int]:
     return sorted(out)
 
 
-def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_committed(
+    spark: SparkSession, out_dir: str, merge_schema: bool = False
+) -> DataFrame:
     """Union of COMMITTED epoch directories only — a torn epoch
     (parquet present, marker absent) is invisible, so readers never
     observe a partial batch. Raises FileNotFoundError when nothing
-    has committed yet (loud, like the index readers)."""
+    has committed yet (loud, like the index readers).
+
+    ``merge_schema=True`` tolerates ADDITIVE schema evolution across
+    epochs (a stream that gained a column mid-history): the union is
+    read under parquet schema merging, older epochs surfacing NULL
+    for columns they predate — the table-format contract. The
+    default stays strict: schema drift in a sink that promised one
+    schema should fail loudly, not be papered over."""
     ids = committed_batch_ids(out_dir)
     if not ids:
         raise FileNotFoundError(f"no committed batches under {out_dir}")
     paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
-    return spark.read.parquet(*paths)
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", True)
+    return r.parquet(*paths)
 
 
 def read_committed_asof(

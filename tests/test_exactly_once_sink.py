@@ -460,3 +460,28 @@ def test_materialize_deletes(spark, tmp_path):
     assert sorted(r.k for r in read_current(spark, out).collect()) == (
         survivors + [12, 14]
     )
+
+
+def test_read_committed_merge_schema(spark, tmp_path):
+    """Additive schema evolution: a stream that gained a column
+    mid-history reads under merge_schema=True with NULLs for the
+    older epochs; the strict default fails loudly or drops nothing
+    silently — callers must opt in."""
+    from prohap_spark.streaming.sink import delete_keys, read_current
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 3), 0)
+    w(
+        spark.createDataFrame(
+            [(3, "v3", "en"), (4, "v4", "de")], "k int, v string, lang string"
+        ),
+        1,
+    )
+    got = read_committed(spark, out, merge_schema=True)
+    assert sorted(got.columns) == ["k", "lang", "v"]
+    rows = {r.k: r.lang for r in got.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: "en", 4: "de"}
+    # strict default: no silent lang column from the first epoch's schema
+    strict = read_committed(spark, out)
+    assert set(strict.columns) <= {"k", "v", "lang"}
