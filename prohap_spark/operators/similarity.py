@@ -940,7 +940,14 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """Load a persisted IVF index, validating BOTH tables against
     their manifests (loud ValueError on any drift — a silently
     truncated cell table would just lower recall, the worst failure
-    mode because nothing crashes). Returns (cells, centroids, meta)."""
+    mode because nothing crashes). Returns (cells, centroids, meta).
+
+    Segment-aware (r14): any ``.cells_seg_*`` segments written by
+    :func:`append_ivf_segment` are unioned in (each loudly
+    manifest-validated, deduped on (id, cell) so an idempotent
+    re-ingest of identical rows is harmless). With zero segments this
+    is exactly the r10 flat read."""
+    import glob as _glob
     import json
     import os
 
@@ -950,7 +957,105 @@ def read_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     centroids = read_dedup_index(spark, f"{path}/centroids")
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    segs = sorted(_glob.glob(os.path.join(path, ".cells_seg_*")))
+    if segs:
+        for s in segs:
+            cells = cells.unionByName(read_dedup_index(spark, s))
+        cells = cells.dropDuplicates([meta["corpus_id"], "cell_id"])
     return cells, centroids, meta
+
+
+def append_ivf_segment(spark, path: str, delta: DataFrame) -> dict:
+    """SEGMENTED incremental IVF ingest — the trgm-segment /
+    sink-epoch pattern applied to the ANN index, completing the
+    append-without-rebuild story for every persisted artifact: the
+    delta is assigned against the FROZEN persisted quantizer (the
+    integer centroid-sums table when ``meta.exact`` — bit-identical
+    assignment in any engine — else the float centroids with the
+    pinned rounding) and written as its OWN manifest-validated,
+    cell_id-partitioned segment under ``path/.cells_seg_<k>``. Nothing
+    existing is read or rewritten — ingest I/O and CPU are both
+    O(|delta|), the only shape that survives continuous ingest at
+    100 TB.
+
+    Because the quantizer is frozen, a probe through the segmented
+    read equals a from-scratch index built over base ∪ delta at the
+    SAME quantizer, exactly (pinned in pytest). Centroid retraining
+    under drift is a separate maintenance decision — retrain, then
+    :func:`write_ivf_index` fresh. Updates to an EXISTING id are out
+    of scope (append-only corpus contract, like the trgm segments);
+    re-ingesting identical rows dedups cleanly at read time.
+
+    Read amplification grows with segment COUNT, not corpus size;
+    :func:`compact_ivf_segments` folds on a maintenance schedule.
+    Returns the segment manifest + its path."""
+    import glob as _glob
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import read_dedup_index, write_dedup_index
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    corpus_id, vec_col = meta["corpus_id"], meta["vec_col"]
+    quant = read_dedup_index(spark, f"{path}/centroids")
+    d = delta.select(F.col(corpus_id), F.col(vec_col))
+    if meta.get("exact"):
+        assigned = assign_nearest_cell_q(
+            d, quant, corpus_id, vec_col, float(meta.get("micro", 10000.0))
+        )
+    else:
+        assigned = assign_nearest_cell(
+            d, quant, corpus_id, vec_col, meta["assign_decimals"]
+        )
+    segs = _glob.glob(os.path.join(path, ".cells_seg_*"))
+    k = (
+        max(int(os.path.basename(s).rsplit("_", 1)[1]) for s in segs) + 1
+        if segs
+        else 0
+    )
+    seg_path = os.path.join(path, f".cells_seg_{k:05d}")
+    manifest = write_dedup_index(assigned, seg_path, partition_by=["cell_id"])
+    return {"segment": seg_path, **manifest}
+
+
+def compact_ivf_segments(spark, path: str) -> dict:
+    """Fold ``.cells_seg_*`` segments back into the flat cells table —
+    the maintenance half of segmented IVF ingest, under the trgm
+    compaction's reentrant always-readable swap (staging dir, backup
+    rename, finally-restore; consumed segments removed only after the
+    swap commits). No-op with zero segments. The quantizer table and
+    meta are untouched — compaction moves bytes, never assignments."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    segs = sorted(_glob.glob(os.path.join(path, ".cells_seg_*")))
+    if not segs:
+        return {"segments_folded": 0}
+    # no checkpoint needed: write_dedup_index fully materializes the
+    # union into staging (and read-backs it) before any dir is touched
+    cells, _cent, _meta = read_ivf_index(spark, path)
+    cells_dir = os.path.join(path, "cells")
+    staging = cells_dir + ".staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    manifest = write_dedup_index(cells, staging, partition_by=["cell_id"])
+    backup = cells_dir + ".old"
+    if os.path.isdir(backup):
+        shutil.rmtree(backup)
+    os.rename(cells_dir, backup)
+    try:
+        os.rename(staging, cells_dir)
+    except BaseException:
+        os.rename(backup, cells_dir)
+        raise
+    shutil.rmtree(backup)
+    for s in segs:
+        shutil.rmtree(s)
+    return {"segments_folded": len(segs), **manifest}
 
 
 def ivf_ann_topk_from_index(

@@ -4130,3 +4130,98 @@ def test_lsh_index_persist_probe_identity_and_layout(spark, tmp_path):
     json.dump(m, open(mpath, "w"))
     with _pytest.raises(ValueError):
         lsh_ann_topk_from_index(queries, path, "qid", k=5).collect()
+
+
+def test_ivf_segment_append_probe_identity_and_compaction(spark, tmp_path):
+    """Segmented IVF ingest (r14): append_ivf_segment assigns the
+    delta against the FROZEN persisted quantizer and writes its own
+    cell_id-partitioned segment — probing the segmented read must
+    equal ivf_ann_topk over base ∪ delta at the same centroids,
+    exactly; compact_ivf_segments folds the segments away without
+    moving a value; a torn segment fails loud on read."""
+    import os
+    import random as _random
+
+    import pytest as _pytest
+
+    from prohap_spark.operators.similarity import (
+        append_ivf_segment,
+        compact_ivf_segments,
+        ivf_ann_topk,
+        ivf_ann_topk_from_index,
+        read_ivf_index,
+        train_centroids_by_label,
+        write_ivf_index,
+    )
+
+    rng = _random.Random(5)
+    rows = [
+        (i, f"lab{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(300)
+    ]
+    schema = "vec_id long, label string, embedding array<double>"
+    full = spark.createDataFrame(rows, schema)
+    base = full.where(F.col("vec_id") < 240)
+    delta1 = full.where((F.col("vec_id") >= 240) & (F.col("vec_id") < 270))
+    delta2 = full.where(F.col("vec_id") >= 270)
+    queries = full.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    # quantizer frozen at index-build time, trained on the base only
+    cents = train_centroids_by_label(base, "label", "embedding")
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, cents, "vec_id", "embedding", path)
+    m1 = append_ivf_segment(spark, path, delta1)
+    m2 = append_ivf_segment(spark, path, delta2)
+    assert m1["segment"].endswith(".cells_seg_00000")
+    assert m2["segment"].endswith(".cells_seg_00001")
+    assert m1["n_rows"] == 30 and m2["n_rows"] == 30
+    # segments keep the inverted-file layout
+    assert any(
+        d.startswith("cell_id=") for d in os.listdir(m1["segment"])
+    )
+
+    direct = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_ann_topk(
+            queries, full, cents, "qid", "vec_id", "embedding", k=5, nprobe=2
+        ).collect()
+    }
+    via_seg = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_ann_topk_from_index(
+            queries, path, "qid", k=5, nprobe=2
+        ).collect()
+    }
+    assert via_seg == direct and len(direct) > 0
+
+    # re-ingesting identical rows dedups cleanly at read time
+    append_ivf_segment(spark, path, delta1)
+    cells, _c, _m = read_ivf_index(spark, path)
+    assert cells.count() == 300
+
+    # compaction folds everything flat without moving a value
+    stats = compact_ivf_segments(spark, path)
+    assert stats["segments_folded"] == 3 and stats["n_rows"] == 300
+    assert not any(
+        d.startswith(".cells_seg_") for d in os.listdir(path)
+    )
+    via_flat = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in ivf_ann_topk_from_index(
+            queries, path, "qid", k=5, nprobe=2
+        ).collect()
+    }
+    assert via_flat == direct
+    assert compact_ivf_segments(spark, path)["segments_folded"] == 0
+
+    # torn segment: drop a part-file from a fresh segment -> loud read
+    m3 = append_ivf_segment(spark, path, delta1)
+    seg = m3["segment"]
+    victim_dirs = [d for d in os.listdir(seg) if d.startswith("cell_id=")]
+    vdir = os.path.join(seg, sorted(victim_dirs)[0])
+    victim = [f for f in os.listdir(vdir) if f.endswith(".parquet")][0]
+    os.remove(os.path.join(vdir, victim))
+    with _pytest.raises(ValueError, match="does not match its|torn/partial"):
+        read_ivf_index(spark, path)
