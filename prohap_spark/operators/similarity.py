@@ -1165,7 +1165,13 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     """Load a persisted LSH index, validating both tables against
     their manifests (loud ValueError on drift — a silently truncated
     posting table would just lower recall). Returns
-    (postings, vectors, meta)."""
+    (postings, vectors, meta).
+
+    Segment-aware (r14): ``.postings_seg_*`` / ``.vectors_seg_*``
+    segments written by :func:`append_lsh_segment` are unioned in
+    (each manifest-validated, deduped so idempotent re-ingest is
+    harmless). Zero segments = the flat read, unchanged."""
+    import glob as _glob
     import json
     import os
 
@@ -1175,7 +1181,121 @@ def read_lsh_index(spark, path: str) -> tuple[DataFrame, DataFrame, dict]:
     vectors = read_dedup_index(spark, f"{path}/vectors")
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
+    psegs = sorted(_glob.glob(os.path.join(path, ".postings_seg_*")))
+    vsegs = sorted(_glob.glob(os.path.join(path, ".vectors_seg_*")))
+    if psegs:
+        for s in psegs:
+            postings = postings.unionByName(read_dedup_index(spark, s))
+        postings = postings.dropDuplicates(["bucket", meta["corpus_id"]])
+    if vsegs:
+        for s in vsegs:
+            vectors = vectors.unionByName(read_dedup_index(spark, s))
+        vectors = vectors.dropDuplicates([meta["corpus_id"]])
     return postings, vectors, meta
+
+
+def append_lsh_segment(spark, path: str, delta: DataFrame) -> dict:
+    """SEGMENTED incremental LSH-index ingest — the
+    :func:`append_ivf_segment` pattern for the LSH deployment shape.
+    The delta's bucket keys derive from meta's frozen parameters
+    (n_planes / n_tables / quantize_micro and the fixed ``hp{t}``
+    seed scheme), so a segment append equals a from-scratch rebuild
+    over base ∪ delta BY CONSTRUCTION — there is no trained quantizer
+    to drift. Postings land bucket-partitioned (the probe's
+    partition-pruning read stays pruned per segment), vectors land in
+    their own segment; ingest I/O and CPU are O(|delta|). Append-only
+    corpus contract; identical re-ingest dedups at read time.
+    Returns both segment manifests."""
+    import glob as _glob
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    corpus_id, vec_col = meta["corpus_id"], meta["vec_col"]
+    buckets = F.array(
+        *[
+            F.concat(
+                F.lit(f"{t}:"),
+                hyperplane_bucket_expr(
+                    vec_col,
+                    meta["n_planes"],
+                    seed=f"hp{t}",
+                    quantize_micro=bool(meta["quantize_micro"]),
+                ),
+            )
+            for t in range(meta["n_tables"])
+        ]
+    )
+    segs = _glob.glob(os.path.join(path, ".postings_seg_*"))
+    k = (
+        max(int(os.path.basename(s).rsplit("_", 1)[1]) for s in segs) + 1
+        if segs
+        else 0
+    )
+    m_post = write_dedup_index(
+        delta.select(F.col(corpus_id), F.explode(buckets).alias("bucket")).select(
+            "bucket", corpus_id
+        ),
+        os.path.join(path, f".postings_seg_{k:05d}"),
+        partition_by=["bucket"],
+    )
+    m_vec = write_dedup_index(
+        delta.select(F.col(corpus_id), F.col(vec_col)),
+        os.path.join(path, f".vectors_seg_{k:05d}"),
+    )
+    return {"segment": k, "postings": m_post, "vectors": m_vec}
+
+
+def compact_lsh_segments(spark, path: str) -> dict:
+    """Fold LSH segments back into the flat postings/vectors tables —
+    two reentrant always-readable swaps (postings first, then
+    vectors), segment dirs removed only after both commit. A crash
+    between the swaps or before the removals leaves segments whose
+    rows are already in the folded tables; the read-time dedup makes
+    them no-ops and the next compact sweeps them. No-op with zero
+    segments; meta untouched."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    psegs = sorted(_glob.glob(os.path.join(path, ".postings_seg_*")))
+    vsegs = sorted(_glob.glob(os.path.join(path, ".vectors_seg_*")))
+    if not psegs and not vsegs:
+        return {"segments_folded": 0}
+    postings, vectors, _meta = read_lsh_index(spark, path)
+
+    def _swap(df, name, partition_by=None):
+        tdir = os.path.join(path, name)
+        staging = tdir + ".staging"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        manifest = write_dedup_index(df, staging, partition_by=partition_by)
+        backup = tdir + ".old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
+        os.rename(tdir, backup)
+        try:
+            os.rename(staging, tdir)
+        except BaseException:
+            os.rename(backup, tdir)
+            raise
+        shutil.rmtree(backup)
+        return manifest
+
+    m_post = _swap(postings, "postings", partition_by=["bucket"])
+    m_vec = _swap(vectors, "vectors")
+    for s in psegs + vsegs:
+        shutil.rmtree(s)
+    return {
+        "segments_folded": len(psegs),
+        "postings": m_post,
+        "vectors": m_vec,
+    }
 
 
 def lsh_ann_topk_from_index(

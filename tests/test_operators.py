@@ -4225,3 +4225,78 @@ def test_ivf_segment_append_probe_identity_and_compaction(spark, tmp_path):
     os.remove(os.path.join(vdir, victim))
     with _pytest.raises(ValueError, match="does not match its|torn/partial"):
         read_ivf_index(spark, path)
+
+
+def test_lsh_segment_append_probe_identity_and_compaction(spark, tmp_path):
+    """Segmented LSH ingest (r14): bucket keys derive from meta's
+    frozen parameters, so probing the segmented read must equal
+    lsh_ann_topk over base ∪ delta exactly; compaction folds both
+    tables without moving a value; crash-leftover segments (rows
+    already folded) are read-time no-ops."""
+    import os
+    import random as _random
+
+    from prohap_spark.operators.similarity import (
+        append_lsh_segment,
+        compact_lsh_segments,
+        lsh_ann_topk,
+        lsh_ann_topk_from_index,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    rng = _random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)]
+    full = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = full.where(F.col("vec_id") < 250)
+    delta = full.where(F.col("vec_id") >= 250)
+    queries = full.where(F.col("vec_id") % 41 == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+
+    path = str(tmp_path / "lsh")
+    write_lsh_index(
+        base, "vec_id", "embedding", path,
+        n_planes=3, n_tables=6, quantize_micro=True,
+    )
+    m = append_lsh_segment(spark, path, delta)
+    assert m["postings"]["n_rows"] == 50 * 6
+    assert m["vectors"]["n_rows"] == 50
+    seg_dir = os.path.join(path, ".postings_seg_00000")
+    assert any(d.startswith("bucket=") for d in os.listdir(seg_dir))
+
+    direct = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk(
+            queries, full, "qid", "vec_id", "embedding",
+            k=5, n_planes=3, n_tables=6, score_decimals=6, quantize_micro=True,
+        ).collect()
+    }
+    via_seg = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk_from_index(
+            queries, path, "qid", k=5, score_decimals=6
+        ).collect()
+    }
+    assert via_seg == direct and len(direct) > 0
+
+    # idempotent re-ingest dedups at read time
+    append_lsh_segment(spark, path, delta)
+    postings, vectors, _meta = read_lsh_index(spark, path)
+    assert vectors.count() == 300 and postings.count() == 300 * 6
+
+    # compaction folds flat without moving a value; repeat is a no-op
+    stats = compact_lsh_segments(spark, path)
+    assert stats["segments_folded"] == 2
+    assert stats["postings"]["n_rows"] == 300 * 6
+    assert stats["vectors"]["n_rows"] == 300
+    assert not any(d.startswith((".postings_seg_", ".vectors_seg_"))
+                   for d in os.listdir(path))
+    via_flat = {
+        (r["qid"], r["vec_id"], r["cosine"], r["rank"])
+        for r in lsh_ann_topk_from_index(
+            queries, path, "qid", k=5, score_decimals=6
+        ).collect()
+    }
+    assert via_flat == direct
+    assert compact_lsh_segments(spark, path)["segments_folded"] == 0
