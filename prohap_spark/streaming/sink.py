@@ -189,7 +189,7 @@ def read_committed(
 
 
 def read_committed_asof(
-    spark: SparkSession, out_dir: str, as_of: int
+    spark: SparkSession, out_dir: str, as_of: int, merge_schema: bool = False
 ) -> DataFrame:
     """Time-travel read: the committed prefix with batch_id <= as_of —
     epoch ids only grow (the writer's contract, preserved by
@@ -200,14 +200,17 @@ def read_committed_asof(
     compaction, epochs folded into the compacted id are only readable
     at as_of >= that id — compaction trades sub-prefix granularity for
     the small-files win, exactly like snapshot-expiry in table
-    formats."""
+    formats. ``merge_schema`` as in :func:`read_committed`."""
     ids = [i for i in committed_batch_ids(out_dir) if i <= as_of]
     if not ids:
         raise FileNotFoundError(
             f"no committed batches <= {as_of} under {out_dir}"
         )
     paths = [os.path.join(out_dir, f"batch_id={i}") for i in ids]
-    return spark.read.parquet(*paths)
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", True)
+    return r.parquet(*paths)
 
 
 def delete_keys(

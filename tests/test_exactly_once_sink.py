@@ -485,3 +485,58 @@ def test_read_committed_merge_schema(spark, tmp_path):
     # strict default: no silent lang column from the first epoch's schema
     strict = read_committed(spark, out)
     assert set(strict.columns) <= {"k", "v", "lang"}
+
+
+def test_sink_full_lifecycle_integration(spark, tmp_path):
+    """Cross-feature integration over the sink's whole table-format
+    arc: epochs → deletes → EPOCH COMPACTION with delete sets present
+    (compact folds data dirs only; the vectors and their subtraction
+    must survive it) → time travel at the compaction boundary →
+    materialization → a schema-evolved epoch on top, read both
+    strictly and merged."""
+    import pytest as _pytest
+
+    from prohap_spark.streaming.sink import (
+        committed_delete_ids,
+        compact_epochs,
+        delete_keys,
+        materialize_deletes,
+        read_committed_asof,
+        read_current,
+    )
+
+    out = str(tmp_path / "out")
+    w = idempotent_batch_writer(out)
+    w(_mk(spark, 0, 5), 0)
+    w(_mk(spark, 5, 9), 1)
+    w(_mk(spark, 9, 12), 2)
+    delete_keys(spark, out, spark.createDataFrame([(1,), (10,)], "k int"))
+    survivors = [0, 2, 3, 4, 5, 6, 7, 8, 9, 11]
+
+    # epoch compaction must not touch the delete sets or their effect
+    assert compact_epochs(spark, out)["compacted"] == 3
+    assert committed_delete_ids(out) == [0]
+    assert sorted(r.k for r in read_current(spark, out).collect()) == survivors
+    # history (raw) still has all 12 rows, time-travel at the boundary
+    assert read_committed_asof(spark, out, 2).count() == 12
+
+    # materialize after compaction: one epoch rewritten, vectors swept
+    stats = materialize_deletes(spark, out)
+    assert stats["materialized"] == 1 and stats["n_rows"] == 10
+    assert sorted(r.k for r in read_committed(spark, out).collect()) == survivors
+
+    # schema-evolved epoch on top of the compacted+materialized log
+    w(
+        spark.createDataFrame([(12, "v12", "en")], "k int, v string, lang string"),
+        3,
+    )
+    merged = read_committed(spark, out, merge_schema=True)
+    assert sorted(merged.columns) == ["k", "lang", "v"]
+    assert {r.k: r.lang for r in merged.collect()}[12] == "en"
+    assert merged.count() == 11
+    # asof before the evolved epoch never sees the new column
+    old = read_committed_asof(spark, out, 2, merge_schema=True)
+    assert sorted(old.columns) == ["k", "v"] and old.count() == 10
+    # deletes still compose after the whole arc
+    delete_keys(spark, out, spark.createDataFrame([(12,)], "k int"))
+    assert sorted(r.k for r in read_current(spark, out).collect()) == survivors
