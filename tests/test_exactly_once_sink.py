@@ -540,3 +540,67 @@ def test_sink_full_lifecycle_integration(spark, tmp_path):
     # deletes still compose after the whole arc
     delete_keys(spark, out, spark.createDataFrame([(12,)], "k int"))
     assert sorted(r.k for r in read_current(spark, out).collect()) == survivors
+
+
+def test_randomized_lifecycle_vs_model(spark, tmp_path):
+    """Randomized soundness pin (the test_jaccard_property idiom —
+    deterministically-seeded random op programs, not per-example Spark
+    jobs): random interleavings of write-epoch / replay-epoch /
+    delete-keys / replay-delete / compact / materialize are checked
+    after every step against a pure-Python model (dict of live rows +
+    set of deleted keys). read_current must always equal model-minus-
+    deletes; read_committed must equal the raw model until a
+    materialize folds the deletes in."""
+    import random as _random
+
+    from prohap_spark.streaming.sink import (
+        compact_epochs,
+        delete_keys,
+        materialize_deletes,
+        read_current,
+    )
+
+    for seed in (11, 23):
+        rng = _random.Random(seed)
+        out = str(tmp_path / f"out_{seed}")
+        w = idempotent_batch_writer(out)
+        rows: dict[int, str] = {}   # k -> v, every row ever committed
+        deleted: set[int] = set()   # keys with a live delete vector
+        next_k, next_epoch = 0, 0
+        for _step in range(10):
+            op = rng.choice(
+                ["write", "write", "replay", "delete", "compact", "materialize"]
+            )
+            if op == "write":
+                n = rng.randint(1, 6)
+                batch = {next_k + i: f"v{next_k + i}" for i in range(n)}
+                w(_mk(spark, next_k, next_k + n), next_epoch)
+                rows.update(batch)
+                next_k += n
+                next_epoch += 1
+            elif op == "replay" and next_epoch > 0:
+                # redeliver the last epoch with DIFFERENT content — the
+                # marker must make it a no-op
+                w(_mk(spark, 900 + next_k, 905 + next_k), next_epoch - 1)
+            elif op == "delete" and rows:
+                ks = rng.sample(sorted(rows), min(len(rows), rng.randint(1, 4)))
+                delete_keys(
+                    spark, out, spark.createDataFrame([(k,) for k in ks], "k int")
+                )
+                deleted.update(ks)
+            elif op == "compact" and next_epoch > 0:
+                compact_epochs(spark, out)
+            elif op == "materialize" and next_epoch > 0:
+                materialize_deletes(spark, out)
+                # the vectors are folded into the data: history rewritten
+                for k in deleted:
+                    rows.pop(k, None)
+                deleted.clear()
+            if not rows and not next_epoch:
+                continue
+            live = sorted(set(rows) - deleted)
+            if next_epoch:
+                got_cur = sorted(r.k for r in read_current(spark, out).collect())
+                assert got_cur == live, (seed, _step, op)
+                got_raw = sorted(r.k for r in read_committed(spark, out).collect())
+                assert got_raw == sorted(rows), (seed, _step, op)
