@@ -1019,6 +1019,55 @@ def append_ivf_segment(spark, path: str, delta: DataFrame) -> dict:
     return {"segment": seg_path, **manifest}
 
 
+def ivf_cell_stats(spark, path: str) -> DataFrame:
+    """Observability for the frozen coarse quantizer — the RETRAIN
+    SIGNAL the segmented-ingest design needs: per-cell posting counts
+    split base vs segments, `(cell_id, n_base, n_delta)`. A healthy
+    frozen quantizer assigns new data in roughly the base's cell
+    proportions; drifting data piles deltas into a few cells (skewing
+    the probe-time candidate scan) or lands in cells the base barely
+    used. When the delta histogram diverges, retrain + rebuild
+    (:func:`write_ivf_index` fresh) — the decision this table feeds is
+    exactly the stats-driven planning idiom of operators/stats.py.
+    Reads id+cell columns only, never the vectors."""
+    import glob as _glob
+    import json
+    import os
+
+    from prohap_spark.operators.dedup import read_dedup_index
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    cid = meta["corpus_id"]
+    base = (
+        read_dedup_index(spark, f"{path}/cells")
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    segs = sorted(_glob.glob(os.path.join(path, ".cells_seg_*")))
+    if not segs:
+        return base.withColumn("n_delta", F.lit(0).cast("long")).select(
+            "cell_id", "n_base", "n_delta"
+        )
+    delta = None
+    for s in segs:
+        d = read_dedup_index(spark, s).select(cid, "cell_id")
+        delta = d if delta is None else delta.unionByName(d)
+    delta = (
+        delta.dropDuplicates([cid, "cell_id"])
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_delta"))
+    )
+    return (
+        base.join(delta, "cell_id", "full_outer")
+        .select(
+            "cell_id",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+        )
+    )
+
+
 def compact_ivf_segments(spark, path: str) -> dict:
     """Fold ``.cells_seg_*`` segments back into the flat cells table —
     the maintenance half of segmented IVF ingest, under the trgm

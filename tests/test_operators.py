@@ -4300,3 +4300,52 @@ def test_lsh_segment_append_probe_identity_and_compaction(spark, tmp_path):
     }
     assert via_flat == direct
     assert compact_lsh_segments(spark, path)["segments_folded"] == 0
+
+
+def test_ivf_cell_stats_drift_signal(spark, tmp_path):
+    """ivf_cell_stats splits per-cell counts base vs delta: counts
+    must reconcile with the actual assignments, cells untouched by the
+    delta show n_delta=0, zero-segment indexes show an all-zero delta
+    column, and the counts survive compaction moving into n_base."""
+    import random as _random
+
+    from prohap_spark.operators.similarity import (
+        append_ivf_segment,
+        compact_ivf_segments,
+        ivf_cell_stats,
+        train_centroids_by_label,
+        write_ivf_index,
+    )
+
+    rng = _random.Random(5)
+    rows = [
+        (i, f"lab{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(300)
+    ]
+    schema = "vec_id long, label string, embedding array<double>"
+    full = spark.createDataFrame(rows, schema)
+    base = full.where(F.col("vec_id") < 240)
+    delta = full.where(F.col("vec_id") >= 240)
+    cents = train_centroids_by_label(base, "label", "embedding")
+
+    path = str(tmp_path / "ivf")
+    write_ivf_index(base, cents, "vec_id", "embedding", path)
+    s0 = {r["cell_id"]: (r["n_base"], r["n_delta"])
+          for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(n for n, _ in s0.values()) == 240
+    assert all(d == 0 for _, d in s0.values())
+
+    append_ivf_segment(spark, path, delta)
+    s1 = {r["cell_id"]: (r["n_base"], r["n_delta"])
+          for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(n for n, _ in s1.values()) == 240
+    assert sum(d for _, d in s1.values()) == 60
+    # base counts unchanged by the append
+    for c, (n, _d) in s1.items():
+        assert n == s0.get(c, (0, 0))[0]
+
+    compact_ivf_segments(spark, path)
+    s2 = {r["cell_id"]: (r["n_base"], r["n_delta"])
+          for r in ivf_cell_stats(spark, path).collect()}
+    assert sum(n for n, _ in s2.values()) == 300
+    assert all(d == 0 for _, d in s2.values())
