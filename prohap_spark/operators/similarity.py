@@ -993,8 +993,12 @@ def append_ivf_segment(spark, path: str, delta: DataFrame) -> dict:
     import json
     import os
 
-    from prohap_spark.operators.dedup import read_dedup_index, write_dedup_index
+    from prohap_spark.operators.dedup import read_dedup_index
 
+    if delta.isEmpty():
+        # an ingest tick with nothing new is a no-op, not a failure —
+        # and an empty partitioned parquet write would not round-trip
+        return {"segment": None, "n_rows": 0}
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     corpus_id, vec_col = meta["corpus_id"], meta["vec_col"]
@@ -1015,8 +1019,36 @@ def append_ivf_segment(spark, path: str, delta: DataFrame) -> dict:
         else 0
     )
     seg_path = os.path.join(path, f".cells_seg_{k:05d}")
-    manifest = write_dedup_index(assigned, seg_path, partition_by=["cell_id"])
+    manifest = _write_segment_atomic(
+        assigned, seg_path, f".tmp_cells_seg_{k:05d}", ["cell_id"]
+    )
     return {"segment": seg_path, **manifest}
+
+
+def _write_segment_atomic(
+    df: DataFrame, seg_path: str, tmp_name: str, partition_by=None
+) -> dict:
+    """Write a segment through a tmp dir + rename so a crashed or
+    failed write never leaves a torn directory that MATCHES the
+    segment glob (the read path would then fail loud on a manifest
+    that was never written — correct but needless when the base index
+    is intact). The tmp prefix is invisible to every ``*_seg_*`` glob;
+    a stale tmp from a prior crash is swept before reuse."""
+    import os
+    import shutil
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    tmp_path = os.path.join(os.path.dirname(seg_path), tmp_name)
+    if os.path.isdir(tmp_path):
+        shutil.rmtree(tmp_path)
+    try:
+        manifest = write_dedup_index(df, tmp_path, partition_by=partition_by)
+    except BaseException:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        raise
+    os.rename(tmp_path, seg_path)
+    return manifest
 
 
 def ivf_cell_stats(spark, path: str) -> DataFrame:
@@ -1259,8 +1291,6 @@ def append_lsh_segment(spark, path: str, delta: DataFrame) -> dict:
     import json
     import os
 
-    from prohap_spark.operators.dedup import write_dedup_index
-
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     corpus_id, vec_col = meta["corpus_id"], meta["vec_col"]
@@ -1278,22 +1308,35 @@ def append_lsh_segment(spark, path: str, delta: DataFrame) -> dict:
             for t in range(meta["n_tables"])
         ]
     )
+    if delta.isEmpty():
+        # empty ingest tick: no-op (an empty partitioned write would
+        # not round-trip, and half-written segment pairs must not
+        # exist — see _write_segment_atomic)
+        return {"segment": None, "postings": None, "vectors": None}
     segs = _glob.glob(os.path.join(path, ".postings_seg_*"))
     k = (
         max(int(os.path.basename(s).rsplit("_", 1)[1]) for s in segs) + 1
         if segs
         else 0
     )
-    m_post = write_dedup_index(
+    # vectors FIRST, postings second: the read path unions postings
+    # segments to find candidates and joins them to vectors — a crash
+    # between the two renames leaves a vectors segment with no
+    # postings twin (extra vectors are never candidates, harmless and
+    # swept by the next compact); the reverse order could surface
+    # candidate ids with no vector row
+    m_vec = _write_segment_atomic(
+        delta.select(F.col(corpus_id), F.col(vec_col)),
+        os.path.join(path, f".vectors_seg_{k:05d}"),
+        f".tmp_vectors_seg_{k:05d}",
+    )
+    m_post = _write_segment_atomic(
         delta.select(F.col(corpus_id), F.explode(buckets).alias("bucket")).select(
             "bucket", corpus_id
         ),
         os.path.join(path, f".postings_seg_{k:05d}"),
+        f".tmp_postings_seg_{k:05d}",
         partition_by=["bucket"],
-    )
-    m_vec = write_dedup_index(
-        delta.select(F.col(corpus_id), F.col(vec_col)),
-        os.path.join(path, f".vectors_seg_{k:05d}"),
     )
     return {"segment": k, "postings": m_post, "vectors": m_vec}
 

@@ -225,9 +225,21 @@ def append_trigram_segment(
     segmented read with a from-scratch rebuild is pinned in pytest."""
     import glob as _glob
     import os
+    import shutil
 
     from prohap_spark.operators.dedup import write_dedup_index
 
+    # eager checkpoint: the emptiness probe and the segment write share
+    # ONE shingling pass (isEmpty alone would re-run the build, doubling
+    # the O(|delta|) ingest CPU the probe measures)
+    postings = build_trigram_index(delta, id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
+    if postings.isEmpty():
+        # empty ingest tick (or a delta of texts too short to shingle):
+        # a no-op, not a failure — an empty parquet write would not
+        # round-trip and would tear the next segmented read (r14)
+        return {"segment": None, "n_rows": 0}
     segs = _glob.glob(os.path.join(path, ".seg_*"))
     k = (
         max(int(os.path.basename(s).rsplit("_", 1)[1]) for s in segs) + 1
@@ -235,9 +247,19 @@ def append_trigram_segment(
         else 0
     )
     seg_path = os.path.join(path, f".seg_{k:05d}")
-    manifest = write_dedup_index(
-        build_trigram_index(delta, id_col, text_col, n), seg_path
-    )
+    # atomic: land in a tmp name invisible to the .seg_* glob, rename
+    # on success — a crashed/failed segment write must never leave a
+    # glob-visible dir without a manifest (the read path would fail
+    # loud on an index whose base is intact) (r14)
+    tmp_path = os.path.join(path, f".tmpseg_{k:05d}")
+    if os.path.isdir(tmp_path):
+        shutil.rmtree(tmp_path)
+    try:
+        manifest = write_dedup_index(postings, tmp_path)
+    except BaseException:
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        raise
+    os.rename(tmp_path, seg_path)
     return {"segment": seg_path, **manifest}
 
 

@@ -4349,3 +4349,70 @@ def test_ivf_cell_stats_drift_signal(spark, tmp_path):
           for r in ivf_cell_stats(spark, path).collect()}
     assert sum(n for n, _ in s2.values()) == 300
     assert all(d == 0 for _, d in s2.values())
+
+
+def test_segment_append_empty_delta_noop(spark, tmp_path):
+    """Empty-delta ingest ticks are NO-OPS, never torn directories:
+    all three segment appenders (trgm, IVF, LSH) must leave the index
+    fully readable and value-identical, and the trgm case must also
+    no-op on a nonempty delta whose texts are too short to shingle."""
+    import os
+    import random as _random
+
+    from prohap_spark.operators.similarity import (
+        append_ivf_segment,
+        append_lsh_segment,
+        read_ivf_index,
+        read_lsh_index,
+        train_centroids_by_label,
+        write_ivf_index,
+        write_lsh_index,
+    )
+    from prohap_spark.operators.trgm import (
+        append_trigram_segment,
+        build_trigram_index,
+        read_trigram_segments,
+        write_trigram_index,
+    )
+
+    rng = _random.Random(5)
+    vec = spark.createDataFrame(
+        [
+            (i, f"lab{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    empty_vec = vec.where(F.lit(False))
+
+    ivf = str(tmp_path / "ivf")
+    write_ivf_index(
+        vec, train_centroids_by_label(vec, "label", "embedding"),
+        "vec_id", "embedding", ivf,
+    )
+    assert append_ivf_segment(spark, ivf, empty_vec)["segment"] is None
+    assert not any(d.startswith(".") and "seg" in d for d in os.listdir(ivf))
+    assert read_ivf_index(spark, ivf)[0].count() == 60
+
+    lsh = str(tmp_path / "lsh")
+    write_lsh_index(vec, "vec_id", "embedding", lsh, n_planes=3, n_tables=4)
+    assert append_lsh_segment(spark, lsh, empty_vec)["segment"] is None
+    assert not any("seg" in d for d in os.listdir(lsh))
+    assert read_lsh_index(spark, lsh)[1].count() == 60
+
+    docs = spark.createDataFrame(
+        [(i, f"some document text number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    trg = str(tmp_path / "trg")
+    write_trigram_index(build_trigram_index(docs, "doc_id", "text"), trg)
+    assert append_trigram_segment(
+        spark, trg, docs.where(F.lit(False)), "doc_id", "text"
+    )["segment"] is None
+    # nonempty delta, texts too short to shingle: also a no-op
+    shorts = spark.createDataFrame([(99, "ab"), (98, "x")], "doc_id long, text string")
+    assert append_trigram_segment(spark, trg, shorts, "doc_id", "text")[
+        "segment"
+    ] is None
+    assert not any(d.startswith(".seg_") for d in os.listdir(trg))
+    assert read_trigram_segments(spark, trg).count() > 0
