@@ -1311,8 +1311,23 @@ def write_dedup_index(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
-    back = index.sparkSession.read.parquet(path)
-    n, x, cols = _index_stats(back)
+    try:
+        back = index.sparkSession.read.parquet(path)
+        n, x, cols = _index_stats(back)
+    except Exception:
+        # an empty PARTITIONED write leaves no schema-bearing file, so
+        # its own read-back fails (r14) — clean up rather than leave a
+        # torn manifest-less dir that every later read refuses, and
+        # name the real cause instead of surfacing UNABLE_TO_INFER
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        raise ValueError(
+            f"write_dedup_index: the index written to {path} could not "
+            "be read back (an EMPTY frame with partition_by writes no "
+            "schema-bearing parquet file) — refusing to leave a torn "
+            "directory; write a non-empty index or skip the write"
+        ) from None
     # r13: the manifest also pins the DATA FILE SET (relative paths),
     # so vacuum_index (operators/compact.py) can distinguish the
     # committed files from stragglers a crashed/zombie job appended —

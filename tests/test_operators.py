@@ -4416,3 +4416,24 @@ def test_segment_append_empty_delta_noop(spark, tmp_path):
     ] is None
     assert not any(d.startswith(".seg_") for d in os.listdir(trg))
     assert read_trigram_segments(spark, trg).count() > 0
+
+
+def test_write_dedup_index_empty_partitioned_fails_clean(spark, tmp_path):
+    """An empty frame with partition_by cannot round-trip parquet —
+    the writer must fail LOUD with the real cause and leave NO torn
+    directory behind (previously the raw UNABLE_TO_INFER_SCHEMA
+    surfaced and a manifest-less dir stayed on disk)."""
+    import os
+
+    import pytest as _pytest
+
+    from prohap_spark.operators.dedup import write_dedup_index
+
+    path = str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "k long, cell_id long")
+    with _pytest.raises(ValueError, match="EMPTY frame with partition_by"):
+        write_dedup_index(empty.where(F.lit(False)), path, partition_by=["cell_id"])
+    assert not os.path.exists(path)
+    # empty UNPARTITIONED index still round-trips (schema-bearing file)
+    m = write_dedup_index(empty, str(tmp_path / "flat"))
+    assert m["n_rows"] == 0
