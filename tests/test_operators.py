@@ -4437,3 +4437,50 @@ def test_write_dedup_index_empty_partitioned_fails_clean(spark, tmp_path):
     # empty UNPARTITIONED index still round-trips (schema-bearing file)
     m = write_dedup_index(empty, str(tmp_path / "flat"))
     assert m["n_rows"] == 0
+
+
+def test_vacuum_index_never_touches_segments(spark, tmp_path):
+    """vacuum_index sweeps only the BASE artifact's unmanifested
+    stragglers; dot-prefixed segment dirs (their own manifests, their
+    own lifecycle) must be invisible to the sweep — a future change
+    that walks hidden dirs would silently delete committed segment
+    data, which this pin turns into a loud failure."""
+    import os
+
+    from prohap_spark.operators.compact import vacuum_index
+    from prohap_spark.operators.trgm import (
+        append_trigram_segment,
+        build_trigram_index,
+        read_trigram_segments,
+        write_trigram_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some document body number {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "trg")
+    write_trigram_index(
+        build_trigram_index(docs.where(F.col("doc_id") < 20), "doc_id", "text"),
+        path,
+    )
+    append_trigram_segment(
+        spark, path, docs.where(F.col("doc_id") >= 20), "doc_id", "text"
+    )
+    n_before = read_trigram_segments(spark, path).count()
+    seg = os.path.join(path, ".seg_00000")
+    seg_files = sorted(os.listdir(seg))
+
+    # pollute the BASE with a straggler; vacuum must remove exactly it
+    straggler = os.path.join(path, "part-straggler.parquet")
+    docs.limit(1).write.mode("overwrite").parquet(str(tmp_path / "tiny"))
+    import glob as _glob
+    import shutil
+
+    src = _glob.glob(str(tmp_path / "tiny" / "*.parquet"))[0]
+    shutil.copy(src, straggler)
+    stats = vacuum_index(spark, path)
+    assert not os.path.exists(straggler)
+    assert sorted(os.listdir(seg)) == seg_files
+    assert read_trigram_segments(spark, path).count() == n_before
+    assert stats is not None
