@@ -233,7 +233,10 @@ def delete_keys(
     Same idempotent-replay contract as the epoch writer: pass an
     explicit ``delete_id`` from a ``foreachBatch`` context and a
     replayed delivery finds the marker and no-ops; omit it for
-    interactive use and the next free id is allocated. A torn delete
+    interactive use and the next free id is allocated — allocation
+    assumes a SINGLE writer, like every maintenance op in this module
+    (two concurrent auto-allocating deleters can race to the same id;
+    pass explicit ids to serialize externally). A torn delete
     (parquet present, marker absent) is invisible to every reader.
     Returns the delete id."""
     import json
