@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from functools import reduce
 
 import numpy as np
 import pandas as pd
@@ -150,6 +151,94 @@ def extract_image_features(decoded: DataFrame, pixels_col: str = "pixels") -> Da
     )
     return decoded.withColumn("px_mean", F.round(mean, 4)).withColumn(
         "px_std", F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 4)
+    )
+
+
+def perceptual_hash_images(
+    decoded: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    bits: int = 60,
+) -> DataFrame:
+    """Average-hash signature over a decoded raster, EXACT-integer and
+    JVM-side: the flattened pixel array is cut into ``bits``
+    contiguous equal-share stripes, and bit k is set iff stripe k's
+    mean exceeds the global mean — compared by integer
+    cross-multiplication (``sum_k · n_total > sum_total · n_k``), so
+    no division and no float ever enters the signature; two engines
+    (or two cluster runs) produce identical hashes bit-for-bit.
+
+    Honest scope note: this is a 1-D STRIPE aHash — it catches the
+    aHash family's target (re-encodes, slight brightness/noise edits,
+    crops that preserve most rows) without needing the raster's
+    width, which :func:`decode_images` does not carry for real
+    codecs. A production pHash would DCT the 2-D raster; the
+    Spark-side shape — integer means, threshold against the global
+    mean, fixed-width bit pack, Hamming-ball banding — is identical,
+    and swapping the bit derivation does not touch the join.
+
+    Emits (id_col, simhash) — named to plug straight into
+    ``operators.dedup.simhash_near_pairs(sig_table=...)``, which
+    supplies the pigeonhole banding + exact ``bit_count(xor)``
+    verify. Default 60 bits matches its banding default (and keeps
+    the pack positive in a BIGINT)."""
+    px = F.col(pixels_col)
+    n = F.size(px)
+    total = F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def stripe_bit(k: int):
+        # stripe k covers [floor(k·n/bits), floor((k+1)·n/bits)) —
+        # equal shares with the remainder spread deterministically
+        start = F.floor(k * n / bits).cast("int")
+        end = F.floor((k + 1) * n / bits).cast("int")
+        length = end - start
+        s = F.aggregate(
+            F.slice(px, start + 1, length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        # exact integer comparison: mean_k > mean_total
+        return F.when(s * n > total * length, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    sig = reduce(
+        lambda acc, k: acc + (stripe_bit(k) * F.lit(1 << k)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return decoded.select(F.col(id_col), sig.alias("simhash"))
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    real_codec: bool = True,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs — the multimodal twin of the text
+    SimHash dedup: real magic-dispatched decode
+    (:func:`decode_images`), exact-integer stripe aHash
+    (:func:`perceptual_hash_images`), then the EXISTING pigeonhole
+    Hamming-ball machinery (``simhash_near_pairs`` with the
+    signatures as ``sig_table`` — one banding equi-join, never
+    all-pairs, 100% recall inside the ball). Returns
+    (id_a, id_b, hamming)."""
+    from prohap_spark.operators.dedup import simhash_near_pairs
+
+    decoded = decode_images(df, payload_col=payload_col, real_codec=real_codec)
+    sig = perceptual_hash_images(decoded, id_col=id_col, bits=bits)
+    return simhash_near_pairs(
+        None,
+        id_col,
+        None,
+        max_hamming=max_hamming,
+        bits=bits,
+        n_bands=n_bands,
+        sig_table=sig,
     )
 
 

@@ -1195,3 +1195,57 @@ def test_lossless_codecs_hypothesis_roundtrip():
         assert meta["total_frames"] == nf and got == frames
 
     avi_case()
+
+
+def test_image_near_dup_pairs_stripe_ahash(spark):
+    """Image near-dup via the exact-integer stripe aHash + the
+    existing pigeonhole Hamming machinery: an exact re-encode hashes
+    identically (hamming 0), a lightly-perturbed copy stays inside
+    the ball, and an inverted image is far outside it. All through
+    REAL BMP decode."""
+    import numpy as np
+
+    from prohap_spark.multimodal.binary_ops import (
+        image_near_dup_pairs,
+        perceptual_hash_images,
+        decode_images,
+    )
+    from prohap_spark.multimodal.codecs import encode_bmp
+
+    base = np.zeros((16, 16), dtype=np.uint8)
+    base[:8, :] = 10    # top half dark
+    base[8:, :] = 200   # bottom half bright
+    near = base.copy()
+    near[0, 5] = 11     # tiny edits far from the dark/bright boundary
+    near[15, 10] = 199
+    far = (255 - base).astype(np.uint8)  # inversion flips every stripe
+
+    rows = [
+        (1, "image", "image/bmp", bytearray(encode_bmp(base)), None),
+        (2, "image", "image/bmp", bytearray(encode_bmp(base)), None),  # exact dup
+        (3, "image", "image/bmp", bytearray(encode_bmp(near)), None),
+        (4, "image", "image/bmp", bytearray(encode_bmp(far)), None),
+    ]
+    from prohap_spark.multimodal.binary_ops import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    sigs = {
+        r["media_id"]: r["simhash"]
+        for r in perceptual_hash_images(
+            decode_images(df, real_codec=True), id_col="media_id"
+        ).collect()
+    }
+    assert sigs[1] == sigs[2]
+    h13 = bin(sigs[1] ^ sigs[3]).count("1")
+    h14 = bin(sigs[1] ^ sigs[4]).count("1")
+    assert h13 <= 3, h13
+    assert h14 > 20, h14
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert not any(4 in p for p in pairs)
