@@ -365,6 +365,72 @@ def audio_window_features(
     return df.select("media_id", payload_col).mapInPandas(run, schema=out_schema)
 
 
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """mapInPandas WAV decode: binary payload → mono int PCM samples
+    (``samples array<int>``). REAL RIFF/WAVE parse
+    (``codecs.decode_wav``); stereo downmixes by the EXACT integer
+    floor-average ``(l + r) div 2`` so the samples column stays
+    engine-portable integers (the float /2.0 downmix stays in
+    :func:`audio_window_features`, whose outputs are float features
+    anyway). The audio twin of :func:`decode_images` — downstream
+    array ops (stripe hashing, windowing) compose on the column."""
+    from prohap_spark.multimodal.codecs import decode_wav
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", samples array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                samples, _rate, channels = decode_wav(bytes(payload))
+                buf = samples.astype(np.int64)
+                if channels == 2:
+                    buf = (buf[0::2] + buf[1::2]) // 2
+                out.append(buf.astype(int).tolist())
+            yield pdf.assign(samples=out)
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Audio near-duplicate pairs: REAL WAV decode
+    (:func:`decode_audio`) → the SAME exact-integer stripe hash the
+    image path uses (:func:`perceptual_hash_images` is array-generic)
+    → the SimHash pigeonhole Hamming-ball join. The stripe
+    signature's integer cross-multiplied comparison (``sum_k ·
+    n_total > sum_total · n_k``) is EXACTLY invariant to positive
+    gain (both sides scale) and to DC offset (both means shift
+    equally) — so remasters at a different level or bias hash
+    IDENTICALLY, the failure mode a raw sample hash misses; pinned in
+    pytest. The cross-multiplication stays inside BIGINT up to clips
+    of ~10^8 samples (|sum| ≤ 2^15·n and n_k ≈ n/bits); longer audio
+    should window first. Returns (id_a, id_b, hamming)."""
+    from prohap_spark.operators.dedup import simhash_near_pairs
+
+    decoded = decode_audio(df, payload_col=payload_col)
+    sig = perceptual_hash_images(
+        decoded, id_col=id_col, pixels_col="samples", bits=bits
+    )
+    return simhash_near_pairs(
+        None,
+        id_col,
+        None,
+        max_hamming=max_hamming,
+        bits=bits,
+        n_bands=n_bands,
+        sig_table=sig,
+    )
+
+
 def audio_container_stats(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """mapInPandas container-metadata extraction over an audio binary
     column — the curation-stats pass (duration/bitrate/channel

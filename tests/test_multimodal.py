@@ -1249,3 +1249,55 @@ def test_image_near_dup_pairs_stripe_ahash(spark):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and (2, 3) in pairs
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_near_dup_gain_dc_invariance(spark):
+    """Audio near-dup via the shared stripe hash: exact gain (×2) and
+    DC offset (+100) remasters hash IDENTICALLY (the cross-multiplied
+    mean comparison is invariant to both), a lightly-edited copy
+    stays inside the Hamming ball, and a different waveform is far
+    outside. Real RIFF/WAVE payloads throughout."""
+    import numpy as np
+
+    from prohap_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        audio_near_dup_pairs,
+        decode_audio,
+        perceptual_hash_images,
+    )
+    from prohap_spark.multimodal.codecs import encode_wav
+
+    rng = np.random.default_rng(7)
+    base = (rng.integers(-2000, 2000, size=2400)).astype(np.int16)
+    gain = (base.astype(np.int32) * 2).astype(np.int16)       # exact ×2
+    dc = (base.astype(np.int32) + 100).astype(np.int16)        # exact +100
+    near = base.copy()
+    near[5] += 3
+    near[700] -= 2
+    other = (rng.integers(-2000, 2000, size=2400)).astype(np.int16)
+
+    rows = [
+        (1, "audio", "audio/wav", bytearray(encode_wav(base)), None),
+        (2, "audio", "audio/wav", bytearray(encode_wav(gain)), None),
+        (3, "audio", "audio/wav", bytearray(encode_wav(dc)), None),
+        (4, "audio", "audio/wav", bytearray(encode_wav(near)), None),
+        (5, "audio", "audio/wav", bytearray(encode_wav(other)), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    sigs = {
+        r["media_id"]: r["simhash"]
+        for r in perceptual_hash_images(
+            decode_audio(df), id_col="media_id", pixels_col="samples"
+        ).collect()
+    }
+    assert sigs[1] == sigs[2] == sigs[3]   # gain + DC invariance, exact
+    assert bin(sigs[1] ^ sigs[4]).count("1") <= 3
+    assert bin(sigs[1] ^ sigs[5]).count("1") > 10
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
