@@ -484,6 +484,113 @@ def audio_container_stats(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.mapInPandas(run, schema=out_schema)
 
 
+def decode_video_frames(
+    df: DataFrame, payload_col: str = "payload", every_n: int = 2
+) -> DataFrame:
+    """Sparse frame decode with PIXELS: demux the RIFF/AVI container
+    (codecs.parse_avi), decode every ``every_n``-th MJPEG frame, and
+    emit one row per sampled frame — (media_id, frame_idx, pixels
+    array<int>). The frame-fanout twin of :func:`decode_images`
+    (:func:`sample_avi_frames` keeps the cheap stats-only path);
+    skipped frames' entropy data is never touched, the property that
+    makes sparse sampling affordable at 100 TB."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    from prohap_spark.multimodal.codecs import decode_jpeg, parse_avi
+
+    out_schema = "media_id long, frame_idx int, pixels array<int>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, pix = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                _meta, frames = parse_avi(bytes(payload))
+                for i in range(0, len(frames), every_n):
+                    mids.append(int(mid))
+                    idxs.append(i)
+                    pix.append(
+                        decode_jpeg(frames[i]).ravel().astype(int).tolist()
+                    )
+            yield pd.DataFrame(
+                {"media_id": mids, "frame_idx": idxs, "pixels": pix}
+            )
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def perceptual_hash_video(
+    frames: DataFrame,
+    id_col: str = "media_id",
+    pixels_col: str = "pixels",
+    bits: int = 60,
+) -> DataFrame:
+    """Video signature from sampled frames: each frame gets the
+    exact-integer stripe hash (:func:`perceptual_hash_images`), then
+    each signature bit is the EXACT MAJORITY vote across the video's
+    sampled frames (``2·Σbit > n_frames``, ties → 0 — deterministic,
+    no float). Majority voting is what makes the signature robust to
+    a few edited/corrupted frames while identical videos stay
+    bit-identical. Emits (id_col, simhash) for
+    ``simhash_near_pairs(sig_table=...)``."""
+    per_frame = perceptual_hash_images(
+        frames, id_col=id_col, pixels_col=pixels_col, bits=bits
+    )
+    bit_arr = F.array(
+        *[
+            F.shiftright(F.col("simhash"), k).bitwiseAND(F.lit(1).cast("long"))
+            for k in range(bits)
+        ]
+    )
+    unpacked = per_frame.select(
+        F.col(id_col), F.posexplode(bit_arr).alias("k", "b")
+    )
+    return (
+        unpacked.groupBy(id_col, "k")
+        .agg(F.sum("b").alias("s"), F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "bit",
+            (F.col("s") * 2 > F.col("n")).cast("long"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.col("bit")
+                * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(k AS INT))")
+            ).alias("simhash")
+        )
+    )
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    every_n: int = 2,
+    bits: int = 60,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Video near-duplicate pairs, completing the modality triple on
+    ONE seam: real AVI/MJPEG demux + sparse frame decode
+    (:func:`decode_video_frames`) → per-frame stripe hash →
+    exact-majority video signature (:func:`perceptual_hash_video`) →
+    the SimHash pigeonhole Hamming-ball join. Returns
+    (id_a, id_b, hamming)."""
+    from prohap_spark.operators.dedup import simhash_near_pairs
+
+    frames = decode_video_frames(df, payload_col=payload_col, every_n=every_n)
+    sig = perceptual_hash_video(frames, id_col=id_col, bits=bits)
+    return simhash_near_pairs(
+        None,
+        id_col,
+        None,
+        max_hamming=max_hamming,
+        bits=bits,
+        n_bands=n_bands,
+        sig_table=sig,
+    )
+
+
 def sample_avi_frames(
     df: DataFrame, payload_col: str = "payload", every_n: int = 2
 ) -> DataFrame:

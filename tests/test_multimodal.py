@@ -1301,3 +1301,66 @@ def test_audio_near_dup_gain_dc_invariance(spark):
     assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
     assert (1, 4) in pairs
     assert not any(5 in p for p in pairs)
+
+
+def test_video_near_dup_majority_vote(spark):
+    """Video near-dup through the full real path (AVI demux → MJPEG
+    frame decode → per-frame stripe hash → exact majority vote): an
+    identical re-mux hashes the same; a copy with ONE edited frame is
+    absorbed by the majority vote (hamming small or zero); an
+    inverted video is far; the frame decode emits the sampled frames
+    only."""
+    import numpy as np
+
+    from prohap_spark.multimodal.binary_ops import (
+        MEDIA_SCHEMA,
+        decode_video_frames,
+        perceptual_hash_video,
+        video_near_dup_pairs,
+    )
+    from prohap_spark.multimodal.codecs import encode_avi, encode_jpeg
+
+    h = w = 16
+    base_frames = []
+    for f in range(5):
+        img = np.zeros((h, w), dtype=np.uint8)
+        img[: 8 + (f % 2), :] = 20   # slight frame-to-frame motion
+        img[8 + (f % 2):, :] = 210
+        base_frames.append(encode_jpeg(img))
+    edited = list(base_frames)
+    noisy = np.zeros((h, w), dtype=np.uint8)
+    noisy[:, :8] = 20
+    noisy[:, 8:] = 210               # one frame with different structure
+    edited[2] = encode_jpeg(noisy)
+    inv_img = np.zeros((h, w), dtype=np.uint8)
+    inv_img[:8, :] = 210
+    inv_img[8:, :] = 20
+    inverted = [encode_jpeg(inv_img) for _ in range(5)]
+
+    rows = [
+        (1, "video", "video/avi", bytearray(encode_avi(base_frames, w, h)), None),
+        (2, "video", "video/avi", bytearray(encode_avi(list(base_frames), w, h)), None),
+        (3, "video", "video/avi", bytearray(encode_avi(edited, w, h)), None),
+        (4, "video", "video/avi", bytearray(encode_avi(inverted, w, h)), None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    frames = decode_video_frames(df, every_n=2)
+    got = frames.groupBy("media_id").count().collect()
+    assert {r["media_id"]: r["count"] for r in got} == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    sigs = {
+        r["media_id"]: r["simhash"]
+        for r in perceptual_hash_video(frames).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert bin(sigs[1] ^ sigs[3]).count("1") <= 3
+    assert bin(sigs[1] ^ sigs[4]).count("1") > 10
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in video_near_dup_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs
+    assert not any(4 in p for p in pairs)
