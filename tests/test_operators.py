@@ -4484,3 +4484,70 @@ def test_vacuum_index_never_touches_segments(spark, tmp_path):
     assert sorted(os.listdir(seg)) == seg_files
     assert read_trigram_segments(spark, path).count() == n_before
     assert stats is not None
+
+
+def test_ivf_compact_crash_restores_readable_index(spark, tmp_path, monkeypatch):
+    """compact_ivf_segments' reentrant-swap claim under injected
+    crashes: a failure at the staging rename restores the backup (the
+    finally branch) and the SEGMENTED index stays fully readable and
+    value-identical; the retried compaction then succeeds."""
+    import os
+    import random as _random
+
+    from prohap_spark.operators import similarity as sim
+
+    rng = _random.Random(5)
+    rows = [
+        (i, f"lab{i % 4}", [rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(120)
+    ]
+    full = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    base = full.where(F.col("vec_id") < 100)
+    delta = full.where(F.col("vec_id") >= 100)
+    cents = sim.train_centroids_by_label(base, "label", "embedding")
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(base, cents, "vec_id", "embedding", path)
+    sim.append_ivf_segment(spark, path, delta)
+    before = {
+        (r["vec_id"], r["cell_id"])
+        for r in sim.read_ivf_index(spark, path)[0].select(
+            "vec_id", "cell_id"
+        ).collect()
+    }
+    assert len(before) == 120
+
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if src.endswith(".staging"):
+            raise OSError("injected crash at the staging rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="injected crash"):
+        sim.compact_ivf_segments(spark, path)
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    # the backup restore kept the index readable and value-identical
+    after = {
+        (r["vec_id"], r["cell_id"])
+        for r in sim.read_ivf_index(spark, path)[0].select(
+            "vec_id", "cell_id"
+        ).collect()
+    }
+    assert after == before
+
+    # retry completes; flat result still identical
+    stats = sim.compact_ivf_segments(spark, path)
+    assert stats["segments_folded"] == 1 and stats["n_rows"] == 120
+    final = {
+        (r["vec_id"], r["cell_id"])
+        for r in sim.read_ivf_index(spark, path)[0].select(
+            "vec_id", "cell_id"
+        ).collect()
+    }
+    assert final == before
