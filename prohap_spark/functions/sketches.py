@@ -207,12 +207,44 @@ def bloom_hash_positions(value: Column, k: int, m_bits: int) -> Column:
     )
 
 
-def bloom_build(grams: DataFrame, gram_col: str, k: int, m_bits: int) -> DataFrame:
+def bloom_hash_positions_xxh(value: Column, k: int, m_bits: int) -> Column:
+    """array<long> of ``k`` bit positions in [0, m_bits) via
+    ``xxhash64(value, j)`` — the RUNTIME-FILTER hash family (r14
+    optimization, guide §3.2/§4: Spark's own injected runtime Bloom
+    rides xxhash64). Pure 64-bit integer codegen — no string cast, no
+    md5, no per-hex-char ``conv`` parse — measured ~6x cheaper per row
+    than the md5-window family on the sf0.1 probe path. NOT
+    SQL-replayable and NOT artifact-compatible with the md5 family:
+    use it only for in-flight runtime filters whose downstream exact
+    join erases the filter's influence on results; persisted/oracle-
+    checked filters stay on :func:`bloom_hash_positions`. No m cap —
+    draws are full 64-bit."""
+    return F.array(
+        *[F.pmod(F.xxhash64(value, F.lit(j)), F.lit(m_bits)) for j in range(k)]
+    )
+
+
+def _bloom_positions(value: Column, k: int, m_bits: int, hash_family: str) -> Column:
+    if hash_family == "md5":
+        return bloom_hash_positions(value, k, m_bits)
+    if hash_family == "xxh64":
+        return bloom_hash_positions_xxh(value, k, m_bits)
+    raise ValueError(f"unknown bloom hash_family: {hash_family!r}")
+
+
+def bloom_build(
+    grams: DataFrame, gram_col: str, k: int, m_bits: int, hash_family: str = "md5"
+) -> DataFrame:
     """(word_idx int, word long): the Bloom filter of the ``gram_col``
     values as 62-bit words — ONE bit_or aggregate over the exploded
-    positions, at most ceil(m_bits/62) output rows (broadcastable)."""
+    positions, at most ceil(m_bits/62) output rows (broadcastable).
+    ``hash_family``: 'md5' (default — SQL-replayable artifact family)
+    or 'xxh64' (runtime-filter family, see
+    :func:`bloom_hash_positions_xxh`); build and probe must agree."""
     pos = grams.select(
-        F.explode(bloom_hash_positions(F.col(gram_col), k, m_bits)).alias("__pos")
+        F.explode(
+            _bloom_positions(F.col(gram_col), k, m_bits, hash_family)
+        ).alias("__pos")
     )
     return (
         pos.select(

@@ -51,7 +51,9 @@ def bloom_words_dense(bloom: DataFrame, m_bits: int) -> list[int]:
     return words
 
 
-def bloom_pass_expr(key: Column, words: list[int], k: int, m_bits: int) -> Column:
+def bloom_pass_expr(
+    key: Column, words: list[int], k: int, m_bits: int, hash_family: str = "md5"
+) -> Column:
     """Boolean column: all k Bloom bits of ``key`` are set in the
     literal ``words`` array — the map-side probe.
 
@@ -67,12 +69,44 @@ def bloom_pass_expr(key: Column, words: list[int], k: int, m_bits: int) -> Colum
       ~0.5 s.
     - md5 is computed ONCE per row (bind_once) and the k positions cut
       from its hex windows — k separate md5 calls measured 3.3 s vs
-      1.9 s bound."""
+      1.9 s bound.
+
+    ``hash_family='xxh64'`` (r14): positions from ``xxhash64(key, j)``
+    — pure integer codegen, no string cast/md5/conv. The md5 probe's
+    cost is per hex CHAR parsed (an r14 A/B of 2 convs over the same
+    20 chars measured the SAME wall as 4 convs over 5 chars each), so
+    the only way down is a different hash; xxh64 measured the probe
+    leg 1.19 s -> ~0.1 s over the bare scan at sf0.1. Build and probe
+    families must match (read_bloom_index pins artifact families)."""
     import numpy as np
 
     from prohap_spark.functions.hof import bind_once
 
     warr = F.lit(np.array(words, dtype=np.int64))
+
+    def test_bit(p: Column) -> Column:
+        return (
+            F.element_at(
+                warr, (p / BLOOM_WORD_BITS).cast("int") + 1
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft",
+                    F.lit(1).cast("long"),
+                    (p % BLOOM_WORD_BITS).cast("int"),
+                )
+            )
+            != 0
+        )
+
+    if hash_family == "xxh64":
+        cond = None
+        for j in range(k):
+            p = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+            t = test_bit(p)
+            cond = t if cond is None else (cond & t)
+        return cond
+    if hash_family != "md5":
+        raise ValueError(f"unknown bloom hash_family: {hash_family!r}")
 
     def probe(h: Column) -> Column:
         cond = None
@@ -81,19 +115,8 @@ def bloom_pass_expr(key: Column, words: list[int], k: int, m_bits: int) -> Colum
                 F.conv(F.substring(h, 1 + 5 * j, 5), 16, 10).cast("long"),
                 F.lit(m_bits),
             )
-            test = (
-                F.element_at(
-                    warr, (p / BLOOM_WORD_BITS).cast("int") + 1
-                ).bitwiseAND(
-                    F.call_function(
-                        "shiftleft",
-                        F.lit(1).cast("long"),
-                        (p % BLOOM_WORD_BITS).cast("int"),
-                    )
-                )
-                != 0
-            )
-            cond = test if cond is None else (cond & test)
+            t = test_bit(p)
+            cond = t if cond is None else (cond & t)
         return cond
 
     return bind_once(F.md5(key.cast("string")), probe)
@@ -108,6 +131,7 @@ def bloom_semi_join(
     m_bits: int = 1 << 17,
     collect_filter: bool = True,
     words: list[int] | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Semi-join ``fact`` to ``dim`` with a Bloom prefilter: returns
     exactly the fact rows whose ``fact_key`` appears in ``dim`` —
@@ -126,16 +150,37 @@ def bloom_semi_join(
 
     ``words``: pre-collected dense word list (bloom_words_dense) to
     share one filter build across several consumers (e.g. the join
-    and its stats diagnostic)."""
-    key_col = F.col(fact_key).cast("string")
+    and its stats diagnostic).
+
+    ``hash_family``: 'md5' (default — SQL-replayable, matches every
+    persisted artifact and oracle-checked gate) or 'xxh64' (r14
+    runtime-filter family — ~6x cheaper per probed row; hashes the
+    NATIVE key columns, so fact_key and dim_key must share a dtype;
+    pre-collected ``words`` must come from a build of the same
+    family). The returned ROWS are identical either way — the exact
+    join erases the filter's influence — only the prefilter's FP set
+    (and so its cost/selectivity) differs."""
+    if hash_family == "xxh64":
+        key_col = F.col(fact_key)
+        dim_key_col = F.col(dim_key)
+    else:
+        key_col = F.col(fact_key).cast("string")
+        dim_key_col = F.col(dim_key).cast("string")
     if words is None:
-        keys = dim.select(F.col(dim_key).cast("string").alias("__bk")).distinct()
-        bloom = bloom_build(keys, "__bk", k, m_bits)
+        keys = dim.select(dim_key_col.alias("__bk")).distinct()
+        bloom = bloom_build(keys, "__bk", k, m_bits, hash_family=hash_family)
     if collect_filter:
         if words is None:
             words = bloom_words_dense(bloom, m_bits)
-        reduced = fact.where(bloom_pass_expr(key_col, words, k, m_bits))
+        reduced = fact.where(
+            bloom_pass_expr(key_col, words, k, m_bits, hash_family=hash_family)
+        )
     else:
+        if hash_family != "md5":
+            raise ValueError(
+                "bloom_semi_join: collect_filter=False probes via "
+                "bloom_probe_hits, which is md5-window only"
+            )
         from prohap_spark.functions.sketches import bloom_probe_hits
 
         fact_keys = fact.select(key_col.alias("__pk")).distinct()

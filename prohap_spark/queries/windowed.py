@@ -324,9 +324,23 @@ def j1_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         end_col="hi",
         # bin = interval width/2 (2500 of 5000 cents): measured sweet
         # spot of exploded-row fanout vs per-bin candidate volume
+        # (r14 re-census: candidates 13.6M at 2500 vs 18.1M at 5000 vs
+        # 27.2M at 10000, with 9.1M true matches — 2500 holds)
         bin_size=2500,
         strategy="binned",
         closed="left",
+        # r14: the exploded interval side scans small (150k orders) but
+        # explodes 3x; Catalyst sizes generator output at ~1x input and
+        # statically plans a BroadcastHashJoin whose 450k-row relation
+        # is rebuilt single-threaded inside every execution — the exact
+        # misplan the interval_join docstring documents (its r7 probe:
+        # 143.6 s vs 16.0 s at 32x). The hint forces the shuffle path:
+        # measured 2.08 s -> 0.87 s at sf0.1 (plan: BroadcastHashJoin +
+        # BroadcastExchange -> ShuffledHashJoin + 2 Exchange), and at
+        # scale the exploded side keeps growing with the interval table
+        # while a broadcast would hit the 8 GB relation cap. Join
+        # strategy only — result rows are identical.
+        join_hint="shuffle_hash",
     )
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_matches"),

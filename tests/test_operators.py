@@ -3327,6 +3327,29 @@ def test_bloom_semi_join_equals_exact_semi_join(spark):
         }
         assert got == expect, f"collect_filter={collect_filter}"
 
+    # r14 runtime-filter family: xxh64 build+probe (native key dtypes,
+    # no string cast) must return the identical row set — the exact
+    # join erases the prefilter's (different) FP set. Same tight m so
+    # the xxh FP path is genuinely exercised too.
+    got_xxh = {
+        (r["key"], r["payload"])
+        for r in bloom_semi_join(
+            fact, dim, "key", "dkey", k=4, m_bits=256, hash_family="xxh64"
+        ).collect()
+    }
+    assert got_xxh == expect
+
+    # family must be threaded consistently: an xxh probe against
+    # md5-built words is a parameter mismatch the API refuses at the
+    # collect_filter=False seam
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="md5-window only"):
+        bloom_semi_join(
+            fact, dim, "key", "dkey", k=4, m_bits=256,
+            collect_filter=False, hash_family="xxh64",
+        )
+
     st = bloom_semi_join_stats(fact, dim, "key", "dkey", k=4, m_bits=256).collect()[0]
     assert st["n_fact"] == 3000
     assert st["n_exact_pass"] == len(expect)

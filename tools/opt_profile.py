@@ -100,7 +100,10 @@ def build_builders(spark, sf_dir):
         dim = _table(spark, sf_dir, "orders").where(
             F.col("o_orderpriority") == "1-URGENT"
         ).select("o_orderkey")
-        sj = bloom_semi_join(li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 19)
+        sj = bloom_semi_join(
+            li, dim, "l_orderkey", "o_orderkey", k=4, m_bits=1 << 19,
+            hash_family="xxh64",
+        )
         return sj.groupBy("l_returnflag").agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("l_quantity"), 2).alias("qty"),
