@@ -44,11 +44,18 @@ def quality_classifier_scores(
     from pyspark.ml.feature import HashingTF, Tokenizer
 
     from prohap_spark.functions import quality_score_expr
+    from prohap_spark.functions.text import words_array_expr
 
+    # r14: token split materialized once for the quality battery (see
+    # functions/text._ws_or — the array HOFs are CodegenFallback)
     base = df.select(
         F.col(id_col),
         F.col(text_col).alias("text"),
-        quality_score_expr(text_col).alias("__q"),
+        words_array_expr(text_col).alias("__ws"),
+    ).select(
+        F.col(id_col),
+        F.col("text"),
+        quality_score_expr("text", words=F.col("__ws")).alias("__q"),
         (md5_bucket(F.col(id_col), 100) < train_pct).alias("is_train"),
     )
     quantiles = base.approxQuantile("__q", [label_quantile, 1.0 - label_quantile], 0.001)

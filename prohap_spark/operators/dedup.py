@@ -962,6 +962,13 @@ def segment_dedup(
         # the document once per segment — O(n²/seg_words) chars on
         # long documents. Referencing the attribute >= 2x also keeps
         # CollapseProject from inlining the split back in.
+        #
+        # r14 note: substring_dedup's word-hash-slice gram key was
+        # A/B'd here too and LOST (0.65 s → 0.75 s at sf0.1): with
+        # ALIGNED seg_words-word segments each word is joined+hashed
+        # exactly once either way, so per-word hashing only adds
+        # seg_words× more xxhash64 invocations over the same char
+        # volume. The string-join key stays.
         n_segs = F.ceil(F.size(ws) / F.lit(float(seg_words))).cast("int")
         return F.transform(
             F.sequence(F.lit(0), n_segs - 1),
@@ -1058,20 +1065,20 @@ def substring_dedup(
     def ws_of(col: str):
         return F.split(F.trim(F.col(col)), " ")
 
-    def gramlist_from(ws):
-        # `ws` must be a MATERIALIZED column reference, never the raw
-        # split expression: the slice inside the per-element lambda
+    def gramlist_from(wh):
+        # `wh` must be a MATERIALIZED column reference, never a raw
+        # expression: the slice inside the per-element lambda
         # re-evaluates its operand per gram (the HOF lesson from
-        # _drop_positions/ngrams_from_words), which would re-split the
-        # document once per token — O(n²) chars on long documents
-        n = F.size(ws) - F.lit(k - 1)
+        # _drop_positions/ngrams_from_words), which would redo the
+        # work once per token — O(n²) on long documents
+        n = F.size(wh) - F.lit(k - 1)
         # guard the sequence: n <= 0 would generate a DESCENDING range
         # (the packing zero-token lesson), so short docs get no grams
         return F.when(
             n > 0,
             F.transform(
                 F.sequence(F.lit(0), n - 1),
-                lambda s: F.xxhash64(F.array_join(F.slice(ws, s + 1, k), " ")),
+                lambda s: F.xxhash64(F.slice(wh, s + 1, k)),
             ),
         ).otherwise(F.array().cast("array<long>"))
 
@@ -1081,9 +1088,24 @@ def substring_dedup(
     # consumer (measured -44% at sf0.1; gram fan-out is ~k× the token
     # count, so the second pass is the operator's single largest
     # cost). share_scan=False restores the pure-plan recompute path.
-    occ = df.select(F.col(id_col), ws_of(text_col).alias("__gws")).select(
+    #
+    # r14 gram-key optimization (guide §1.2 per-task work): hash each
+    # WORD once (one xxhash64 per token) and key each gram as
+    # xxhash64 over the k-long slice of word hashes, instead of
+    # re-joining the gram's k words into a fresh string per gram —
+    # that string build copied O(k) chars per gram, ~8× the payload
+    # this hashes. Measured: the gram build+aggregate pass 1.18 s →
+    # 0.66 s at sf0.1, with the dup-coverage set IDENTICAL (the key
+    # is still a deterministic 64-bit digest of the gram's word
+    # sequence — same equality structure, same accepted 64-bit
+    # collision risk; word-level hash collisions compose into gram
+    # collisions at the same ~2^-64 order).
+    occ = df.select(
         F.col(id_col),
-        F.posexplode(gramlist_from(F.col("__gws"))).alias("__gpos", "__k"),
+        F.transform(ws_of(text_col), lambda w: F.xxhash64(w)).alias("__gwh"),
+    ).select(
+        F.col(id_col),
+        F.posexplode(gramlist_from(F.col("__gwh"))).alias("__gpos", "__k"),
     )
     if share_scan:
         occ = occ.localCheckpoint(eager=False)

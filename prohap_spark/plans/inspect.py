@@ -100,6 +100,7 @@ def plan_report(df: DataFrame, name: str = "") -> dict:
         "scans_per_file": scans_per_file(df),
         "broadcast_joins": count("BroadcastHashJoin"),
         "sortmerge_joins": count("SortMergeJoin"),
+        "shuffledhash_joins": count("ShuffledHashJoin"),
         "bnl_joins": count("BroadcastNestedLoopJoin"),
         "exchanges": count("Exchange"),
         "codegen_stages": codegen_stage_count(df),

@@ -29,6 +29,7 @@ from prohap_spark.functions.text import (
     regex_token_count,
     stopword_ratio,
     whitespace_token_count,
+    words_array_expr,
 )
 from prohap_spark.queries.registry import register, table
 
@@ -64,11 +65,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot-freeing merge with text_langid; both were r10-greens whose
     rule-(c) slots funded the r13 front overflow)."""
     d = table(spark, sf_dir, "documents")
+    _ws = F.col("__ws")
     return d.select(
+        "doc_id", "text", words_array_expr("text").alias("__ws")
+    ).select(
         "doc_id",
-        whitespace_token_count("text").alias("n_words"),
-        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
-        F.round(quality_score_expr("text"), 6).alias("quality"),
+        whitespace_token_count("text", words=_ws).alias("n_words"),
+        F.round(stopword_ratio("text", words=_ws), 6).alias("stop_ratio"),
+        F.round(quality_score_expr("text", words=_ws), 6).alias("quality"),
     )
 
 
@@ -77,7 +81,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Library/bench callable — REGISTERED via text_quality_board since
     r13 (see :func:`text_quality`)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+    return d.select(
+        "doc_id", "text", words_array_expr("text").alias("__ws")
+    ).select(
+        "doc_id", lang_id_expr("text", words=F.col("__ws")).alias("pred_lang")
+    )
 
 
 @register(
@@ -135,12 +143,19 @@ def text_quality_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     def micro(col: Column) -> Column:
         return F.round(col * F.lit(1000000.0), 0).cast("long")
 
+    # r14: materialize the token split ONCE (functions/text._ws_or) —
+    # this battery references the array ~40x and the array HOFs are
+    # CodegenFallback, so an inlined split re-evaluates per reference.
+    # Measured 0.65 s -> 0.39 s at sf0.1, byte-identical output.
+    ws = F.col("__ws")
     return d.select(
+        "doc_id", "text", words_array_expr("text").alias("__ws")
+    ).select(
         "doc_id",
-        whitespace_token_count("text").alias("n_words"),
-        micro(stopword_ratio("text")).alias("stop_ratio_micro"),
-        micro(quality_score_expr("text")).alias("quality_micro"),
-        lang_id_expr("text").alias("pred_lang"),
+        whitespace_token_count("text", words=ws).alias("n_words"),
+        micro(stopword_ratio("text", words=ws)).alias("stop_ratio_micro"),
+        micro(quality_score_expr("text", words=ws)).alias("quality_micro"),
+        lang_id_expr("text", words=ws).alias("pred_lang"),
     )
 
 
@@ -227,8 +242,16 @@ def text_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # r14: materialize the split once — the three token-array
+    # consumers below are CodegenFallback HOFs, so an inlined split
+    # re-evaluates per reference (same device as text_quality_board,
+    # measured there 0.65 s -> 0.39 s at sf0.1)
+    ws = F.col("__ws")
     m = d.select(
+        "doc_id",
+        "text",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("__ws"),
+    ).select(
         "doc_id",
         F.size(ws).cast("long").alias("n"),
         F.aggregate(ws, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).alias(
@@ -2394,13 +2417,22 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
     from prohap_spark.functions.hashing import md5_bucket
     from prohap_spark.operators.dedup import segment_dedup
 
+    # r14: materialize the token split once for the quality+langid
+    # battery (same device and measurement as text_quality_board —
+    # the array HOFs are CodegenFallback, an inlined split
+    # re-evaluates per reference)
+    _ws = F.col("__ws")
     flags = d.select(
+        "doc_id", "source", "text", words_array_expr("text").alias("__ws")
+    ).select(
         "doc_id",
         "source",
         "text",
-        F.round(quality_score_expr("text"), 6).alias("quality"),
-        (F.round(quality_score_expr("text"), 6) >= 0.82).alias("passed_quality"),
-        (lang_id_expr("text") == "en").alias("is_en"),
+        F.round(quality_score_expr("text", words=_ws), 6).alias("quality"),
+        (F.round(quality_score_expr("text", words=_ws), 6) >= 0.82).alias(
+            "passed_quality"
+        ),
+        (lang_id_expr("text", words=_ws) == "en").alias("is_en"),
     )
     # flags feeds TWO consumers (the scrub/dedup/budget chain and the
     # final verdict join) — without sharing, the quality + langid

@@ -57,7 +57,16 @@ def test_binned_interval_join_avoids_nested_loop(spark, qs):
 
     rep = plan_report(j1_interval_join_binned(spark, SF))
     assert rep["bnl_joins"] == 0
-    assert rep["broadcast_joins"] + rep["sortmerge_joins"] >= 1
+    # r14: the binned leg hints shuffle_hash (the exploded interval
+    # side is generator-fanned and would otherwise be statically
+    # misplanned as a rebuilt-per-execution broadcast) — a
+    # ShuffledHashJoin satisfies the property this test pins: a hash
+    # EQUI-join on the bin key, never a nested-loop range probe
+    assert (
+        rep["broadcast_joins"] + rep["sortmerge_joins"]
+        + rep["shuffledhash_joins"]
+        >= 1
+    )
 
 
 def test_lsh_ann_avoids_cross_join(spark, qs):
