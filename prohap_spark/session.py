@@ -45,6 +45,27 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MIN_COALESCE", "64kb"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Whole-stage-codegen CLASS cache (static conf, default 100
+        # entries, JVM-wide). This engine's workload is many distinct
+        # query shapes per session (the bench alone runs 29 queries
+        # x ~5-10 codegen units each), so the 100-entry default
+        # thrashes: every pass re-compiles nearly every generated
+        # class through Janino, a fixed ~50-200 ms tax per stage that
+        # round-robin eviction makes PERMANENT within the session —
+        # measured r14: the full bench drops 16.98 s -> 11.27 s
+        # min_total (-34%) at equal cpu_probe from this one setting,
+        # and the previously-unexplained "in-pass JVM state" penalty
+        # (late-pass queries 0.2-0.9 s over their isolated times,
+        # unrecoverable by clearCache/gc) disappears — it was cache
+        # eviction, not JIT pollution. Not a local-only win: the same
+        # cache exists in every executor JVM and any long-running app
+        # with >100 distinct codegen units pays the same recompile
+        # tax at any scale; entries hold compiled classes (KB-100s of
+        # KB each), so 4096 bounds the cache at tens of MB.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # InferFiltersFromGenerate re-derives size(e)>0 below every
