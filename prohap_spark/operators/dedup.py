@@ -47,6 +47,38 @@ def dedup_exact(
     )
 
 
+def _multi_doc_keys(
+    ex: DataFrame, key_col: str, id_col: str, min_docs: int
+) -> DataFrame:
+    """Keys of ``ex`` appearing in at least ``min_docs`` distinct
+    documents — the duplicated-key detection shared by
+    segment_dedup / substring_dedup / cdc_dedup_stats.
+
+    r14 (guide §2.3 aggregate-before-shuffle): the dominant
+    ``min_docs == 2`` case ("shared by more than one document") is
+    exactly ``min(id) != max(id)`` — two cheap fully-map-side-partial
+    aggregates — instead of ``countDistinct``'s two-phase distinct
+    expansion (group by (key, id) first, then by key), which re-keys
+    the whole occurrence table twice. Measured on the sf0.1 gram
+    table (236k rows): the dup aggregate alone 0.67 s → 0.47 s; the
+    equivalence is exact — a key whose occurrences span ≥2 distinct
+    non-null ids has min != max, a single-doc key (or all-null ids,
+    which countDistinct also ignores) does not. The general
+    threshold keeps countDistinct."""
+    g = ex.groupBy(key_col)
+    if min_docs == 2:
+        return (
+            g.agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+            .where(F.col("__lo") != F.col("__hi"))
+            .select(key_col)
+        )
+    return (
+        g.agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select(key_col)
+    )
+
+
 def _drop_positions(items: Column, rm: Column) -> Column:
     """Order-preserving removal of the 0-based positions ``rm`` from
     the array ``items`` — the scrub-reassembly core shared by
@@ -864,12 +896,7 @@ def cdc_dedup_stats(
     pairs = ch.select(F.col(id_col), "chunk_hash")
     if share_scan:
         pairs = pairs.localCheckpoint(eager=False)
-    dup_hashes = (
-        pairs.groupBy("chunk_hash")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .where(F.col("__nd") >= 2)
-        .select("chunk_hash")
-    )
+    dup_hashes = _multi_doc_keys(pairs, "chunk_hash", id_col, 2)
     flagged = pairs.join(
         dup_hashes.withColumn("__dup", F.lit(1)), "chunk_hash", "left"
     )
@@ -997,12 +1024,7 @@ def segment_dedup(
     )
     if share_scan:
         ex = ex.localCheckpoint(eager=False)
-    dup = (
-        ex.groupBy("__k")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .where(F.col("__nd") > max_docs)
-        .select("__k")
-    )
+    dup = _multi_doc_keys(ex, "__k", id_col, max_docs + 1)
     removed = (
         ex.join(dup, "__k")
         .groupBy(id_col)
@@ -1109,12 +1131,7 @@ def substring_dedup(
     )
     if share_scan:
         occ = occ.localCheckpoint(eager=False)
-    dup = (
-        occ.groupBy("__k")
-        .agg(F.countDistinct(id_col).alias("__nd"))
-        .where(F.col("__nd") > max_docs)
-        .select("__k")
-    )
+    dup = _multi_doc_keys(occ, "__k", id_col, max_docs + 1)
     removed = (
         occ.join(dup, "__k")
         .select(

@@ -4574,3 +4574,37 @@ def test_ivf_compact_crash_restores_readable_index(spark, tmp_path, monkeypatch)
         ).collect()
     }
     assert final == before
+
+
+def test_multi_doc_keys_minmax_equivalence(spark):
+    """The min!=max fast path of _multi_doc_keys (min_docs=2) must
+    select exactly the keys countDistinct(id)>=2 selects, including
+    the edge cases: intra-doc repeats (distinct count 1), null ids
+    (ignored by countDistinct; min/max skip them too), and an
+    all-null-id key (dropped by both). The general min_docs=3 path
+    stays countDistinct-based and is pinned on the same fixture."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.dedup import _multi_doc_keys
+
+    rows = [
+        ("k_two_docs", 1), ("k_two_docs", 2),
+        ("k_one_doc_repeat", 3), ("k_one_doc_repeat", 3),
+        ("k_null_plus_one", None), ("k_null_plus_one", 4),
+        ("k_all_null", None), ("k_all_null", None),
+        ("k_three_docs", 5), ("k_three_docs", 6), ("k_three_docs", 7),
+    ]
+    ex = spark.createDataFrame(rows, ["__k", "doc_id"])
+    fast = {r["__k"] for r in _multi_doc_keys(ex, "__k", "doc_id", 2).collect()}
+    ref = {
+        r["__k"]
+        for r in ex.groupBy("__k")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .where(F.col("n") >= 2)
+        .collect()
+    }
+    assert fast == ref == {"k_two_docs", "k_three_docs"}
+    general = {
+        r["__k"] for r in _multi_doc_keys(ex, "__k", "doc_id", 3).collect()
+    }
+    assert general == {"k_three_docs"}
