@@ -91,3 +91,23 @@ def test_aqe_splits_skewed_join_partition(spark):
     final_plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in final_plan
     assert "skew=true" in final_plan, final_plan[:2000]
+
+
+def test_spread_scan_widens_single_split_and_noops_when_parallel(spark):
+    """spread_scan: a 1-split input is repartitioned to cluster width
+    (identical rows), an already-parallel input is returned AS-IS (no
+    exchange added — the 100 TB no-op guarantee)."""
+    from prohap_spark.operators.skew import spread_scan
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert docs.rdd.getNumPartitions() == 1  # one row group = one split
+
+    spread = spread_scan(docs, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # identical multiset of rows
+    assert spread.exceptAll(docs).count() == 0
+    assert docs.exceptAll(spread).count() == 0
+
+    # already-parallel input: returned unchanged (same plan object)
+    wide = docs.repartition(spark.sparkContext.defaultParallelism + 4, "doc_id")
+    assert spread_scan(wide, "doc_id") is wide
