@@ -31,6 +31,7 @@ from prohap_spark.functions.text import (
     whitespace_token_count,
     words_array_expr,
 )
+from prohap_spark.operators.skew import spread_scan
 from prohap_spark.queries.registry import register, table
 
 # shared DuckDB snippet: distinct word set of a document
@@ -791,7 +792,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 100 TB shape: the stats aggregate is a 1-row broadcast; scoring
     is a map-side projection; the global top-k is a TakeOrdered — no
     full sort."""
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: per-term tf array filters over every doc
+    # (measured 0.69 -> 0.62 s at sf0.1)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.split(F.lower(F.trim("text")), r"\s+").alias("ws")
     ).select("doc_id", "ws", F.size("ws").alias("dl"))
@@ -1028,7 +1031,9 @@ def text_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _md5_window_int(c, 1, 15)
 
     K, M = 4, 1 << 17
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: the per-doc trigram shingling battery dominates
+    # the one-row-group scan (measured 1.81 -> 0.88 s at sf0.1)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     # the bench gram set feeds the Bloom build AND the exact hash set —
     # share it too (multiplied-subplan rule, same as corpus below)
     bench_grams = (
@@ -1495,7 +1500,8 @@ def text_intradoc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CollapseProject degrades to O(n²) per row). The output compares
     the md5 of the scrubbed text, so one wrongly dropped or kept word
     anywhere breaks the hash."""
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: zip/compact/md5 battery (0.23 -> 0.12 s sf0.1)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     ws = F.split(F.trim(F.lower(F.col("text"))), " ")
     prev = F.concat(
         F.array(F.lit(None).cast("string")),
@@ -2134,7 +2140,8 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     string, so the selected set is engine-deterministic."""
     from prohap_spark.operators.dedup import shingle_table
 
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: shingling is the whole map side (0.48 -> 0.38 s)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     toks = shingle_table(d, "doc_id", "text", ngram=3)
     return (
         toks.select(F.explode("__tokens").alias("gram"))
@@ -2185,7 +2192,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equi-join."""
     from prohap_spark.operators.dedup import winnowing_pairs
 
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: the per-doc trigram-hash + window-minima
+    # selection battery dominates (measured 1.34 -> 0.74 s at sf0.1)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     return winnowing_pairs(
         d, "doc_id", "text", ngram=3, window=4, min_shared=2, max_fp_docs=20
     )
@@ -2995,7 +3004,9 @@ def dedup_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         cdc_dedup_stats,
     )
 
-    d = table(spark, sf_dir, "documents")
+    # r14 spread_scan: the boundary-hash segmentation kernels are the
+    # map side of both legs (measured 1.56 -> 1.14 s at sf0.1)
+    d = spread_scan(table(spark, sf_dir, "documents"), "doc_id")
     st = cdc_dedup_stats(
         d, "doc_id", "text",
         window=_CDC_W, divisor=_CDC_D, min_words=_CDC_MIN,
