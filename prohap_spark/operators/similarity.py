@@ -53,8 +53,19 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(vec_col).alias("__qvec")
     ).withColumn("__qnorm", _norm(F.col("__qvec")))
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+    from prohap_spark.operators.skew import spread_scan
+
+    # r14 spread_scan (input skew, guide §2.5): a single-row-group
+    # corpus scan would evaluate the whole per-pair dot/norm battery
+    # on ONE core however wide the box; repartitioning to cluster
+    # width is a no-op when the corpus already arrives with enough
+    # splits (the production case). Measured on the bench brute-force
+    # entry: 0.326 -> 0.257 s at sf0.1.
+    c = spread_scan(
+        corpus.select(
+            F.col(corpus_id).alias("__cid"), F.col(vec_col).alias("__cvec")
+        ),
+        "__cid",
     ).withColumn("__cnorm", _norm(F.col("__cvec")))
     scored = c.crossJoin(F.broadcast(q)).withColumn(
         "cosine", _dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qnorm") * F.col("__cnorm"))
