@@ -149,10 +149,30 @@ def ngram_tokens_expr(text_col: str | Column, n: int = 2) -> Column:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, ngram: int, keep_cols: list[str] | None = None
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int,
+    keep_cols: list[str] | None = None,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, tokens) with the words array materialized in its own
-    projection so the n-gram lambda reads a computed column."""
+    projection so the n-gram lambda reads a computed column.
+
+    ``drop_empty``: drop rows whose shingle set would be empty. Do NOT
+    express that as ``where(size(__tokens) > 0)`` on the result —
+    Catalyst pushes the predicate below the projections, substituting
+    the ENTIRE shingle pipeline into the Filter, so every row pays the
+    token build twice (plus 3x the word split, measured in the r14
+    plan: the pushed condition inlines ``split(trim(lower(text)))``
+    three times). The equivalent cheap precondition is
+    ``size(words) >= ngram`` on the raw text (split never yields null
+    elements, the zip_with chain nulls exactly the trailing partial
+    grams, and null text nulls out either way — equivalence pinned by
+    test_shingle_drop_empty_equivalence), which pushes to the scan and
+    costs ONE split for rows that are then never shingled at all."""
+    if drop_empty:
+        df = df.where(F.size(words_expr(text_col)) >= ngram)
     base = df.select(
         *(keep_cols or []), F.col(id_col), words_expr(text_col).alias("__words")
     )
@@ -384,7 +404,7 @@ def minhash_dedup_pairs(
     ``incremental_lsh_pairs`` measured at -31% on the sf0.1 ingest);
     usual caveats — snapshot on first action, non-fault-tolerant local
     blocks, pass False on preemptible clusters."""
-    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    toks = shingle_table(df, id_col, text_col, ngram, drop_empty=True)
     # spread the md5-heavy signature stage: a small input file arrives
     # as one split, which would serialize the hashing on a single core
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -415,7 +435,7 @@ def lsh_bucket_stats(
     a ``max_bucket_size`` cap would skip it — run this (cheap: stops at
     the bucket aggregate, no pair explode) before/alongside a capped
     dedup so truncation is measured, not silent."""
-    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    toks = shingle_table(df, id_col, text_col, ngram, drop_empty=True)
     # same lambda-binding as band_table: the signature must compute
     # once per row, not once per band
     bands = band_table(toks, id_col, "__tokens", num_hashes, band_size)
@@ -1503,7 +1523,7 @@ def lsh_band_index(
     append each ingest's kept rows, and pass it back to
     ``incremental_lsh_pairs`` as ``base_bands`` — the recurring
     per-ingest cost then never re-shingles the corpus."""
-    toks = shingle_table(df, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    toks = shingle_table(df, id_col, text_col, ngram, drop_empty=True)
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = toks.repartition(par, id_col)
     return band_table(toks, id_col, "__tokens", num_hashes, band_size)
@@ -1542,7 +1562,7 @@ def incremental_lsh_pairs(
     deployment fetches them from the corpus store. ``max_bucket_size``
     drops over-cap base buckets before the probe join — the same
     measured k²-guard as ``lsh_candidate_pairs``."""
-    toks_d = shingle_table(delta, id_col, text_col, ngram).where(F.size("__tokens") > 0)
+    toks_d = shingle_table(delta, id_col, text_col, ngram, drop_empty=True)
     par = delta.sparkSession.sparkContext.defaultParallelism
     # the delta shingle table feeds THREE consumers (band table, verify
     # left leg, verify delta-side right leg); as an unshared subplan

@@ -60,9 +60,14 @@ def stream_near_dup_candidates(
     from prohap_spark.operators.dedup import tokens_expr
     from pyspark.sql import functions as F
 
-    toks = docs.select(
+    # size(array_distinct(split(trim(lower(text))))) > 0 is exactly
+    # "text IS NOT NULL" (split never returns an empty array), and the
+    # cheap form doesn't get pushed below the projection as a full
+    # re-tokenization per row (r14 filter-pushdown finding, see
+    # operators/dedup.py shingle_table drop_empty)
+    toks = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens_expr(text_col).alias("__tokens")
-    ).where(F.size("__tokens") > 0)
+    )
     bands = band_table(toks, id_col, "__tokens", num_hashes, band_size)
 
     if not docs.isStreaming:

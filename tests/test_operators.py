@@ -4608,3 +4608,45 @@ def test_multi_doc_keys_minmax_equivalence(spark):
         r["__k"] for r in _multi_doc_keys(ex, "__k", "doc_id", 3).collect()
     }
     assert general == {"k_three_docs"}
+
+
+def test_shingle_drop_empty_equivalence(spark):
+    """shingle_table(drop_empty=True) filters on the cheap precondition
+    size(words) >= ngram instead of size(__tokens) > 0 (which Catalyst
+    pushes below the projections, re-evaluating the whole shingle
+    pipeline inside the Filter). The two predicates must select exactly
+    the same rows for every edge case: null text, empty text,
+    whitespace-only text (split -> [""]), docs shorter than the gram,
+    docs exactly at the gram length, and repeated words (distinct
+    grams still non-empty)."""
+    from pyspark.sql import functions as F
+
+    from prohap_spark.operators.dedup import shingle_table
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "   "),
+        (4, "one"),
+        (5, "one two"),
+        (6, "one two three"),
+        (7, "same same same"),
+        (8, "a  b\tc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for n in (1, 2, 3, 4):
+        fast = shingle_table(df, "doc_id", "text", n, drop_empty=True)
+        slow = shingle_table(df, "doc_id", "text", n).where(
+            F.size("__tokens") > 0
+        )
+        fast_rows = {(r["doc_id"], tuple(r["__tokens"])) for r in fast.collect()}
+        slow_rows = {(r["doc_id"], tuple(r["__tokens"])) for r in slow.collect()}
+        assert fast_rows == slow_rows, f"ngram={n}: {fast_rows} != {slow_rows}"
+    # and the whole point: the fast filter's condition must not contain
+    # the gram build (zip_with) — one split, no token re-evaluation
+    plan_lines = (
+        shingle_table(df, "doc_id", "text", 2, drop_empty=True)
+        ._jdf.queryExecution().executedPlan().toString().splitlines()
+    )
+    filt = [ln for ln in plan_lines if "Filter" in ln and "size(" in ln]
+    assert filt and all("zip_with" not in ln for ln in filt)
