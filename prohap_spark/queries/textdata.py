@@ -2444,6 +2444,14 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
     # to cluster width before it (spread_scan — no-op on inputs that
     # already arrive parallel). Measured: funnel 1.31 -> 1.07 s.
     _ws = F.col("__ws")
+    # r14 session 4: passed_quality derives from the `quality` COLUMN
+    # in a third stacked projection — stating the battery twice in one
+    # select evaluated the whole CodegenFallback quality chain (word
+    # aggregate + stopword filter + punctuation regexp) TWICE per row
+    # (the executed Project showed both copies verbatim; codegen CSE
+    # never sees fallback expressions). `quality` is referenced twice
+    # downstream (output + predicate), so CollapseProject keeps the
+    # intermediate materialized.
     flags = spread_scan(d, "doc_id").select(
         "doc_id", "source", "text", words_array_expr("text").alias("__ws")
     ).select(
@@ -2451,10 +2459,14 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
         "source",
         "text",
         F.round(quality_score_expr("text", words=_ws), 6).alias("quality"),
-        (F.round(quality_score_expr("text", words=_ws), 6) >= 0.82).alias(
-            "passed_quality"
-        ),
         (lang_id_expr("text", words=_ws) == "en").alias("is_en"),
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        "quality",
+        (F.col("quality") >= 0.82).alias("passed_quality"),
+        "is_en",
     )
     # flags feeds TWO consumers (the scrub/dedup/budget chain and the
     # final verdict join) — without sharing, the quality + langid
