@@ -40,15 +40,21 @@ Why the bench shows it as a steady +0.4-0.7 s on late-board entries:
 in the bench, consecutive runs of one query are separated by a FULL
 board pass, so every bench sample IS a first-run-after-context sample
 — min-of-3 cannot dodge a spike that every pass re-triggers.
-Mechanism consistent with all three probes: deoptimization storms —
-each batch of newly loaded generated classes invalidates speculative
-inlining (CHA) in compiled shared-runtime methods, whose re-JIT is
-charged to whichever query runs next. Not config-addressable (the
-code cache is not full, GC is nil), and NOT a Spark-level defect: at
-production scale each executor JVM runs far fewer distinct query
-shapes per process lifetime. The bench's fixed order + warm pass +
-min-of-3 protocol makes the effect identical across rounds, so
-round-over-round comparison is unaffected.
+Mechanism consistent with all three probes: deoptimization/recompile
+churn. Pass 1 of any context is class-loading-driven (each batch of
+newly loaded generated classes invalidates speculative inlining (CHA)
+in compiled shared-runtime methods); in later passes the codegen
+SOURCE cache (4096 entries since session 2) means no new classes load
+at all, yet compile time still grows +10-34 s per pass — that
+steady-state churn is profile cycling: alternating the board's ~29
+query shapes keeps flipping the type profiles of hot SHARED runtime
+methods (sorter/reader/shuffle loops), re-triggering deopt →
+re-profile → re-JIT, charged to whichever query runs next. Not
+config-addressable (the code cache is not full, GC is nil), and NOT a
+Spark-level defect: at production scale each executor JVM runs far
+fewer distinct query shapes per process lifetime. The bench's fixed
+order + warm pass + min-of-3 protocol makes the effect identical
+across rounds, so round-over-round comparison is unaffected.
 """
 
 from __future__ import annotations
