@@ -170,29 +170,12 @@ def extract_haplotypes(
         "transcript_id",
         _is_diploid_locus(F.col("chrom"), F.col("start")).alias("is_diploid"),
     )
-    haplos = haplos.join(F.broadcast(tr_diploid), "transcript_id", "left").crossJoin(
-        F.broadcast(totals)
-    )
-    denom = F.when(
-        F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n_samples")
-    ).otherwise(F.col("__n_males") + 2 * (F.col("__n_samples") - F.col("__n_males")))
-    # frequency as exact 1e-5 units via the floor device (r12): the A5
-    # duplicate merge sums frequencies, and sums of rounded 5-decimal
-    # DOUBLES reassociate differently per aggregation order — the
-    # float-gate class. floor(cnt*1e5/denom + 0.5)/1e5 is the same
-    # correctly-rounded IEEE chain in every engine.
-    haplos = haplos.withColumn(
-        "frequency",
-        F.floor(F.col("occurrence_count") * F.lit(100000.0) / denom + F.lit(0.5))
-        / F.lit(100000.0),
-    ).drop("__n_samples", "__n_males")
-
-    # A4: per-(super)population frequency maps with per-group sex-aware
-    # denominators (get_haplotypes.py:237-313), computed ROW-LOCALLY
-    # from the collected per-copy population codes plus ONE broadcast
-    # single-row map of group denominators — zero additional shuffles
-    # and no second pass over the carrier table. Per-row cost is
-    # O(carriers × distinct-groups); the row already carries the
+    # A4 (definition moved above the joins, r14 session 5): the
+    # per-(super)population frequency maps below are computed
+    # ROW-LOCALLY from the collected per-copy population codes plus ONE
+    # broadcast single-row map of group denominators — zero additional
+    # shuffles and no second pass over the carrier table. Per-row cost
+    # is O(carriers × distinct-groups); the row already carries the
     # carrier-sample array of the same length, so this adds no new
     # asymptotic weight.
     def _level_explode(df: DataFrame, pop_col: str, sup_col: str) -> DataFrame:
@@ -225,7 +208,34 @@ def extract_haplotypes(
             ).alias("__denoms")
         )
     )
-    haplos = haplos.crossJoin(F.broadcast(denom_map))
+    # r14 session 5: ONE one-row broadcast crossJoin instead of two —
+    # the cohort totals and the group-denominator map (both single-row
+    # lazy aggregates over samples_meta) combine into one auxiliary row
+    # BEFORE broadcasting, so the full haplotype table flows through
+    # ONE BroadcastNestedLoopJoin, not two (the second BNLJ moves
+    # inside the broadcast build, where it crosses two 1-row frames).
+    # At scale that is one fewer full operator pass over the haplotype
+    # table; results are identical (same columns, same values, joined
+    # to every row either way). Plan diff and flat local A/B:
+    # plans/r14/domain_prohap_e2e_s5{before,after}.txt,
+    # OPTIMIZATION_r14.md session 5.
+    aux = totals.crossJoin(denom_map)
+    haplos = haplos.join(F.broadcast(tr_diploid), "transcript_id", "left").crossJoin(
+        F.broadcast(aux)
+    )
+    denom = F.when(
+        F.coalesce(F.col("is_diploid"), F.lit(True)), 2 * F.col("__n_samples")
+    ).otherwise(F.col("__n_males") + 2 * (F.col("__n_samples") - F.col("__n_males")))
+    # frequency as exact 1e-5 units via the floor device (r12): the A5
+    # duplicate merge sums frequencies, and sums of rounded 5-decimal
+    # DOUBLES reassociate differently per aggregation order — the
+    # float-gate class. floor(cnt*1e5/denom + 0.5)/1e5 is the same
+    # correctly-rounded IEEE chain in every engine.
+    haplos = haplos.withColumn(
+        "frequency",
+        F.floor(F.col("occurrence_count") * F.lit(100000.0) / denom + F.lit(0.5))
+        / F.lit(100000.0),
+    ).drop("__n_samples", "__n_males")
 
     def _freq_map(level: str, field: str):
         pops = F.array_compact(
