@@ -85,6 +85,13 @@ HEADLINE = [
 # graph_pagerank joins the board via a custom builder below (the
 # registered query materializes inside its eager checkpoint, which
 # would move all the work outside the timed region).
+# CONTINUITY NOTE (r15, per VERDICT r14 #5): BENCH_r14 is the
+# hash-family-swap boundary for j13_bloom_semi_join — r14 switched
+# the bench builder's production sizing to hash_family="xxh64"
+# (pytest-pinned to return identical rows to the md5 family), so the
+# r13→r14 j13 speedup is "cheaper hash family at the same sizing",
+# not same-work speedup; r14→onward entries are like-for-like again.
+# The registered md5-family gate j13_bloom_semi_join is untouched.
 
 
 def _burn(deadline: float, out, idx: int) -> None:

@@ -107,6 +107,23 @@ def extract_haplotypes(
     iv = tc.withColumn("iv_start", F.col("pos")).withColumn(
         "iv_end", F.col("pos") + ref_len - 1
     )
+    # r15 (guide §2.4): establish the pipeline's ONE carrier
+    # partitioning HERE, on transcript_id alone. hash(transcript_id)
+    # satisfies the clustered distribution of every downstream step —
+    # the conflict windows partitioned by (transcript, sample, phase),
+    # the per-copy signature aggregate, AND the signature→haplotype
+    # aggregate keyed (transcript_id, strand, signature) — so Catalyst
+    # plans a single Exchange where the (transcript, sample, phase)
+    # partitioning needed a second full shuffle of the signature table
+    # between the two aggregations (plan diff: plans/r15/
+    # domain_prohap_e2e_{before,after}.txt, Exchange(41) gone). Same
+    # bytes through the one exchange either way; the coarser key is
+    # scale-safe because the transcript IS the reference pipeline's
+    # own unit of parallelism (get_haplotypes.py forks its Pool per
+    # transcript), so a per-transcript task here is never wider than
+    # the baseline's per-worker unit, and transcript count (~10^5)
+    # keeps every executor fed at any cohort size.
+    iv = iv.repartition(F.col("transcript_id"))
     copy_w = Window.partitionBy("transcript_id", "sample_name", "phase")
     order_w = copy_w.orderBy("iv_start", "iv_end")
     prev_max_end = F.max("iv_end").over(order_w.rowsBetween(Window.unboundedPreceding, -1))
@@ -162,7 +179,17 @@ def extract_haplotypes(
     # diploidy from the transcript span (is_autosomal analog,
     # get_haplotypes.py:92). The cohort totals stay a LAZY broadcast
     # 1-row aggregate (no blocking driver-side .count() actions).
-    totals = samples_meta.agg(
+    # r15 (guide §2.4): samples_meta is cohort METADATA — thousands of
+    # rows at any production scale — yet its two auxiliary aggregates
+    # below each paid full shuffle exchanges (a 2-stage global agg for
+    # the totals, a 4-stage groupBy+collect for the denominator map:
+    # Exchanges 51/59/62 in plans/r15/domain_prohap_e2e_before.txt).
+    # coalesce(1) gives the scans SinglePartition partitioning, which
+    # satisfies every aggregation's required distribution — all three
+    # Exchanges vanish and the aux row builds in one task, which is
+    # the honest plan for a metadata-sized input.
+    meta1 = samples_meta.coalesce(1)
+    totals = meta1.agg(
         F.count(F.lit(1)).alias("__n_samples"),
         F.sum(F.when(F.col("sex") == "male", 1).otherwise(0)).alias("__n_males"),
     )
@@ -190,7 +217,7 @@ def extract_haplotypes(
         ).select("*", F.col("__lg.level").alias("__level"), F.col("__lg.grp").alias("__grp"))
 
     denom_map = (
-        _level_explode(samples_meta, "population_code", "superpopulation_code")
+        _level_explode(meta1, "population_code", "superpopulation_code")
         .groupBy("__level", "__grp")
         .agg(
             F.count(F.lit(1)).alias("__n"),

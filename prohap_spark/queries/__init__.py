@@ -44,28 +44,32 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # 150 = 3x50). tools/rotation_audit.py verifies this mechanically
 # against the CORRECTNESS_r*.json files.
 #
-# Round-14 state. Obligations were 51 against the 50 budget: (b)
-# sim_embedding_board (red r11/r12/r13 — r14 removes its last two
-# unique surfaces per VERDICT r13: the struct-in-lambda oracle
-# dialect is retired for _ex2_sql's unnest+generate_subscripts
-# idiom, and the brute leg hashes the FULL all-pairs integer scored
-# table so no double influences even row selection) + (a) the 3
-# r13-tail registrations never driver-checked (q_join_board,
-# float_env_canary, text_preference_pairs) + (c) the 47 r11-greens
-# going dark. Resolution per the documented precedence (b > a > c),
-# visibly: the two rule-(c) IVF singletons sim_ivf_ann +
-# sim_ivf_index_probe MERGED into sim_ivf_board (the slot-freeing
-# device, 16th use; queries/simsearch.py — they already shared one
-# oracle, and the board additionally pins direct-path == index-path
-# value equality) — the board carries both members' rule-(c)
-# obligation and fronts NOW, bringing the front to exactly
-# 1 + 3 + 1 + 45 = 50. No entry was bumped or silently dropped.
-# Registry: 148 (two slots of headroom under the 150 cap).
+# Round-15 state. Obligations were 53 against the 50 budget: (b)
+# sql_api_q6 (hash-red r14 — r13's integer sweep left a /10000.0 on
+# the hashed surface; r15 hashes the exact BIGINT revenue_e4 on both
+# sides, queries/scalars.py) and sim_embedding_board (red
+# r11/r12/r13/r14 — SPLIT per VERDICT r14 #2 into
+# sim_embedding_brute_gate + sim_embedding_centroid_gate so the
+# driver red names a LEG, plus sim_embedding_env_probe whose row
+# count is a 12-bit primitive bitmask naming WHICH aggregate and
+# WHICH side diverges; queries/simsearch.py), + (a)
+# sim_lsh_index_probe (registered r14, never driver-checked), + (c)
+# the 49 r12-greens going dark. Resolution per the documented
+# precedence (b > a > c), visibly: THREE slot-freeing merges (17th
+# use of the device), each a union of UNCHANGED r12-green legs —
+# sampling_hash_split + sampling_stratified_rates +
+# sampling_token_budget -> sampling_board (textdata.py, frees 2),
+# dedup_jaccard_pairs + dedup_cluster_reps -> dedup_cluster_board
+# (textdata.py, frees 1), w2_deterministic_row_number +
+# w_ntile_percent_rank -> w_rank_board (windowed.py, frees 1) — the
+# boards carry their members' rule-(c) obligations and front NOW,
+# bringing the front to exactly 2+1+1+1 + 42 + 3 = 50. No entry was
+# bumped or silently dropped. Registry: 147 (three slots of headroom
+# under the 150 cap).
 #
-# (Round-13 for the record: obligations were 51; text_quality +
-# text_langid merged into text_quality_board — 14th use — and
-# q3_shipping_priority + q5_local_supplier_volume into q_join_board
-# — 15th — funding float_env_canary and text_preference_pairs.)
+# (Round-14 for the record: obligations were 51; sim_ivf_ann +
+# sim_ivf_index_probe merged into sim_ivf_board — 16th use — funding
+# the 1 + 3 + 1 + 45 = 50 front.)
 #
 # Overflow precedence (first exercised r8, exercised again this
 # round): if a round's obligations exceed the 50 budget, priority is
@@ -76,54 +80,32 @@ from prohap_spark.queries import maintenance  # noqa: F401
 # option — the audit's exit code enforces that the resolution is
 # visible.
 _FRONT = [
-    # rule-(b): the r11/r12/r13 red — r14 retires the struct-dialect
-    # oracle AND the float-ordered row selection (see simsearch.py):
-    "sim_embedding_board",
-    # rule-(a): the 3 r13-tail registrations, never driver-checked:
-    "q_join_board", "float_env_canary", "text_preference_pairs",
-    # rule-(a): the r14 merge board (carries sim_ivf_ann +
-    # sim_ivf_index_probe's rule-(c) obligation — the overflow
-    # resolution):
-    "sim_ivf_board",
-    # rule-(c): the 45 remaining r11-greens — dark r12 and r13, the
+    # rule-(b): the fixed r14 hash-red (BIGINT revenue_e4 both sides):
+    "sql_api_q6",
+    # rule-(b) successors: the four-round red sim_embedding_board,
+    # split per VERDICT r14 #2 so CORRECTNESS_r15 names a leg — plus
+    # the primitive-bitmask probe (row count = which of 12 integer
+    # aggregates match the builder box, per side):
+    "sim_embedding_brute_gate", "sim_embedding_centroid_gate",
+    "sim_embedding_env_probe",
+    # rule-(a): registered r14, never driver-checked:
+    "sim_lsh_index_probe",
+    # rule-(a) merge boards carrying their members' rule-(c)
+    # obligations (the overflow resolution):
+    "sampling_board", "dedup_cluster_board", "w_rank_board",
+    # rule-(c): the 42 remaining r12-greens — dark r13 and r14, the
     # window forces them now:
-    "a11_synthesize_missing_groups", "a2_signature_grouping",
-    "a3_conditional_denominator", "a4_group_frequency_maps",
-    "a7_priority_dedup", "agg_cube_grouping", "agg_exact_distinct",
-    "c15_map_merge_explode", "c_scalar_board", "dedup_cdc_chunking",
-    "dedup_exact_docs", "domain_prohap_indel_oracle",
-    "domain_prohap_junction_oracle", "domain_prohap_snp_oracle",
-    "domain_provar_forcerf_oracle", "domain_provar_junction_oracle",
-    "domain_provar_snp_oracle", "domain_provar_start_oracle",
-    "f10_sample_subset_prohap", "f1_regex_threshold",
-    "f2_allele_validity", "f4_isin_filter",
-    "f5_group_conditional_filter", "f8_count_threshold_prohap",
-    "f9_array_mask_filter", "j11_anti_join",
-    "j12_bucketed_colocated_join", "j2_normalized_key_join",
-    "j3_star_dim_join", "j4_semi_join", "j6_explode_equijoin",
-    "multimodal_bmp_png_codec", "s10_partitioned_prune",
-    "s14_s15_shim_board", "s1_scan_pushdown_projection",
-    "s7_tsv_gz_roundtrip", "sql_api_q6", "stream_live_session_windows",
-    "stream_sketch_board", "text_bpe_train", "text_fingerprint_dedup",
-    "text_info_board", "w3_array_sort_analytics", "w5_running_offset",
-    "w_lead_lag",
-]
-_BACK = [
-    # last green r12 — the r15 rule-(c) obligations (they may go dark
-    # r13 AND r14 without violating the three-round window); the
-    # 49 r13-greens land mid-registry and become the r16 front.
     "agg_quantile_sketch", "sketch_algebra_board", "j13_bloom_semi_join",
     "layout_zorder_cluster", "w1_islands_board", "stream_batch_parity_board",
     "sim_quantized_ann_board", "j1_interval_board",
     "dedup_minhash_lsh_board", "dedup_simhash_board",
     "multimodal_audio_window_codec", "text_quality_classifier",
     "q1_pricing_summary", "er_fuzzy_blocked_join",
-    "w2_deterministic_row_number", "topk_per_group", "j10_asof_join",
-    "events_funnel", "w_ntile_percent_rank", "dedup_jaccard_pairs",
-    "dedup_cluster_reps", "text_bm25_topk", "sampling_hash_split",
+    "topk_per_group", "j10_asof_join",
+    "events_funnel", "text_bm25_topk",
     "text_decontaminate", "text_repetition_stats",
-    "sampling_stratified_rates", "text_bpe_tokens", "text_pii_scrub",
-    "text_line_dedup", "pack_context_windows", "sampling_token_budget",
+    "text_bpe_tokens", "text_pii_scrub",
+    "text_line_dedup", "pack_context_windows",
     "dedup_winnowing", "corpus_curation_e2e", "dedup_embedding_cosine",
     "dedup_semantic", "j9_containment_join",
     "stream_stateful_user_stats", "agg_salted_skew",
@@ -133,6 +115,37 @@ _BACK = [
     "domain_provar_indel_oracle", "j8_gene_header_annotation",
     "u4_full_class_grid", "domain_provar_threeexon_oracle",
     "domain_prohap_threeexon_oracle",
+]
+_BACK = [
+    # last green r13 — the r16 rule-(c) obligations (they may go dark
+    # r14 AND r15 without violating the three-round window). The nine
+    # r14-optimization-touched entries the r14 verdict flags (item 3)
+    # that are NOT in the r15 front land HERE and harvest on their
+    # forced r16 turn: text_quality_board, text_bloom_decontam,
+    # text_substring_dedup, hybrid_search_rrf (the other five —
+    # corpus_curation_e2e, text_line_dedup, dedup_minhash_lsh_board,
+    # dedup_winnowing, j1_interval_board — are r12-greens and front
+    # NOW).
+    "so_set_ops", "agg_shape_board", "agg_quantiles",
+    "c_string_surgery", "c7_reverse_translate", "scd2_merge_upsert",
+    "stream_click_attribution", "stream_cdc_scd2", "text_token_counts",
+    "text_quality_board", "text_bloom_decontam",
+    "text_heavy_hitters_cms", "sampling_temperature_mix",
+    "text_intradoc_dedup", "text_substring_dedup", "pack_best_fit",
+    "text_ngram_topk", "dedup_incremental_ingest", "text_chunk_overlap",
+    "dedup_incremental_near", "sampling_negative_pairs",
+    "dedup_host_cap", "text_trgm_search", "sim_lsh_ann",
+    "sim_knn_classify", "hybrid_search_rrf", "sim_kmeans_ivf",
+    "f12_liftover_artifact_filter", "stream_window_board",
+    "agg_approx_sketches", "multimodal_decode_features",
+    "multimodal_resize_stats", "multimodal_jpeg_color_codec",
+    "multimodal_gif_tiff_codec", "multimodal_audio_container",
+    "q13_customer_distribution", "q18_large_volume_customer",
+    "q_subquery_board", "q7_volume_shipping",
+    "q21_suppliers_kept_waiting", "graph_triangle_count",
+    "graph_pagerank", "multimodal_video_frames", "s5_fasta_roundtrip",
+    "s1_vcf_roundtrip", "s4_gtf_roundtrip", "s13_jsonl_roundtrip",
+    "table_maintenance_board", "table_stats_board",
 ]
 
 

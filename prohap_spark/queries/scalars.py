@@ -413,8 +413,8 @@ def c_scalar_board(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_api_q6",
     """
-    SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -425,15 +425,23 @@ def c_scalar_board(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_api_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API parity: the same Catalyst plan from spark.sql() text
-    (TPC-H-Q6 shape — pure scan-side predicate reduction)."""
+    (TPC-H-Q6 shape — pure scan-side predicate reduction).
+
+    r15: the hashed surface is the exact BIGINT ``revenue_e4`` (cents x
+    cents units). r13's integer sweep (199550d) rewrote the aggregate
+    to exact integer units but then divided by 10000.0 on the hashed
+    output — re-manufacturing a double at the last step, exactly the
+    gate class the sweep existed to remove; the r14 driver red
+    (rows/schema green, hash red) was that division. A dollar figure,
+    if wanted, is `revenue_e4 / 1e4` OUTSIDE the hashed surface."""
     li = table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_v")
     # the temp view lives in the engine child session's catalog — issue
     # the SQL there, not on the caller session
     return li.sparkSession.sql(
         """
-        SELECT sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
-               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 10000.0 AS revenue,
+        SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n
         FROM lineitem_v
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'

@@ -635,28 +635,72 @@ def sim_bruteforce_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r15: sim_embedding_board SPLIT into per-leg driver gates (VERDICT
+# r14 Next-round #2 — the board was hash-red four consecutive rounds,
+# r11..r14, with rows/schema green and every in-repo suspect
+# exhausted: integer-only hashed surface, no float in row selection,
+# oracle dialect normalized, float_env_canary green, local
+# check/vanilla/tz probes byte-equal). The union hid WHICH leg
+# diverges under the driver's oracle run; CORRECTNESS_r15 will name
+# it: sim_embedding_brute_gate and sim_embedding_centroid_gate hash
+# exactly the two legs' former surfaces (same arithmetic, same rows,
+# same casts — nothing about what is computed changed), and
+# sim_embedding_env_probe (below) bisects the primitives. The merged
+# board remains the library callable below for the r16 re-merge once
+# the red names a leg.
 @register(
-    "sim_embedding_board",
+    "sim_embedding_brute_gate",
     f"""
-    WITH brute_leg AS ({_BRUTE_SCORES_ORACLE}),
-    centroid_leg AS ({_CENTROID_ACC_ORACLE})
-    SELECT 'brute_scores' AS leg, CAST(qid AS BIGINT) AS qid,
-           CAST(cid AS BIGINT) AS cid, CAST(NULL AS VARCHAR) AS label,
+    WITH brute_leg AS ({_BRUTE_SCORES_ORACLE})
+    SELECT CAST(qid AS BIGINT) AS qid, CAST(cid AS BIGINT) AS cid,
            dot, ssx, ssc
     FROM brute_leg
-    UNION ALL
-    SELECT 'centroid' AS leg, CAST(vec_id AS BIGINT) AS qid,
-           CAST(NULL AS BIGINT) AS cid, label,
-           dot, ssx, ssc
+    """,
+)
+def sim_embedding_brute_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The former board's brute leg as its own driver gate: the FULL
+    all-pairs integer scored table (:func:`sim_bruteforce_scores`),
+    exact BIGINT dot/ssx/ssc per (query, candidate) — identical
+    arithmetic, rows, and casts to the r14 board leg, minus the union
+    and the leg/label padding."""
+    return sim_bruteforce_scores(spark, sf_dir).select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("cid").cast("long").alias("cid"),
+        "dot",
+        "ssx",
+        "ssc",
+    )
+
+
+@register(
+    "sim_embedding_centroid_gate",
+    f"""
+    WITH centroid_leg AS ({_CENTROID_ACC_ORACLE})
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, label, dot, ssx, ssc
     FROM centroid_leg
     """,
 )
+def sim_embedding_centroid_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The former board's centroid leg as its own driver gate: the
+    exact BIGINT centroid-cosine accumulators
+    (:func:`emb_centroid_accumulators`) — identical arithmetic, rows,
+    and casts to the r14 board leg, minus the union and padding."""
+    return emb_centroid_accumulators(spark, sf_dir).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "label",
+        "dot",
+        "ssx",
+        "ssc",
+    )
+
+
 def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-analytics board — brute-force cosine scores + per-label
-    centroid accumulators, MERGED into one registered query (r11
-    slot-freeing board) on a unified
+    centroid accumulators on a unified
     (leg, qid, cid, label, dot, ssx, ssc) schema, off-leg columns
-    NULL. r14 (fourth-round fix for the r11/r12/r13 driver reds —
+    NULL. LIBRARY SURFACE since r15: the registered gates are the
+    per-leg splits above (sim_embedding_brute_gate /
+    sim_embedding_centroid_gate) so a driver red names a leg. r14 (fourth-round fix for the r11/r12/r13 driver reds —
     both remaining unique surfaces removed per VERDICT r13):
     (1) the oracle's struct-literal-in-lambda explode — the ONLY
     dialect difference vs the r13-green ANN gates — is retired for
@@ -696,6 +740,163 @@ def sim_embedding_board(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ssc",
     )
     return brute.unionByName(cent)
+
+
+# ---------------------------------------------------------------------------
+# sim_embedding_env_probe (r15): primitive-level bisection of the
+# four-round board red, encoded so the DRIVER'S OWN CORRECTNESS
+# NUMBERS name the diverging primitive and side. Twelve integer
+# probes (parquet read, both quantizers, each leg's three
+# accumulators) are each compared against a PINNED literal — the
+# value both engines produce byte-equal on the builder box at every
+# SF (verified in-session, Spark == DuckDB at sf0.001/0.01/0.1).
+# Probe i emits 2^i rows iff its computed aggregate equals the pin,
+# so the reported row count IS a bitmask: spark_rows decodes which
+# probes the driver's Spark run agrees with this box on, oracle_rows
+# the same for the driver's DuckDB. All twelve pass -> 4095 == 4095,
+# hash green. Any divergence -> the missing bit names the primitive,
+# and which side's count is short names the engine. The pins are
+# keyed on sum(label) (2268/2270/9063 -- an exact INTEGER parquet
+# read that discriminates the three SFs); an unknown SF yields 0
+# rows on both sides rather than a misleading comparison. This is a
+# diagnostic canary in the float_env_canary tradition, not a result
+# cache: every probe recomputes its aggregate from the parquet input
+# on every run.
+# ---------------------------------------------------------------------------
+_ENV_PROBE_NAMES = [
+    "p00_count", "p01_sum_vec_id",
+    "p02_xq4_sum", "p03_xq4_ss", "p04_xq6_sum", "p05_xq6_ss",
+    "p06_brute_dot", "p07_brute_ssx", "p08_brute_ssc",
+    "p09_cent_dot", "p10_cent_ssx", "p11_cent_ssc",
+]
+_ENV_PROBE_PINS = {
+    # disc (sum(label)) -> the 12 pinned aggregates, p00..p11
+    2268: (500, 124750, -330960, 50000138470, -33099132,
+           499999983794384, -3196518774033, 4900000969092600,
+           4899999818166440, 49046581282, 50000138470, 2494474661246),
+    2270: (500, 124750, 7149, 49999896773, 713929,
+           499999994210053, 16036673371295, 4900000244193460,
+           4899999937116990, 53967298597, 49999896773, 2746416147955),
+    9063: (2000, 1999000, -218392, 200000460516, -21839613,
+           1999999984334495, 33942531597411, 19900004293948370,
+           19899999821767320, 200701663328, 200000460516,
+           40317763833649),
+}
+
+_ENV_PROBE_ORACLE = f"""
+    WITH ex4 AS ({_ex2_sql(10000)}),
+    ex6 AS ({_ex2_sql(1000000)}),
+    brute AS ({_BRUTE_SCORES_ORACLE}),
+    cent AS ({_CENTROID_ACC_ORACLE}),
+    aggs AS (
+      SELECT
+        (SELECT CAST(sum(label) AS BIGINT) FROM embeddings) AS disc,
+        (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS v00,
+        (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings) AS v01,
+        (SELECT CAST(sum(xq) AS BIGINT) FROM ex4) AS v02,
+        (SELECT CAST(sum(xq * xq) AS BIGINT) FROM ex4) AS v03,
+        (SELECT CAST(sum(xq) AS BIGINT) FROM ex6) AS v04,
+        (SELECT CAST(sum(xq * xq) AS BIGINT) FROM ex6) AS v05,
+        (SELECT CAST(sum(dot) AS BIGINT) FROM brute) AS v06,
+        (SELECT CAST(sum(ssx) AS BIGINT) FROM brute) AS v07,
+        (SELECT CAST(sum(ssc) AS BIGINT) FROM brute) AS v08,
+        (SELECT CAST(sum(dot) AS BIGINT) FROM cent) AS v09,
+        (SELECT CAST(sum(ssx) AS BIGINT) FROM cent) AS v10,
+        (SELECT CAST(sum(ssc) AS BIGINT) FROM cent) AS v11
+    ),
+    pins AS (
+      SELECT * FROM (VALUES
+        {",".join("(" + str(disc) + ", " + ", ".join(str(v) for v in vals) + ")" for disc, vals in sorted(_ENV_PROBE_PINS.items()))}
+      ) AS t(disc, {", ".join(f"k{i:02d}" for i in range(12))})
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT '{name}' AS probe, CAST({2 ** i} AS BIGINT) AS w, "
+          f"a.v{i:02d} = p.k{i:02d} AS ok FROM aggs a JOIN pins p USING (disc)"
+          for i, name in enumerate(_ENV_PROBE_NAMES))}
+    )
+    SELECT probe, CAST(unnest(range(1, w + 1)) AS INT) AS j
+    FROM probes WHERE ok
+    """
+
+
+@register("sim_embedding_env_probe", _ENV_PROBE_ORACLE)
+def sim_embedding_env_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmask bisection probe for the sim_embedding_board red — see
+    the _ENV_PROBE_ORACLE comment. Every aggregate is recomputed from
+    the parquet input on every invocation; the pinned literals are the
+    builder-box ground truth both engines reproduced byte-equal."""
+    from prohap_spark.operators.similarity import _micro_component
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.agg(
+        F.sum("label").cast("long").alias("disc"),
+        F.count(F.lit(1)).cast("long").alias("v00"),
+        F.sum("vec_id").cast("long").alias("v01"),
+    )
+    ex4 = e.select(F.posexplode("embedding").alias("d0", "x")).select(
+        F.round(F.col("x").cast("double") * F.lit(10000.0), 0)
+        .cast("long")
+        .alias("xq")
+    )
+    ex6 = e.select(F.posexplode("embedding").alias("d0", "x")).select(
+        _micro_component(F.col("x")).alias("xq")
+    )
+    quant = ex4.agg(
+        F.sum("xq").alias("v02"), F.sum(F.col("xq") * F.col("xq")).alias("v03")
+    ).crossJoin(
+        ex6.agg(
+            F.sum("xq").alias("v04"),
+            F.sum(F.col("xq") * F.col("xq")).alias("v05"),
+        )
+    )
+    brute = sim_bruteforce_scores(spark, sf_dir).agg(
+        F.sum("dot").alias("v06"),
+        F.sum("ssx").alias("v07"),
+        F.sum("ssc").alias("v08"),
+    )
+    cent = emb_centroid_accumulators(spark, sf_dir).agg(
+        F.sum("dot").alias("v09"),
+        F.sum("ssx").alias("v10"),
+        F.sum("ssc").alias("v11"),
+    )
+    aggs = base.crossJoin(quant).crossJoin(brute).crossJoin(cent)
+
+    def pin(i: int):
+        col = F.lit(None).cast("long")
+        expr = None
+        for disc, vals in sorted(_ENV_PROBE_PINS.items()):
+            cond = F.col("disc") == F.lit(disc)
+            expr = (
+                F.when(cond, F.lit(vals[i]))
+                if expr is None
+                else expr.when(cond, F.lit(vals[i]))
+            )
+        return expr.otherwise(col)
+
+    probes = aggs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("probe"),
+                        F.lit(2 ** i).cast("long").alias("w"),
+                        (F.col(f"v{i:02d}") == pin(i)).alias("ok"),
+                    )
+                    for i, name in enumerate(_ENV_PROBE_NAMES)
+                ]
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    return (
+        probes.where(F.col("ok"))
+        .select(
+            "probe",
+            F.explode(
+                F.sequence(F.lit(1), F.col("w").cast("int"))
+            ).alias("j"),
+        )
+    )
 
 
 _DUCK_NORMI = (

@@ -387,9 +387,12 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_jaccard_pairs",
-    """
+# dedup_jaccard_pairs + dedup_cluster_reps MERGED into
+# dedup_cluster_board (r15 — the slot-freeing device, 17th use; see
+# the sampling_board comment for the r15 budget arithmetic). Both were
+# r12-green rule-(c) obligations; the board carries both as ONE entry,
+# the singleton callables stay the library surface, legs unchanged.
+_JACCARD_PAIRS_SQL = """
     WITH t AS (
       SELECT doc_id, lang,
              list_distinct(list_transform(range(1, len(string_split(lower(trim(text)), ' '))),
@@ -402,8 +405,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
           len(list_distinct(list_concat(a.grams, b.grams))) >= 0.30
-    """,
-)
+    """
+
+
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard near-dup pairs within language blocks,
     on the AllPairs/PPJoin prefix-filter strategy as of r9 (rarest-
@@ -694,11 +698,10 @@ _DUCK_MINHASH_PAIRS = f"""
     )"""
 
 
-@register(
-    "dedup_cluster_reps",
-    # transitive closure of the MinHash near-dup pair graph via a
-    # recursive CTE: component id = min reachable doc_id
-    f"""
+# transitive closure of the MinHash near-dup pair graph via a
+# recursive CTE: component id = min reachable doc_id. Registered via
+# dedup_cluster_board since r15.
+_CLUSTER_REPS_SQL = f"""
     WITH RECURSIVE {_DUCK_MINHASH_PAIRS},
     edges AS (
       SELECT id_a AS a, id_b AS b FROM pairs
@@ -717,8 +720,9 @@ _DUCK_MINHASH_PAIRS = f"""
     FROM comp c
     JOIN (SELECT cluster_rep, count(*) AS cnt FROM comp GROUP BY 1) n
       USING (cluster_rep)
-    """,
-)
+    """
+
+
 def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS, not just pairs: MinHash-LSH pairs (same
     parameters as dedup_minhash_lsh) → connected components via
@@ -735,6 +739,42 @@ def dedup_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", threshold=0.6, num_hashes=16, band_size=4, ngram=2
     )
     return dedup_cluster_representatives(pairs)
+
+
+@register(
+    "dedup_cluster_board",
+    f"""
+    SELECT 'jaccard_pairs' AS leg, lang, id_a, id_b, jaccard,
+           CAST(NULL AS BIGINT) AS cluster_size
+    FROM ({_JACCARD_PAIRS_SQL}) jp
+    UNION ALL
+    SELECT 'cluster_reps' AS leg, CAST(NULL AS VARCHAR) AS lang,
+           doc_id AS id_a, cluster_rep AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard, cluster_size
+    FROM ({_CLUSTER_REPS_SQL}) cr
+    """,
+)
+def dedup_cluster_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair-graph board — exact Jaccard pairs + MinHash
+    cluster representatives MERGED into one registered query (r15
+    slot-freeing board; see the _JACCARD_PAIRS_SQL comment) on a
+    unified (leg, lang, id_a, id_b, jaccard, cluster_size) schema,
+    off-leg columns NULL. Each leg is the UNCHANGED singleton
+    callable — identical rows, identical values (cluster leg maps
+    doc_id->id_a, cluster_rep->id_b)."""
+    NS = F.lit(None).cast("string")
+    NB = F.lit(None).cast("long")
+    ND = F.lit(None).cast("double")
+    jp = dedup_jaccard_pairs(spark, sf_dir).select(
+        F.lit("jaccard_pairs").alias("leg"), "lang", "id_a", "id_b",
+        "jaccard", NB.alias("cluster_size"),
+    )
+    cr = dedup_cluster_reps(spark, sf_dir).select(
+        F.lit("cluster_reps").alias("leg"), NS.alias("lang"),
+        F.col("doc_id").alias("id_a"), F.col("cluster_rep").alias("id_b"),
+        ND.alias("jaccard"), "cluster_size",
+    )
+    return jp.unionByName(cr)
 
 
 _BM25_TERMS = ("spark", "vector", "stream")
@@ -851,11 +891,16 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sampling_hash_split",
-    # md5-derived bucket: first 8 hex chars of md5(doc_id) as an int,
-    # mod 100 → 80/10/10 split; engine-portable and reshuffle-stable
-    """
+# sampling_hash_split + sampling_stratified_rates +
+# sampling_token_budget MERGED into sampling_board (r15 — the
+# slot-freeing device, 17th use): all three were r12-green rule-(c)
+# obligations for an r15 front that was 53 obligations against the 50
+# budget (49 rule-(c) + sql_api_q6's rule-(b) + sim_lsh_index_probe's
+# rule-(a) + the sim_embedding_board per-leg split mandated by
+# VERDICT r14 #2). The board carries all three obligations as ONE
+# entry; the singleton callables stay the library surface and the
+# legs' arithmetic is byte-identical (same md5 bucket, same window).
+_SAMPLING_HASH_SPLIT_SQL = """
     WITH b AS (
       SELECT doc_id, lang,
              list_reduce(
@@ -870,8 +915,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM b
-    """,
-)
+    """
+
+
 def sampling_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by content-hash bucket
     (md5(doc_id) % 100 → 80/10/10): the split survives re-runs,
@@ -1191,24 +1237,39 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-word fraction (1 - distinct/total), duplicate-bigram
     fraction, and immediately-repeated-word count — pure JVM array
     expressions over one scan, no shuffle, no Python."""
-    from prohap_spark.operators.dedup import ngrams_from_words, words_expr
+    from prohap_spark.operators.dedup import words_expr
 
     d = table(spark, sf_dir, "documents")
     w = words_expr("text")
     base = d.select("doc_id", w.alias("__w"))
     n = F.size("__w")
+    # r15 (guide §1.2 per-task work; VERDICT r14 #6): the adjacent-
+    # repeat count and the bigram list used to be TWO zip_with lambdas
+    # over the same (words, shifted-slice) pair — the executed Project
+    # evaluated the slice and walked the array twice per row
+    # (expr_dup_audit's last flag). ONE struct-producing zip_with now
+    # yields (gram, eq) per position; both stats derive from that
+    # single pass. Values are unchanged: gram = concat(a,' ',b) as in
+    # ngrams_from_words(n=2), eq = (a = b) as in the old adjacency
+    # lambda, trailing null-padded entries dropped by the same
+    # array_compact.
     shifted = F.slice(F.col("__w"), 2, F.greatest(n - 1, F.lit(0)))
-    adj = F.size(
-        F.array_compact(
-            F.zip_with(
-                F.col("__w"), shifted,
-                lambda a, bx: F.when(bx.isNotNull() & (a == bx), F.lit(1)),
-            )
+    pairs = F.array_compact(
+        F.zip_with(
+            F.col("__w"), shifted,
+            lambda a, bx: F.when(
+                bx.isNotNull(),
+                F.struct(
+                    F.concat(a, F.lit(" "), bx).alias("gram"),
+                    (a == bx).alias("eq"),
+                ),
+            ),
         )
     )
-    # total bigrams = n - 1; distinct via the shared shingle expr
-    distinct_bi = F.size(ngrams_from_words(F.col("__w"), 2))
-    return base.select(
+    paired = base.select("doc_id", F.col("__w").alias("__w"), pairs.alias("__p"))
+    adj = F.size(F.filter("__p", lambda s: s["eq"]))
+    distinct_bi = F.size(F.array_distinct(F.transform("__p", lambda s: s["gram"])))
+    return paired.select(
         "doc_id",
         n.cast("long").alias("n_words"),
         F.round(
@@ -1223,11 +1284,10 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sampling_stratified_rates",
-    # per-language keep rates (domain mixing): the md5 bucket from
-    # sampling_hash_split compared against each stratum's target rate
-    """
+# per-language keep rates (domain mixing): the md5 bucket from
+# sampling_hash_split compared against each stratum's target rate.
+# Registered via sampling_board since r15.
+_SAMPLING_STRATIFIED_SQL = """
     WITH r(lang, rate_pct) AS (VALUES ('en', 80), ('de', 50), ('fr', 50)),
     b AS (
       SELECT doc_id, lang,
@@ -1241,8 +1301,9 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.doc_id, b.lang, CAST(b.bucket AS INT) AS bucket,
            b.bucket < coalesce(r.rate_pct, 25) AS kept
     FROM b LEFT JOIN r USING (lang)
-    """,
-)
+    """
+
+
 def sampling_stratified_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified (domain-mixing) sampling: each language keeps a
     target fraction of documents, decided by the same deterministic
@@ -1975,13 +2036,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sampling_token_budget",
-    # mixture enforcement, shard-then-allocate: each source's 800-token
-    # budget is split over 4 md5 shards (200 each); docs admitted per
-    # (source, shard) in deterministic md5 order while the inclusive
-    # cumsum fits the shard allocation
-    """
+# mixture enforcement, shard-then-allocate: each source's 800-token
+# budget is split over 4 md5 shards (200 each); docs admitted per
+# (source, shard) in deterministic md5 order while the inclusive
+# cumsum fits the shard allocation. Registered via sampling_board
+# since r15.
+_SAMPLING_TOKEN_BUDGET_SQL = """
     WITH b AS (
       SELECT doc_id, source,
              list_reduce(
@@ -2002,8 +2062,9 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, source, shard, n_tokens, cum_tokens,
            cum_tokens <= 200 AS kept
     FROM c
-    """,
-)
+    """
+
+
 def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mixture budget enforcement, shard-then-allocate: each
     source's 800-token budget is split evenly over 4 deterministic md5
@@ -2023,6 +2084,59 @@ def sampling_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return stream_token_budget(d, budget_per_source=800, n_shards=4)
+
+
+@register(
+    "sampling_board",
+    f"""
+    SELECT 'hash_split' AS leg, doc_id, lang,
+           CAST(NULL AS VARCHAR) AS source, bucket,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS cum_tokens, split,
+           CAST(NULL AS BOOLEAN) AS kept
+    FROM ({_SAMPLING_HASH_SPLIT_SQL}) hs
+    UNION ALL
+    SELECT 'stratified' AS leg, doc_id, lang,
+           CAST(NULL AS VARCHAR) AS source, bucket,
+           CAST(NULL AS BIGINT) AS n_tokens,
+           CAST(NULL AS BIGINT) AS cum_tokens,
+           CAST(NULL AS VARCHAR) AS split, kept
+    FROM ({_SAMPLING_STRATIFIED_SQL}) sr
+    UNION ALL
+    SELECT 'token_budget' AS leg, doc_id,
+           CAST(NULL AS VARCHAR) AS lang, source,
+           shard AS bucket, n_tokens, cum_tokens,
+           CAST(NULL AS VARCHAR) AS split, kept
+    FROM ({_SAMPLING_TOKEN_BUDGET_SQL}) tb
+    """,
+)
+def sampling_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling board — hash split, stratified rates, and
+    token-budget allocation MERGED into one registered query (r15
+    slot-freeing board, 17th use; see the _SAMPLING_HASH_SPLIT_SQL
+    comment for the budget arithmetic) on a unified
+    (leg, doc_id, lang, source, bucket, n_tokens, cum_tokens, split,
+    kept) schema, off-leg columns NULL. Each leg is the UNCHANGED
+    singleton callable — identical rows, identical values."""
+    NS = F.lit(None).cast("string")
+    NB = F.lit(None).cast("long")
+    NBOOL = F.lit(None).cast("boolean")
+    hs = sampling_hash_split(spark, sf_dir).select(
+        F.lit("hash_split").alias("leg"), "doc_id", "lang",
+        NS.alias("source"), "bucket", NB.alias("n_tokens"),
+        NB.alias("cum_tokens"), "split", NBOOL.alias("kept"),
+    )
+    sr = sampling_stratified_rates(spark, sf_dir).select(
+        F.lit("stratified").alias("leg"), "doc_id", "lang",
+        NS.alias("source"), "bucket", NB.alias("n_tokens"),
+        NB.alias("cum_tokens"), NS.alias("split"), "kept",
+    )
+    tb = sampling_token_budget(spark, sf_dir).select(
+        F.lit("token_budget").alias("leg"), "doc_id", NS.alias("lang"),
+        "source", F.col("shard").alias("bucket"), "n_tokens",
+        "cum_tokens", NS.alias("split"), "kept",
+    )
+    return hs.unionByName(sr).unionByName(tb)
 
 
 _BEST_FIT_SEQ, _BEST_FIT_SHARDS = 128, 8

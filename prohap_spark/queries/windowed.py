@@ -139,9 +139,13 @@ def w1_islands_board(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.unionByName(iv)
 
 
-@register(
-    "w2_deterministic_row_number",
-    """
+# w2_deterministic_row_number + w_ntile_percent_rank MERGED into
+# w_rank_board (r15 — the slot-freeing device, 17th use; see
+# textdata.py's sampling_board comment for the r15 budget
+# arithmetic). Both were r12-green rule-(c) obligations; the board
+# carries both as ONE entry, the singleton callables stay the
+# library surface, legs unchanged.
+_W2_ROW_NUMBER_SQL = """
     SELECT o_orderkey, rn, printf('%x', rn) AS hex_id
     FROM (
       SELECT o_orderkey,
@@ -149,8 +153,9 @@ def w1_islands_board(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
     )
     WHERE rn <= 1000
-    """,
-)
+    """
+
+
 def w2_deterministic_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 deterministic identity assignment: global row_number over a
     documented total order + hex formatting (C9) — the reproducible
@@ -926,11 +931,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "w_ntile_percent_rank",
-    # quartile + relative-rank analytics per order priority; ROWS
-    # determinism via the (totalprice, orderkey) full tiebreak
-    """
+# quartile + relative-rank analytics per order priority; ROWS
+# determinism via the (totalprice, orderkey) full tiebreak.
+# Registered via w_rank_board since r15.
+_W_NTILE_SQL = """
     SELECT o_orderpriority, o_orderkey,
            ntile(4) OVER w AS quartile,
            round(percent_rank() OVER w, 6) AS pct_rank,
@@ -939,8 +943,9 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey % 7 = 0
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice, o_orderkey)
-    """,
-)
+    """
+
+
 def w_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-rank window analytics: ntile quartiles,
     percent_rank, and cume_dist per order priority — fully
@@ -955,6 +960,44 @@ def w_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "w_rank_board",
+    f"""
+    SELECT 'row_number' AS leg, o_orderkey,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           rn AS rank_val, hex_id,
+           CAST(NULL AS DOUBLE) AS pct_rank, CAST(NULL AS DOUBLE) AS cume
+    FROM ({_W2_ROW_NUMBER_SQL}) w2
+    UNION ALL
+    SELECT 'ntile' AS leg, o_orderkey, o_orderpriority,
+           quartile AS rank_val, CAST(NULL AS VARCHAR) AS hex_id,
+           pct_rank, cume
+    FROM ({_W_NTILE_SQL}) wn
+    """,
+)
+def w_rank_board(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-window board — deterministic global row_number + the
+    ntile/percent_rank/cume_dist analytics MERGED into one registered
+    query (r15 slot-freeing board; see the _W2_ROW_NUMBER_SQL comment)
+    on a unified (leg, o_orderkey, o_orderpriority, rank_val, hex_id,
+    pct_rank, cume) schema, off-leg columns NULL. Each leg is the
+    UNCHANGED singleton callable — identical rows, identical values
+    (rn and quartile share rank_val)."""
+    NS = F.lit(None).cast("string")
+    ND = F.lit(None).cast("double")
+    w2 = w2_deterministic_row_number(spark, sf_dir).select(
+        F.lit("row_number").alias("leg"), "o_orderkey",
+        NS.alias("o_orderpriority"), F.col("rn").alias("rank_val"),
+        "hex_id", ND.alias("pct_rank"), ND.alias("cume"),
+    )
+    wn = w_ntile_percent_rank(spark, sf_dir).select(
+        F.lit("ntile").alias("leg"), "o_orderkey", "o_orderpriority",
+        F.col("quartile").alias("rank_val"), NS.alias("hex_id"),
+        "pct_rank", "cume",
+    )
+    return w2.unionByName(wn)
 
 
 @register(

@@ -254,7 +254,9 @@ def test_token_budget_sharded_window(spark, qs):
 
     from prohap_spark.plans import formatted_plan
 
-    plan = formatted_plan(qs["sampling_token_budget"](spark, SF))
+    from prohap_spark.queries.textdata import sampling_token_budget
+
+    plan = formatted_plan(sampling_token_budget(spark, SF))
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs
     for s in specs:

@@ -464,13 +464,14 @@ def test_stream_token_budget_batch_parity_and_cross_batch_state(spark, tmp_path)
     at sf0.001; (2) under a two-trigger stream, a (source, shard)
     budget filled by the first batch rejects the second batch's
     documents — proof the counter genuinely persists in state."""
-    from prohap_spark.queries.registry import REGISTRY, table
+    from prohap_spark.queries.registry import table
+    from prohap_spark.queries.textdata import sampling_token_budget
     from prohap_spark.streaming.budget import stream_token_budget
 
     sf = "/root/testdata/sf0.001"
     want = {
         r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"])
-        for r in REGISTRY["sampling_token_budget"][0](spark, sf).collect()
+        for r in sampling_token_budget(spark, sf).collect()
     }
     got = {
         r["doc_id"]: (r["shard"], r["cum_tokens"], r["kept"])

@@ -102,7 +102,12 @@ def main() -> None:
             n = b.getName()
             if "CodeHeap" in n or "Metaspace" in n or "Class" in n:
                 u = b.getUsage()
-                out[n] = (round(u.getUsed() / 2**20, 1), round(u.getMax() / 2**20, 1))
+                # getMax() is -1 for pools with an undefined max (e.g.
+                # Metaspace without MaxMetaspaceSize) — report None
+                # instead of a misleading negative capacity (r14 ADVICE)
+                m = u.getMax()
+                cap = None if m < 0 else round(m / 2**20, 1)
+                out[n] = (round(u.getUsed() / 2**20, 1), cap)
         out["jit_total_compile_ms"] = mf.getCompilationMXBean().getTotalCompilationTime()
         return out
 

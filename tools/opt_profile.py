@@ -1,6 +1,6 @@
-"""r14 optimization profiler: isolate each bench query with the noop
+"""Optimization profiler (r14; plans dir now per-round via $SPARK_GRAFT_PLANS_ROUND): isolate each bench query with the noop
 sink (guide §1.4), label jobs (§1.5), capture .explain("formatted")
-to plans/r14/<name>_<tag>.txt, and print per-query wall seconds.
+to plans/<round>/<name>_<tag>.txt, and print per-query wall seconds.
 
 Usage:
     python tools/opt_profile.py [--tag before|after] [--passes 3] [q ...]
@@ -129,7 +129,8 @@ def main() -> None:
     names = args.names or list(builders)
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(plans_dir, exist_ok=True)
 

@@ -49,7 +49,7 @@ QUERIES = [
     "text_line_dedup",
     "pack_context_windows",
     "text_bm25_topk",
-    "dedup_jaccard_pairs",
+    "dedup_cluster_board",
     "u4_peptide_classes",
     "j6_explode_equijoin",
     "w5_running_offset",

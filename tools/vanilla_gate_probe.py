@@ -27,7 +27,9 @@ sys.path.insert(0, "/root/repo/tools")
 from check import SF_DIR, TABLES, value_hash  # noqa: E402
 
 DEFAULT_SET = [
-    "sim_embedding_board",
+    "sim_embedding_brute_gate",
+    "sim_embedding_centroid_gate",
+    "sim_embedding_env_probe",
     "sim_ivf_board",
     "dedup_semantic",
     "sim_quantized_ann_board",
