@@ -975,6 +975,7 @@ def segment_dedup(
     seg_words: int = 4,
     max_docs: int = 1,
     share_scan: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """CCNet-style duplicated-segment removal: split every document
     into consecutive ``seg_words``-word segments (pseudo-paragraphs —
@@ -1065,8 +1066,15 @@ def segment_dedup(
     )
     segs = F.col("__segs")
     kept = _drop_positions(segs, rm)
+    # `passthrough` (r15): extra df columns carried through the
+    # reassembly for free — the final map-side pass already holds the
+    # full input row, so a caller that needs e.g. `source` downstream
+    # names it here instead of re-joining the corpus afterwards (at
+    # scale that re-join is a second full shuffle or an
+    # everything-broadcast; see corpus_curation_e2e).
     return joined.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.size(segs).cast("long").alias("n_segs"),
         F.size(rm).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("scrubbed_text"),

@@ -2602,12 +2602,21 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
     # window, is_exact_dup NULLed), and the budget cumsum adds 0 for
     # every ineligible row, which makes it identical to the old
     # filtered-then-cumsum on the eligible rows.
-    scrub = segment_dedup(cand, "doc_id", "text", seg_words=4).select(
-        "doc_id", "n_removed", F.col("scrubbed_text").alias("scrubbed")
-    )
+    # r15 (guide §2.4/§3): `source` rides THROUGH segment_dedup's
+    # reassembly as a passthrough column — the old plan re-attached it
+    # by joining a 2-column projection of the FULL corpus after the
+    # dedup window (locally a broadcast of every doc_id; at 100 TB
+    # that join degrades to a second full shuffle or an
+    # over-the-cap broadcast). One join and its exchange/broadcast
+    # gone; values identical (source is functionally determined by
+    # doc_id).
+    scrub = segment_dedup(
+        cand, "doc_id", "text", seg_words=4, passthrough=("source",)
+    ).select("doc_id", "source", "n_removed", F.col("scrubbed_text").alias("scrubbed"))
     surv = F.col("scrubbed") != ""
     exact = scrub.select(
         "doc_id",
+        "source",
         "n_removed",
         surv.alias("__surv"),
         F.when(surv, F.md5(F.col("scrubbed"))).otherwise(
@@ -2623,10 +2632,7 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
             F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("__h")),
         ),
     )
-    # join the RAW frame for `source` — joining `cand` here would
-    # re-evaluate the quality/langid expressions over the whole corpus
-    # again just to read a stored column
-    chain = exact.join(d.select("doc_id", "source"), "doc_id").select(
+    chain = exact.select(
         "doc_id",
         "source",
         "n_removed",
@@ -2649,9 +2655,15 @@ def curation_funnel(d: DataFrame, share_scan: bool = True) -> DataFrame:
         F.when(eligible, F.col("shard")).alias("shard"),
         F.when(eligible, cum).cast("long").alias("cum_tokens"),
     )
+    # r15 (guide §3.1): the verdict join builds a hash table over the
+    # filtered chain side instead of sort-merging — both sides still
+    # shuffle on doc_id, but the two SMJ sorts (one over the FULL
+    # corpus's verdict projection) disappear. The chain side is the
+    # quality+lang survivors, strictly smaller per partition; doc_id
+    # is hash-uniform, so no build-side skew.
     return (
         flags.select("doc_id", "quality", "passed_quality", "is_en")
-        .join(chain, "doc_id", "left")
+        .join(chain.hint("shuffle_hash"), "doc_id", "left")
         .withColumn(
             "final_kept", F.coalesce(F.col("cum_tokens") <= 150, F.lit(False))
         )

@@ -747,6 +747,39 @@ def test_segment_dedup_literal_fixture(spark):
     assert out[3]["scrubbed_text"] == ""
 
 
+def test_segment_dedup_passthrough_columns(spark):
+    """r15: `passthrough` carries extra input columns through the
+    reassembly unchanged and changes NOTHING else — the dedup columns
+    are byte-identical to the no-passthrough call on the same frame."""
+    from prohap_spark.operators.dedup import segment_dedup
+
+    shared = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, "web", f"{shared} one two three four tail"),
+            (2, "book", f"zero zero zero zero {shared}"),
+            (3, "web", shared),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    base = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, "doc_id", "text", seg_words=4).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(
+            docs, "doc_id", "text", seg_words=4, passthrough=("source",)
+        ).collect()
+    }
+    assert {r["doc_id"]: r["source"] for r in docs.collect()} == {
+        k: v["source"] for k, v in out.items()
+    }
+    for k in base:
+        for c in ("n_segs", "n_removed", "scrubbed_text"):
+            assert base[k][c] == out[k][c]
+
+
 def test_pack_context_windows_invariants(spark, rng):
     """Packing manifest invariants on random docs: per-doc token
     conservation, contiguous within-shard sequence coverage (every

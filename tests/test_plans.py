@@ -773,3 +773,42 @@ def test_er_fuzzy_banded_levenshtein_and_length_guard(spark, qs):
     # the threshold form prints the bound as Some(3)
     assert "levenshtein" in plan and "Some(3)" in plan, plan[:2000]
     assert "abs((length(" in plan, plan[:2000]
+
+
+def test_prohap_haplotype_chain_one_carrier_exchange(spark):
+    """r15: the haplotype extraction chain establishes ONE carrier
+    partitioning (hash(transcript_id)) that serves the conflict
+    windows, the per-copy signature aggregate AND the
+    signature→haplotype aggregate — no second full shuffle of the
+    signature table — and the samples_meta auxiliary aggregates run
+    in one task (coalesce(1)) instead of three metadata-sized
+    exchanges. Pinned: exactly 3 shuffle Exchanges end-to-end (the
+    loci dedup, the carrier repartition, the post-kernel A5 merge)."""
+    import re
+
+    from prohap_spark.pipeline.synthetic import run_prohap_e2e
+    from prohap_spark.plans import formatted_plan
+
+    plan = formatted_plan(run_prohap_e2e(spark, scale=1))
+    shuffles = re.findall(r"[+:]- Exchange \(", plan)
+    assert len(shuffles) == 3, f"expected 3 shuffle exchanges, got {len(shuffles)}"
+    assert "hashpartitioning(transcript_id" in plan
+
+
+def test_curation_funnel_no_corpus_rescan_and_hash_verdict_join(spark):
+    """r15: the curation funnel reads the corpus ONCE (the flags
+    checkpoint feeds every consumer — `source` rides through
+    segment_dedup as a passthrough column instead of re-joining a
+    projection of the full documents table), and the final verdict
+    join is a shuffled-hash join (no sort of the full corpus's
+    verdict projection)."""
+    from prohap_spark.plans import formatted_plan, scans_per_file
+    from prohap_spark.queries import queries
+
+    df = queries()["corpus_curation_e2e"](spark, SF)
+    # everything downstream of the checkpoint: zero re-scans of the
+    # parquet corpus (before r15 the source re-attach scanned it again)
+    assert scans_per_file(df).get("documents.parquet", 0) == 0
+    plan = formatted_plan(df)
+    assert "ShuffledHashJoin LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
